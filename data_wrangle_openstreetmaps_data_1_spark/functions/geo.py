@@ -1,0 +1,113 @@
+"""Geospatial column-expression library (SURVEY.md §2.9 G1-G5).
+
+The reference relied on MongoDB's 2dsphere index for ``$near`` and
+``$geoWithin`` (reference readme.md:381-398, 500-539). Vanilla Spark has no
+spatial index, so the scale strategy is:
+
+1. Haversine distance as a *native column expression* (trig built-ins, no
+   UDF) — stays in whole-stage codegen.
+2. A conjunctive lat/lon bounding-box pre-filter emitted in front of the
+   exact distance predicate. On a geo-sorted/partitioned table the bbox
+   predicate prunes parquet row groups via min/max stats — the same access-
+   path win the 2dsphere index provided (SURVEY.md §4.2).
+3. General point-in-polygon as a vectorized pandas_udf (ray casting) — the
+   one place expressions can't reach; the reference's actual polygons are
+   axis-aligned boxes which route through pure range predicates instead
+   (reference readme.md:500-517).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+EARTH_RADIUS_KM = 6371.0
+MILES_TO_METERS = 1609.344  # F11, reference readme.md:392-393
+# Box-bound epsilon the reference needed to absorb precision loss
+# (G5, reference readme.md:500-505).
+BBOX_EPSILON = 2e-3
+# WA/ID dividing longitude (reference readme.md:500).
+DIVIDING_LON = -117.039971
+
+
+def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """G3: great-circle distance in km as a pure column expression."""
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = F.pow(F.sin(dlat / 2), 2) + F.cos(rlat1) * F.cos(rlat2) * F.pow(F.sin(dlon / 2), 2)
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def bbox_prefilter(lat: Column, lon: Column, center_lat: Column, center_lon: Column, radius_km: float) -> Column:
+    """Conservative bounding-box predicate implied by ``dist <= radius_km``.
+
+    1 deg latitude ~ 111.32 km; longitude shrinks by cos(lat) — use the
+    worst case cos at +-60 deg unless callers know better. This predicate is
+    sargable: it reaches parquet min/max pruning, playing the role of the
+    reference's 2dsphere index (readme.md:381-384).
+    """
+    dlat = radius_km / 111.32
+    dlon = radius_km / (111.32 * 0.5)  # conservative cos(60 deg)
+    return (
+        (lat >= center_lat - dlat)
+        & (lat <= center_lat + dlat)
+        & (lon >= center_lon - dlon)
+        & (lon <= center_lon + dlon)
+    )
+
+
+def in_box(lat: Column, lon: Column, lat_min: float, lat_max: float, lon_min: float, lon_max: float, eps: float = BBOX_EPSILON) -> Column:
+    """G4/G5: axis-aligned box membership with the reference's epsilon
+    semantics (bounds extended by 2e-3, readme.md:500-505)."""
+    return (
+        (lat >= lat_min - eps)
+        & (lat <= lat_max + eps)
+        & (lon >= lon_min - eps)
+        & (lon <= lon_max + eps)
+    )
+
+
+def geojson_point(lat: Column, lon: Column) -> Column:
+    """G1: GeoJSON Point struct — note the [lon, lat] element order swap
+    (reference readme.md:375-377)."""
+    return F.struct(
+        F.lit("Point").alias("type"),
+        F.array(lon, lat).alias("coordinates"),
+    )
+
+
+def point_in_polygon_udf(polygon: list[tuple[float, float]]):
+    """G4 general form: ray-casting point-in-polygon as a vectorized
+    pandas_udf over (lat, lon) Series. ``polygon`` is a closed or open ring
+    of (lon, lat) pairs — GeoJSON axis order (reference references.txt cites
+    the GeoJSON spec).
+
+    Scale notes: the polygon is captured in the closure (broadcast with the
+    task), the test is O(vertices) per point, Arrow-batched. For the
+    reference's actual WA/ID boxes prefer :func:`in_box` (codegen, prunable).
+    """
+    ring = list(polygon)
+    if ring and ring[0] == ring[-1]:
+        ring = ring[:-1]
+
+    @F.pandas_udf(BooleanType())
+    def _pip(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        import numpy as np
+
+        x = lon.to_numpy(dtype="float64")
+        y = lat.to_numpy(dtype="float64")
+        inside = np.zeros(len(x), dtype=bool)
+        n = len(ring)
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % n]
+            crosses = ((y1 > y) != (y2 > y)) & (
+                x < (x2 - x1) * (y - y1) / (y2 - y1 + 1e-300) + x1
+            )
+            inside ^= crosses
+        return pd.Series(inside)
+
+    return _pip

@@ -1,0 +1,111 @@
+"""Similarity search over an ``array<float>`` embedding column.
+
+- ``knn_brute``: exact top-k cosine — broadcast the (small) query set,
+  cosine as a pure column expression, per-query top-k via window
+  ``row_number``. At 100 TB the scan dominates; the cross join is
+  broadcast-nested-loop with the tiny query side broadcast, so no shuffle
+  of the big side at all.
+- ``ann_lsh``: random-hyperplane (sign) LSH bucketing — candidates share a
+  bucket key, turning top-k into a keyed equi-join + local top-k. This is
+  the scale path when the query set is large.
+- ``embedding_neardup_pairs``: pairs with cosine >= tau, LSH-bucketed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 11) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG -> [-1, 1]); no runtime
+    RNG so results are reproducible across engines and runs."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 1103515245 + 12345) % (2**31)
+            row.append((state / 2**30) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def knn_brute(targets: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int = 10) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, cos_sim rounded to 6), k rows per query,
+    ties broken by neighbor id. ``queries`` must be small (it is broadcast).
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    t = targets.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("t_vec"))
+    scored = (
+        t.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("t_vec")).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"))
+    )
+
+
+def lsh_bucket_expr(vec_col, planes: list[list[float]]):
+    """Sign-LSH bucket key: one bit per hyperplane (dot(v, plane) >= 0)."""
+    bits = []
+    for p in planes:
+        plane_arr = F.array(*[F.lit(float(x)) for x in p])
+        d = F.aggregate(F.zip_with(vec_col, plane_arr, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v)
+        bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def ann_lsh(targets: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int = 10, dim: int = 64, n_planes: int = 8) -> DataFrame:
+    """Approximate top-k: only candidates in the query's LSH bucket are
+    scored. Recall < 1 by design; the bucket join replaces the full scan.
+    Output schema matches :func:`knn_brute`."""
+    planes = _hyperplanes(dim, n_planes)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    t = targets.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("t_vec"),
+        lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        t.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("t_vec")).alias("cos_raw"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"))
+    )
+
+
+def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str, tau: float = 0.95) -> DataFrame:
+    """Pairs of rows with cosine >= tau (embedding near-duplicate detection).
+
+    Brute all-pairs at test scale; the 100 TB form swaps the crossJoin for
+    the LSH bucket join (same verify stage)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= tau)
+    )

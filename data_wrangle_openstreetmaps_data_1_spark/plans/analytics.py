@@ -1,0 +1,259 @@
+"""Analytic queries: TPC-H-style aggregation/join plans (the bench
+headliners), window functions, as-of join, sessionization, time-window
+rollups.
+
+The reference has no window functions (SURVEY §2.5) — these are the natural
+extensions the engine gets from Spark, registered as first-class inventory
+entries. Every plan is shuffle-conscious: partial aggs, broadcast dims,
+single-sort window stacks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..operators.sessionize import session_stats
+from ..sources.tables import load_table
+from .registry import register
+
+
+@register(
+    "tpch_q1_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '2024-11-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+    doc="TPC-H Q1 shape: scan-heavy partial+final hash agg; the plan should "
+    "show PushedFilters on l_shipdate and a pruned ReadSchema",
+)
+def tpch_q1_pricing(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").where(F.col("l_shipdate") <= F.lit("2024-11-01").cast("date"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+        ).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "tpch_q3_revenue",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(o_orderdate AS VARCHAR) AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING' AND o_orderdate < DATE '2024-06-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+    """,
+    bench=True,
+    doc="TPC-H Q3 shape: filter-pushdown + broadcast dim + top-k "
+    "(TakeOrderedAndProject)",
+)
+def tpch_q3_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf, "orders").where(F.col("o_orderdate") < F.lit("2024-06-01").cast("date"))
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", F.col("o_orderdate").cast("string").alias("orderdate"))
+    )
+
+
+@register(
+    "tpch_q5_regional",
+    """
+    SELECT r_name AS region,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    bench=True,
+    doc="TPC-H Q5 shape: 6-table join; dims broadcast, fact joins shuffle on "
+    "keys, AQE picks the final shape",
+)
+def tpch_q5_regional(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@register(
+    "w_rank_topn_per_group",
+    """
+    WITH ranked AS (
+      SELECT c_mktsegment AS segment, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT segment, o_orderkey, round(o_totalprice, 2) AS total, rk
+    FROM ranked WHERE rk <= 3
+    """,
+    doc="window rank: top-3 orders per segment (extension of A2 per SURVEY "
+    "§2.5 — reference had sort+slice only)",
+)
+def w_rank_topn_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"), "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("segment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("segment", "o_orderkey", F.round("o_totalprice", 2).alias("total"), "rk")
+    )
+
+
+@register(
+    "w_running_sum",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
+    FROM events WHERE user_id % 10 = 0
+    """,
+    doc="window running sum per user over event time",
+)
+def w_running_sum(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events").where(F.col("user_id") % 10 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select("event_id", "user_id", F.round(F.sum("value").over(w), 2).alias("run_total"))
+
+
+@register(
+    "asof_join_events",
+    """
+    WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    views AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+    SELECT c.event_id, c.user_id,
+           CAST(v.ts AS VARCHAR) AS last_view_ts,
+           round(v.value, 2) AS last_view_value
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND v.ts <= c.ts
+    """,
+    doc="as-of join (point-in-time lookup): for each click, the latest view "
+    "at or before it — union+window implementation (operators/asof.py), "
+    "DuckDB native ASOF JOIN as oracle",
+)
+def asof_join_events(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    clicks = e.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"), F.col("value").alias("view_value")
+    )
+    v2 = views.select("user_id", "view_ts", F.col("view_value"), F.col("view_ts").alias("view_ts_copy"))
+    out = asof_join(
+        clicks,
+        v2,
+        on="user_id",
+        left_time="ts",
+        right_time="view_ts",
+        value_cols=["view_ts_copy", "view_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("view_ts_copy").cast("string").alias("last_view_ts"),
+        F.round("view_value", 2).alias("last_view_value"),
+    )
+
+
+@register(
+    "sessionize_gap",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           round((max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0, 3) AS duration_s
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="gap-based sessionization (30 min) — batch twin of the streaming "
+    "stateful operator (streaming/); one shuffle+sort per user partition",
+)
+def sessionize_gap(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    return session_stats(e, "user_id", "ts", gap_minutes=30.0)
+
+
+@register(
+    "t_hourly_rollup",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+           count(*) AS cnt, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    bench=True,
+    doc="tumbling-window rollup (batch twin of the streaming windowed agg)",
+)
+def t_hourly_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, sf, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("string").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+    )

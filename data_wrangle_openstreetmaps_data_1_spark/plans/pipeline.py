@@ -1,0 +1,378 @@
+"""LLM-training-data pipeline queries over ``documents``/``embeddings``
+(BASELINE.json north star: dedup, similarity search, text analysis —
+first-class operators alongside the SURVEY §2 inventory).
+
+The DuckDB oracles for MinHash/SimHash are *generated from the same
+coefficients* as the Spark implementation (functions/hashing.py), using the
+portable md5-based hash — so even the LSH pipelines are fully value-checked,
+not just row-counted.
+
+A ``corpus`` CTE plants deterministic near- and exact duplicates (perturbed
+copies of existing docs) so the dedup queries have non-trivial positives to
+find at every scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MERSENNE_P, minhash_coeffs
+from ..functions.text import (
+    LANG_MARKERS,
+    avg_token_len,
+    bpe_ish_token_count,
+    predict_lang,
+    punct_ratio,
+    quality_score,
+    token_count,
+)
+from ..operators.dedup import (
+    exact_dedup,
+    fingerprint_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_table,
+)
+from ..operators.similarity import embedding_neardup_pairs, knn_brute
+from ..sources.tables import load_table
+from .registry import register
+
+# --------------------------------------------------------------------------
+# shared corpus with planted duplicates
+# --------------------------------------------------------------------------
+
+_CORPUS_SQL = r"""
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000 AS doc_id, regexp_replace(text, '^\S+\s+', '') AS text
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 20000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+"""
+
+_TOKS_SQL = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+# 3-gram word shingles, distinct (DuckDB list slicing is 1-based inclusive).
+_SHINGLES_SQL = (
+    r"list_distinct(list_transform(range(1, greatest(len(" + _TOKS_SQL + r") - 2, 0) + 1), "
+    r"i -> array_to_string((" + _TOKS_SQL + r")[i:i+2], ' ')))"
+)
+_HASH_P_SQL = "('0x' || substr(md5(s), 1, 15))::BIGINT % " + str(MERSENNE_P)
+
+
+def _corpus(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    near = (
+        d.where(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
+        )
+    )
+    exact = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), "text"
+    )
+    return d.unionByName(near).unionByName(exact)
+
+
+# --------------------------------------------------------------------------
+# dedup tier
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dd_exact",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL})
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+    FROM corpus GROUP BY md5(text)
+    """,
+    bench=True,
+    doc="exact dedup by md5(text): shuffle 16-byte hashes, not documents",
+)
+def dd_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return exact_dedup(_corpus(spark, sf), "doc_id", "text").select(
+        "text_hash", "keep_id", "dup_count"
+    )
+
+
+@register(
+    "dd_fingerprint",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL})
+    SELECT md5(array_to_string(list_sort(list_distinct({_TOKS_SQL})), ' ')) AS fp,
+           min(doc_id) AS keep_id, count(*) AS dup_count
+    FROM corpus GROUP BY 1
+    """,
+    doc="fingerprint dedup: md5 of sorted distinct token set (catches "
+    "reordering)",
+)
+def dd_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    return fingerprint_dedup(_corpus(spark, sf), "doc_id", "text").select(
+        "fp", "keep_id", "dup_count"
+    )
+
+
+@register(
+    "dd_ngram_jaccard",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM corpus),
+    sized AS (SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh),
+    ex AS (SELECT doc_id, n_sh, unnest(shingles) AS shingle FROM sized),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+             count(*) AS inter
+      FROM ex a JOIN ex b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, round(inter / (na + nb - inter), 6) AS jaccard
+    FROM pairs WHERE round(inter / (na + nb - inter), 6) >= 0.5
+    """,
+    doc="exact n-gram Jaccard near-dup pairs; candidates share >= 1 shingle "
+    "(equi-join on shingle, no all-pairs product)",
+)
+def dd_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return ngram_jaccard_pairs(_corpus(spark, sf), "doc_id", "text", n=3, threshold=0.5)
+
+
+def _minhash_oracle(k: int = 16, bands: int = 4, threshold: float = 0.4) -> str:
+    r = k // bands
+    perms = ", ".join(
+        f"coalesce(list_min(list_transform(hs, h -> ({a} * h + {b}) % {MERSENNE_P})), {MERSENNE_P})"
+        for a, b in minhash_coeffs(k)
+    )
+    band_keys = ", ".join(
+        f"'{bi},' || array_to_string(sig[{bi * r + 1}:{bi * r + r}], ',')" for bi in range(bands)
+    )
+    return f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM corpus),
+    hashed AS (
+      SELECT doc_id, shingles, len(shingles) AS n_sh,
+             list_transform(shingles, s -> {_HASH_P_SQL}) AS hs
+      FROM sh),
+    sigs AS (SELECT doc_id, [{perms}] AS sig FROM hashed),
+    banded AS (SELECT doc_id, unnest([{band_keys}]) AS band_key FROM sigs),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM banded x JOIN banded y USING (band_key)
+      WHERE x.doc_id < y.doc_id),
+    verified AS (
+      SELECT doc_a, doc_b,
+             round(len(list_intersect(sa.shingles, sb.shingles)) /
+                   (sa.n_sh + sb.n_sh - len(list_intersect(sa.shingles, sb.shingles))),
+                   6) AS jaccard
+      FROM cand JOIN hashed sa ON doc_a = sa.doc_id
+                JOIN hashed sb ON doc_b = sb.doc_id)
+    SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {threshold}
+    """
+
+
+@register(
+    "dd_minhash_lsh",
+    _minhash_oracle(),
+    bench=True,
+    doc="MinHash(16) + LSH banding(4x4) candidates + exact-Jaccard verify; "
+    "oracle SQL generated from the same portable hash + coefficients",
+)
+def dd_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    return minhash_lsh_pairs(_corpus(spark, sf), "doc_id", "text", n=3, k=16, bands=4, threshold=0.4)
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs64, h -> CASE WHEN ((h >> {b}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM corpus),
+    hashed AS (
+      SELECT doc_id,
+             list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs64
+      FROM sh)
+    SELECT doc_id, {terms} AS simhash FROM hashed
+    """
+
+
+@register(
+    "dd_simhash",
+    _simhash_oracle(),
+    doc="per-doc 32-bit SimHash over 3-gram shingles; oracle generated from "
+    "the same portable hash",
+)
+def dd_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return simhash_table(_corpus(spark, sf), "doc_id", "text", n=3, bits=32)
+
+
+# --------------------------------------------------------------------------
+# similarity search tier
+# --------------------------------------------------------------------------
+
+_DOT = "list_reduce(list_transform(range(1, 65), i -> qv[i] * tv[i]), (a, b) -> a + b)"
+_NQ = "sqrt(list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b))"
+_NT = "sqrt(list_reduce(list_transform(tv, x -> x * x), (a, b) -> a + b))"
+
+
+@register(
+    "sim_knn_brute",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+    t AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS tv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id, {_DOT} / ({_NQ} * {_NT}) AS cs
+      FROM t, q WHERE query_id <> neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cs,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, neighbor_id ASC) AS rk
+      FROM scored)
+    SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim
+    FROM ranked WHERE rk <= 10
+    """,
+    bench=True,
+    doc="brute-force top-10 cosine ANN baseline: broadcast query vectors, "
+    "expression-only dot/norm (zip_with+aggregate), per-query window top-k",
+)
+def sim_knn_brute(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    return knn_brute(emb, queries, "vec_id", "embedding", k=10)
+
+
+@register(
+    "sim_neardup_cosine",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(
+               list_reduce(list_transform(range(1, 65), i -> a.vec[i] * b.vec[i]), (x, y) -> x + y)
+               / (sqrt(list_reduce(list_transform(a.vec, x -> x * x), (x, y) -> x + y))
+                  * sqrt(list_reduce(list_transform(b.vec, x -> x * x), (x, y) -> x + y))),
+               6) AS cos_sim
+      FROM v a, v b WHERE a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.45
+    """,
+    doc="embedding near-duplicate pairs (cosine >= 0.45); brute at test "
+    "scale, LSH-bucketed at 100 TB (operators/similarity.py)",
+)
+def sim_neardup_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return embedding_neardup_pairs(emb, "vec_id", "embedding", tau=0.45)
+
+
+# --------------------------------------------------------------------------
+# text-analysis tier
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tx_token_stats",
+    f"""
+    WITH t AS (
+      SELECT source, len({_TOKS_SQL}) AS n_tok,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe,
+             n_chars
+      FROM documents)
+    SELECT source, count(*) AS docs,
+           sum(n_tok) AS total_tokens,
+           round(avg(n_tok), 4) AS avg_tokens,
+           sum(n_bpe) AS total_bpe,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM t GROUP BY source
+    """,
+    doc="token counting (whitespace + BPE-ish regex) rolled up per source",
+)
+def tx_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents").select(
+        "source",
+        token_count(F.col("text")).alias("n_tok"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe"),
+        "n_chars",
+    )
+    return d.groupBy("source").agg(
+        F.count("*").alias("docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        F.sum("n_bpe").alias("total_bpe"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+def _langid_oracle() -> str:
+    hit_cols = ", ".join(
+        "len(list_filter(toks, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in words)
+        + f"], x))) AS h_{lang}"
+        for lang, words in LANG_MARKERS.items()
+    )
+    best = "greatest(h_en, h_fr, h_de, h_es)"
+    return f"""
+    WITH t AS (SELECT doc_id, lang, text, {_TOKS_SQL} AS toks FROM documents),
+    h AS (SELECT doc_id, lang, text, {hit_cols} FROM t)
+    SELECT doc_id, lang AS actual,
+           CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+                WHEN {best} = 0 THEN 'und'
+                WHEN h_en = {best} THEN 'en'
+                WHEN h_fr = {best} THEN 'fr'
+                WHEN h_de = {best} THEN 'de'
+                ELSE 'es' END AS predicted
+    FROM h
+    """
+
+
+@register(
+    "tx_langid",
+    _langid_oracle(),
+    doc="language-ID stopword/charset heuristic (n-gram marker hits, Han "
+    "codepoint check); deterministic tie order en>fr>de>es",
+)
+def tx_langid(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("actual"),
+        predict_lang(F.col("text")).alias("predicted"),
+    )
+
+
+@register(
+    "tx_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS_SQL} AS toks,
+             len(regexp_extract_all(text, '[^\\w\\s]')) / greatest(length(text), 1) AS punct,
+             list_sum(list_transform({_TOKS_SQL}, x -> length(x)))
+               / greatest(len({_TOKS_SQL}), 1) AS atl
+      FROM documents)
+    SELECT doc_id, len(toks) AS n_tokens,
+           round(punct, 6) AS punct_ratio,
+           round(atl, 4) AS avg_token_len,
+           CAST(50
+             + (CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 25 ELSE 0 END)
+             + (CASE WHEN punct < 0.1 THEN 15 ELSE 0 END)
+             + (CASE WHEN atl >= 3 AND atl <= 10 THEN 10 ELSE 0 END)
+           AS INT) AS quality
+    FROM t
+    """,
+    doc="document quality scoring: length/punctuation/token-shape heuristics "
+    "composited into a deterministic integer score",
+)
+def tx_quality(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(avg_token_len(F.col("text")), 4).alias("avg_token_len"),
+        quality_score(F.col("text")).alias("quality"),
+    )

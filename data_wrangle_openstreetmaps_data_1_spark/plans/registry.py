@@ -1,0 +1,71 @@
+"""Query registry backing ``__spark_entry__.py`` (the driver contract).
+
+Every entry pairs a Spark callable ``(spark, sf_dir) -> DataFrame`` with an
+equivalent ANSI-SQL string for the DuckDB oracle. Keys are prefixed with the
+SURVEY.md §2 operator ids they cover (e.g. ``a2_`` = §2.4 A2 group-count) so
+coverage can be checked line-by-line against the inventory.
+
+Cross-engine determinism rules applied throughout (see tools/check_oracle.py):
+- every float output is ``round()``-ed to a fixed precision on BOTH sides
+- every top-k has a unique tie-break key
+- temporal outputs are cast to strings
+- identical literal constants / regexes are shared between the Spark code
+  and the generated SQL (single source of truth in functions/ modules)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    spark: SparkQuery
+    oracle: str | None  # None => driver records rows-only check
+    bench: bool = False  # include in bench.py headline set
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, bench: bool = False, doc: str = ""):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        QUERIES[name] = QuerySpec(name=name, spark=fn, oracle=oracle, bench=bench, doc=doc)
+        return fn
+
+    return deco
+
+
+def query_map() -> dict[str, SparkQuery]:
+    _load_all()
+    return {k: v.spark for k, v in QUERIES.items()}
+
+
+def oracle_sql_map() -> dict[str, str]:
+    _load_all()
+    return {k: v.oracle for k, v in QUERIES.items() if v.oracle is not None}
+
+
+def bench_queries() -> dict[str, SparkQuery]:
+    _load_all()
+    return {k: v.spark for k, v in QUERIES.items() if v.bench}
+
+
+_loaded = False
+
+
+def _load_all() -> None:
+    """Import every plans module for its registration side effects."""
+    global _loaded
+    if _loaded:
+        return
+    from . import analytics, cleaning_geo, core, pipeline  # noqa: F401
+
+    _loaded = True

@@ -1,0 +1,63 @@
+"""Parquet table loaders for the driver's synthetic tables (TESTDATA.md).
+
+Collection-scan equivalent of the reference's ``docs.find(...)`` root
+(reference readme.md:121-139): ``spark.read.parquet`` gives us the columnar
+scan with predicate pushdown + column pruning that MongoDB's COLLSCAN never
+had (SURVEY.md §3.2).
+
+Scale notes: parquet scans split by row-group; at 100 TB the same code runs
+with one task per ~128 MB split (``spark.sql.files.maxPartitionBytes``).
+Filters/projections composed on top of these DataFrames reach the scan as
+``PushedFilters`` / pruned ``ReadSchema``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table from ``sf_dir`` as a DataFrame.
+
+    ``events.ts`` arrives as TIMESTAMP(NANOS) parquet, which Spark reads as
+    long (``spark.sql.legacy.parquet.nanosAsLong``); convert to a real
+    microsecond timestamp here (floor division — identical to the
+    truncation DuckDB applies reading the same file).
+    """
+    if name == "events":
+        # Must work under ANY caller-provided SparkSession (the driver builds
+        # its own, without our session.py tuning), so set the runtime conf
+        # here rather than relying on the builder.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every synthetic table (lazy — nothing is scanned until an action)."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` can use them."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,121 @@
+"""Local mirror of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at the given sf, then compares row count, column names, and values
+(order-insensitive; exact for non-floats, tiny-epsilon for floats — the
+driver hashes values, so any float mismatch here is flagged loudly).
+
+Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+import traceback
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    problems: list[str] = []
+    if sorted(map(str.lower, sdf.columns)) != sorted(map(str.lower, odf.columns)):
+        problems.append(f"columns differ: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+        return problems
+    odf.columns = [next(c for c in sdf.columns if c.lower() == oc.lower()) for oc in odf.columns]
+    if len(sdf) != len(odf):
+        problems.append(f"row count differs: spark={len(sdf)} oracle={len(odf)}")
+        return problems
+    s, o = canon(sdf), canon(odf)
+    for col in s.columns:
+        sv, ov = s[col], o[col]
+        for i in range(len(sv)):
+            a, b = sv.iloc[i], ov.iloc[i]
+            a_null = a is None or (isinstance(a, float) and math.isnan(a)) or pd.isna(a)
+            b_null = b is None or (isinstance(b, float) and math.isnan(b)) or pd.isna(b)
+            if a_null and b_null:
+                continue
+            if a_null != b_null:
+                problems.append(f"null mismatch col={col} row={i}: {a!r} vs {b!r}")
+                break
+            if isinstance(a, float) or isinstance(b, float):
+                fa, fb = float(a), float(b)
+                if fa != fb:
+                    tag = "EXACT-FLOAT-MISMATCH" if abs(fa - fb) > 1e-9 * max(1, abs(fa)) else "float-ulp"
+                    problems.append(f"{tag} col={col} row={i}: {fa!r} vs {fb!r}")
+                    break
+            elif str(a) != str(b):
+                problems.append(f"value mismatch col={col} row={i}: {a!r} vs {b!r}")
+                break
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+    from data_wrangle_openstreetmaps_data_1_spark.session import get_spark
+
+    spark = get_spark("check_oracle")
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    con = duck_con(sf_dir)
+
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception:
+            print(f"FAIL {name}: spark raised\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS-ONLY {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            n_rows_only += 1
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception:
+            print(f"FAIL {name}: duckdb raised\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            print(f"FAIL {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            for p in problems[:5]:
+                print(f"   {p}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
