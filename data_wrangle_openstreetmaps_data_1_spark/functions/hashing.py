@@ -43,6 +43,45 @@ def portable_hash64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+# SQL-string twins of the column builders above. The hot dedup operators
+# assemble their big expression trees as single ``F.expr`` strings: building
+# the same tree out of Column objects costs hundreds of py4j round-trips
+# (~0.5s of driver time per operator), while one expr() string is a single
+# JVM call parsed natively.
+HASH64_SQL = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
+HASH_P_SQL = f"({HASH64_SQL} % {MERSENNE_P})"
+
+
+def minhash_signature_sql(hashes_col: str, k: int = 16, seed: int = 7) -> str:
+    """Spark-SQL string: array of k MinHash values over a bigint-array column."""
+    mins = ", ".join(
+        f"coalesce(array_min(transform({hashes_col}, h -> ({a}L * h + {b}L) % {MERSENNE_P})), {MERSENNE_P})"
+        for a, b in minhash_coeffs(k, seed)
+    )
+    return f"array({mins})"
+
+
+def minhash_bands_sql(signature_sql: str, bands: int, rows_per_band: int) -> str:
+    """Spark-SQL string: LSH band keys from a signature array expression."""
+    keys = ", ".join(
+        f"concat_ws(',', '{bi}', concat_ws(',', transform("
+        f"slice({signature_sql}, {bi * rows_per_band + 1}, {rows_per_band}), v -> cast(v as string))))"
+        for bi in range(bands)
+    )
+    return f"array({keys})"
+
+
+def simhash_sql(hashes_col: str, bits: int = 32) -> str:
+    """Spark-SQL string: SimHash over a bigint-array column (per-bit votes)."""
+    terms = " + ".join(
+        f"(case when aggregate({hashes_col}, 0, (acc, h) -> acc + "
+        f"(case when (shiftright(h, {b}) & 1) = 1 then 1 else -1 end)) > 0 "
+        f"then cast({2**b} as bigint) else cast(0 as bigint) end)"
+        for b in range(bits)
+    )
+    return f"({terms})"
+
+
 def portable_hash_p(col: Column) -> Column:
     """Portable hash reduced mod p for the affine-permutation family."""
     return portable_hash64(col) % MERSENNE_P

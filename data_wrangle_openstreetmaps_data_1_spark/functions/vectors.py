@@ -25,7 +25,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: a zero vector has no direction — cosine is NULL, not a
+    # DIVIDE_BY_ZERO crash (ANSI mode). NULL drops out of >= tau filters and
+    # sorts last under desc ordering, which is the wanted semantics.
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def l2_dist(a: Column, b: Column) -> Column:

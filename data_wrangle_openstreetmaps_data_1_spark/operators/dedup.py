@@ -21,12 +21,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..partitioning import spread
 from ..functions.hashing import (
-    minhash_bands,
-    minhash_signature_from_hashes,
-    portable_hash64,
-    portable_hash_p,
-    simhash_from_hashes,
+    HASH64_SQL,
+    HASH_P_SQL,
+    minhash_bands_sql,
+    minhash_signature_sql,
+    simhash_sql,
 )
 from ..functions.text import fingerprint, tokens, word_shingles
 
@@ -54,6 +55,10 @@ def fingerprint_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    # Shingling + per-shingle hashing is the CPU-bound stage of every
+    # operator below; make sure it isn't serialized by a row-group-bound scan
+    # (see partitioning.spread).
+    df = spread(df)
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(word_shingles(tokens(F.col(text_col)), n)).alias("shingles"),
@@ -110,17 +115,28 @@ def minhash_lsh_pairs(
     # the x/y self-join branches below) would otherwise each re-evaluate
     # the md5-per-shingle subtree — higher-order functions get no codegen
     # CSE. At cluster scale this stage would be written to a table;
-    # locally persist() is the same materialization point.
-    hashed = sh.select(
-        "doc_id",
-        "shingles",
-        F.size("shingles").alias("n_shingles"),
-        F.transform("shingles", lambda s: portable_hash_p(s)).alias("hs"),
-    ).persist()
+    # locally persist() is the same materialization point. Only the bigint
+    # hash arrays are persisted — caching the shingle *strings* costs more
+    # in object overhead than recomputing them, and the verify stage works
+    # on hash sets anyway (Jaccard over distinct hashes == Jaccard over
+    # distinct shingles for a shared hash function; the oracle mirrors this).
+    # Docs with no shingles (fewer than n tokens) are excluded: the MinHash
+    # signature is undefined on an empty set, and two such docs would
+    # otherwise collide on the sentinel signature and divide 0/0 in the
+    # Jaccard verify (ANSI mode makes that a hard error).
+    hashed = (
+        sh.select(
+            "doc_id",
+            F.size("shingles").alias("n_shingles"),
+            F.expr(f"transform(shingles, s -> {HASH_P_SQL.format(x='s')})").alias("hs"),
+        )
+        .where(F.col("n_shingles") > 0)
+        .persist()
+    )
     sig = hashed.select(
         "doc_id",
-        minhash_bands(
-            minhash_signature_from_hashes(F.col("hs"), k), bands, rows_per_band
+        F.expr(
+            minhash_bands_sql(minhash_signature_sql("hs", k), bands, rows_per_band)
         ).alias("band_keys"),
     )
     banded = sig.select("doc_id", F.explode("band_keys").alias("band_key"))
@@ -131,11 +147,11 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    sets = hashed.select("doc_id", "shingles", "n_shingles")
+    sets = hashed.select("doc_id", "hs", "n_shingles")
     verified = (
-        cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"), F.col("n_shingles").alias("na")), "doc_a")
-        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"), F.col("n_shingles").alias("nb")), "doc_b")
-        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"), F.col("n_shingles").alias("na")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"), F.col("n_shingles").alias("nb")), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
         .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -143,15 +159,20 @@ def minhash_lsh_pairs(
     return verified
 
 
-def simhash_table(df: DataFrame, id_col: str, text_col: str, n: int = 3, bits: int = 32) -> DataFrame:
+def simhash_table(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, bits: int = 32, skip_empty: bool = False
+) -> DataFrame:
     """Per-document SimHash (over distinct n-gram shingles); hashes
     materialized once before the per-bit vote expressions (see
-    minhash_lsh_pairs for why)."""
+    minhash_lsh_pairs for why). ``skip_empty`` drops docs with no shingles
+    (their simhash degenerates to 0) — pairing callers want that."""
     sh = _shingle_sets(df, id_col, text_col, n)
+    if skip_empty:
+        sh = sh.where(F.size("shingles") > 0)
     hashed = sh.select(
-        "doc_id", F.transform("shingles", lambda s: portable_hash64(s)).alias("hs64")
+        "doc_id", F.expr(f"transform(shingles, s -> {HASH64_SQL.format(x='s')})").alias("hs64")
     ).persist()
-    return hashed.select("doc_id", simhash_from_hashes(F.col("hs64"), bits).alias("simhash"))
+    return hashed.select("doc_id", F.expr(simhash_sql("hs64", bits)).alias("simhash"))
 
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3, bits: int = 32, max_hamming: int = 6) -> DataFrame:
@@ -161,7 +182,9 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3, bits: i
     pigeonhole: any pair within hamming<=3*bits/32 shares at least one exact
     byte), then exact hamming verify. Keyed equi-join, no all-pairs.
     """
-    t = simhash_table(df, id_col, text_col, n, bits)
+    # skip_empty: simhash(∅) = 0 for every shingle-less doc, which would
+    # otherwise pair all short docs with each other at hamming 0.
+    t = simhash_table(df, id_col, text_col, n, bits, skip_empty=True)
     n_bands = 4
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1

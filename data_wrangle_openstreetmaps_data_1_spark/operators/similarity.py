@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine
+from ..partitioning import spread
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 11) -> list[list[float]]:
@@ -40,7 +41,7 @@ def knn_brute(targets: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     ties broken by neighbor id. ``queries`` must be small (it is broadcast).
     """
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    t = targets.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("t_vec"))
+    t = spread(targets).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("t_vec"))
     scored = (
         t.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -101,6 +102,7 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str, tau: float
 
     Brute all-pairs at test scale; the 100 TB form swaps the crossJoin for
     the LSH bucket join (same verify stage)."""
+    df = spread(df)
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
     return (

@@ -1,0 +1,33 @@
+"""Partition-layout helpers.
+
+``spread`` exists because parallelism is bounded by input splits: a parquet
+file is split at row-group granularity, so a table written as few large row
+groups scans as few tasks no matter how many cores exist (locally the driver's
+``documents.parquet`` is ONE row group -> one task). CPU-bound per-row stages
+(shingling, per-shingle hashing, vector math) then run effectively
+single-threaded.
+
+At 100 TB the input arrives as many thousands of splits and the conditional
+below is a no-op — the repartition (a full shuffle of the payload) is applied
+only when the scan's own parallelism is deficient, which is exactly the local
+/ small-file case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition to ``min_partitions`` (default: the cluster's
+    defaultParallelism) ahead of a CPU-bound per-row stage.
+
+    Unconditional by design: checking the scan's actual parallelism
+    (``df.rdd.getNumPartitions()``) costs a full extra physical-plan compile
+    per query (~1s of driver time), while the exchange itself moves each row
+    once and is dwarfed by the downstream per-row work this helper guards
+    (per-shingle hashing, vector math). Only use ``spread`` where that
+    trade holds; plain scans/aggregations should rely on input splits.
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(min_partitions or sc.defaultParallelism)

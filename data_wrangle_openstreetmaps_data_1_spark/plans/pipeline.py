@@ -152,7 +152,7 @@ def _minhash_oracle(k: int = 16, bands: int = 4, threshold: float = 0.4) -> str:
     hashed AS (
       SELECT doc_id, shingles, len(shingles) AS n_sh,
              list_transform(shingles, s -> {_HASH_P_SQL}) AS hs
-      FROM sh),
+      FROM sh WHERE len(shingles) > 0),
     sigs AS (SELECT doc_id, [{perms}] AS sig FROM hashed),
     banded AS (SELECT doc_id, unnest([{band_keys}]) AS band_key FROM sigs),
     cand AS (
@@ -161,8 +161,8 @@ def _minhash_oracle(k: int = 16, bands: int = 4, threshold: float = 0.4) -> str:
       WHERE x.doc_id < y.doc_id),
     verified AS (
       SELECT doc_a, doc_b,
-             round(len(list_intersect(sa.shingles, sb.shingles)) /
-                   (sa.n_sh + sb.n_sh - len(list_intersect(sa.shingles, sb.shingles))),
+             round(len(list_intersect(sa.hs, sb.hs)) /
+                   (sa.n_sh + sb.n_sh - len(list_intersect(sa.hs, sb.hs))),
                    6) AS jaccard
       FROM cand JOIN hashed sa ON doc_a = sa.doc_id
                 JOIN hashed sb ON doc_b = sb.doc_id)
