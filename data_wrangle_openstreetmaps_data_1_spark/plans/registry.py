@@ -66,6 +66,6 @@ def _load_all() -> None:
     global _loaded
     if _loaded:
         return
-    from . import analytics, cleaning_geo, core, pipeline  # noqa: F401
+    from . import analytics, cleaning_geo, core, pipeline, streaming_queries  # noqa: F401
 
     _loaded = True

@@ -1,0 +1,46 @@
+"""Streaming queries in the registry.
+
+``st_hourly_rollup`` carries the SAME oracle SQL as its batch twin
+``t_hourly_rollup``: over a finite input, the windowed streaming aggregation
+must equal the batch groupBy exactly — so even the streaming path is fully
+value-checked by DuckDB.
+
+``st_sessionize`` has no oracle by design: the stateful operator emits only
+*closed* sessions, and which sessions have closed depends on stream progress
+(tail sessions are still open when a finite input ends). Its correctness is
+asserted in tests/test_streaming.py instead, by diffing against the batch
+sessionizer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming.rollup import run_hourly_rollup_once
+from ..streaming.sessions import run_sessionize_once
+from .registry import register
+
+
+@register(
+    "st_hourly_rollup",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+           count(*) AS cnt, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Structured Streaming tumbling-window rollup (AvailableNow over the "
+    "events file source); must equal the batch twin, and the oracle checks "
+    "that it does",
+)
+def st_hourly_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    return run_hourly_rollup_once(spark, sf)
+
+
+@register(
+    "st_sessionize",
+    None,  # rows-only: emission set depends on stream progress (see module doc)
+    doc="stateful streaming gap-sessionization via applyInPandasWithState; "
+    "emits closed sessions only — batch-equivalence asserted in tests",
+)
+def st_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    return run_sessionize_once(spark, sf, gap_minutes=30.0)

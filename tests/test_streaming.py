@@ -1,0 +1,119 @@
+"""Streaming correctness: every streaming operator must agree with its
+batch twin on a finite input (Trigger.AvailableNow)."""
+
+from __future__ import annotations
+
+import uuid
+from collections import Counter
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_wrangle_openstreetmaps_data_1_spark.operators.sessionize import session_stats
+from data_wrangle_openstreetmaps_data_1_spark.sources.tables import load_table
+from data_wrangle_openstreetmaps_data_1_spark.streaming.ingest import (
+    EVENTS_RAW_SCHEMA,
+    read_events_stream,
+)
+from data_wrangle_openstreetmaps_data_1_spark.streaming.rollup import run_hourly_rollup_once
+from data_wrangle_openstreetmaps_data_1_spark.streaming.sessions import (
+    run_sessionize_once,
+    sessionize_stream,
+)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_stream_ingest_schema(spark, sf_small):
+    s = read_events_stream(spark, sf_small)
+    assert s.isStreaming
+    assert dict(s.dtypes)["ts"] == "timestamp"
+
+
+def test_hourly_rollup_stream_equals_batch(spark, sf_small):
+    streamed = run_hourly_rollup_once(spark, sf_small)
+    batch = (
+        load_table(spark, sf_small, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).cast("string").alias("hour"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    cols = ["hour", "event_type", "cnt", "total_value"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_sessionize_stream_matches_batch_closed_sessions(spark, sf_small):
+    """Every emitted streaming session must exist in the batch sessionization
+    with identical (n_events, duration); per user, batch has exactly one more
+    session than the stream emitted — the still-open tail session."""
+    streamed = run_sessionize_once(spark, sf_small, gap_minutes=30.0).collect()
+    batch = session_stats(
+        load_table(spark, sf_small, "events"), "user_id", "ts", gap_minutes=30.0
+    ).collect()
+
+    bt = [(r["user_id"], r["n_events"], r["duration_s"]) for r in batch]
+    bt_count = Counter(bt)
+    for r in streamed:
+        t = (r["user_id"], r["n_events"], r["duration_s"])
+        assert bt_count[t] > 0, f"streamed session {t} not in batch result"
+        bt_count[t] -= 1
+
+    st_users = Counter(r["user_id"] for r in streamed)
+    bt_users = Counter(t[0] for t in bt)
+    for user, n_batch in bt_users.items():
+        assert n_batch == st_users.get(user, 0) + 1, f"user {user}"
+
+
+@pytest.fixture(scope="module")
+def multi_file_events(spark, sf_small, tmp_path_factory):
+    """The sf0.001 events split into 4 time-ordered files written
+    sequentially (file source orders micro-batches by modification time), so
+    AvailableNow + maxFilesPerTrigger=1 yields 4 in-order micro-batches."""
+    out = str(tmp_path_factory.mktemp("events_multi"))
+    events = load_table(spark, sf_small, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    bounds = events.select(
+        F.expr("percentile(ts_us, array(0.25, 0.5, 0.75))").alias("p")
+    ).collect()[0]["p"]
+    lo = float("-inf")
+    for i, hi in enumerate([*bounds, float("inf")]):
+        chunk = events.where((F.col("ts_us") > lo) & (F.col("ts_us") <= hi))
+        chunk.coalesce(1).write.mode("append").parquet(out)
+        lo = hi
+    return out
+
+
+def test_sessionize_multi_batch_state(spark, multi_file_events):
+    """With maxFilesPerTrigger=1 the sessionizer sees 4 micro-batches;
+    sessions spanning batch boundaries must still merge via the state store,
+    and emitted sessions must match the batch result exactly."""
+    raw = (
+        spark.readStream.schema("event_id long, user_id long, event_type string, ts_us long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(multi_file_events)
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+    )
+    sessions = sessionize_stream(raw, gap_minutes=30.0)
+    sink = f"st_multi_{uuid.uuid4().hex[:10]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.table(sink).collect()
+
+    batch_src = spark.read.parquet(multi_file_events).withColumn("ts", F.timestamp_micros("ts_us"))
+    batch = session_stats(batch_src, "user_id", "ts", gap_minutes=30.0).collect()
+
+    bt_count = Counter((r["user_id"], r["n_events"], r["duration_s"]) for r in batch)
+    assert len(streamed) > 0, "multi-batch stream emitted no closed sessions"
+    for r in streamed:
+        t = (r["user_id"], r["n_events"], r["duration_s"])
+        assert bt_count[t] > 0, f"streamed session {t} not in batch result"
+        bt_count[t] -= 1
