@@ -34,6 +34,7 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_table,
 )
+from ..operators.multimodal import attach_media, extract_features, sample_frames
 from ..operators.similarity import embedding_neardup_pairs, knn_brute
 from ..sources.tables import load_table
 from .registry import register
@@ -268,6 +269,48 @@ def sim_neardup_cosine(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     return embedding_neardup_pairs(emb, "vec_id", "embedding", tau=0.45)
+
+
+# --------------------------------------------------------------------------
+# multimodal tier (binary media columns; operators/multimodal.py)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "mm_features",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           upper(hex(encode(substring(text, 1, 8)))) AS head_hex,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+    doc="binary-media feature extraction via Arrow-batched mapInPandas "
+    "(byte length / head hex / md5 computed in Python from the raw bytes); "
+    "oracle recomputes each feature in SQL — valid because the corpus is "
+    "ASCII (char substr == byte substr, verified octet_length==length)",
+)
+def mm_features(spark: SparkSession, sf: str) -> DataFrame:
+    media = attach_media(load_table(spark, sf, "documents"))
+    return extract_features(media)
+
+
+@register(
+    "mm_frame_sample",
+    """
+    SELECT doc_id, frame_idx,
+           md5(text || CAST(frame_idx AS VARCHAR)) AS frame_md5
+    FROM (SELECT doc_id, text,
+                 unnest(range(0, CAST(doc_id % 7 + 1 AS INT), 2)) AS frame_idx
+          FROM documents)
+    """,
+    doc="video-path frame sampling: one input row fans out to every 2nd "
+    "frame index from the typed metadata (multi-row mapInPandas emission); "
+    "frame fingerprints are deterministic codec-free stand-ins",
+)
+def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    media = attach_media(load_table(spark, sf, "documents"))
+    return sample_frames(media, stride=2)
 
 
 # --------------------------------------------------------------------------
