@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType
 
 from ..functions.cleaning import LOWER_COLON_RE, PROBLEMCHARS_RE, normalize_street
 
@@ -63,7 +64,20 @@ def shape_elements(raw: DataFrame, element_type: str, fix_streets: bool = True) 
     def attr(name: str) -> Column:
         return F.col(name) if name in cols else F.lit(None).cast("string")
 
-    entries = _tag_entries(attr("tag")) if "tag" in cols else F.array().cast("array<struct<k:string,v:string>>")
+    def child(name: str) -> Column | None:
+        # XML source infers a bare STRUCT when no row has >1 child of this
+        # kind; normalize to array-of-struct.
+        if name not in cols:
+            return None
+        c = F.col(name)
+        if isinstance(raw.schema[name].dataType, ArrayType):
+            return c
+        return F.when(c.isNotNull(), F.array(c)).otherwise(F.lit(None))
+
+    tag_arr = child("tag")
+    entries = (
+        _tag_entries(tag_arr) if tag_arr is not None else F.array().cast("array<struct<k:string,v:string>>")
+    )
 
     # addr:* subkeys, with the reference's drop rules (data.py:159-162):
     # problem chars in the subkey, or a second colon -> ignored.
@@ -91,9 +105,10 @@ def shape_elements(raw: DataFrame, element_type: str, fix_streets: bool = True) 
     def promoted(name: str) -> Column:
         return F.element_at(tags_map, name).alias(name)
 
+    nd_arr = child("nd")
     node_refs = (
-        F.transform(F.col("nd"), lambda x: x["_ref"].cast("string")).alias("node_refs")
-        if "nd" in cols
+        F.transform(nd_arr, lambda x: x["_ref"].cast("string")).alias("node_refs")
+        if nd_arr is not None
         else F.lit(None).cast("array<string>").alias("node_refs")
     )
 

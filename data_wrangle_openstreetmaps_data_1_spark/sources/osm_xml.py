@@ -16,8 +16,9 @@ boundaries, so a 100 TB ingest parallelizes without a custom reader.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType
 
 from ..operators.reshape import shape_elements
 
@@ -25,13 +26,35 @@ OSM_ELEMENT_TAGS = ("node", "way", "relation", "bounds", "osm")
 
 
 def read_elements(spark: SparkSession, path: str, row_tag: str) -> DataFrame:
-    """Raw element scan for one element kind (S2: element-filtered scan)."""
+    """Raw element scan for one element kind (S2: element-filtered scan).
+
+    ``inferSchema=false``: every attribute stays a raw string, matching the
+    reference's semantics (XML attribs are strings; ``created.timestamp``
+    keeps its ISO form instead of being re-rendered through TimestampType).
+    Typed columns (lat/lon doubles) are produced by the reshape, explicitly.
+    """
     return (
         spark.read.format("xml")
         .option("rowTag", row_tag)
         .option("attributePrefix", "_")
+        .option("inferSchema", "false")
         .load(path)
     )
+
+
+def child_array(df: DataFrame, name: str) -> Column | None:
+    """Child-element column normalized to an array.
+
+    The XML source infers a bare STRUCT when every row has at most one
+    ``name`` child (e.g. a relation with a single ``tag``); downstream code
+    always wants array-of-struct.
+    """
+    if name not in df.columns:
+        return None
+    col = F.col(name)
+    if isinstance(df.schema[name].dataType, ArrayType):
+        return col
+    return F.when(col.isNotNull(), F.array(col)).otherwise(F.lit(None))
 
 
 def count_tags(spark: SparkSession, path: str) -> DataFrame:
@@ -52,8 +75,9 @@ def count_tags(spark: SparkSession, path: str) -> DataFrame:
             continue
         parts.append((t, n))
         for child in ("tag", "nd", "member"):
-            if child in df.columns:
-                c = df.select(F.explode_outer(child).alias("c")).where(F.col("c").isNotNull()).count()
+            arr = child_array(df, child)
+            if arr is not None:
+                c = df.select(F.explode_outer(arr).alias("c")).where(F.col("c").isNotNull()).count()
                 if c:
                     parts.append((child, c))
     agg: dict[str, int] = {}

@@ -1,0 +1,167 @@
+"""Ports of the reference's golden unit tests (SURVEY.md §5.1) onto a
+synthetic example.osm fixture (FIXTURES.md §1).
+
+Reference asserts ported:
+- exact tag-count dict            (Lesson6Quizes/mapparser.py:24-35)
+- exact key-class counts          (Lesson6Quizes/tags.py:50-55)
+- exact distinct-user count       (Lesson6Quizes/users.py:26-31)
+- unexpected street types + fixes (Lesson6Quizes/audit.py:67-79)
+- golden shaped docs              (Lesson6Quizes/data.py:183-210)
+Golden values recomputed by hand for this fixture (the course fixture is
+absent from the reference repo, .MISSING_LARGE_BLOBS:1).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_wrangle_openstreetmaps_data_1_spark.functions.cleaning import classify_key, normalize_street
+from data_wrangle_openstreetmaps_data_1_spark.operators.audit import audit_street_types
+from data_wrangle_openstreetmaps_data_1_spark.sources.osm_xml import (
+    child_array,
+    count_tags,
+    read_elements,
+    read_shaped,
+)
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "example.osm")
+
+
+@pytest.fixture(scope="module")
+def shaped(spark):
+    return read_shaped(spark, FIXTURE).cache()
+
+
+def test_count_tags_golden(spark):
+    # mapparser.py:28-35 golden, recomputed for this fixture
+    got = {r["tag"]: r["cnt"] for r in count_tags(spark, FIXTURE).collect()}
+    assert got == {
+        "bounds": 1,
+        "member": 3,
+        "nd": 7,
+        "node": 20,
+        "osm": 1,
+        "relation": 1,
+        "tag": 16,
+        "way": 1,
+    }
+
+
+def _all_tag_keys(spark):
+    keys = []
+    for t in ("node", "way", "relation"):
+        df = read_elements(spark, FIXTURE, t)
+        arr = child_array(df, "tag")
+        if arr is None:
+            continue
+        keys.append(df.select(F.explode(arr).alias("t")).select(F.col("t._k").alias("k")))
+    out = keys[0]
+    for k in keys[1:]:
+        out = out.unionByName(k)
+    return out
+
+
+def test_key_class_golden(spark):
+    # tags.py:50-55 golden shape, recomputed for this fixture
+    classes = (
+        _all_tag_keys(spark)
+        .select(classify_key(F.col("k")).alias("cls"))
+        .groupBy("cls")
+        .count()
+    )
+    got = {r["cls"]: r["count"] for r in classes.collect()}
+    assert got == {"lower": 8, "lower_colon": 5, "problemchars": 1, "other": 2}
+
+
+def test_distinct_users_golden(spark):
+    # users.py:26-31: 6 distinct contributing users across node/way/relation
+    users = []
+    for t in ("node", "way", "relation"):
+        users.append(read_elements(spark, FIXTURE, t).select(F.col("_user").alias("user")))
+    out = users[0]
+    for u in users[1:]:
+        out = out.unionByName(u)
+    assert out.distinct().count() == 6
+
+
+def test_street_audit_on_raw(spark):
+    # audit.py:67-79: exactly 3 unexpected street types with these members.
+    # The audit runs on RAW street names (the reference audits the un-fixed
+    # file), so read with fix_streets=False.
+    raw = read_shaped(spark, FIXTURE, fix_streets=False)
+    res = {
+        r["street_type"]: list(r["street_names"])
+        for r in audit_street_types(raw, F.col("address.street"), None).collect()
+    }
+    assert res == {
+        "St.": ["West Lexington St."],
+        "Ave": ["North Main Ave"],
+        "Rd.": ["Baldwin Rd."],
+    }
+
+
+def test_update_name_golden(spark):
+    # audit.py:76-79 golden fixes
+    df = spark.createDataFrame(
+        [("West Lexington St.",), ("Baldwin Rd.",), ("Main Street",), ("North Main Ave",)],
+        "street string",
+    )
+    got = dict(
+        df.select("street", normalize_street(F.col("street")).alias("fixed")).collect()
+    )
+    assert got["West Lexington St."] == "West Lexington Street"
+    assert got["Baldwin Rd."] == "Baldwin Road"
+    assert got["North Main Ave"] == "North Main Avenue"
+    # mapping applies to the LAST token only: "Main Street" must NOT become
+    # "Main Avenue Street" (SURVEY §7 hard-case b)
+    assert got["Main Street"] == "Main Street"
+
+
+def test_shaped_first_element_golden(shaped):
+    # data.py:183-202 golden first shaped doc, for fixture node 1001
+    r = shaped.where("id = '1001'").collect()[0]
+    assert r["type"] == "node"
+    assert r["visible"] == "true"
+    assert (r["lat"], r["lon"]) == (47.66, -117.42)
+    assert r["created"].asDict() == {
+        "version": "4",
+        "changeset": "11129782",
+        "timestamp": "2012-03-28T18:31:23Z",  # raw string preserved
+        "user": "alice",
+        "uid": "451048",
+    }
+    assert r["amenity"] == "school"
+    assert r["name"] == "Lincoln School"
+    assert r["tags"] == {}
+    assert r["node_refs"] is None
+    assert all(v is None for v in r["address"].asDict().values())
+
+
+def test_shaped_way_golden(shaped):
+    # data.py:205-210: ordered node_refs incl. repeated ring closure,
+    # address fields, two-colon + problemchar addr subkeys dropped
+    r = shaped.where("id = '2001'").collect()[0]
+    assert r["type"] == "way"
+    assert r["node_refs"] == ["1010", "1011", "1012", "1013", "1014", "1015", "1010"]
+    assert r["address"].asDict() == {
+        "housenumber": "5157",
+        "street": "Baldwin Road",  # fixed in-flight (data.py:163-165)
+        "postcode": None,
+        "city": None,
+        "state": None,
+    }
+    # addr:street:type dropped entirely; building kept in the open tail
+    assert r["tags"] == {"building": "yes"}
+
+
+def test_shaped_counts_and_problem_tag(shaped):
+    assert shaped.count() == 21  # 20 nodes + 1 way; relation/bounds excluded
+    assert shaped.where("type = 'node'").count() == 20
+    # non-addr problemchar key flows to the open tail unfiltered
+    # (reference filters problemchars only on addr subkeys, data.py:153-168)
+    r = shaped.where("id = '1009'").collect()[0]
+    assert r["tags"] == {"addr street": "bad"}
