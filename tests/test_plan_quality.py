@@ -1,0 +1,61 @@
+"""Physical-plan quality gates (SURVEY §4): these assert the *plan shape*,
+not results — pushdown reaching the scan, pruned read schemas, broadcast
+joins for small dims, true top-k, and partial aggregation. A regression
+here means a 100 TB run pays for it even though small-SF results stay
+correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_wrangle_openstreetmaps_data_1_spark.plans.registry import query_map
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    return query_map()[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "tpch_q1_pricing")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the 16-column lineitem scan reads only the 7 needed
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_tax:double" in plan
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+def test_q3_broadcast_and_topk(spark):
+    plan = plan_of(spark, "tpch_q3_revenue")
+    assert "TakeOrderedAndProject(limit=10" in plan  # no full sort for top-k
+    assert plan.count("BroadcastHashJoin") >= 2  # dims broadcast, fact never shuffled
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_top_users_topk_and_pruning(spark):
+    plan = plan_of(spark, "a2_top_users")
+    assert "TakeOrderedAndProject(limit=10" in plan
+    assert "partial_count" in plan
+    # events has 6 columns; the scan must read exactly one
+    assert "ReadSchema: struct<user_id:bigint>" in plan
+
+
+def test_semi_and_anti_join_shapes(spark):
+    semi = plan_of(spark, "j_semi_join")
+    anti = plan_of(spark, "j_anti_join")
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_exact_dedup_shuffles_hashes_not_text(spark):
+    plan = plan_of(spark, "dd_exact")
+    # the exchange key is the md5, and the full text column is not carried
+    # through the aggregate output
+    assert "md5" in plan
+    assert "partial_min" in plan or "partial_first" in plan or "partial_count" in plan
+
+
+def test_knn_broadcasts_queries_not_targets(spark):
+    plan = plan_of(spark, "sim_knn_brute")
+    assert "BroadcastNestedLoopJoin" in plan and "BuildRight" in plan
