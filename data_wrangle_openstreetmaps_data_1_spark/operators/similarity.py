@@ -69,20 +69,37 @@ def lsh_bucket_expr(vec_col, planes: list[list[float]]):
     return F.concat(*bits)
 
 
+def lsh_bucket_sql(vec_col: str, planes: list[list[float]]) -> str:
+    """Spark-SQL string form of :func:`lsh_bucket_expr` (one JVM parse
+    instead of ~1000 py4j literal round-trips; see functions/hashing.py).
+    The left-fold order matches DuckDB's ``list_reduce`` exactly, so the
+    sign bits — and therefore bucket membership — agree across engines."""
+    bits = []
+    for p in planes:
+        arr = ", ".join(repr(float(x)) + "D" for x in p)
+        dot = (
+            f"aggregate(zip_with({vec_col}, array({arr}), (a, b) -> a * b), "
+            f"cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+        bits.append(f"(case when {dot} >= 0 then '1' else '0' end)")
+    return "concat(" + ", ".join(bits) + ")"
+
+
 def ann_lsh(targets: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int = 10, dim: int = 64, n_planes: int = 8) -> DataFrame:
     """Approximate top-k: only candidates in the query's LSH bucket are
     scored. Recall < 1 by design; the bucket join replaces the full scan.
     Output schema matches :func:`knn_brute`."""
     planes = _hyperplanes(dim, n_planes)
+    bucket = F.expr(lsh_bucket_sql(vec_col, planes))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+        bucket.alias("bucket"),
     )
-    t = targets.select(
+    t = spread(targets).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("t_vec"),
-        lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+        bucket.alias("bucket"),
     )
     scored = (
         t.join(F.broadcast(q), "bucket")

@@ -35,7 +35,12 @@ from ..operators.dedup import (
     simhash_table,
 )
 from ..operators.multimodal import attach_media, extract_features, sample_frames
-from ..operators.similarity import embedding_neardup_pairs, knn_brute
+from ..operators.similarity import (
+    _hyperplanes,
+    ann_lsh,
+    embedding_neardup_pairs,
+    knn_brute,
+)
 from ..sources.tables import load_table
 from .registry import register
 
@@ -269,6 +274,50 @@ def sim_neardup_cosine(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     return embedding_neardup_pairs(emb, "vec_id", "embedding", tau=0.45)
+
+
+def _ann_lsh_oracle(dim: int = 64, n_planes: int = 8, k: int = 10) -> str:
+    """DuckDB twin of sign-LSH bucketed ANN, generated from the SAME
+    deterministic hyperplanes (left-fold dot product order matches Spark's
+    ``aggregate``, so bucket bits agree bit-for-bit)."""
+    planes = _hyperplanes(dim, n_planes)
+    bits = []
+    for p in planes:
+        arr = ", ".join(repr(float(x)) for x in p)
+        dot = f"list_reduce(list_transform(range(1, {dim + 1}), i -> v[i] * [{arr}][i]), (a, b) -> a + b)"
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END)")
+    bucket = " || ".join(bits)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+    t AS (SELECT vec_id AS neighbor_id, v AS tv, bucket FROM b),
+    scored AS (
+      SELECT query_id, neighbor_id, {_DOT} / ({_NQ} * {_NT}) AS cs
+      FROM t JOIN q USING (bucket) WHERE query_id <> neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cs,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, neighbor_id ASC) AS rk
+      FROM scored)
+    SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim
+    FROM ranked WHERE rk <= {k}
+    """
+
+
+@register(
+    "sim_ann_lsh",
+    _ann_lsh_oracle(),
+    doc="approximate top-k cosine via sign-LSH bucketing (the 100 TB path: "
+    "bucket equi-join replaces the full scan; recall < 1 by design); oracle "
+    "generated from the same deterministic hyperplanes",
+)
+def sim_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    return ann_lsh(emb, queries, "vec_id", "embedding", k=10, dim=64, n_planes=8)
 
 
 # --------------------------------------------------------------------------
