@@ -79,6 +79,45 @@ def geojson_point(lat: Column, lon: Column) -> Column:
     )
 
 
+def zorder_key_sql(lat_col: str, lon_col: str, bits: int = 16) -> str:
+    """G2 replacement, part 1: Morton/Z-order cell id — quantize lat/lon to
+    ``bits`` bits each and interleave them, as a single generated SQL
+    expression (codegen'd; no UDF).
+
+    Nearby points share key prefixes, so sorting by this key localizes both
+    dimensions at once — parquet min/max stats per row group then prune
+    lat/lon range predicates, which is the access-path role MongoDB's
+    2dsphere index played (reference readme.md:381-384).
+    """
+    scale = (1 << bits) - 1
+    qlat = f"cast((({lat_col} + 90.0) / 180.0) * {scale} as bigint)"
+    qlon = f"cast((({lon_col} + 180.0) / 360.0) * {scale} as bigint)"
+    terms = " + ".join(
+        f"(shiftleft(shiftright({qlat}, {i}) & 1, {2 * i + 1}) + "
+        f"shiftleft(shiftright({qlon}, {i}) & 1, {2 * i}))"
+        for i in range(bits)
+    )
+    return f"({terms})"
+
+
+def write_geo_layout(df, path: str, lat_col: str = "lat", lon_col: str = "lon", bits: int = 16, num_files: int = 8) -> None:
+    """G2 replacement, part 2: range-partition by the z-order key and sort
+    within partitions before writing, so each parquet file covers a compact
+    spatial cell (tight lat/lon min/max stats -> row-group pruning).
+
+    At 100 TB this is a one-time layout cost that every subsequent radius /
+    box query amortizes — the same trade as building a spatial index.
+    """
+    keyed = df.withColumn("__zkey", F.expr(zorder_key_sql(lat_col, lon_col, bits)))
+    (
+        keyed.repartitionByRange(num_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def point_in_polygon_udf(polygon: list[tuple[float, float]]):
     """G4 general form: ray-casting point-in-polygon as a vectorized
     pandas_udf over (lat, lon) Series. ``polygon`` is a closed or open ring
