@@ -32,11 +32,19 @@ def main() -> None:
     # warm-up: JVM + parquet footer reads, not billed to any query
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # best-of-2: this host (a shared VM) shows multi-second wall-clock noise;
+    # the min of two runs reflects the plan's actual cost. clearCache between
+    # repetitions so a repeat never reads the previous run's persisted data
+    # (CacheManager matches canonicalized plans) — each rep does full work.
     timings: dict[str, float] = {}
     for name, fn in bench_queries().items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     try:
