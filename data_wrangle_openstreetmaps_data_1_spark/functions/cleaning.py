@@ -143,6 +143,14 @@ def state_from_postcode(postcode: Column, state: Column) -> Column:
     )
 
 
+def city_from_postcode(postcode: Column, city: Column) -> Column:
+    """W1: the merged "City, ST zip" postcode also donates its city part —
+    but only when the optional city group matched (readme.md:49-51
+    ``if mdict['city']``)."""
+    part = F.regexp_extract(postcode, MERGED_POSTCODE_RE, 1)
+    return F.when(postcode.rlike(MERGED_POSTCODE_RE) & (part != ""), part).otherwise(city)
+
+
 def clean_state(state: Column) -> Column:
     """W4: lowercase state codes upper-cased ('wa' -> 'WA', readme.md:78-80),
     long names mapped ('Washington' -> 'WA', readme.md:99-101)."""
@@ -170,12 +178,13 @@ def clean_city(city: Column) -> Column:
 
 
 def state_from_city(city: Column, state: Column) -> Column:
-    """W7: merged "City, ST" strings also donate their state part
-    (with 'Washington' -> 'WA' normalization, readme.md:94-103)."""
+    """W7: merged "City, ST" strings donate their state part ONLY for the
+    reference's recognized values — WA, ID, or Washington -> WA
+    (readme.md:98-101); any other suffix leaves state untouched even though
+    the city still splits."""
     part = F.regexp_extract(city, MERGED_CITY_RE, 2)
-    donated = (
-        F.when(part == "Washington", F.lit("WA"))
-        .when(part == "Idaho", F.lit("ID"))
-        .otherwise(part)
+    return (
+        F.when(city.rlike(MERGED_CITY_RE) & part.isin("WA", "ID"), part)
+        .when(city.rlike(MERGED_CITY_RE) & (part == "Washington"), F.lit("WA"))
+        .otherwise(state)
     )
-    return F.when(city.rlike(MERGED_CITY_RE) & (donated != ""), donated).otherwise(state)

@@ -38,8 +38,9 @@ def clean_osm(df: DataFrame) -> DataFrame:
     tiger = F.element_at(F.col("tags"), "tiger:zip_right")
 
     state_after_postcode = C.state_from_postcode(postcode, state)  # W1+W2
-    new_city = C.clean_city(city)  # W5+W6+W7 (city part)
-    state_after_city = C.state_from_city(city, state_after_postcode)  # W7 (state part)
+    city_after_postcode = C.city_from_postcode(postcode, city)  # W1 (city part)
+    new_city = C.clean_city(city_after_postcode)  # W5+W6+W7 (city part)
+    state_after_city = C.state_from_city(city_after_postcode, state_after_postcode)  # W7 (state part)
     new_state = C.clean_state(state_after_city)  # W4 last: case/name normalize
     new_postcode = C.clean_postcode(postcode, tiger)  # W1+W2+W3
 

@@ -164,10 +164,11 @@ def _dirty_state_spark():
                THEN regexp_extract(city, '{_sq(_MC)}', 1)
              ELSE city END AS city1,
         CASE WHEN regexp_matches(city, '{_sq(_MC)}')
-                  AND regexp_extract(city, '{_sq(_MC)}', 2) <> ''
-               THEN CASE regexp_extract(city, '{_sq(_MC)}', 2)
-                      WHEN 'Washington' THEN 'WA' WHEN 'Idaho' THEN 'ID'
-                      ELSE regexp_extract(city, '{_sq(_MC)}', 2) END
+                  AND regexp_extract(city, '{_sq(_MC)}', 2) IN ('WA', 'ID')
+               THEN regexp_extract(city, '{_sq(_MC)}', 2)
+             WHEN regexp_matches(city, '{_sq(_MC)}')
+                  AND regexp_extract(city, '{_sq(_MC)}', 2) = 'Washington'
+               THEN 'WA'
              ELSE st END AS st1
       FROM d)
     SELECT c_custkey, city, st,
