@@ -322,6 +322,54 @@ def g4_box_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Non-rectangular test ring (lon, lat), open form — exercises the general
+# ray-cast path the reference described for relation polygons but never
+# built (readme.md:488-495). Chosen to straddle the WA/ID divide.
+_PENTAGON = [
+    (-117.30, 47.60),
+    (-117.00, 47.56),
+    (-116.80, 47.70),
+    (-117.05, 47.85),
+    (-117.35, 47.78),
+]
+
+
+def _pip_case_sql(lat: str, lon: str, ring: list[tuple[float, float]]) -> str:
+    """Ray-cast point-in-polygon as generated SQL — the IDENTICAL IEEE-754
+    operation sequence as functions/geo.py's pandas_udf (including the
+    1e-300 guard), so borderline points classify the same on both engines."""
+    n = len(ring)
+    crossings = []
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        crossings.append(
+            f"(CASE WHEN (({y1!r} > {lat}) <> ({y2!r} > {lat})) AND "
+            f"{lon} < ({x2!r} - {x1!r}) * ({lat} - {y1!r}) / ({y2!r} - {y1!r} + 1e-300) + {x1!r} "
+            f"THEN 1 ELSE 0 END)"
+        )
+    return "((" + " + ".join(crossings) + ") % 2 = 1)"
+
+
+@register(
+    "g4_polygon_pip",
+    f"""
+    WITH points AS ({_POINTS_SQL})
+    SELECT count(*) AS inside_cnt
+    FROM points WHERE {_pip_case_sql("lat", "lon", _PENTAGON)}
+    """,
+    doc="G4 general form: ray-casting point-in-polygon for a non-rectangular "
+    "ring via the vectorized pandas_udf (functions/geo.py); oracle is the "
+    "same crossing arithmetic generated as SQL",
+)
+def g4_polygon_pip(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.geo import point_in_polygon_udf
+
+    pts = _points_spark(spark, sf)
+    pip = point_in_polygon_udf(_PENTAGON)
+    return pts.where(pip(F.col("lat"), F.col("lon"))).agg(F.count("*").alias("inside_cnt"))
+
+
 @register(
     "g3_haversine_pairs",
     f"""
