@@ -1,0 +1,95 @@
+"""End-to-end OSM pipeline: the whole reference workflow as one call.
+
+Reference workflow (readme.md:1-10): XML -> shape_element ETL -> JSONL ->
+mongoimport -> per-query aggregation pipelines + update rounds. Here:
+XML -> declarative reshape -> consolidated clean -> partitioned parquet
+store -> the notebook's query battery as DataFrames. A user of the
+reference runs ``run_osm_pipeline`` and gets every readme result.
+
+Scale notes: the ETL+clean is one fused scan->project (no shuffles); the
+store is partitioned by the node/way discriminator; each battery query is
+a pushdown-friendly plan over the columnar store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.geo import DIVIDING_LON, in_box
+from .operators.clean import clean_osm
+from .sources.jsonl import write_table
+from .sources.osm_xml import read_shaped
+
+# Reference map-area bounds (readme.md:500-505).
+BBOX = {"lat_min": 47.5580, "lat_max": 47.8878, "lon_min": -117.5523, "lon_max": -116.6212}
+
+
+def ingest_osm(spark: SparkSession, xml_path: str, out_dir: str) -> DataFrame:
+    """ETL + clean + store; returns the queryable osm table."""
+    cleaned = clean_osm(read_shaped(spark, xml_path))
+    write_table(cleaned, out_dir, partition_by=["type"])
+    return spark.read.parquet(out_dir)
+
+
+def query_battery(osm: DataFrame) -> dict[str, DataFrame]:
+    """The readme notebook's query set (readme.md:121-561), one DataFrame per
+    result. Keys cite the reference section."""
+    created_user = F.col("created.user")
+    wa_box = in_box(F.col("lat"), F.col("lon"), BBOX["lat_min"], BBOX["lat_max"], BBOX["lon_min"], DIVIDING_LON)
+    id_box = in_box(F.col("lat"), F.col("lon"), BBOX["lat_min"], BBOX["lat_max"], DIVIDING_LON, BBOX["lon_max"])
+    nodes = osm.where(F.col("type") == "node")
+
+    return {
+        # readme.md:144-146
+        "counts": osm.groupBy("type").count(),
+        "distinct_users": osm.select(created_user.alias("user")).distinct().agg(F.count("*").alias("users")),
+        # readme.md:161-171
+        "top_users": (
+            osm.groupBy(created_user.alias("user"))
+            .agg(F.count("*").alias("contributions"))
+            .orderBy(F.desc("contributions"), F.asc("user"))
+            .limit(10)
+        ),
+        # readme.md:178-192
+        "contribution_stats": (
+            osm.groupBy(created_user.alias("user"))
+            .agg(F.count("*").alias("contributions"))
+            .agg(
+                F.count("*").alias("cnt"),
+                F.round(F.avg("contributions"), 2).alias("mean"),
+                F.min("contributions").alias("min"),
+                F.max("contributions").alias("max"),
+            )
+        ),
+        # readme.md:198-237
+        "cities": (
+            osm.where(F.col("place") == "city")
+            .select(F.col("name").alias("Name"), F.col("population").alias("Population"))
+        ),
+        # readme.md:246-364
+        "top_amenities": (
+            osm.where(F.col("amenity").isNotNull())
+            .groupBy("amenity")
+            .count()
+            .orderBy(F.desc("count"), F.asc("amenity"))
+            .limit(20)
+        ),
+        # readme.md:500-522 (incl. the conservation invariant inputs)
+        "state_boxes": nodes.select(
+            F.sum(wa_box.cast("long")).alias("wa_nodes"),
+            F.sum(id_box.cast("long")).alias("id_nodes"),
+            F.count("*").alias("all_nodes"),
+        ),
+        # readme.md:528-561 — A9 as a single pass
+        "naturals_by_state": (
+            nodes.where(F.col("natural").isNotNull())
+            .withColumn("state", F.when(F.col("lon") < DIVIDING_LON, "WA").otherwise("ID"))
+            .groupBy("natural", "state")
+            .count()
+        ),
+    }
+
+
+def run_osm_pipeline(spark: SparkSession, xml_path: str, out_dir: str) -> dict[str, DataFrame]:
+    return query_battery(ingest_osm(spark, xml_path, out_dir))

@@ -45,6 +45,45 @@ def a1_count_all(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "f_json_extract",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           count(*) AS cnt, round(avg(value), 4) AS avg_value
+    FROM events GROUP BY 1
+    """,
+    doc="semi-structured tail: JSON property extraction (the document-model "
+    "open-tag analog on the events table) straight into an aggregation — "
+    "get_json_object stays JVM-side, no UDF",
+)
+def f_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    return (
+        e.select(
+            (F.get_json_object("props", "$.k").cast("bigint") % 10).alias("k_mod"),
+            "value",
+        )
+        .groupBy("k_mod")
+        .agg(F.count("*").alias("cnt"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+@register(
+    "u_except",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+    doc="EXCEPT set op (customers who never ordered) — completes the §2.7 "
+    "category with union/intersect; plans as a left-anti aggregate",
+)
+def u_except(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer").select("c_custkey")
+    o = load_table(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.subtract(o)  # EXCEPT (distinct) semantics, matching the SQL
+
+
+@register(
     "a1_filtered_counts",
     """
     SELECT o_orderstatus AS status, count(*) AS cnt

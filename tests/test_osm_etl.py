@@ -46,7 +46,7 @@ def test_count_tags_golden(spark):
         "node": 20,
         "osm": 1,
         "relation": 1,
-        "tag": 16,
+        "tag": 17,
         "way": 1,
     }
 
@@ -74,7 +74,7 @@ def test_key_class_golden(spark):
         .count()
     )
     got = {r["cls"]: r["count"] for r in classes.collect()}
-    assert got == {"lower": 8, "lower_colon": 5, "problemchars": 1, "other": 2}
+    assert got == {"lower": 9, "lower_colon": 5, "problemchars": 1, "other": 2}
 
 
 def test_distinct_users_golden(spark):

@@ -1,0 +1,56 @@
+"""End-to-end pipeline on the fixture: every readme-battery result plus the
+reference's conservation invariant (readme.md:519-522)."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_wrangle_openstreetmaps_data_1_spark.pipeline_osm import run_osm_pipeline
+
+import os
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "example.osm")
+
+
+@pytest.fixture(scope="module")
+def battery(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("osm_store"))
+    return run_osm_pipeline(spark, FIXTURE, out)
+
+
+def test_counts(battery):
+    got = {r["type"]: r["count"] for r in battery["counts"].collect()}
+    assert got == {"node": 20, "way": 1}
+
+
+def test_distinct_users(battery):
+    assert battery["distinct_users"].collect()[0]["users"] == 6
+
+
+def test_top_users(battery):
+    rows = battery["top_users"].collect()
+    assert (rows[0]["user"], rows[0]["contributions"]) == ("alice", 8)
+    assert (rows[1]["user"], rows[1]["contributions"]) == ("bob", 5)
+
+
+def test_cities_projection(battery):
+    rows = battery["cities"].collect()
+    assert [(r["Name"], r["Population"]) for r in rows] == [("Spokane", "208916")]
+
+
+def test_top_amenities(battery):
+    rows = battery["top_amenities"].collect()
+    assert [(r["amenity"], r["count"]) for r in rows] == [("school", 1)]
+
+
+def test_state_box_conservation_invariant(battery):
+    # readme.md:519-522: WA-box + ID-box node counts must equal the node
+    # total ("147184 + 94545 = 241729 (should be 241729)")
+    r = battery["state_boxes"].collect()[0]
+    assert r["wa_nodes"] + r["id_nodes"] == r["all_nodes"] == 20
+
+
+def test_naturals_by_state(battery):
+    got = {(r["natural"], r["state"]): r["count"] for r in battery["naturals_by_state"].collect()}
+    # node 1003 (natural=tree) sits at lon -117.1, west of the divide -> WA
+    assert got == {("tree", "WA"): 1}
