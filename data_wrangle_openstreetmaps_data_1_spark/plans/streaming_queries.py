@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..streaming.dedup import run_dedup_once
 from ..streaming.rollup import run_hourly_rollup_once
 from ..streaming.sessions import run_sessionize_once
 from .registry import register
@@ -34,6 +35,17 @@ from .registry import register
 )
 def st_hourly_rollup(spark: SparkSession, sf: str) -> DataFrame:
     return run_hourly_rollup_once(spark, sf)
+
+
+@register(
+    "st_dedup",
+    "SELECT DISTINCT user_id, event_type FROM events",
+    doc="streaming dedup via dropDuplicatesWithinWatermark (bounded state: "
+    "keys expire past the watermark); over a finite input the surviving key "
+    "set equals batch DISTINCT, which the oracle checks",
+)
+def st_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    return run_dedup_once(spark, sf, ["user_id", "event_type"])
 
 
 @register(

@@ -1,0 +1,41 @@
+"""Streaming deduplication — the streaming twin of exact dedup
+(operators/dedup.py), for at-least-once upstream sources.
+
+``dropDuplicatesWithinWatermark`` keys the state store on the dedup columns
+and expires entries once the watermark passes them — bounded state, unlike
+plain ``dropDuplicates`` on a stream which retains every key forever. At
+100 TB/day that difference is the whole game: state is O(keys within the
+watermark horizon), not O(all keys ever).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .ingest import read_events_stream
+
+
+def dedup_stream(events: DataFrame, keys: list[str], watermark: str = "2 hours") -> DataFrame:
+    """First-occurrence-wins dedup on ``keys`` within the watermark horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_dedup_once(spark: SparkSession, sf_dir: str, keys: list[str]) -> DataFrame:
+    """Finite-input run: over all available input the surviving key set must
+    equal the batch DISTINCT of the same keys (which the oracle checks).
+    Only the keys are returned — WHICH duplicate row survives depends on
+    arrival order and is not part of the operator's contract."""
+    deduped = dedup_stream(read_events_stream(spark, sf_dir), keys)
+    sink = f"st_dedup_{uuid.uuid4().hex[:12]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(*[F.col(k) for k in keys])

@@ -117,3 +117,12 @@ def test_sessionize_multi_batch_state(spark, multi_file_events):
         t = (r["user_id"], r["n_events"], r["duration_s"])
         assert bt_count[t] > 0, f"streamed session {t} not in batch result"
         bt_count[t] -= 1
+
+
+def test_dedup_stream_equals_batch_distinct(spark, sf_small):
+    from data_wrangle_openstreetmaps_data_1_spark.streaming.dedup import run_dedup_once
+
+    streamed = run_dedup_once(spark, sf_small, ["user_id", "event_type"])
+    batch = load_table(spark, sf_small, "events").select("user_id", "event_type").distinct()
+    cols = ["user_id", "event_type"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
