@@ -126,3 +126,40 @@ def test_dedup_stream_equals_batch_distinct(spark, sf_small):
     batch = load_table(spark, sf_small, "events").select("user_id", "event_type").distinct()
     cols = ["user_id", "event_type"]
     assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_checkpoint_recovery_exactly_once(spark, sf_small, tmp_path):
+    """File-source + file-sink + checkpoint: a restarted stream picks up only
+    unseen input files — rows from the first run are not reprocessed."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    events = load_table(spark, sf_small, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    first = events.where("event_id % 2 = 0")
+    second = events.where("event_id % 2 = 1")
+    first.coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema("event_id long, user_id long, ts_us long").parquet(src)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    got1 = spark.read.parquet(out)
+    assert got1.count() == first.count()
+
+    second.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    got2 = spark.read.parquet(out)
+    # exactly once: every event id appears once, totals add up
+    assert got2.count() == first.count() + second.count()
+    assert got2.select("event_id").distinct().count() == got2.count()
