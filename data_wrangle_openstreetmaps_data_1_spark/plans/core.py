@@ -542,6 +542,32 @@ def j_anti_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "j_merge_factfact",
+    """
+    SELECT o_orderpriority AS priority, count(*) AS line_cnt,
+           round(sum(l_extendedprice), 2) AS total
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="fact-to-fact join shape: merge hint forces the SortMergeJoin path "
+    "a 100 TB lineitem-orders join would take (both sides too big to "
+    "broadcast); shuffle keyed on orderkey, partial agg after",
+)
+def j_merge_factfact(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        li.hint("merge")
+        .join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("line_cnt"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
     "o2_topk",
     """
     SELECT o_orderkey, round(o_totalprice, 2) AS total

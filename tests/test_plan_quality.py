@@ -59,3 +59,8 @@ def test_exact_dedup_shuffles_hashes_not_text(spark):
 def test_knn_broadcasts_queries_not_targets(spark):
     plan = plan_of(spark, "sim_knn_brute")
     assert "BroadcastNestedLoopJoin" in plan and "BuildRight" in plan
+
+
+def test_merge_factfact_uses_sortmerge(spark):
+    plan = plan_of(spark, "j_merge_factfact")
+    assert "SortMergeJoin" in plan  # fact-fact path; neither side broadcast
