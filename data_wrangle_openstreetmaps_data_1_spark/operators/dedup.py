@@ -108,6 +108,12 @@ def minhash_lsh_pairs(
     the band key — this is what makes 100 TB feasible: candidates are
     generated without an all-pairs product). Candidates are then verified
     with exact Jaccard over the shingle sets.
+
+    Shape note: the band join moves doc IDS only; hash arrays are re-joined
+    afterwards for the (tiny) candidate set. The alternative — carrying the
+    hash arrays through the band join to skip the verify joins — is faster
+    cold locally but shuffles every hash array once per band key (4x the
+    payload) at scale, so the id-only join wins at 100 TB.
     """
     rows_per_band = k // bands
     sh = _shingle_sets(df, id_col, text_col, n)
