@@ -165,6 +165,51 @@ def minhash_lsh_pairs(
     return verified
 
 
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (the classic rolling-hash scheme:
+    Schleimer/Wilkerson/Aiken, SIGMOD 2003): k-gram hashes in document
+    order, take the min of every ``window`` consecutive hashes, keep the
+    distinct mins. Guarantees any match of length >= window+n-1 shares a
+    fingerprint — the standard plagiarism/near-dup sketch.
+
+    Output: (doc_id, n_fingerprints, fp_digest) where fp_digest is the md5
+    of the sorted fingerprint set (compact, exactly comparable).
+
+    Implementation note: the windowed min is ``array_min(slice(hs, i, w))``
+    inside a lambda — legal ONLY because ``hs`` is a persisted column
+    (a bound attribute). If it were an inline expression the lambda would
+    re-evaluate the whole hash array per window position (O(n^2) md5s).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # ordered (non-distinct!) shingle hashes — winnowing is positional
+    sh = spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.size(toks) < n, F.array().cast("array<string>"))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        )
+        .alias("shingles"),
+    )
+    hashed = sh.select(
+        "doc_id",
+        F.expr(f"transform(shingles, s -> {HASH_P_SQL.format(x='s')})").alias("hs"),
+    ).persist()
+    mins = (
+        f"array_distinct(case when size(hs) < {window} then hs else "
+        f"transform(sequence(1, size(hs) - {window - 1}), i -> array_min(slice(hs, i, {window}))) end)"
+    )
+    return hashed.select(
+        "doc_id",
+        F.expr(f"size({mins})").alias("n_fingerprints"),
+        F.expr(f"md5(concat_ws(',', array_sort({mins})))").alias("fp_digest"),
+    )
+
+
 def simhash_table(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, bits: int = 32, skip_empty: bool = False
 ) -> DataFrame:

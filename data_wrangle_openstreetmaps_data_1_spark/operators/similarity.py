@@ -114,6 +114,68 @@ def ann_lsh(targets: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k
     )
 
 
+def _l2sq(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame, centroids: DataFrame, id_col: str, vec_col: str, nprobe: int = 1
+) -> DataFrame:
+    """Coarse quantization: nearest ``nprobe`` centroids per vector (squared
+    L2, ties by centroid id). Centroids are broadcast; assignment is one
+    scan of the big side — the IVF build cost.
+    """
+    c = centroids.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    scored = vectors.crossJoin(F.broadcast(c)).withColumn(
+        "d2", _l2sq(F.col(vec_col), F.col("c_vec"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.asc("d2"), F.asc("c_id"))
+    return (
+        scored.withColumn("crk", F.row_number().over(w))
+        .where(F.col("crk") <= nprobe)
+        .select(id_col, vec_col, F.col("c_id").alias("cluster"))
+    )
+
+
+def ivf_search(
+    targets: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k cosine: targets live in their single nearest
+    cluster; each query probes its ``nprobe`` nearest clusters and scores
+    only those clusters' members. Recall < 1 by design; the cluster
+    equi-join replaces the full scan (the 100 TB path: partition the target
+    table by cluster at write time and the probe prunes partitions).
+
+    Output schema matches :func:`knn_brute`.
+    """
+    t = ivf_assign(spread(targets), centroids, id_col, vec_col, nprobe=1).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("t_vec"), "cluster"
+    )
+    q = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "cluster"
+    )
+    scored = (
+        t.join(F.broadcast(q), "cluster")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("t_vec")).alias("cos_raw"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"))
+    )
+
+
 def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str, tau: float = 0.95) -> DataFrame:
     """Pairs of rows with cosine >= tau (embedding near-duplicate detection).
 

@@ -33,12 +33,14 @@ from ..operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_table,
+    winnow_fingerprints,
 )
 from ..operators.multimodal import attach_media, extract_features, sample_frames
 from ..operators.similarity import (
     _hyperplanes,
     ann_lsh,
     embedding_neardup_pairs,
+    ivf_search,
     knn_brute,
 )
 from ..sources.tables import load_table
@@ -214,6 +216,38 @@ def dd_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return simhash_table(_corpus(spark, sf), "doc_id", "text", n=3, bits=32)
 
 
+_ORDERED_SHINGLES_SQL = (
+    r"list_transform(range(1, greatest(len(" + _TOKS_SQL + r") - 2, 0) + 1), "
+    r"i -> array_to_string((" + _TOKS_SQL + r")[i:i+2], ' '))"
+)
+
+
+def _winnow_oracle(window: int = 4) -> str:
+    w = window
+    mins = (
+        f"list_distinct(CASE WHEN len(hs) < {w} THEN hs ELSE "
+        f"list_transform(range(1, len(hs) - {w} + 2), i -> list_min(hs[i:i+{w - 1}])) END)"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_ORDERED_SHINGLES_SQL} AS shingles FROM documents),
+    hashed AS (SELECT doc_id, list_transform(shingles, s -> {_HASH_P_SQL}) AS hs FROM t)
+    SELECT doc_id, len({mins}) AS n_fingerprints,
+           md5(array_to_string(list_sort({mins}), ',')) AS fp_digest
+    FROM hashed
+    """
+
+
+@register(
+    "dd_winnow",
+    _winnow_oracle(),
+    doc="winnowing rolling-hash fingerprints (Schleimer et al. SIGMOD'03): "
+    "min of every 4 consecutive ordered 3-gram hashes, distinct set digested; "
+    "oracle shares the portable hash so digests match bit-for-bit",
+)
+def dd_winnow(spark: SparkSession, sf: str) -> DataFrame:
+    return winnow_fingerprints(load_table(spark, sf, "documents"), "doc_id", "text", n=3, window=4)
+
+
 # --------------------------------------------------------------------------
 # similarity search tier
 # --------------------------------------------------------------------------
@@ -303,6 +337,47 @@ def _ann_lsh_oracle(dim: int = 64, n_planes: int = 8, k: int = 10) -> str:
     SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim
     FROM ranked WHERE rk <= {k}
     """
+
+
+_L2SQ = "list_reduce(list_transform(range(1, 65), i -> (e.v[i] - c.c_vec[i]) * (e.v[i] - c.c_vec[i])), (a, b) -> a + b)"
+
+
+@register(
+    "sim_ivf",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS c_id, v AS c_vec FROM e WHERE vec_id < 16),
+    assign AS (
+      SELECT vec_id, v, c_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c_id ASC) AS crk
+      FROM (SELECT e.vec_id, e.v, c.c_id, {_L2SQ} AS d2 FROM e, cent c)),
+    t AS (SELECT vec_id AS neighbor_id, v AS tv, c_id AS cluster FROM assign WHERE crk = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv, c_id AS cluster
+          FROM assign WHERE crk <= 2 AND vec_id < 5),
+    scored AS (
+      SELECT DISTINCT query_id, neighbor_id, {_DOT} / ({_NQ} * {_NT}) AS cs
+      FROM t JOIN q USING (cluster) WHERE query_id <> neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cs,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, neighbor_id ASC) AS rk
+      FROM scored)
+    SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim
+    FROM ranked WHERE rk <= 10
+    """,
+    doc="IVF approximate top-k cosine: coarse-quantize to the 16 seed "
+    "centroids, queries probe their 2 nearest clusters (cluster equi-join "
+    "replaces the full scan; at 100 TB the target table is partitioned by "
+    "cluster so probes prune partitions); oracle replays the identical "
+    "assignment arithmetic",
+)
+def sim_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    centroids = emb.where(F.col("vec_id") < 16)
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivf_search(emb, queries, centroids, "vec_id", "embedding", k=10, nprobe=2)
 
 
 @register(
