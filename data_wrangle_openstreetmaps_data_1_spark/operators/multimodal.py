@@ -72,6 +72,55 @@ FRAME_SCHEMA = StructType(
     ]
 )
 
+CHUNK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("chunk_idx", IntegerType()),
+        StructField("start_sample", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("chunk_md5", StringType()),
+    ]
+)
+
+
+def attach_audio(documents: DataFrame) -> DataFrame:
+    """Audio flavor of :func:`attach_media`: payload bytes stand in for PCM;
+    metadata carries (sample_rate, n_samples) like a decoded WAV header."""
+    return documents.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("audio"),
+        F.struct(
+            F.lit(16000).alias("sample_rate"),
+            (F.col("n_chars").cast("long") * 100).alias("n_samples"),
+        ).alias("meta"),
+    )
+
+
+def chunk_audio(audio: DataFrame, chunk_samples: int = 8000) -> DataFrame:
+    """Fixed-length audio chunking (the resample/segment shape of a speech
+    pipeline): one row per ``chunk_samples`` window, last chunk ragged.
+    Multi-row mapInPandas emission; the per-chunk md5 is a codec-free stand-
+    in for the resampled-waveform fingerprint.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: list[tuple[int, int, int, int, str]] = []
+            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["audio"], pdf["meta"]):
+                raw = bytes(payload) if payload is not None else b""
+                total = int(meta["n_samples"])
+                idx = 0
+                for start in range(0, total, chunk_samples):  # 0 samples -> 0 chunks
+                    n = min(chunk_samples, total - start)
+                    fp = hashlib.md5(raw + str(idx).encode()).hexdigest()
+                    out.append((int(doc_id), idx, start, n, fp))
+                    idx += 1
+            yield pd.DataFrame(
+                out, columns=["doc_id", "chunk_idx", "start_sample", "n_samples", "chunk_md5"]
+            )
+
+    return audio.mapInPandas(batches, schema=CHUNK_SCHEMA)
+
 
 def attach_media(documents: DataFrame) -> DataFrame:
     """Derive a deterministic media column from the documents table: the

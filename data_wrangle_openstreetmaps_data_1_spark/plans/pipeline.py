@@ -35,7 +35,13 @@ from ..operators.dedup import (
     simhash_table,
     winnow_fingerprints,
 )
-from ..operators.multimodal import attach_media, extract_features, sample_frames
+from ..operators.multimodal import (
+    attach_audio,
+    attach_media,
+    chunk_audio,
+    extract_features,
+    sample_frames,
+)
 from ..operators.similarity import (
     _hyperplanes,
     ann_lsh,
@@ -435,6 +441,26 @@ def mm_features(spark: SparkSession, sf: str) -> DataFrame:
 def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     media = attach_media(load_table(spark, sf, "documents"))
     return sample_frames(media, stride=2)
+
+
+@register(
+    "mm_audio_chunks",
+    """
+    SELECT doc_id,
+           CAST(start_sample / 8000 AS INT) AS chunk_idx,
+           start_sample,
+           least(8000, n_samples - start_sample) AS n_samples,
+           md5(text || CAST(CAST(start_sample / 8000 AS INT) AS VARCHAR)) AS chunk_md5
+    FROM (SELECT doc_id, text, CAST(n_chars AS BIGINT) * 100 AS n_samples,
+                 unnest(range(0, CAST(n_chars AS BIGINT) * 100, 8000)) AS start_sample
+          FROM documents)
+    """,
+    doc="audio-path chunking: fixed 8000-sample windows from the typed "
+    "metadata (ragged tail), multi-row mapInPandas emission with "
+    "deterministic per-chunk fingerprints",
+)
+def mm_audio_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    return chunk_audio(attach_audio(load_table(spark, sf, "documents")), chunk_samples=8000)
 
 
 # --------------------------------------------------------------------------

@@ -68,3 +68,15 @@ def test_null_and_empty_payloads(spark):
     assert feats[2]["byte_len"] == 0
     frames = sample_frames(df, stride=2).collect()
     assert {(r["doc_id"], r["frame_idx"]) for r in frames} == {(1, 0), (1, 2), (2, 0)}
+
+
+def test_audio_chunks_ragged_tail(spark):
+    from data_wrangle_openstreetmaps_data_1_spark.operators.multimodal import attach_audio, chunk_audio
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 100, 100), (2, "", 0)], "doc_id long, text string, n_chars int"
+    )
+    # doc 1: 10000 samples -> chunks [0:8000], [8000:2000]; doc 2: none
+    chunks = chunk_audio(attach_audio(docs), chunk_samples=8000).collect()
+    got = sorted((r["doc_id"], r["chunk_idx"], r["start_sample"], r["n_samples"]) for r in chunks)
+    assert got == [(1, 0, 0, 8000), (1, 1, 8000, 2000)]
