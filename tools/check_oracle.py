@@ -98,20 +98,25 @@ def main() -> int:
             print(f"ROWS-ONLY {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
             n_rows_only += 1
             continue
+        spark_s = time.time() - t0
+        t1 = time.time()
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception:
             print(f"FAIL {name}: duckdb raised\n{traceback.format_exc()}")
             n_fail += 1
             continue
+        duck_s = time.time() - t1
+        ratio = spark_s / duck_s if duck_s > 0.005 else float("nan")
+        timing = f"spark {spark_s:.1f}s / duck {duck_s:.1f}s ({ratio:.1f}x)"
         problems = compare(name, sdf, odf)
         if problems:
-            print(f"FAIL {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            print(f"FAIL {name} ({len(sdf)} rows, {timing})")
             for p in problems[:5]:
                 print(f"   {p}")
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            print(f"PASS {name} ({len(sdf)} rows, {timing})")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     return 1 if n_fail else 0
