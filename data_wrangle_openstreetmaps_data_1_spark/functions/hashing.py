@@ -87,70 +87,6 @@ def portable_hash_p(col: Column) -> Column:
     return portable_hash64(col) % MERSENNE_P
 
 
-def minhash_signature_from_hashes(hashes: Column, k: int = 16, seed: int = 7) -> Column:
-    """Array of k MinHash values over a PRE-HASHED bigint-array column.
-
-    The k affine permutations are cheap arithmetic; feeding them a
-    *materialized* hash column matters because higher-order-function
-    expression trees are duplicated per permutation (no codegen CSE) — the
-    md5 work must not sit inside them. Empty shingle sets get p as a
-    sentinel (never matches a real hash).
-    """
-    sigs = []
-    for a, b in minhash_coeffs(k, seed):
-        permuted = F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P))
-        sigs.append(F.coalesce(F.array_min(permuted), F.lit(MERSENNE_P)))
-    return F.array(*sigs)
-
-
-def minhash_signature(shingles: Column, k: int = 16, seed: int = 7) -> Column:
-    """Array of k MinHash values over a string-array column. Prefer
-    :func:`minhash_signature_from_hashes` over a persisted hash column when
-    the signature feeds more than one downstream branch."""
-    return minhash_signature_from_hashes(
-        F.transform(shingles, lambda s: portable_hash_p(s)), k, seed
-    )
-
-
-def minhash_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
-    """LSH banding: split the signature into ``bands`` groups of
-    ``rows_per_band`` values; each band becomes a joinable bucket key string
-    ``"<band_idx>:<v1>,<v2>,..."``. Docs sharing any band key are candidate
-    near-duplicates (classic MinHash-LSH banding)."""
-    keys = []
-    for bi in range(bands):
-        segment = F.slice(signature, bi * rows_per_band + 1, rows_per_band)
-        keys.append(F.concat_ws(",", F.lit(str(bi)), F.concat_ws(",", F.transform(segment, lambda v: v.cast("string")))))
-    return F.array(*keys)
-
-
-def simhash_from_hashes(hashes: Column, bits: int = 32) -> Column:
-    """SimHash over a PRE-HASHED bigint-array column: per bit, sum +1/-1
-    votes from each shingle hash; bit set iff the vote is positive.
-
-    Hamming-close simhashes => similar shingle sets. Like
-    :func:`minhash_signature_from_hashes`, the per-bit aggregates duplicate
-    their input subtree ``bits`` times — feed a materialized column.
-    """
-    bit_votes = [
-        F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
-        )
-        for b in range(bits)
-    ]
-    out = F.lit(0).cast("long")
-    for b, vote in enumerate(bit_votes):
-        out = out + F.when(vote > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
-    return out
-
-
-def simhash(shingles: Column, bits: int = 32) -> Column:
-    """SimHash over a string-array column (convenience form)."""
-    return simhash_from_hashes(F.transform(shingles, lambda s: portable_hash64(s)), bits)
-
-
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two int64 bit-vectors via bit_count(xor)."""
     return F.bit_count(a.bitwiseXOR(b))

@@ -59,21 +59,12 @@ def knn_brute(targets: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     )
 
 
-def lsh_bucket_expr(vec_col, planes: list[list[float]]):
-    """Sign-LSH bucket key: one bit per hyperplane (dot(v, plane) >= 0)."""
-    bits = []
-    for p in planes:
-        plane_arr = F.array(*[F.lit(float(x)) for x in p])
-        d = F.aggregate(F.zip_with(vec_col, plane_arr, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v)
-        bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
-
-
 def lsh_bucket_sql(vec_col: str, planes: list[list[float]]) -> str:
-    """Spark-SQL string form of :func:`lsh_bucket_expr` (one JVM parse
-    instead of ~1000 py4j literal round-trips; see functions/hashing.py).
-    The left-fold order matches DuckDB's ``list_reduce`` exactly, so the
-    sign bits — and therefore bucket membership — agree across engines."""
+    """Sign-LSH bucket key — one bit per hyperplane (dot(v, plane) >= 0) —
+    as a single SQL string (one JVM parse instead of ~1000 py4j literal
+    round-trips; see functions/hashing.py). The left-fold order matches
+    DuckDB's ``list_reduce`` exactly, so the sign bits — and therefore
+    bucket membership — agree across engines."""
     bits = []
     for p in planes:
         arr = ", ".join(repr(float(x)) + "D" for x in p)
