@@ -49,8 +49,11 @@ def bbox_prefilter(lat: Column, lon: Column, center_lat: Column, center_lon: Col
     sargable: it reaches parquet min/max pruning, playing the role of the
     reference's 2dsphere index (readme.md:381-384).
     """
-    dlat = radius_km / 111.32
-    dlon = radius_km / (111.32 * 0.5)  # conservative cos(60 deg)
+    # 110.5 km/deg is BELOW the minimum true km-per-degree-latitude
+    # (110.57 at the equator), so the box is strictly conservative; the
+    # lon divisor assumes |lat| < 60 deg (cos >= 0.5) with the same margin.
+    dlat = radius_km / 110.5
+    dlon = radius_km / (110.5 * 0.5)
     return (
         (lat >= center_lat - dlat)
         & (lat <= center_lat + dlat)

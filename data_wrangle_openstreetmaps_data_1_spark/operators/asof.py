@@ -29,28 +29,34 @@ def asof_join(
     or before its timestamp, matched on key column ``on``.
 
     Output: all ``left`` columns + ``value_cols`` (null when no prior right
-    row exists).
+    row exists). The matched right values come from ONE right row — they
+    are carried through the window as a single struct, so a right row with
+    NULL in one value column can never be "torn" (mixed with an older row's
+    non-null value).
     """
-    lt = left.withColumn("_t", F.col(left_time)).withColumn("_side", F.lit(1))
-    rt = (
-        right.select(
-            F.col(on),
-            F.col(right_time).alias("_t"),
-            *[F.col(c) for c in value_cols],
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"value_cols {sorted(clash)} already exist on the left side; "
+            "rename them before the as-of join"
         )
-        .withColumn("_side", F.lit(0))
+    rt = right.select(
+        F.col(on),
+        F.col(right_time).alias("_t"),
+        F.struct(*[F.col(c) for c in value_cols]).alias("_rrow"),
+    ).withColumn("_side", F.lit(0))
+    lt = (
+        left.withColumn("_t", F.col(left_time))
+        .withColumn("_side", F.lit(1))
+        # null struct typed from the right side so unionByName is type-exact
+        .withColumn("_rrow", F.lit(None).cast(rt.schema["_rrow"].dataType))
     )
-    # Align schemas: left contributes nulls for value cols; right contributes
-    # nulls for left-only cols.
-    for c in value_cols:
-        if c not in lt.columns:
-            lt = lt.withColumn(c, F.lit(None))
-    left_only = [c for c in left.columns if c not in {on}]
+    left_only = [c for c in left.columns if c != on]
     for c in left_only:
         if c not in rt.columns:
             rt = rt.withColumn(c, F.lit(None))
-    unioned = lt.select(on, "_t", "_side", *left_only, *value_cols).unionByName(
-        rt.select(on, "_t", "_side", *left_only, *value_cols)
+    unioned = lt.select(on, "_t", "_side", *left_only, "_rrow").unionByName(
+        rt.select(on, "_t", "_side", *left_only, "_rrow")
     )
     w = (
         Window.partitionBy(on)
@@ -62,6 +68,10 @@ def asof_join(
         "_t",
         "_side",
         *left_only,
-        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in value_cols],
+        F.last(F.col("_rrow"), ignorenulls=True).over(w).alias("_rrow"),
     )
-    return filled.where(F.col("_side") == 1).drop("_side", "_t")
+    return (
+        filled.where(F.col("_side") == 1)
+        .select(on, "_t", *left_only, *[F.col(f"_rrow.{c}").alias(c) for c in value_cols])
+        .drop("_t")
+    )

@@ -14,6 +14,13 @@ Five tiers, all DataFrame-native:
 Scale notes: every pairwise step is gated by an equi-join on a bucket key
 (shingle, band key, or simhash band), so the shuffle is keyed and AQE can
 split skewed buckets. Nothing materializes on the driver.
+
+Cache lifecycle: the LSH operators ``persist()`` their hashed intermediate
+(the result DataFrame references it from several branches, so it must
+outlive this call — there is no safe point to unpersist inside the
+operator). Callers running many operators in one session should
+``spark.catalog.clearCache()`` between them (bench.py and
+tools/check_oracle.py do).
 """
 
 from __future__ import annotations
@@ -115,6 +122,11 @@ def minhash_lsh_pairs(
     cold locally but shuffles every hash array once per band key (4x the
     payload) at scale, so the id-only join wins at 100 TB.
     """
+    if bands < 1 or k % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide k={k} exactly (otherwise part of the "
+            "signature is silently never banded, or band keys degenerate)"
+        )
     rows_per_band = k // bands
     sh = _shingle_sets(df, id_col, text_col, n)
     # Materialize the md5 hashes ONCE: the k permutation expressions (and
@@ -226,17 +238,25 @@ def simhash_table(
     return hashed.select("doc_id", F.expr(simhash_sql("hs64", bits)).alias("simhash"))
 
 
-def simhash_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3, bits: int = 32, max_hamming: int = 6) -> DataFrame:
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3, bits: int = 32, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance.
 
-    Candidate generation via band bucketing (split the hash into 4 bytes —
-    pigeonhole: any pair within hamming<=3*bits/32 shares at least one exact
-    byte), then exact hamming verify. Keyed equi-join, no all-pairs.
+    Candidate generation via band bucketing (split the hash into 4 bytes),
+    then exact hamming verify. Keyed equi-join, no all-pairs. Pigeonhole
+    bound: a pair differing in <= 3 bits must share one of the 4 bands, so
+    recall is complete only for ``max_hamming <= n_bands - 1`` — larger
+    values are rejected rather than silently missing pairs.
     """
     # skip_empty: simhash(∅) = 0 for every shingle-less doc, which would
     # otherwise pair all short docs with each other at hamming 0.
     t = simhash_table(df, id_col, text_col, n, bits, skip_empty=True)
     n_bands = 4
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the {n_bands}-band recall "
+            f"bound ({n_bands - 1}); pairs at larger distances would be "
+            "silently missed"
+        )
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
     bandkeys = t.select(

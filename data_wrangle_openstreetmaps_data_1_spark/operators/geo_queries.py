@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.geo import DIVIDING_LON, MILES_TO_METERS, haversine_km
+from ..functions.geo import DIVIDING_LON, MILES_TO_METERS, bbox_prefilter, haversine_km
 
 
 def near(points: DataFrame, centers: DataFrame, lat_col: str = "lat", lon_col: str = "lon", radius_miles: float = 10.0) -> DataFrame:
@@ -37,11 +37,8 @@ def near(points: DataFrame, centers: DataFrame, lat_col: str = "lat", lon_col: s
         )
     )
     dist = haversine_km(F.col(lat_col), F.col(lon_col), F.col("c_lat"), F.col("c_lon"))
-    bbox = (
-        (F.col(lat_col) >= F.col("c_lat") - radius_km / 111.0)
-        & (F.col(lat_col) <= F.col("c_lat") + radius_km / 111.0)
-        & (F.col(lon_col) >= F.col("c_lon") - radius_km / 55.0)
-        & (F.col(lon_col) <= F.col("c_lon") + radius_km / 55.0)
+    bbox = bbox_prefilter(
+        F.col(lat_col), F.col(lon_col), F.col("c_lat"), F.col("c_lon"), radius_km
     )
     return (
         points.crossJoin(c)

@@ -23,7 +23,7 @@ def sessionize(df: DataFrame, user_col: str, time_col: str, gap_minutes: float =
     """
     w = Window.partitionBy(user_col).orderBy(F.col(time_col).asc())
     gap_us = F.unix_micros(F.col(time_col)) - F.lag(F.unix_micros(F.col(time_col))).over(w)
-    is_new = F.when(gap_us.isNull() | (gap_us > int(gap_minutes * 60) * 1_000_000), F.lit(1)).otherwise(F.lit(0))
+    is_new = F.when(gap_us.isNull() | (gap_us > int(gap_minutes * 60 * 1_000_000)), F.lit(1)).otherwise(F.lit(0))
     return df.withColumn("_new_session", is_new).withColumn(
         "session_id", F.sum("_new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     ).drop("_new_session")

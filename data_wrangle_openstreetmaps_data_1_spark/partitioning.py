@@ -34,7 +34,13 @@ def salted_join(
     handles sort-merge joins after the fact; salting fixes the layout up
     front and also covers aggregations-after-join. Right side grows by
     ``salt``x — use only when it is broadcast-small-ish.
+
+    Only inner/left/left_semi/left_anti types are accepted: under right or
+    full outer joins every unmatched right row would survive once per salt
+    replica (``salt``x duplicates).
     """
+    if how not in ("inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(f"salted_join does not support how={how!r} (right/full outer would duplicate unmatched right rows)")
     from pyspark.sql import functions as F
 
     sl = left.withColumn(

@@ -128,7 +128,7 @@ def w1_clean_postcode(spark: SparkSession, sf: str) -> DataFrame:
 
 _DIRTY_CITY_SQL = """
         (['spokane', 'Coeur d' || chr(34) || 'Alene', 'Coeur d Alene',
-          'Otis Orchards, WA', 'Spokane, Washington', 'Post Falls'])[c_custkey % 6 + 1]
+          'Otis Orchards, WA', 'Spokane, Washington', 'post falls'])[c_custkey % 6 + 1]
 """
 _DIRTY_STATE_SQL = "(['wa','WA','ID','Washington'])[c_custkey % 4 + 1]"
 _MC = C.MERGED_CITY_RE
@@ -142,7 +142,7 @@ def _dirty_city_spark():
         F.lit("Coeur d Alene"),
         F.lit("Otis Orchards, WA"),
         F.lit("Spokane, Washington"),
-        F.lit("Post Falls"),
+        F.lit("post falls"),
     )
     return F.element_at(vals, (F.col("c_custkey") % 6 + 1).cast("int"))
 
@@ -159,7 +159,8 @@ def _dirty_state_spark():
     fixed AS (
       SELECT c_custkey, city, st,
         CASE WHEN regexp_matches(city, '^[a-z ]+$')
-               THEN upper(substr(city, 1, 1)) || substr(city, 2)
+               THEN list_aggregate(list_transform(string_split(city, ' '),
+                      w -> upper(substr(w, 1, 1)) || substr(w, 2)), 'string_agg', ' ')
              WHEN regexp_matches(city, '{_sq(_MC)}')
                THEN regexp_extract(city, '{_sq(_MC)}', 1)
              ELSE city END AS city1,

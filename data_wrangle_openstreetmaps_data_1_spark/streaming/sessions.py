@@ -68,8 +68,14 @@ def _sessionize_group(
         n = 0
 
     closed: list[tuple[int, int, int, int, float]] = []
-    for pdf in pdf_iter:
-        for ts_us in pdf["ts_us"].sort_values():
+    # Concatenate ALL Arrow chunks before sorting: a group larger than
+    # arrow.maxRecordsPerBatch arrives as multiple chunks, and sorting each
+    # chunk independently would let chunk-boundary out-of-order events
+    # corrupt session boundaries.
+    chunks = [pdf["ts_us"] for pdf in pdf_iter]
+    if chunks:
+        all_ts = pd.concat(chunks).sort_values() if len(chunks) > 1 else chunks[0].sort_values()
+        for ts_us in all_ts:
             ts_us = int(ts_us)
             if last_us is None:
                 start_us, last_us, n = ts_us, ts_us, 1

@@ -87,6 +87,9 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # LSH operators persist() intermediates for their multi-branch plans;
+        # release them between queries so the battery doesn't accumulate
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
