@@ -58,9 +58,11 @@ def asof_join(
     unioned = lt.select(on, "_t", "_side", *left_only, "_rrow").unionByName(
         rt.select(on, "_t", "_side", *left_only, "_rrow")
     )
+    # _rrow as the final sort key: equal-timestamp right rows otherwise have
+    # no defined order, making the picked row nondeterministic across runs.
     w = (
         Window.partitionBy(on)
-        .orderBy(F.asc("_t"), F.asc("_side"))
+        .orderBy(F.asc("_t"), F.asc("_side"), F.asc_nulls_first("_rrow"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(

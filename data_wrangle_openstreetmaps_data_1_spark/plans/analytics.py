@@ -254,7 +254,8 @@ def w_lead_lag_delta(spark: SparkSession, sf: str) -> DataFrame:
     "asof_join_events",
     """
     WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
-    views AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+    views AS (SELECT user_id, ts, max(value) AS value
+              FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
     SELECT c.event_id, c.user_id,
            CAST(v.ts AS VARCHAR) AS last_view_ts,
            round(v.value, 2) AS last_view_value
@@ -263,13 +264,17 @@ def w_lead_lag_delta(spark: SparkSession, sf: str) -> DataFrame:
     """,
     doc="as-of join (point-in-time lookup): for each click, the latest view "
     "at or before it — union+window implementation (operators/asof.py), "
-    "DuckDB native ASOF JOIN as oracle",
+    "DuckDB native ASOF JOIN as oracle. Views are pre-aggregated to one row "
+    "per (user, ts) on BOTH sides: neither engine defines which of two "
+    "equal-timestamp right rows an as-of join picks",
 )
 def asof_join_events(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "events")
     clicks = e.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
-    views = e.where(F.col("event_type") == "view").select(
-        "user_id", F.col("ts").alias("view_ts"), F.col("value").alias("view_value")
+    views = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").alias("view_ts"))
+        .agg(F.max("value").alias("view_value"))
     )
     v2 = views.select("user_id", "view_ts", F.col("view_value"), F.col("view_ts").alias("view_ts_copy"))
     out = asof_join(

@@ -17,23 +17,22 @@ from ..functions.geo import DIVIDING_LON, EARTH_RADIUS_KM, MILES_TO_METERS, have
 from ..operators.geo_queries import near, state_of
 from ..sources.tables import load_table
 from .registry import register
-
-
-def _sq(s: str) -> str:
-    return s.replace("'", "''")
+from .synth import (
+    point_lat_spark,
+    point_lat_sql,
+    point_lon_spark,
+    point_lon_sql,
+    sq as _sq,
+    street_synth_spark,
+    street_synth_sql,
+)
 
 
 # --------------------------------------------------------------------------
 # F1: street-suffix normalization (the reference's update_name)
 # --------------------------------------------------------------------------
 
-_DIRTY_STREET_SQL = """
-        CASE WHEN p_partkey % 8 = 7 THEN 'Arthur'
-        ELSE (['North Lincoln','South Maple','East Sprague','West Mission','Main'])[p_partkey % 5 + 1]
-             || ' ' ||
-             (['Street','St','St.','Ave','Rd.','Blvd','Drive'])[p_partkey % 7 + 1]
-        END
-"""
+_DIRTY_STREET_SQL = street_synth_sql("p_partkey")
 
 _STREET_MAP_SQL = " ".join(
     f"WHEN '{_sq(k)}' THEN '{_sq(v)}'" for k, v in C.STREET_MAPPING.items()
@@ -41,16 +40,7 @@ _STREET_MAP_SQL = " ".join(
 
 
 def _dirty_street_spark():
-    bases = F.array(*[F.lit(x) for x in ["North Lincoln", "South Maple", "East Sprague", "West Mission", "Main"]])
-    sufs = F.array(*[F.lit(x) for x in ["Street", "St", "St.", "Ave", "Rd.", "Blvd", "Drive"]])
-    k = F.col("p_partkey")
-    return F.when(k % 8 == 7, F.lit("Arthur")).otherwise(
-        F.concat(
-            F.element_at(bases, (k % 5 + 1).cast("int")),
-            F.lit(" "),
-            F.element_at(sufs, (k % 7 + 1).cast("int")),
-        )
-    )
+    return street_synth_spark("p_partkey")
 
 
 @register(
@@ -203,13 +193,13 @@ def w4_clean_city_state(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "f6_cast_geojson",
-    """
+    f"""
     SELECT c_custkey,
-           round(47.5580 + (c_custkey % 1000) * 0.00033, 6) AS lat,
-           round(-117.5523 + ((c_custkey * 7) % 1000) * 0.00093, 6) AS lon,
+           round({point_lat_sql("c_custkey")}, 6) AS lat,
+           round({point_lon_sql("c_custkey")}, 6) AS lon,
            'Point' AS geo_type,
-           round(-117.5523 + ((c_custkey * 7) % 1000) * 0.00093, 6) AS coord_0,
-           round(47.5580 + (c_custkey % 1000) * 0.00033, 6) AS coord_1
+           round({point_lon_sql("c_custkey")}, 6) AS coord_0,
+           round({point_lat_sql("c_custkey")}, 6) AS coord_1
     FROM customer WHERE c_custkey % 10 = 0
     """,
     doc="F6 string->double cast + F7 array build + G1 GeoJSON [lon,lat] swap "
@@ -220,8 +210,8 @@ def f6_cast_geojson(spark: SparkSession, sf: str) -> DataFrame:
     # Build string lat/lon (as the XML attribs arrive), cast, build pos
     # array + GeoJSON struct, then flatten for comparison.
     c = load_table(spark, sf, "customer").where(F.col("c_custkey") % 10 == 0)
-    lat_s = (F.lit(47.5580) + (F.col("c_custkey") % 1000) * F.lit(0.00033)).cast("string")
-    lon_s = (F.lit(-117.5523) + ((F.col("c_custkey") * 7) % 1000) * F.lit(0.00093)).cast("string")
+    lat_s = point_lat_spark("c_custkey").cast("string")
+    lon_s = point_lon_spark("c_custkey").cast("string")
     shaped = c.select(
         "c_custkey",
         F.array(lat_s.cast("double"), lon_s.cast("double")).alias("pos"),
@@ -247,10 +237,10 @@ def f6_cast_geojson(spark: SparkSession, sf: str) -> DataFrame:
 # G3: $near radius query (broadcast centers + haversine + distance sort)
 # --------------------------------------------------------------------------
 
-_POINTS_SQL = """
+_POINTS_SQL = f"""
       SELECT c_custkey AS point_id,
-             47.5580 + (c_custkey % 1000) * 0.00033 AS lat,
-             -117.5523 + ((c_custkey * 7) % 1000) * 0.00093 AS lon
+             {point_lat_sql("c_custkey")} AS lat,
+             {point_lon_sql("c_custkey")} AS lon
       FROM customer
 """
 _CENTERS = [
@@ -265,8 +255,8 @@ _RADIUS_KM = 10 * MILES_TO_METERS / 1000.0
 def _points_spark(spark: SparkSession, sf: str) -> DataFrame:
     return load_table(spark, sf, "customer").select(
         F.col("c_custkey").alias("point_id"),
-        (F.lit(47.5580) + (F.col("c_custkey") % 1000) * F.lit(0.00033)).alias("lat"),
-        (F.lit(-117.5523) + ((F.col("c_custkey") * 7) % 1000) * F.lit(0.00093)).alias("lon"),
+        point_lat_spark("c_custkey").alias("lat"),
+        point_lon_spark("c_custkey").alias("lon"),
     )
 
 

@@ -25,9 +25,7 @@ from ..sources.tables import load_table
 from .registry import register
 
 
-def _sq(s: str) -> str:
-    """Escape a literal for embedding in a single-quoted SQL string."""
-    return s.replace("'", "''")
+from .synth import sq as _sq, street_synth_spark, street_synth_sql
 
 
 # --------------------------------------------------------------------------
@@ -385,26 +383,11 @@ def a7_group2_count(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_STREET_SYNTH_SQL = """
-        CASE WHEN s_suppkey % 8 = 7 THEN 'Arthur'
-        ELSE (['North Lincoln','South Maple','East Sprague','West Mission','Main'])[s_suppkey % 5 + 1]
-             || ' ' ||
-             (['Street','St','St.','Ave','Rd.','Blvd','Drive'])[s_suppkey % 7 + 1]
-        END
-"""
+_STREET_SYNTH_SQL = street_synth_sql("s_suppkey")
 
 
 def _street_synth_spark():
-    bases = F.array(*[F.lit(x) for x in ["North Lincoln", "South Maple", "East Sprague", "West Mission", "Main"]])
-    sufs = F.array(*[F.lit(x) for x in ["Street", "St", "St.", "Ave", "Rd.", "Blvd", "Drive"]])
-    k = F.col("s_suppkey")
-    return F.when(k % 8 == 7, F.lit("Arthur")).otherwise(
-        F.concat(
-            F.element_at(bases, (k % 5 + 1).cast("int")),
-            F.lit(" "),
-            F.element_at(sufs, (k % 7 + 1).cast("int")),
-        )
-    )
+    return street_synth_spark("s_suppkey")
 
 
 _EXPECTED_SQL = ", ".join(f"'{t}'" for t in EXPECTED_STREET_TYPES)

@@ -23,12 +23,19 @@ def dedup_stream(events: DataFrame, keys: list[str], watermark: str = "2 hours")
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
-def run_dedup_once(spark: SparkSession, sf_dir: str, keys: list[str]) -> DataFrame:
-    """Finite-input run: over all available input the surviving key set must
-    equal the batch DISTINCT of the same keys (which the oracle checks).
-    Only the keys are returned — WHICH duplicate row survives depends on
-    arrival order and is not part of the operator's contract."""
-    deduped = dedup_stream(read_events_stream(spark, sf_dir), keys)
+def run_dedup_once(
+    spark: SparkSession, sf_dir: str, keys: list[str], watermark: str = "36500 days"
+) -> DataFrame:
+    """Finite-input run: the surviving key set must equal the batch DISTINCT
+    of the same keys (which the oracle checks). That equality is only
+    guaranteed while dedup state lives as long as the input spans — hence
+    the effectively-unbounded default watermark here: with a short one, a
+    key recurring later than the horizon would legitimately re-emit once
+    the input splits into multiple micro-batches, and the DISTINCT oracle
+    would be wrong. Production streams pick a real horizon and accept that
+    contract. Only the keys are returned — WHICH duplicate row survives
+    depends on arrival order and is not part of the operator's contract."""
+    deduped = dedup_stream(read_events_stream(spark, sf_dir), keys, watermark=watermark)
     sink = f"st_dedup_{uuid.uuid4().hex[:12]}"
     q = (
         deduped.writeStream.format("memory")

@@ -27,6 +27,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 USERS = [f"user_{i:03d}" for i in range(315)]  # 315 distinct (readme.md:146)
+UID = {u: i for i, u in enumerate(USERS)}  # deterministic uid (not hash(): PYTHONHASHSEED varies)
 AMENITIES = ["parking", "school", "restaurant", "fast_food", "toilets", "fuel", "bench"]
 NATURALS = ["tree", "wood", "peak", "bay", "spring", "cliff", "beach"]
 STREETS = ["Main St", "Baldwin Rd.", "East Sprague Avenue", "West Lexington St.", "North Ave"]
@@ -34,6 +35,8 @@ STREETS = ["Main St", "Baldwin Rd.", "East Sprague Avenue", "West Lexington St."
 
 def gen_xml(path: str, n: int) -> int:
     """Deterministic OSM XML: n elements (~90% nodes). Returns bytes written."""
+    if n < 100:
+        raise ValueError(f"n={n} too small; need >= 100 elements (way refs index into the node range)")
     state = 42
 
     def rnd(mod: int) -> int:
@@ -54,7 +57,7 @@ def gen_xml(path: str, n: int) -> int:
             f.write(
                 f'  <node id="{10**8 + i}" lat="{lat:.7f}" lon="{lon:.7f}" version="1" '
                 f'changeset="{i % 99991}" timestamp="2013-0{1 + i % 9}-01T00:00:00Z" '
-                f'user="{u}" uid="{hash(u) % 10**6}">\n'
+                f'user="{u}" uid="{UID[u]}">\n'
             )
             r = rnd(100)
             if r < 3:
@@ -71,7 +74,7 @@ def gen_xml(path: str, n: int) -> int:
             u = USERS[1 + rnd(314)]
             f.write(
                 f'  <way id="{2 * 10**8 + i}" version="1" changeset="{i % 9991}" '
-                f'timestamp="2013-01-02T00:00:00Z" user="{u}" uid="{hash(u) % 10**6}">\n'
+                f'timestamp="2013-01-02T00:00:00Z" user="{u}" uid="{UID[u]}">\n'
             )
             base = 10**8 + rnd(n_nodes - 10)
             for j in range(4 + rnd(5)):

@@ -32,10 +32,9 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
+def canon(df: pd.DataFrame, sort_cols: list[str]) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
-    return df
+    return df.sort_values(by=sort_cols, ignore_index=True)
 
 
 def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
@@ -47,7 +46,17 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     if len(sdf) != len(odf):
         problems.append(f"row count differs: spark={len(sdf)} oracle={len(odf)}")
         return problems
-    s, o = canon(sdf), canon(odf)
+    # ONE shared sort order for both frames, non-float columns first (a
+    # column is "float" if it is float on EITHER side — dtypes can differ,
+    # e.g. a windowed sum comes back int from Spark but float from DuckDB).
+    # Floats last keeps sub-ulp cross-engine diffs from misaligning rows.
+    import pandas.api.types as pt
+
+    sort_cols = sorted(
+        sdf.columns,
+        key=lambda c: (pt.is_float_dtype(sdf[c]) or pt.is_float_dtype(odf[c]), c),
+    )
+    s, o = canon(sdf, sort_cols), canon(odf, sort_cols)
     for col in s.columns:
         sv, ov = s[col], o[col]
         for i in range(len(sv)):
