@@ -8,9 +8,14 @@ Spark callable and, where SQL-expressible, a DuckDB oracle twin.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# import-safe regardless of the driver's CWD
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from data_wrangle_openstreetmaps_data_1_spark.plans.registry import oracle_sql_map, query_map
 
