@@ -1,0 +1,89 @@
+"""Iterative clustering: Lloyd's k-means over an embedding column.
+
+The iterative-algorithm shape on Spark: per iteration, ONE distributed
+pass assigns every vector to its nearest centroid (centroids are a tiny
+k x dim literal broadcast inside the expression), then a groupBy recomputes
+means; only the k x dim centroid matrix ever reaches the driver. The data
+DataFrame is never collected.
+
+Determinism contract (what makes this oracle-checkable even though it is
+iterative): seed centroids are the vectors with id < k; every recomputed
+centroid coordinate is rounded to ``round_to`` decimals before the next
+iteration, so both engines quantize to identical centroids and therefore
+identical assignments; argmin ties break to the lowest centroid index
+(array_position/list_position both return the FIRST minimum, 1-based).
+
+Scale notes: per iteration cost = one scan + one k-way groupBy (partial
+aggregation does the heavy lifting map-side). k iterations = k scans; at
+100 TB you cache the (id, vec) projection once up front.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _d2_sql(vec_col: str, centroid: list[float]) -> str:
+    arr = ", ".join(repr(float(x)) + "D" for x in centroid)
+    return (
+        f"aggregate(zip_with({vec_col}, array({arr}), (a, b) -> (a - b) * (a - b)), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def assign_clusters(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
+    """Add a 1-based ``cluster`` column: index of the nearest centroid
+    (squared L2; ties -> lowest index via first-minimum array_position)."""
+    dists = "array(" + ", ".join(_d2_sql(vec_col, c) for c in centroids) + ")"
+    return df.withColumn(
+        "cluster", F.expr(f"array_position({dists}, array_min({dists}))").cast("int")
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 3,
+    round_to: int = 6,
+) -> tuple[list[list[float]], DataFrame]:
+    """Run ``iters`` Lloyd iterations; returns (final centroids, assignment
+    DataFrame). Seed centroids = vectors with ``id_col`` < k, coordinates
+    rounded like every later iteration so iteration 0 follows the same
+    quantization contract."""
+    dim = len(df.select(vec_col).first()[0])
+    seed = (
+        df.where(F.col(id_col) < k)
+        .orderBy(id_col)
+        .select(F.transform(vec_col, lambda x: F.round(x, round_to)).alias("v"))
+        .collect()
+    )
+    centroids = [list(r["v"]) for r in seed]
+
+    assigned = None
+    for _ in range(iters):
+        assigned = assign_clusters(df, vec_col, centroids)
+        new_rows = (
+            assigned.groupBy("cluster")
+            .agg(*[F.round(F.avg(F.element_at(vec_col, i + 1)), round_to).alias(f"c{i}") for i in range(dim)])
+            .collect()
+        )
+        by_cluster = {r["cluster"]: [r[f"c{i}"] for i in range(dim)] for r in new_rows}
+        # empty clusters keep their previous centroid
+        centroids = [by_cluster.get(ci + 1, centroids[ci]) for ci in range(k)]
+    return centroids, assigned
+
+
+def kmeans_summary(df: DataFrame, id_col: str, vec_col: str, k: int = 8, iters: int = 3) -> DataFrame:
+    """Registered-query form: per-cluster size and rounded centroid norm
+    after ``iters`` iterations — compact, exactly comparable output."""
+    centroids, assigned = kmeans_fit(df, id_col, vec_col, k=k, iters=iters)
+    norms = {ci + 1: round(sum(x * x for x in c) ** 0.5, 6) for ci, c in enumerate(centroids)}
+    norm_map = F.create_map(*[F.lit(x) for kv in norms.items() for x in kv])
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count("*").alias("n_members"))
+        .withColumn("centroid_norm", norm_map[F.col("cluster")])
+    )

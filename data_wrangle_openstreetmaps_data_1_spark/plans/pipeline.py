@@ -401,6 +401,64 @@ def sim_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return ann_lsh(emb, queries, "vec_id", "embedding", k=10, dim=64, n_planes=8)
 
 
+def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64, r: int = 6) -> str:
+    """Relationally-unrolled Lloyd iterations. Parity contract with the Spark
+    operator (operators/clustering.py): centroids quantized to ``r`` decimals
+    each iteration; assignment d2 is the same left-fold over (v[i]-c[i])^2;
+    ties to the lowest cluster index; empty clusters keep their centroid."""
+    d2 = (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])), (a, b) -> a + b)"
+    )
+    ctes = [
+        f"e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"cent0 AS (SELECT CAST(vec_id + 1 AS INT) AS cluster, "
+        f"list_transform(v, x -> round(x, {r})) AS c FROM e WHERE vec_id < {k})",
+    ]
+    for it in range(iters):
+        ctes.append(
+            f"assign{it} AS (SELECT vec_id, v, cluster FROM ("
+            f"SELECT e.vec_id, e.v, c.cluster, "
+            f"row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2} ASC, c.cluster ASC) AS rk "
+            f"FROM e, cent{it} c) WHERE rk = 1)"
+        )
+        ctes.append(
+            f"dims{it} AS (SELECT a.cluster, u.i AS dim, round(avg(a.v[u.i]), {r}) AS cv "
+            f"FROM assign{it} a, (SELECT unnest(range(1, {dim + 1})) AS i) u "
+            f"GROUP BY a.cluster, u.i)"
+        )
+        ctes.append(
+            f"cent{it + 1} AS (SELECT p.cluster, coalesce(n.c, p.c) AS c FROM cent{it} p "
+            f"LEFT JOIN (SELECT cluster, array_agg(cv ORDER BY dim) AS c "
+            f"FROM dims{it} GROUP BY cluster) n USING (cluster))"
+        )
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT a.cluster, count(*) AS n_members,
+           any_value(round(sqrt(list_reduce(list_transform(f.c, x -> x * x), (a2, b2) -> a2 + b2)), 6)) AS centroid_norm
+    FROM assign{iters - 1} a JOIN cent{iters} f USING (cluster)
+    GROUP BY a.cluster
+    """
+
+
+@register(
+    "ml_kmeans",
+    _kmeans_oracle(),
+    doc="ITERATIVE algorithm, fully value-checked: 3 Lloyd k-means "
+    "iterations (k=8) over embeddings. Spark iterates driver-side over tiny "
+    "centroid matrices (data never collected); the oracle unrolls the same "
+    "iterations relationally. Per-iteration centroid quantization makes the "
+    "trajectories bit-identical across engines",
+)
+def ml_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.clustering import kmeans_summary
+
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return kmeans_summary(emb, "vec_id", "embedding", k=8, iters=3)
+
+
 # --------------------------------------------------------------------------
 # multimodal tier (binary media columns; operators/multimodal.py)
 # --------------------------------------------------------------------------
