@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join
+from ..operators.range_join import range_join_bucketed
 from ..operators.sessionize import session_stats
 from ..sources.tables import load_table
 from .registry import register
@@ -290,6 +291,39 @@ def asof_join_events(spark: SparkSession, sf: str) -> DataFrame:
         "user_id",
         F.col("view_ts_copy").cast("string").alias("last_view_ts"),
         F.round("view_value", 2).alias("last_view_value"),
+    )
+
+
+@register(
+    "j_range_join",
+    """
+    WITH iv AS (SELECT o_orderkey, o_orderdate AS s,
+                       o_orderdate + INTERVAL 7 DAY AS e
+                FROM orders WHERE o_orderkey % 199 = 0)
+    SELECT o_orderkey, count(*) AS n_shipped,
+           round(sum(l_extendedprice), 2) AS total
+    FROM iv JOIN lineitem ON l_shipdate BETWEEN s AND e
+    GROUP BY o_orderkey
+    """,
+    doc="range/interval join via time-bucketed equi-join (each event hits "
+    "one bucket, intervals explode to covered buckets, residual BETWEEN) — "
+    "replaces the O(n x m) nested-loop theta-join a naive BETWEEN plans",
+)
+def j_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    iv = (
+        load_table(spark, sf, "orders")
+        .where(F.col("o_orderkey") % 199 == 0)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").alias("s"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")).alias("e"),
+        )
+    )
+    li = load_table(spark, sf, "lineitem").select("l_shipdate", "l_extendedprice")
+    joined = range_join_bucketed(li, iv, "l_shipdate", "s", "e")
+    return joined.groupBy("o_orderkey").agg(
+        F.count("*").alias("n_shipped"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total"),
     )
 
 

@@ -64,3 +64,10 @@ def test_knn_broadcasts_queries_not_targets(spark):
 def test_merge_factfact_uses_sortmerge(spark):
     plan = plan_of(spark, "j_merge_factfact")
     assert "SortMergeJoin" in plan  # fact-fact path; neither side broadcast
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    plan = plan_of(spark, "j_range_join")
+    # the bucketized rewrite must join on the bucket key, not theta-scan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
