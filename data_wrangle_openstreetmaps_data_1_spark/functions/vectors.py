@@ -31,6 +31,24 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
+def literal_fold_sql(vec_col: str, values: list[float], term: str = "dot") -> str:
+    """SQL string folding ``vec_col`` against a LITERAL vector — the shared
+    builder behind sign-LSH buckets (similarity) and k-means distances
+    (clustering). One JVM parse instead of py4j literal round-trips, and the
+    left-fold order matches DuckDB's ``list_reduce`` exactly, which is what
+    keeps cross-engine float parity (do not change the accumulator shape in
+    one caller only).
+
+    ``term``: 'dot' -> sum(a*b); 'l2sq' -> sum((a-b)^2).
+    """
+    arr = ", ".join(repr(float(x)) + "D" for x in values)
+    body = {"dot": "a * b", "l2sq": "(a - b) * (a - b)"}[term]
+    return (
+        f"aggregate(zip_with({vec_col}, array({arr}), (a, b) -> {body}), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
 def l2_dist(a: Column, b: Column) -> Column:
     return F.sqrt(
         F.aggregate(

@@ -23,13 +23,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.vectors import literal_fold_sql
+
 
 def _d2_sql(vec_col: str, centroid: list[float]) -> str:
-    arr = ", ".join(repr(float(x)) + "D" for x in centroid)
-    return (
-        f"aggregate(zip_with({vec_col}, array({arr}), (a, b) -> (a - b) * (a - b)), "
-        f"cast(0.0 as double), (acc, v) -> acc + v)"
-    )
+    return literal_fold_sql(vec_col, centroid, term="l2sq")
 
 
 def assign_clusters(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
@@ -52,15 +50,31 @@ def kmeans_fit(
     """Run ``iters`` Lloyd iterations; returns (final centroids, assignment
     DataFrame). Seed centroids = vectors with ``id_col`` < k, coordinates
     rounded like every later iteration so iteration 0 follows the same
-    quantization contract."""
-    dim = len(df.select(vec_col).first()[0])
+    quantization contract.
+
+    Residual nondeterminism caveat: the quantization contract assumes a
+    rounded per-cluster mean never lands within an ulp of a rounding
+    boundary — avg() accumulation order differs between engines (and across
+    Spark runs), so a boundary hit would flip a centroid coordinate and
+    cascade. With ``round_to=6`` the per-coordinate probability is ~1e-10;
+    accepted and documented rather than pretended away.
+    """
+    if iters < 1:
+        raise ValueError(f"iters={iters} must be >= 1")
     seed = (
         df.where(F.col(id_col) < k)
         .orderBy(id_col)
-        .select(F.transform(vec_col, lambda x: F.round(x, round_to)).alias("v"))
+        .select(id_col, F.transform(vec_col, lambda x: F.round(x, round_to)).alias("v"))
         .collect()
     )
+    if len(seed) != k or [r[id_col] for r in seed] != list(range(k)):
+        raise ValueError(
+            f"seed contract violated: need exactly ids 0..{k - 1} present "
+            f"(got {[r[id_col] for r in seed]}); cluster numbering must match "
+            "the oracle's vec_id+1 scheme"
+        )
     centroids = [list(r["v"]) for r in seed]
+    dim = len(centroids[0])
 
     assigned = None
     for _ in range(iters):

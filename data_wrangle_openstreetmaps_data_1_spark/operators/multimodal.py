@@ -108,6 +108,8 @@ def chunk_audio(audio: DataFrame, chunk_samples: int = 8000) -> DataFrame:
             out: list[tuple[int, int, int, int, str]] = []
             for doc_id, payload, meta in zip(pdf["doc_id"], pdf["audio"], pdf["meta"]):
                 raw = bytes(payload) if payload is not None else b""
+                if meta is None or meta["n_samples"] is None:
+                    continue  # no metadata -> no chunks (SQL: range over NULL is empty)
                 total = int(meta["n_samples"])
                 idx = 0
                 for start in range(0, total, chunk_samples):  # 0 samples -> 0 chunks
@@ -161,13 +163,15 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            payloads = [bytes(b) if b is not None else b"" for b in pdf["media"]]
+            # NULL payload -> NULL features (matching SQL NULL propagation:
+            # octet_length(NULL)=NULL etc.), NOT coerced to empty bytes
+            payloads = [bytes(b) if b is not None else None for b in pdf["media"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "byte_len": [len(b) for b in payloads],
-                    "head_hex": [b[:8].hex().upper() for b in payloads],
-                    "content_md5": [hashlib.md5(b).hexdigest() for b in payloads],
+                    "byte_len": [len(b) if b is not None else None for b in payloads],
+                    "head_hex": [b[:8].hex().upper() if b is not None else None for b in payloads],
+                    "content_md5": [hashlib.md5(b).hexdigest() if b is not None else None for b in payloads],
                 }
             )
 

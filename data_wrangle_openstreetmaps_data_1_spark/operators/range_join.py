@@ -27,13 +27,20 @@ def range_join_bucketed(
     start_col: str,
     end_col: str,
     bucket_seconds: int = 7 * 24 * 3600,
-    how: str = "inner",
 ) -> DataFrame:
-    """Join rows of ``events`` to every ``intervals`` row whose
-    [start, end] (inclusive) contains the event time."""
+    """Inner-join rows of ``events`` to every ``intervals`` row whose
+    [start, end] (inclusive) contains the event time.
+
+    Inner only: the residual BETWEEN filter runs after the join, which
+    would silently turn an outer join back into an inner one. Inverted
+    intervals (end < start) are dropped up front — ``sequence`` would
+    otherwise count DOWN through every bucket between them (a one-row
+    fan-out bomb on dirty data) instead of producing zero buckets.
+    """
     ev = events.withColumn(
         "__b", F.floor(F.unix_timestamp(F.col(time_col)) / bucket_seconds)
     )
+    intervals = intervals.where(F.col(end_col) >= F.col(start_col))
     iv = intervals.withColumn(
         "__b",
         F.explode(
@@ -44,7 +51,7 @@ def range_join_bucketed(
         ),
     )
     return (
-        ev.join(iv, "__b", how)
+        ev.join(iv, "__b")
         .where(F.col(time_col).between(F.col(start_col), F.col(end_col)))
         .drop("__b")
     )

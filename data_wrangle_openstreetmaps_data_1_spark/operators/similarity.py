@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine, literal_fold_sql
 from ..partitioning import spread
 
 
@@ -67,11 +67,7 @@ def lsh_bucket_sql(vec_col: str, planes: list[list[float]]) -> str:
     bucket membership — agree across engines."""
     bits = []
     for p in planes:
-        arr = ", ".join(repr(float(x)) + "D" for x in p)
-        dot = (
-            f"aggregate(zip_with({vec_col}, array({arr}), (a, b) -> a * b), "
-            f"cast(0.0 as double), (acc, v) -> acc + v)"
-        )
+        dot = literal_fold_sql(vec_col, p, term="dot")
         bits.append(f"(case when {dot} >= 0 then '1' else '0' end)")
     return "concat(" + ", ".join(bits) + ")"
 

@@ -10,11 +10,10 @@ watermark horizon), not O(all keys ever).
 
 from __future__ import annotations
 
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .finite import run_available_now
 from .ingest import read_events_stream
 
 
@@ -36,13 +35,4 @@ def run_dedup_once(
     contract. Only the keys are returned — WHICH duplicate row survives
     depends on arrival order and is not part of the operator's contract."""
     deduped = dedup_stream(read_events_stream(spark, sf_dir), keys, watermark=watermark)
-    sink = f"st_dedup_{uuid.uuid4().hex[:12]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink).select(*[F.col(k) for k in keys])
+    return run_available_now(deduped, "append").select(*[F.col(k) for k in keys])

@@ -17,11 +17,10 @@ Two shapes:
 
 from __future__ import annotations
 
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .finite import run_available_now
 from .ingest import read_events_stream
 
 
@@ -54,13 +53,4 @@ def run_hourly_rollup_once(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    sink = f"st_rollup_{uuid.uuid4().hex[:12]}"
-    q = (
-        rolled.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink)
+    return run_available_now(rolled, "complete")

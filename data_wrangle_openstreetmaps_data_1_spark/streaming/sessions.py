@@ -16,7 +16,6 @@ tuple — state size is O(open sessions), not O(events).
 
 from __future__ import annotations
 
-import uuid
 from collections.abc import Iterator
 from typing import Any
 
@@ -32,6 +31,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from .finite import run_available_now
 from .ingest import read_events_stream
 
 SESSION_SCHEMA = StructType(
@@ -122,16 +122,7 @@ def run_sessionize_once(
     output minus the still-open tail sessions."""
     events = read_events_stream(spark, sf_dir, max_files_per_trigger)
     sessions = sessionize_stream(events, gap_minutes)
-    sink = f"st_sessions_{uuid.uuid4().hex[:12]}"
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink).select(
+    return run_available_now(sessions, "append").select(
         "user_id",
         F.timestamp_micros(F.col("session_start_us")).cast("string").alias("session_start"),
         F.timestamp_micros(F.col("session_end_us")).cast("string").alias("session_end"),

@@ -65,7 +65,8 @@ def test_null_and_empty_payloads(spark):
     )
     feats = {r["doc_id"]: r for r in extract_features(df).collect()}
     assert feats[1]["byte_len"] == 0 and feats[1]["head_hex"] == ""
-    assert feats[2]["byte_len"] == 0
+    # NULL payload -> NULL features (SQL NULL propagation), not empty-bytes
+    assert feats[2]["byte_len"] is None and feats[2]["content_md5"] is None
     frames = sample_frames(df, stride=2).collect()
     assert {(r["doc_id"], r["frame_idx"]) for r in frames} == {(1, 0), (1, 2), (2, 0)}
 
