@@ -295,6 +295,40 @@ def asof_join_events(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "t_multigrain_rollup",
+    """
+    SELECT coalesce(CAST(CAST(date_trunc('month', ts) AS TIMESTAMP) AS VARCHAR), 'ALL') AS month,
+           coalesce(CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR), 'ALL') AS day,
+           coalesce(CAST(date_trunc('hour', ts) AS VARCHAR), 'ALL') AS hour,
+           count(*) AS cnt, round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY ROLLUP (date_trunc('month', ts), date_trunc('day', ts), date_trunc('hour', ts))
+    """,
+    doc="hypertable-style multi-granularity rollup: hour/day/month/total "
+    "aggregates in ONE pass via ROLLUP over the truncation hierarchy — the "
+    "continuous-aggregate shape, not one scan per grain",
+)
+def t_multigrain_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events").select(
+        F.date_trunc("month", "ts").alias("m"),
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("hour", "ts").alias("h"),
+        "value",
+    )
+    return (
+        e.rollup("m", "d", "h")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.coalesce(F.col("m").cast("string"), F.lit("ALL")).alias("month"),
+            F.coalesce(F.col("d").cast("string"), F.lit("ALL")).alias("day"),
+            F.coalesce(F.col("h").cast("string"), F.lit("ALL")).alias("hour"),
+            "cnt",
+            "total_value",
+        )
+    )
+
+
+@register(
     "j_range_join",
     """
     WITH iv AS (SELECT o_orderkey, o_orderdate AS s,
