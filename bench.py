@@ -32,19 +32,26 @@ def main() -> None:
     # warm-up: JVM + parquet footer reads, not billed to any query
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    # best-of-2: this host (a shared VM) shows multi-second wall-clock noise;
-    # the min of two runs reflects the plan's actual cost. clearCache between
-    # repetitions so a repeat never reads the previous run's persisted data
-    # (CacheManager matches canonicalized plans) — each rep does full work.
+    # best-of-N: this host (a shared VM) shows multi-second wall-clock noise
+    # (identical plans measured 4s one minute and 14s the next); the min of
+    # the reps reflects the plan's actual cost. Two reps normally; a third
+    # when the first two disagree >2x (both may have hit a noisy window).
+    # clearCache between reps so a repeat never reads the previous rep's
+    # persisted data (CacheManager matches canonicalized plans).
     timings: dict[str, float] = {}
     for name, fn in bench_queries().items():
-        best = float("inf")
+        reps: list[float] = []
         for _ in range(2):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            reps.append(time.perf_counter() - t0)
+        if max(reps) > 2 * min(reps) and min(reps) > 0.5:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            reps.append(time.perf_counter() - t0)
+        timings[name] = round(min(reps), 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     try:
