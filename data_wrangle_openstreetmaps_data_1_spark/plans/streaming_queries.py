@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming.dedup import run_dedup_once
+from ..streaming.join import run_stream_join_once
 from ..streaming.rollup import run_hourly_rollup_once
 from ..streaming.sessions import run_sessionize_once
 from .registry import register
@@ -46,6 +47,29 @@ def st_hourly_rollup(spark: SparkSession, sf: str) -> DataFrame:
 )
 def st_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return run_dedup_once(spark, sf, ["user_id", "event_type"])
+
+
+@register(
+    "st_stream_join",
+    """
+    WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+               FROM events WHERE event_type = 'click'),
+    v AS (SELECT user_id, ts AS view_ts, value AS view_value
+          FROM events WHERE event_type = 'view')
+    SELECT click_id, c.user_id,
+           CAST(click_ts AS VARCHAR) AS click_ts,
+           CAST(view_ts AS VARCHAR) AS view_ts,
+           round(view_value, 2) AS view_value
+    FROM c JOIN v ON c.user_id = v.user_id
+                 AND view_ts >= click_ts - INTERVAL 600 SECONDS
+                 AND view_ts <= click_ts
+    """,
+    doc="watermarked stream-stream join (clicks x views within a trailing "
+    "10-min window; the time bound is what lets join state expire); over a "
+    "finite input it equals the batch join, which the oracle checks",
+)
+def st_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    return run_stream_join_once(spark, sf, window_minutes=10.0)
 
 
 @register(

@@ -163,3 +163,27 @@ def test_checkpoint_recovery_exactly_once(spark, sf_small, tmp_path):
     # exactly once: every event id appears once, totals add up
     assert got2.count() == first.count() + second.count()
     assert got2.select("event_id").distinct().count() == got2.count()
+
+
+def test_stream_stream_join_equals_batch(spark, sf_small):
+    from data_wrangle_openstreetmaps_data_1_spark.streaming.join import run_stream_join_once
+
+    streamed = run_stream_join_once(spark, sf_small, window_minutes=10.0)
+    e = load_table(spark, sf_small, "events")
+    c = e.where("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    v = e.where("event_type = 'view'").select(
+        F.col("user_id").alias("vu"), F.col("ts").alias("view_ts"), F.col("value").alias("view_value")
+    )
+    batch = (
+        c.join(v, (F.col("user_id") == F.col("vu"))
+               & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 600 SECONDS"))
+               & (F.col("view_ts") <= F.col("click_ts")))
+        .select("click_id", "user_id",
+                F.col("click_ts").cast("string").alias("click_ts"),
+                F.col("view_ts").cast("string").alias("view_ts"),
+                F.round("view_value", 2).alias("view_value"))
+    )
+    cols = ["click_id", "user_id", "click_ts", "view_ts", "view_value"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
