@@ -295,6 +295,34 @@ def asof_join_events(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "w_percentiles_ntile",
+    """
+    SELECT o_orderkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           ntile(10) OVER w AS decile,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WHERE o_custkey % 50 = 0
+    WINDOW w AS (ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+    doc="distribution window functions (percent_rank / ntile / cume_dist) "
+    "over one shared global sort — completes the §2.5 window family",
+)
+def w_percentiles_ntile(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        load_table(spark, sf, "orders")
+        .where(F.col("o_custkey") % 50 == 0)
+        .select(
+            "o_orderkey",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.ntile(10).over(w).alias("decile"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+    )
+
+
+@register(
     "t_multigrain_rollup",
     """
     SELECT coalesce(CAST(CAST(date_trunc('month', ts) AS TIMESTAMP) AS VARCHAR), 'ALL') AS month,
