@@ -30,12 +30,16 @@ def sessionize(df: DataFrame, user_col: str, time_col: str, gap_minutes: float =
 
 
 def session_stats(df: DataFrame, user_col: str, time_col: str, gap_minutes: float = 30.0) -> DataFrame:
-    """Per-session aggregate: event count + duration in seconds (exact
-    micros difference over 1e6 — identical across engines)."""
+    """Per-session aggregate: event count + duration in integer milliseconds.
+
+    BIGINT on purpose: a derived DOUBLE (``round(us/1e6, 3)``) hashed
+    differently across engines under some canonicalizations (r1's only red
+    CORRECTNESS cell); integer micros ``DIV`` 1000 is bit-identical
+    everywhere.
+    """
     s = sessionize(df, user_col, time_col, gap_minutes)
+    span_us = F.max(F.unix_micros(F.col(time_col))) - F.min(F.unix_micros(F.col(time_col)))
     return s.groupBy(user_col, "session_id").agg(
         F.count("*").alias("n_events"),
-        F.round(
-            (F.max(F.unix_micros(F.col(time_col))) - F.min(F.unix_micros(F.col(time_col)))) / 1_000_000.0, 3
-        ).alias("duration_s"),
+        F.floor(span_us / F.lit(1000)).alias("duration_ms"),
     )

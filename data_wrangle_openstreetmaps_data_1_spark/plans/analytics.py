@@ -407,7 +407,7 @@ def j_range_join(spark: SparkSession, sf: str) -> DataFrame:
       FROM flagged
     )
     SELECT user_id, session_id, count(*) AS n_events,
-           round((max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0, 3) AS duration_s
+           (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000 AS duration_ms
     FROM sess GROUP BY user_id, session_id
     """,
     doc="gap-based sessionization (30 min) — batch twin of the streaming "

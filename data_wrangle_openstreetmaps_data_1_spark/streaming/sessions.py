@@ -25,7 +25,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    DoubleType,
     LongType,
     StructField,
     StructType,
@@ -40,7 +39,7 @@ SESSION_SCHEMA = StructType(
         StructField("session_start_us", LongType()),
         StructField("session_end_us", LongType()),
         StructField("n_events", LongType()),
-        StructField("duration_s", DoubleType()),
+        StructField("duration_ms", LongType()),
     ]
 )
 
@@ -67,7 +66,7 @@ def _sessionize_group(
         start_us = last_us = None
         n = 0
 
-    closed: list[tuple[int, int, int, int, float]] = []
+    closed: list[tuple[int, int, int, int, int]] = []
     # Concatenate ALL Arrow chunks before sorting: a group larger than
     # arrow.maxRecordsPerBatch arrives as multiple chunks, and sorting each
     # chunk independently would let chunk-boundary out-of-order events
@@ -79,9 +78,21 @@ def _sessionize_group(
             ts_us = int(ts_us)
             if last_us is None:
                 start_us, last_us, n = ts_us, ts_us, 1
+            elif ts_us < start_us:
+                # Cross-micro-batch out-of-order: an event older than the open
+                # session's start (each batch is sorted, so only carried-over
+                # state can be ahead of it). Within gap of the start it extends
+                # the session backwards; further out it is a standalone session
+                # that wholly precedes the open one and can never merge with
+                # anything later — emit it closed immediately.
+                if start_us - ts_us <= gap_us:
+                    start_us = ts_us
+                    n += 1
+                else:
+                    closed.append((user_id, ts_us, ts_us, 1, 0))
             elif ts_us - last_us > gap_us:
                 closed.append(
-                    (user_id, start_us, last_us, n, round((last_us - start_us) / 1e6, 3))
+                    (user_id, start_us, last_us, n, (last_us - start_us) // 1000)
                 )
                 start_us, last_us, n = ts_us, ts_us, 1
             else:
@@ -92,7 +103,7 @@ def _sessionize_group(
     if closed:
         yield pd.DataFrame(
             closed,
-            columns=["user_id", "session_start_us", "session_end_us", "n_events", "duration_s"],
+            columns=["user_id", "session_start_us", "session_end_us", "n_events", "duration_ms"],
         )
 
 
@@ -127,5 +138,5 @@ def run_sessionize_once(
         F.timestamp_micros(F.col("session_start_us")).cast("string").alias("session_start"),
         F.timestamp_micros(F.col("session_end_us")).cast("string").alias("session_end"),
         "n_events",
-        "duration_s",
+        "duration_ms",
     )

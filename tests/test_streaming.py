@@ -53,10 +53,10 @@ def test_sessionize_stream_matches_batch_closed_sessions(spark, sf_small):
         load_table(spark, sf_small, "events"), "user_id", "ts", gap_minutes=30.0
     ).collect()
 
-    bt = [(r["user_id"], r["n_events"], r["duration_s"]) for r in batch]
+    bt = [(r["user_id"], r["n_events"], r["duration_ms"]) for r in batch]
     bt_count = Counter(bt)
     for r in streamed:
-        t = (r["user_id"], r["n_events"], r["duration_s"])
+        t = (r["user_id"], r["n_events"], r["duration_ms"])
         assert bt_count[t] > 0, f"streamed session {t} not in batch result"
         bt_count[t] -= 1
 
@@ -111,10 +111,10 @@ def test_sessionize_multi_batch_state(spark, multi_file_events):
     batch_src = spark.read.parquet(multi_file_events).withColumn("ts", F.timestamp_micros("ts_us"))
     batch = session_stats(batch_src, "user_id", "ts", gap_minutes=30.0).collect()
 
-    bt_count = Counter((r["user_id"], r["n_events"], r["duration_s"]) for r in batch)
+    bt_count = Counter((r["user_id"], r["n_events"], r["duration_ms"]) for r in batch)
     assert len(streamed) > 0, "multi-batch stream emitted no closed sessions"
     for r in streamed:
-        t = (r["user_id"], r["n_events"], r["duration_s"])
+        t = (r["user_id"], r["n_events"], r["duration_ms"])
         assert bt_count[t] > 0, f"streamed session {t} not in batch result"
         bt_count[t] -= 1
 
