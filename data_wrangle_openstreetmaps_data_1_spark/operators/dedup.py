@@ -32,8 +32,8 @@ from ..partitioning import spread
 from ..functions.hashing import (
     HASH64_SQL,
     HASH_P_SQL,
-    minhash_bands_sql,
-    minhash_signature_sql,
+    MERSENNE_P,
+    minhash_band_keys_sql,
     simhash_sql,
 )
 from ..functions.text import fingerprint, tokens, word_shingles
@@ -108,6 +108,7 @@ def minhash_lsh_pairs(
     k: int = 16,
     bands: int = 4,
     threshold: float = 0.4,
+    hash_tier: str = "portable",
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with exact-Jaccard verification.
 
@@ -121,13 +122,27 @@ def minhash_lsh_pairs(
     hash arrays through the band join to skip the verify joins — is faster
     cold locally but shuffles every hash array once per band key (4x the
     payload) at scale, so the id-only join wins at 100 TB.
+
+    ``hash_tier``: ``"portable"`` (md5-derived, bit-identical in DuckDB — the
+    oracle-checkable default) or ``"fast"`` (xxhash64, Spark-native — the
+    100 TB hot path; same plan shape, no cross-engine parity, so its
+    registered query is rows-only checked). The verified Jaccard values are
+    hash-independent (Jaccard over distinct collision-free hashes == Jaccard
+    over shingles); only the candidate sample differs between tiers.
     """
     if bands < 1 or k % bands != 0:
         raise ValueError(
             f"bands={bands} must divide k={k} exactly (otherwise part of the "
             "signature is silently never banded, or band keys degenerate)"
         )
-    rows_per_band = k // bands
+    if hash_tier not in ("portable", "fast"):
+        raise ValueError(f"hash_tier={hash_tier!r} must be 'portable' or 'fast'")
+    # xxhash64 is signed 64-bit; reduce into [0, p) with the same Mersenne
+    # modulus so the affine-permutation family applies unchanged. pmod keeps
+    # negative hashes in range.
+    hash_sql = (
+        HASH_P_SQL if hash_tier == "portable" else f"pmod(xxhash64({{x}}), {MERSENNE_P})"
+    )
     sh = _shingle_sets(df, id_col, text_col, n)
     # Materialize the md5 hashes ONCE: the k permutation expressions (and
     # the x/y self-join branches below) would otherwise each re-evaluate
@@ -146,16 +161,17 @@ def minhash_lsh_pairs(
         sh.select(
             "doc_id",
             F.size("shingles").alias("n_shingles"),
-            F.expr(f"transform(shingles, s -> {HASH_P_SQL.format(x='s')})").alias("hs"),
+            F.expr(f"transform(shingles, s -> {hash_sql.format(x='s')})").alias("hs"),
         )
         .where(F.col("n_shingles") > 0)
         .persist()
     )
+    # Band keys straight from the hash arrays: each of the k permutations is
+    # evaluated exactly once (the earlier form inlined the full k-perm
+    # signature into every band key, costing bands*k array scans per row).
     sig = hashed.select(
         "doc_id",
-        F.expr(
-            minhash_bands_sql(minhash_signature_sql("hs", k), bands, rows_per_band)
-        ).alias("band_keys"),
+        F.expr(minhash_band_keys_sql("hs", k, bands)).alias("band_keys"),
     )
     banded = sig.select("doc_id", F.explode("band_keys").alias("band_key"))
     cand = (

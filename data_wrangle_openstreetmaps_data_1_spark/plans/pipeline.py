@@ -195,6 +195,21 @@ def dd_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_lsh_pairs(_corpus(spark, sf), "doc_id", "text", n=3, k=16, bands=4, threshold=0.4)
 
 
+@register(
+    "dd_minhash_lsh_fast",
+    None,  # xxhash64 has no DuckDB twin -> rows-only driver check; the
+    # candidate-independent property (every emitted pair really has
+    # Jaccard >= threshold) is asserted in tests/test_vector_hash_utils.py
+    doc="MinHash-LSH on the xxhash64 fast tier — the 100 TB hot path "
+    "(identical plan shape to dd_minhash_lsh, Spark-native hashing; "
+    "verified Jaccard values are hash-independent)",
+)
+def dd_minhash_lsh_fast(spark: SparkSession, sf: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        _corpus(spark, sf), "doc_id", "text", n=3, k=16, bands=4, threshold=0.4, hash_tier="fast"
+    )
+
+
 def _simhash_oracle(bits: int = 32) -> str:
     terms = " + ".join(
         f"(CASE WHEN list_sum(list_transform(hs64, h -> CASE WHEN ((h >> {b}) & 1) = 1 "

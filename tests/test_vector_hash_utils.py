@@ -33,6 +33,34 @@ def test_l2_dist(spark):
     assert df.select(l2_dist(F.col("a"), F.col("b"))).collect()[0][0] == 5.0
 
 
+def test_minhash_fast_tier_pairs_are_true_near_dups(spark, sf_small):
+    """The fast (xxhash64) tier has no oracle twin; assert the
+    hash-independent property instead: every emitted pair's EXACT Jaccard —
+    recomputed here over the raw shingle strings, no hashing involved —
+    meets the threshold, and the reported value matches."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.dedup import minhash_lsh_pairs
+    from data_wrangle_openstreetmaps_data_1_spark.sources.tables import load_table
+    from data_wrangle_openstreetmaps_data_1_spark.functions.text import tokens, word_shingles
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, k=16, bands=4, threshold=0.4, hash_tier="fast"
+    ).collect()
+    assert pairs, "fast tier produced no near-dup pairs on the sample corpus"
+
+    sh = {
+        r["doc_id"]: set(r["sh"])
+        for r in docs.select(
+            "doc_id", F.array_distinct(word_shingles(tokens(F.col("text")), 3)).alias("sh")
+        ).collect()
+    }
+    for p in pairs:
+        a, b = sh[p["doc_a"]], sh[p["doc_b"]]
+        j = round(len(a & b) / len(a | b), 6)
+        assert j >= 0.4, (p, j)
+        assert abs(j - p["jaccard"]) < 1e-6, (p, j)
+
+
 def test_portable_hash_matches_duckdb(spark):
     """The cross-engine parity contract every dedup oracle rests on."""
     words = ["", "a", "hello world", "Coeur d'Alene", "x" * 100]
