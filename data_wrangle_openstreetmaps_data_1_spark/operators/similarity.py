@@ -163,17 +163,58 @@ def ivf_search(
     )
 
 
-def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str, tau: float = 0.95) -> DataFrame:
+def neardup_band_planes(
+    dim: int = 64, n_planes: int = 8, bands: int = 4
+) -> list[list[list[float]]]:
+    """Per-band hyperplane sets for banded near-dup LSH — one deterministic
+    seed per band. Shared with the generated DuckDB oracle so bucket bits
+    agree across engines."""
+    return [_hyperplanes(dim, n_planes, seed=11 + bi) for bi in range(bands)]
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    tau: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
     """Pairs of rows with cosine >= tau (embedding near-duplicate detection).
 
-    Brute all-pairs at test scale; the 100 TB form swaps the crossJoin for
-    the LSH bucket join (same verify stage)."""
+    Candidates come from a banded sign-LSH equi-join — a pair is considered
+    iff it shares ALL ``n_planes`` sign bits in at least one of ``bands``
+    independent hyperplane sets — then verified with exact cosine. No
+    all-pairs product anywhere: the band join shuffles (id, bucket-string)
+    rows only, vectors are re-joined for the (small) candidate set. Recall
+    < 1 by design (standard LSH trade: more bands / fewer planes per band =
+    more recall, more candidates); the oracle mirrors the same bucket
+    gating, so the output is deterministic and value-checkable.
+    """
     df = spread(df)
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    keys = ", ".join(
+        f"concat('{bi}:', {lsh_bucket_sql(vec_col, planes)})"
+        for bi, planes in enumerate(neardup_band_planes(dim, n_planes, bands))
+    )
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # Persisted for the self-join below: the two join branches would each
+    # re-evaluate the bands*n_planes dot products otherwise (ReusedExchange
+    # does not dedupe pre-shuffle compute; see minhash_lsh_pairs).
+    banded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.expr(f"array({keys})")).alias("bucket"),
+    ).persist()
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), "bucket")
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
     return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
+        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b")
         .select("id_a", "id_b", F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos_sim"))
         .where(F.col("cos_sim") >= tau)
     )

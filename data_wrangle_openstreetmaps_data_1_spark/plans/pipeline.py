@@ -46,6 +46,7 @@ from ..operators.similarity import (
     _hyperplanes,
     ann_lsh,
     embedding_neardup_pairs,
+    neardup_band_planes,
     ivf_search,
     knn_brute,
 )
@@ -307,22 +308,43 @@ def sim_knn_brute(spark: SparkSession, sf: str) -> DataFrame:
     return knn_brute(emb, queries, "vec_id", "embedding", k=10)
 
 
+def _neardup_oracle(tau: float = 0.45, dim: int = 64, n_planes: int = 8, bands: int = 4) -> str:
+    """DuckDB twin of banded sign-LSH near-dup pairs: same deterministic
+    hyperplanes per band (neardup_band_planes), same left-fold dot order, so
+    bucket membership — and therefore the candidate set — agrees exactly."""
+    band_keys = []
+    for bi, planes in enumerate(neardup_band_planes(dim, n_planes, bands)):
+        bits = []
+        for p in planes:
+            arr = ", ".join(repr(float(x)) for x in p)
+            d = f"list_reduce(list_transform(range(1, {dim + 1}), i -> v[i] * [{arr}][i]), (a, b) -> a + b)"
+            bits.append(f"(CASE WHEN {d} >= 0 THEN '1' ELSE '0' END)")
+        band_keys.append(f"'{bi}:' || " + " || ".join(bits))
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    banded AS (SELECT vec_id, unnest([{", ".join(band_keys)}]) AS bucket FROM v),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM banded x JOIN banded y USING (bucket)
+      WHERE x.vec_id < y.vec_id),
+    pairs AS (
+      SELECT id_a, id_b,
+             round(
+               list_reduce(list_transform(range(1, {dim + 1}), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+               / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+                  * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y))),
+               6) AS cos_sim
+      FROM cand JOIN v a ON id_a = a.vec_id JOIN v b ON id_b = b.vec_id)
+    SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {tau}
+    """
+
+
 @register(
     "sim_neardup_cosine",
-    f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-    pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             round(
-               list_reduce(list_transform(range(1, 65), i -> a.vec[i] * b.vec[i]), (x, y) -> x + y)
-               / (sqrt(list_reduce(list_transform(a.vec, x -> x * x), (x, y) -> x + y))
-                  * sqrt(list_reduce(list_transform(b.vec, x -> x * x), (x, y) -> x + y))),
-               6) AS cos_sim
-      FROM v a, v b WHERE a.vec_id < b.vec_id)
-    SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.45
-    """,
-    doc="embedding near-duplicate pairs (cosine >= 0.45); brute at test "
-    "scale, LSH-bucketed at 100 TB (operators/similarity.py)",
+    _neardup_oracle(),
+    doc="embedding near-duplicate pairs (cosine >= 0.45) via banded sign-LSH "
+    "candidates + exact cosine verify — keyed equi-join, no all-pairs "
+    "product; oracle generated from the same hyperplanes",
 )
 def sim_neardup_cosine(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings").select(
