@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions.geo import DIVIDING_LON, in_box
+from .functions.geo import BBOX_EPSILON, DIVIDING_LON
 from .operators.clean import clean_osm
 from .sources.jsonl import write_table
 from .sources.osm_xml import read_shaped
@@ -36,8 +36,16 @@ def query_battery(osm: DataFrame) -> dict[str, DataFrame]:
     """The readme notebook's query set (readme.md:121-561), one DataFrame per
     result. Keys cite the reference section."""
     created_user = F.col("created.user")
-    wa_box = in_box(F.col("lat"), F.col("lon"), BBOX["lat_min"], BBOX["lat_max"], BBOX["lon_min"], DIVIDING_LON)
-    id_box = in_box(F.col("lat"), F.col("lon"), BBOX["lat_min"], BBOX["lat_max"], DIVIDING_LON, BBOX["lon_max"])
+    # State boxes, reference geometry (readme.md:503-517): the 2e-3 epsilon
+    # absorbs precision loss on the OUTER bbox bounds only; the two boxes
+    # share one EXACT edge at dividing_long (WA edge-inclusive, ID exclusive)
+    # — that shared edge is what makes the conservation invariant
+    # wa + id == total hold. Extending both boxes by eps at the divide would
+    # double-count every node in the ~4e-3-degree band around it.
+    eps = BBOX_EPSILON
+    lat_ok = (F.col("lat") >= BBOX["lat_min"] - eps) & (F.col("lat") <= BBOX["lat_max"] + eps)
+    wa_box = lat_ok & (F.col("lon") >= BBOX["lon_min"] - eps) & (F.col("lon") <= DIVIDING_LON)
+    id_box = lat_ok & (F.col("lon") > DIVIDING_LON) & (F.col("lon") <= BBOX["lon_max"] + eps)
     nodes = osm.where(F.col("type") == "node")
 
     return {
@@ -84,7 +92,8 @@ def query_battery(osm: DataFrame) -> dict[str, DataFrame]:
         # readme.md:528-561 — A9 as a single pass
         "naturals_by_state": (
             nodes.where(F.col("natural").isNotNull())
-            .withColumn("state", F.when(F.col("lon") < DIVIDING_LON, "WA").otherwise("ID"))
+            # same edge ownership as the state boxes: the divide belongs to WA
+            .withColumn("state", F.when(F.col("lon") <= DIVIDING_LON, "WA").otherwise("ID"))
             .groupBy("natural", "state")
             .count()
         ),

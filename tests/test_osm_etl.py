@@ -43,7 +43,7 @@ def test_count_tags_golden(spark):
         "bounds": 1,
         "member": 3,
         "nd": 7,
-        "node": 20,
+        "node": 23,
         "osm": 1,
         "relation": 1,
         "tag": 17,
@@ -159,8 +159,8 @@ def test_shaped_way_golden(shaped):
 
 
 def test_shaped_counts_and_problem_tag(shaped):
-    assert shaped.count() == 21  # 20 nodes + 1 way; relation/bounds excluded
-    assert shaped.where("type = 'node'").count() == 20
+    assert shaped.count() == 24  # 23 nodes + 1 way; relation/bounds excluded
+    assert shaped.where("type = 'node'").count() == 23
     # non-addr problemchar key flows to the open tail unfiltered
     # (reference filters problemchars only on addr subkeys, data.py:153-168)
     r = shaped.where("id = '1009'").collect()[0]

@@ -20,7 +20,7 @@ def battery(spark, tmp_path_factory):
 
 def test_counts(battery):
     got = {r["type"]: r["count"] for r in battery["counts"].collect()}
-    assert got == {"node": 20, "way": 1}
+    assert got == {"node": 23, "way": 1}
 
 
 def test_distinct_users(battery):
@@ -45,9 +45,14 @@ def test_top_amenities(battery):
 
 def test_state_box_conservation_invariant(battery):
     # readme.md:519-522: WA-box + ID-box node counts must equal the node
-    # total ("147184 + 94545 = 241729 (should be 241729)")
+    # total ("147184 + 94545 = 241729 (should be 241729)"). The fixture
+    # plants nodes INSIDE the 2e-3 band around the divide (1021 west,
+    # 1022 east, 1023 exactly on it) — under the old both-sides-epsilon
+    # geometry they were double-counted and this invariant broke.
     r = battery["state_boxes"].collect()[0]
-    assert r["wa_nodes"] + r["id_nodes"] == r["all_nodes"] == 20
+    assert r["wa_nodes"] + r["id_nodes"] == r["all_nodes"] == 23
+    assert r["wa_nodes"] == 15  # 13 west of divide + 1021 (in band) + 1023 (edge)
+    assert r["id_nodes"] == 8  # 7 east of divide + 1022 (in band)
 
 
 def test_naturals_by_state(battery):
