@@ -16,10 +16,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions.geo import BBOX_EPSILON, DIVIDING_LON
+from .functions.geo import BBOX_EPSILON, DIVIDING_LON, point_in_polygon_udf
 from .operators.clean import clean_osm
+from .operators.rings import reconstruct_rings
 from .sources.jsonl import write_table
-from .sources.osm_xml import read_shaped
+from .sources.osm_xml import read_elements, read_shaped, relation_members, way_node_refs
 
 # Reference map-area bounds (readme.md:500-505).
 BBOX = {"lat_min": 47.5580, "lat_max": 47.8878, "lon_min": -117.5523, "lon_max": -116.6212}
@@ -102,3 +103,36 @@ def query_battery(osm: DataFrame) -> dict[str, DataFrame]:
 
 def run_osm_pipeline(spark: SparkSession, xml_path: str, out_dir: str) -> dict[str, DataFrame]:
     return query_battery(ingest_osm(spark, xml_path, out_dir))
+
+
+def relation_polygons(spark: SparkSession, xml_path: str, role: str = "outer") -> DataFrame:
+    """readme.md:488-495 built for real: one GeoJSON-order ring per relation,
+    reconstructed from the raw XML via the ordered relation->way->node
+    dereference (operators/rings.py)."""
+    nodes = read_elements(spark, xml_path, "node").select(
+        F.col("_id").alias("node_id"),
+        F.col("_lat").cast("double").alias("lat"),
+        F.col("_lon").cast("double").alias("lon"),
+    )
+    return reconstruct_rings(
+        relation_members(spark, xml_path), way_node_refs(spark, xml_path), nodes, role=role
+    )
+
+
+def nodes_in_relation_polygon(
+    spark: SparkSession, xml_path: str, osm: DataFrame, relation_id: str
+) -> DataFrame:
+    """Nodes of the shaped ``osm`` table inside one relation's reconstructed
+    polygon (the reference's own use case for relation parsing: state /
+    boundary membership, readme.md:497-499).
+
+    The ring is collected to the driver — it is a polygon (kilobytes), the
+    same dimension-table treatment as k-means centroids — then shipped in
+    the PIP pandas_udf closure; the node table itself never moves.
+    """
+    rows = relation_polygons(spark, xml_path).where(F.col("relation_id") == relation_id).collect()
+    if not rows:
+        raise ValueError(f"relation {relation_id!r} has no reconstructable ring")
+    ring = [(p["lon"], p["lat"]) for p in rows[0]["ring"]]
+    pip = point_in_polygon_udf(ring)
+    return osm.where(F.col("type") == "node").where(pip(F.col("lat"), F.col("lon")))

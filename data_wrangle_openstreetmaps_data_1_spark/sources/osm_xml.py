@@ -61,30 +61,84 @@ def count_tags(spark: SparkSession, path: str) -> DataFrame:
     """A5: tag-frequency count over the raw XML (mapparser.py:16-21).
 
     Counts every element tag (including nested ``tag``/``nd``/``member``)
-    by reading each top-level kind once and summing child cardinalities.
-    Output: (tag string, cnt long).
+    in ONE declarative plan: per row-tag kind, a single aggregate computes
+    the element count plus every child cardinality (``sum(size(...))`` —
+    no explode), the per-kind rows are unpivoted and unioned, and one final
+    groupBy sums across kinds. One action, no per-child count jobs, no
+    driver-side dict — at planet scale the old shape was N full XML passes.
+    Output: (tag string, cnt long), sorted by tag.
     """
-    parts = []
+    pieces = []
     for t in ("node", "way", "relation", "bounds"):
         try:
             df = read_elements(spark, path, t)
         except Exception:
             continue
-        n = df.count()
-        if n == 0:
+        if not df.columns:
             continue
-        parts.append((t, n))
-        for child in ("tag", "nd", "member"):
-            arr = child_array(df, child)
-            if arr is not None:
-                c = df.select(F.explode_outer(arr).alias("c")).where(F.col("c").isNotNull()).count()
-                if c:
-                    parts.append((child, c))
-    agg: dict[str, int] = {}
-    for tag, n in parts:
-        agg[tag] = agg.get(tag, 0) + n
-    agg["osm"] = 1
-    return spark.createDataFrame(sorted(agg.items()), "tag string, cnt long")
+        children = [c for c in ("tag", "nd", "member") if child_array(df, c) is not None]
+        agg = df.agg(
+            F.count(F.lit(1)).alias("__self"),
+            *[
+                F.sum(F.coalesce(F.size(child_array(df, c)), F.lit(0))).alias(c)
+                for c in children
+            ],
+        )
+        rows = F.array(
+            F.struct(F.lit(t).alias("tag"), F.col("__self").cast("long").alias("cnt")),
+            *[
+                F.struct(F.lit(c).alias("tag"), F.col(c).cast("long").alias("cnt"))
+                for c in children
+            ],
+        )
+        pieces.append(agg.select(F.explode(rows).alias("s")).select("s.tag", "s.cnt"))
+    out = spark.createDataFrame([("osm", 1)], "tag string, cnt long")
+    for p in pieces:
+        out = out.unionByName(p)
+    return (
+        out.where(F.col("cnt") > 0)
+        .groupBy("tag")
+        .agg(F.sum("cnt").alias("cnt"))
+        .orderBy("tag")
+    )
+
+
+def relation_members(spark: SparkSession, path: str) -> DataFrame:
+    """Ordered relation members from the raw XML (readme.md:488-495: the
+    reference DESCRIBES but never builds relation parsing — 'the order would
+    need to be maintained').
+
+    Output: (relation_id, m_idx, m_type, m_ref, m_role) — ``m_idx`` is the
+    member's document position (``posexplode``), the ordering a plain dict
+    could not represent in the reference's sketch.
+    """
+    rel = read_elements(spark, path, "relation")
+    arr = child_array(rel, "member")
+    if arr is None:
+        return spark.createDataFrame(
+            [], "relation_id string, m_idx int, m_type string, m_ref string, m_role string"
+        )
+    return rel.select(
+        F.col("_id").alias("relation_id"), F.posexplode(arr).alias("m_idx", "m")
+    ).select(
+        "relation_id",
+        "m_idx",
+        F.col("m._type").alias("m_type"),
+        F.col("m._ref").alias("m_ref"),
+        F.col("m._role").alias("m_role"),
+    )
+
+
+def way_node_refs(spark: SparkSession, path: str) -> DataFrame:
+    """Ordered way->node references (F9 order preserved): one row per
+    ``nd`` child, ``nd_idx`` = document position."""
+    ways = read_elements(spark, path, "way")
+    arr = child_array(ways, "nd")
+    if arr is None:
+        return spark.createDataFrame([], "way_id string, nd_idx int, node_ref string")
+    return ways.select(
+        F.col("_id").alias("way_id"), F.posexplode(arr).alias("nd_idx", "nd")
+    ).select("way_id", "nd_idx", F.col("nd._ref").alias("node_ref"))
 
 
 def read_shaped(spark: SparkSession, path: str, fix_streets: bool = True) -> DataFrame:

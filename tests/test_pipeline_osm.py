@@ -5,7 +5,11 @@ from __future__ import annotations
 
 import pytest
 
-from data_wrangle_openstreetmaps_data_1_spark.pipeline_osm import run_osm_pipeline
+from data_wrangle_openstreetmaps_data_1_spark.pipeline_osm import (
+    nodes_in_relation_polygon,
+    relation_polygons,
+    run_osm_pipeline,
+)
 
 import os
 
@@ -53,6 +57,35 @@ def test_state_box_conservation_invariant(battery):
     assert r["wa_nodes"] + r["id_nodes"] == r["all_nodes"] == 23
     assert r["wa_nodes"] == 15  # 13 west of divide + 1021 (in band) + 1023 (edge)
     assert r["id_nodes"] == 8  # 7 east of divide + 1022 (in band)
+
+
+def test_relation_ring_reconstruct_golden(spark):
+    # relation 3001 -> way 2001 (role=outer) -> nodes 1010..1015 closed back
+    # to 1010: the ring must reproduce the nd document order exactly,
+    # (lon, lat) GeoJSON axis order (readme.md:488-495 steps 1-4)
+    rows = relation_polygons(spark, FIXTURE).collect()
+    assert len(rows) == 1 and rows[0]["relation_id"] == "3001"
+    ring = [(p["lon"], p["lat"]) for p in rows[0]["ring"]]
+    assert ring == [
+        (-116.9000, 47.7700),
+        (-116.9000, 47.7800),
+        (-116.9050, 47.7850),
+        (-116.9100, 47.7800),
+        (-116.9100, 47.7700),
+        (-116.9050, 47.7650),
+        (-116.9000, 47.7700),
+    ]
+    assert ring[0] == ring[-1]  # closed
+
+
+def test_nodes_in_relation_polygon(spark, tmp_path):
+    from data_wrangle_openstreetmaps_data_1_spark.pipeline_osm import ingest_osm
+
+    osm = ingest_osm(spark, FIXTURE, str(tmp_path / "store"))
+    inside = {r["id"] for r in nodes_in_relation_polygon(spark, FIXTURE, osm, "3001").collect()}
+    # 1016 sits inside the hexagon; everything west of -117 is far outside
+    assert "1016" in inside
+    assert inside.isdisjoint({"1001", "1017", "1020", "1021", "1022", "1023"})
 
 
 def test_naturals_by_state(battery):
