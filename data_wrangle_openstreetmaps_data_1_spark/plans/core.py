@@ -142,6 +142,40 @@ def p2_exists_absence(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "p2_map_tail_exists",
+    """
+    SELECT p_partkey,
+           p_size > 25 AS has_type,
+           CASE WHEN p_size > 25 THEN p_type ELSE NULL END AS type_val,
+           p_brand AS brand_val
+    FROM part WHERE p_partkey % 10 = 0
+    """,
+    doc="P2 $exists over the DYNAMIC map tail (SURVEY §2.2 P2 note): a "
+    "tags map built in-plan (mirroring operators/reshape.py:103-133's open "
+    "tail), probed with map_contains_key + element_at; the oracle derives "
+    "the same truth from the base columns, so Spark's absent-key-is-NULL "
+    "semantics are value-checked, not assumed",
+)
+def p2_map_tail_exists(spark: SparkSession, sf: str) -> DataFrame:
+    p = load_table(spark, sf, "part").where(F.col("p_partkey") % 10 == 0)
+    tagged = p.select(
+        "p_partkey",
+        F.map_concat(
+            F.create_map(F.lit("brand"), F.col("p_brand")),
+            F.when(
+                F.col("p_size") > 25, F.create_map(F.lit("type"), F.col("p_type"))
+            ).otherwise(F.expr("map()").cast("map<string,string>")),
+        ).alias("tags"),
+    )
+    return tagged.select(
+        "p_partkey",
+        F.map_contains_key(F.col("tags"), F.lit("type")).alias("has_type"),
+        F.element_at(F.col("tags"), F.lit("type")).alias("type_val"),
+        F.element_at(F.col("tags"), F.lit("brand")).alias("brand_val"),
+    )
+
+
+@register(
     "p3_filter_regex",
     r"""
     SELECT c_custkey, c_name FROM customer

@@ -1,0 +1,72 @@
+"""Driver-session parity gate: the external driver builds a PLAIN
+SparkSession (local[32], shuffle.partitions=32, nothing else) — none of
+session.py's tuned confs exist there. Every correctness-relevant conf must
+therefore be (re)set inside the loaders/queries themselves
+(e.g. ``nanosAsLong`` in sources/tables.py:load_table), never only in the
+tuned builder.
+
+This test replays a risk-class sample of the driver contract in a
+subprocess running exactly the driver's session and compares row sets
+against the tuned in-process session. A mismatch (or crash) here means a
+conf the engine silently depends on did not survive the driver's session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = "/root/testdata/sf0.001"
+
+# One query per conf-risk class: events TIMESTAMP(NANOS) read + timestamp
+# arithmetic (sessionize_gap), timestamp->string rendering (t_hourly_rollup),
+# Arrow/pandas_udf (g4_polygon_pip), persist()-based dedup (dd_exact).
+QUERIES = ["sessionize_gap", "t_hourly_rollup", "g4_polygon_pip", "dd_exact"]
+
+_CHILD = r"""
+import json, sys
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.shuffle.partitions", "32")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+import __spark_entry__ as m
+qs = m.queries()
+out = {}
+for name in json.loads(sys.argv[1]):
+    rows = qs[name](spark, sys.argv[2]).collect()
+    out[name] = sorted(repr(tuple(r)) for r in rows)
+print("PARITY:" + json.dumps(out))
+"""
+
+
+def test_plain_driver_session_replays_tuned_results(spark):
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    expected = {
+        name: sorted(repr(tuple(r)) for r in qs[name](spark, SF).collect())
+        for name in QUERIES
+    }
+
+    proc = subprocess.run(
+        [sys.executable, "-c", _CHILD, json.dumps(QUERIES), SF],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, f"plain-session replay crashed:\n{proc.stderr[-3000:]}"
+    payload = [l for l in proc.stdout.splitlines() if l.startswith("PARITY:")]
+    assert payload, f"no parity payload in output:\n{proc.stdout[-2000:]}"
+    got = json.loads(payload[0][len("PARITY:") :])
+
+    for name in QUERIES:
+        assert got[name] == expected[name], (
+            f"{name}: plain driver session produced different rows than the "
+            f"tuned session — a correctness-relevant conf lives only in "
+            f"session.py's builder"
+        )
