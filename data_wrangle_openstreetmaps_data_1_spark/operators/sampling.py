@@ -1,0 +1,53 @@
+"""Deterministic sampling for training-data pipelines.
+
+``df.sample()`` is seed-and-partitioning dependent — rerun the job with a
+different split and the sample changes, which is unacceptable for
+reproducible training mixes. These operators sample by CONTENT hash
+(portable md5 tier, functions/hashing.py), so the decision for a row is a
+pure function of the row: stable across runs, partitionings, engines — and
+exactly reproducible by the DuckDB oracle.
+
+Scale notes: hash_sample is a stateless filter (pushes through scans, no
+shuffle). stratified_sample shuffles once on the stratum key for the
+per-stratum top-N window — the standard shape; heavy skew in stratum sizes
+is AQE-splittable because the hash order is uniform within a stratum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash64
+
+
+def hash_sample(df: DataFrame, key_col: str, rate_bp: int, salt: str = "s1") -> DataFrame:
+    """Keep ~``rate_bp`` basis points (1/10000) of rows, decided by
+    ``portable_hash64(key || ':' || salt) mod 10000``.
+
+    The salt gives independent samples from the same keys (e.g. held-out
+    vs train splits that provably don't overlap when rate ranges are
+    disjoint... same salt, disjoint residue ranges).
+    """
+    if not 0 <= rate_bp <= 10_000:
+        raise ValueError(f"rate_bp={rate_bp} must be in [0, 10000]")
+    h = portable_hash64(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt)))
+    return df.where(F.pmod(h, F.lit(10_000)) < rate_bp)
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, key_col: str, n_per_stratum: int, salt: str = "s1"
+) -> DataFrame:
+    """Exactly ``min(n, |stratum|)`` rows per stratum, chosen by content-hash
+    order (ties broken by key) — a deterministic per-group reservoir.
+
+    Adds ``sample_rank`` (1-based within the stratum) to the output.
+    """
+    if n_per_stratum < 1:
+        raise ValueError(f"n_per_stratum={n_per_stratum} must be >= 1")
+    h = portable_hash64(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt)))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= n_per_stratum)
+    )

@@ -27,6 +27,9 @@ from ..functions.text import (
     quality_score,
     token_count,
 )
+from ..operators.components import dedup_groups
+from ..operators.packing import pack_concat_chunks
+from ..operators.sampling import hash_sample, stratified_sample
 from ..operators.dedup import (
     exact_dedup,
     fingerprint_dedup,
@@ -150,6 +153,43 @@ def dd_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 )
 def dd_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return ngram_jaccard_pairs(_corpus(spark, sf), "doc_id", "text", n=3, threshold=0.5)
+
+
+@register(
+    "dd_groups_cc",
+    f"""
+    WITH RECURSIVE corpus AS ({_CORPUS_SQL}),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM corpus),
+    sized AS (SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh),
+    ex AS (SELECT doc_id, n_sh, unnest(shingles) AS shingle FROM sized),
+    jpairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+               count(*) AS inter
+        FROM ex a JOIN ex b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4)
+      WHERE round(inter / (na + nb - inter), 6) >= 0.5),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
+              UNION SELECT doc_b, doc_a FROM jpairs),
+    walk(id, label) AS (
+      SELECT doc_id, doc_id FROM corpus
+      UNION
+      SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.id
+      WHERE w.label < e.b
+    )
+    SELECT id AS doc_id, min(label) AS group_id, id = min(label) AS is_keeper
+    FROM walk GROUP BY id
+    """,
+    doc="dedup GROUP resolution: connected components (min-id label "
+    "propagation) over n-gram-Jaccard near-dup pairs + keeper selection — "
+    "the transitive-closure step every pair generator needs before dropping "
+    "rows; oracle is the same closure as a recursive CTE",
+)
+def dd_groups_cc(spark: SparkSession, sf: str) -> DataFrame:
+    corpus = _corpus(spark, sf)
+    pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.5)
+    return dedup_groups(corpus, pairs, id_col="doc_id", pair_a="doc_a", pair_b="doc_b")
 
 
 def _minhash_oracle(k: int = 16, bands: int = 4, threshold: float = 0.4) -> str:
@@ -664,3 +704,74 @@ def tx_quality(spark: SparkSession, sf: str) -> DataFrame:
         F.round(avg_token_len(F.col("text")), 4).alias("avg_token_len"),
         quality_score(F.col("text")).alias("quality"),
     )
+
+
+# content-hash sampling + packing tier (operators/sampling.py, packing.py)
+
+_SAMPLE_HASH_SQL = "('0x' || substr(md5(doc_id::VARCHAR || ':s1'), 1, 15))::BIGINT"
+
+
+@register(
+    "tx_hash_sample",
+    f"""
+    SELECT doc_id, source FROM documents
+    WHERE {_SAMPLE_HASH_SQL} % 10000 < 2000
+    """,
+    doc="deterministic 20% content-hash sample (portable md5 tier): the "
+    "keep/drop decision is a pure function of the row — stable across "
+    "runs, partitionings, and engines, unlike df.sample(seed)",
+)
+def tx_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return hash_sample(d, "doc_id", 2000).select("doc_id", "source")
+
+
+@register(
+    "tx_stratified_sample",
+    f"""
+    WITH r AS (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY {_SAMPLE_HASH_SQL} ASC, doc_id ASC)
+               AS sample_rank
+      FROM documents)
+    SELECT lang, doc_id, sample_rank FROM r WHERE sample_rank <= 20
+    """,
+    doc="deterministic per-language reservoir: exactly min(20, |stratum|) "
+    "docs per lang chosen by content-hash order — one shuffle on the "
+    "stratum key, skew handled by AQE",
+)
+def tx_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return stratified_sample(d, "lang", "doc_id", 20).select("lang", "doc_id", "sample_rank")
+
+
+@register(
+    "tx_pack_chunks",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_tokens,
+             doc_id % 8 AS shard
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens, shard,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens AS start
+      FROM t)
+    SELECT doc_id, n_tokens, shard,
+           start // 512 AS chunk_id,
+           start % 512 AS chunk_offset,
+           CASE WHEN n_tokens <= 0 THEN 0
+                ELSE (start + n_tokens - 1) // 512 - start // 512 + 1 END AS n_chunks
+    FROM c
+    """,
+    doc="sequence packing (concat-then-chunk, the pretraining layout): "
+    "per-shard running token total maps every doc to its chunk id / offset "
+    "/ span without materializing the stream; per-shard windows keep the "
+    "plan scale-safe (no global ordering)",
+)
+def tx_pack_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", bpe_ish_token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_concat_chunks(d, "doc_id", "n_tokens", max_tokens=512, n_shards=8)
