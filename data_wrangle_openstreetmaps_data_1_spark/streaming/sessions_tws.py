@@ -1,0 +1,161 @@
+"""Gap sessionization on Spark 4's ``transformWithStateInPandas`` — the
+successor API to ``applyInPandasWithState`` (streaming/sessions.py), with
+one capability the old operator cannot express: EVENT-TIME TIMERS.
+
+The applyInPandasWithState sessionizer only closes a session when a later
+event for the same user arrives; a user who simply stops is held open
+forever. Here every state update re-arms a timer at ``last_event + gap``;
+when the watermark passes it, ``handleExpiredTimer`` fires, the idle
+session is emitted closed, and its state is deleted — state size stays
+O(*active* sessions), strictly tighter than O(open sessions).
+
+Scale notes: same keyed-state-store shape as the old operator (state
+shuffled by user_id, RocksDB-backed on a cluster); timers live in the
+store next to the value state and fire per key on watermark advance, so
+idle-session cleanup is O(expired) per batch, not a scan of all state.
+
+Environment note: transformWithStateInPandas talks to the JVM state server
+over a protobuf protocol, so it requires the ``protobuf`` package at
+RUNTIME (Spark raises ``ImportError: cannot import name 'descriptor' from
+'google.protobuf'`` inside the streaming driver worker otherwise). This
+container does not ship protobuf, so the operator is exercised by
+tests/test_streaming.py only where protobuf is importable; the
+applyInPandasWithState sessionizer (sessions.py) is the
+no-extra-dependency path and stays the registered-query operator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.stateful_processor import (
+    ExpiredTimerInfo,
+    StatefulProcessor,
+    StatefulProcessorHandle,
+    TimerValues,
+)
+
+from .finite import run_available_now
+from .ingest import read_events_stream
+from .sessions import SESSION_SCHEMA, STATE_SCHEMA
+
+_COLS = ["user_id", "session_start_us", "session_end_us", "n_events", "duration_ms"]
+
+
+class GapSessionProcessor(StatefulProcessor):
+    """Per-user open-session state + an idle timer at last_event + gap."""
+
+    def __init__(self, gap_us: int):
+        self.gap_us = gap_us
+        self.gap_ms = gap_us // 1000
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.handle = handle
+        self.session = handle.getValueState("session", STATE_SCHEMA)
+
+    def close(self) -> None:
+        pass
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator[pd.DataFrame], timerValues: TimerValues
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if self.session.exists():
+            start_us, last_us, n = self.session.get()
+        else:
+            start_us = last_us = None
+            n = 0
+
+        closed: list[tuple[int, int, int, int, int]] = []
+        # same chunk-concat + sort + gap walk as sessions._sessionize_group
+        # (kept inline: the state objects differ between the two APIs)
+        chunks = [pdf["ts_us"] for pdf in rows]
+        if chunks:
+            all_ts = pd.concat(chunks).sort_values() if len(chunks) > 1 else chunks[0].sort_values()
+            for ts_us in all_ts:
+                ts_us = int(ts_us)
+                if last_us is None:
+                    start_us, last_us, n = ts_us, ts_us, 1
+                elif ts_us < start_us:
+                    if start_us - ts_us <= self.gap_us:
+                        start_us = ts_us
+                        n += 1
+                    else:
+                        closed.append((user_id, ts_us, ts_us, 1, 0))
+                elif ts_us - last_us > self.gap_us:
+                    closed.append((user_id, start_us, last_us, n, (last_us - start_us) // 1000))
+                    start_us, last_us, n = ts_us, ts_us, 1
+                else:
+                    last_us = max(last_us, ts_us)
+                    n += 1
+
+        if last_us is not None:
+            self.session.update((start_us, last_us, n))
+            # re-arm the single idle timer: the session dies when the
+            # watermark passes last event + gap
+            for t in self.handle.listTimers():
+                self.handle.deleteTimer(t)
+            self.handle.registerTimer(last_us // 1000 + self.gap_ms + 1)
+        if closed:
+            yield pd.DataFrame(closed, columns=_COLS)
+
+    def handleExpiredTimer(
+        self, key: Any, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if not self.session.exists():
+            return
+        start_us, last_us, n = self.session.get()
+        # stale-timer guard: input processing deletes+re-arms, but be
+        # defensive — only close a session genuinely idle past the gap
+        if expiredTimerInfo.getExpiryTimeInMs() < last_us // 1000 + self.gap_ms:
+            return
+        self.session.clear()
+        yield pd.DataFrame(
+            [(user_id, start_us, last_us, n, (last_us - start_us) // 1000)], columns=_COLS
+        )
+
+
+def sessionize_stream_tws(
+    events: DataFrame, gap_minutes: float = 30.0, watermark_delay: str = "0 seconds"
+) -> DataFrame:
+    """Streaming gap-sessionization with idle-timeout closure.
+
+    Emits each session exactly once: either when a later event opens the
+    next session (gap exceeded), or when the event-time watermark passes
+    ``last event + gap`` (user went idle).
+    """
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+    prepared = events.withWatermark("ts", watermark_delay).select(
+        "user_id", "ts", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=GapSessionProcessor(gap_us),
+        outputStructType=SESSION_SCHEMA,
+        outputMode="append",
+        timeMode="eventTime",
+    )
+
+
+def run_sessionize_tws_once(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_minutes: float = 30.0,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Drive the TWS sessionizer over available input; returns closed
+    sessions formatted like ``sessionize_gap`` minus any still-open tail."""
+    events = read_events_stream(spark, sf_dir, max_files_per_trigger)
+    sessions = sessionize_stream_tws(events, gap_minutes)
+    return run_available_now(sessions, "append").select(
+        "user_id",
+        F.timestamp_micros(F.col("session_start_us")).cast("string").alias("session_start"),
+        F.timestamp_micros(F.col("session_end_us")).cast("string").alias("session_end"),
+        "n_events",
+        "duration_ms",
+    )

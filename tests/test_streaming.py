@@ -119,6 +119,55 @@ def test_sessionize_multi_batch_state(spark, multi_file_events):
         bt_count[t] -= 1
 
 
+def test_sessionize_tws_timers_close_idle_sessions(spark, multi_file_events):
+    """transformWithStateInPandas upgrade: every emitted session must match
+    a batch session exactly, AND the event-time timers must close MORE
+    sessions than the applyInPandasWithState operator (which can only close
+    a session when a later event for the same user arrives)."""
+    # the TWS state-server protocol needs protobuf at runtime (not shipped
+    # in this container); see streaming/sessions_tws.py module docstring
+    pytest.importorskip("google.protobuf")
+    from data_wrangle_openstreetmaps_data_1_spark.streaming.sessions_tws import (
+        sessionize_stream_tws,
+    )
+
+    def run(build):
+        raw = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, ts_us long, value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(multi_file_events)
+            .withColumn("ts", F.timestamp_micros("ts_us"))
+        )
+        sink = f"st_tws_{uuid.uuid4().hex[:10]}"
+        q = (
+            build(raw)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(sink).collect()
+
+    tws = run(lambda raw: sessionize_stream_tws(raw, gap_minutes=30.0))
+    old = run(lambda raw: sessionize_stream(raw, gap_minutes=30.0))
+
+    batch_src = spark.read.parquet(multi_file_events).withColumn("ts", F.timestamp_micros("ts_us"))
+    batch = session_stats(batch_src, "user_id", "ts", gap_minutes=30.0).collect()
+    bt_count = Counter((r["user_id"], r["n_events"], r["duration_ms"]) for r in batch)
+
+    assert len(tws) > 0
+    for r in tws:
+        t = (r["user_id"], r["n_events"], r["duration_ms"])
+        assert bt_count[t] > 0, f"TWS session {t} not in batch result"
+        bt_count[t] -= 1
+    # the timer path closes idle sessions the old API must keep open
+    assert len(tws) > len(old), (len(tws), len(old))
+
+
 def test_dedup_stream_equals_batch_distinct(spark, sf_small):
     from data_wrangle_openstreetmaps_data_1_spark.streaming.dedup import run_dedup_once
 
