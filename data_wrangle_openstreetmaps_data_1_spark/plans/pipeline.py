@@ -706,6 +706,54 @@ def tx_quality(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "tx_tfidf_top_terms",
+    rf"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM d),
+    dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+           WHERE doc_id % 20 = 0 GROUP BY 1, 2),
+    scored AS (
+      SELECT doc_id, token, tf, df, tf * ((n_docs * 1000) // df) AS score
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+    r AS (SELECT doc_id, token, tf, df, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, token ASC) AS term_rank
+          FROM scored)
+    SELECT doc_id, token, tf, df, score, term_rank FROM r WHERE term_rank <= 3
+    """,
+    doc="inverted-index / TF-IDF: document frequency over the FULL corpus, "
+    "term frequency for the sampled docs, fixed-point idf (integer "
+    "(N*1000) div df — no transcendental, so scores hash identically "
+    "across engines), top-3 distinctive terms per doc",
+)
+def tx_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.text import tokens as _tokens
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    tf = (
+        tok.where(F.col("doc_id") % 20 == 0)
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.col("tf") * F.expr("(n_docs * 1000) div df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .where(F.col("term_rank") <= 3)
+        .select("doc_id", "token", "tf", "df", "score", "term_rank")
+    )
+
+
 # content-hash sampling + packing tier (operators/sampling.py, packing.py)
 
 _SAMPLE_HASH_SQL = "('0x' || substr(md5(doc_id::VARCHAR || ':s1'), 1, 15))::BIGINT"

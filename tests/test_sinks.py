@@ -33,6 +33,6 @@ def test_parquet_store_partitioned_by_type(spark, tmp_path):
     assert os.path.isdir(os.path.join(out, "type=node"))
     assert os.path.isdir(os.path.join(out, "type=way"))
     back = spark.read.parquet(out)
-    assert back.where("type = 'node'").count() == 20
+    assert back.where("type = 'node'").count() == 23
     plan = back.where("type = 'way'")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(type" in plan
