@@ -52,35 +52,42 @@ def connected_components(
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().persist()
 
     labels = ids.select("id", F.col("id").alias("label")).persist()
-    for _ in range(max_iters):
-        # neighbor's current label, keyed by the receiving node
-        nbr = (
-            sym.join(labels.withColumnRenamed("id", "a"), "a")
-            .groupBy(F.col("b").alias("id"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        merged = (
-            labels.join(nbr, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
-                    "new_label"
-                ),
-                F.col("label"),
+    try:
+        for _ in range(max_iters):
+            # neighbor's current label, keyed by the receiving node
+            nbr = (
+                sym.join(labels.withColumnRenamed("id", "a"), "a")
+                .groupBy(F.col("b").alias("id"))
+                .agg(F.min("label").alias("nbr_label"))
             )
-        ).persist()
-        changed = merged.where(F.col("new_label") < F.col("label")).limit(1).count()
-        new_labels = merged.select("id", F.col("new_label").alias("label")).persist()
-        labels.unpersist()
-        merged.unpersist()
-        labels = new_labels
-        if changed == 0:
-            sym.unpersist()
-            return labels.select("id", F.col("label").alias("component"))
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iters} rounds "
-        "(component diameter exceeds the round budget)"
-    )
+            merged = (
+                labels.join(nbr, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    ).alias("new_label"),
+                    F.col("label"),
+                )
+            ).persist()
+            changed = merged.where(F.col("new_label") < F.col("label")).limit(1).count()
+            new_labels = merged.select("id", F.col("new_label").alias("label")).persist()
+            # MATERIALIZE the new labels before dropping their inputs — an
+            # unmaterialized persist() is only a promise, and unpersisting
+            # merged/labels first would make every later round recompute the
+            # whole lineage back to round 0 (O(rounds^2) joins).
+            new_labels.count()
+            labels.unpersist()
+            merged.unpersist()
+            labels = new_labels
+            if changed == 0:
+                return labels.select("id", F.col("label").alias("component"))
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(component diameter exceeds the round budget)"
+        )
+    finally:
+        sym.unpersist()
 
 
 def dedup_groups(

@@ -48,16 +48,25 @@ def pack_concat_chunks(
     toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     shard = F.pmod(F.col(id_col), F.lit(n_shards))
     w = Window.partitionBy(shard).orderBy(F.col(id_col))
-    start = (F.sum(toks).over(w) - toks).cast("long")  # tokens before this doc
-    end = (start + toks - 1).cast("long")  # last token position (toks >= 1)
-    return df.select(
+    # Integer arithmetic throughout: float floor(start/max) could misplace a
+    # chunk boundary once running totals get large enough for double
+    # rounding; `div` stays exact at any stream length.
+    staged = df.select(
         id_col,
         toks.cast("long").alias("n_tokens"),
         shard.alias("shard"),
-        F.floor(start / max_tokens).cast("long").alias("chunk_id"),
-        F.pmod(start, F.lit(max_tokens)).cast("long").alias("chunk_offset"),
-        F.when(toks <= 0, F.lit(0))
-        .otherwise(F.floor(end / max_tokens) - F.floor(start / max_tokens) + 1)
+        (F.sum(toks.cast("long")).over(w) - toks).cast("long").alias("start"),
+    )
+    return staged.select(
+        id_col,
+        "n_tokens",
+        "shard",
+        F.expr(f"start div {max_tokens}").alias("chunk_id"),
+        F.pmod(F.col("start"), F.lit(max_tokens)).cast("long").alias("chunk_offset"),
+        F.when(F.col("n_tokens") <= 0, F.lit(0))
+        .otherwise(
+            F.expr(f"(start + n_tokens - 1) div {max_tokens} - start div {max_tokens} + 1")
+        )
         .cast("long")
         .alias("n_chunks"),
     )

@@ -25,9 +25,10 @@ def hash_sample(df: DataFrame, key_col: str, rate_bp: int, salt: str = "s1") -> 
     """Keep ~``rate_bp`` basis points (1/10000) of rows, decided by
     ``portable_hash64(key || ':' || salt) mod 10000``.
 
-    The salt gives independent samples from the same keys (e.g. held-out
-    vs train splits that provably don't overlap when rate ranges are
-    disjoint... same salt, disjoint residue ranges).
+    Different salts give independent samples from the same keys; with the
+    SAME salt, a larger rate strictly extends a smaller one (nested
+    samples), and disjoint residue ranges would partition the keys into
+    provably non-overlapping splits (e.g. train vs held-out).
     """
     if not 0 <= rate_bp <= 10_000:
         raise ValueError(f"rate_bp={rate_bp} must be in [0, 10000]")
