@@ -53,6 +53,88 @@ STATE_SCHEMA = StructType(
 )
 
 
+def gap_walk(
+    user_id: int,
+    pdf_iter: Iterator[pd.DataFrame],
+    open_state: tuple[int, int, int] | None,
+    gap_us: int,
+) -> tuple[list[tuple[int, int, int, int, int]], tuple[int, int, int] | None]:
+    """Pure sessionization core shared by BOTH stateful APIs
+    (applyInPandasWithState here, transformWithStateInPandas in
+    sessions_tws.py): consume this batch's events, return (closed session
+    rows, new open-session state).
+
+    Concatenates ALL Arrow chunks before sorting: a group larger than
+    arrow.maxRecordsPerBatch arrives as multiple chunks, and sorting each
+    chunk independently would let chunk-boundary out-of-order events
+    corrupt session boundaries.
+
+    Cross-micro-batch out-of-order events (older than the open session's
+    start — each batch arrives sorted, so only carried-over state can be
+    ahead of them) run through the SAME gap walk as a pre-session chain:
+    mutually-close late events merge with each other exactly as the batch
+    twin would, then the chain's tail either splices into the open session
+    (within gap of its start, extending it backwards) or closes. Already-
+    emitted sessions stay final: a still-later batch bringing an event for
+    one of them is the inherent no-watermark approximation, documented on
+    sessionize_stream.
+    """
+    if open_state is not None:
+        start_us, last_us, n = open_state
+    else:
+        start_us = last_us = None
+        n = 0
+
+    closed: list[tuple[int, int, int, int, int]] = []
+
+    def close(st: int, en: int, cnt: int) -> None:
+        closed.append((user_id, st, en, cnt, (en - st) // 1000))
+
+    chunks = [pdf["ts_us"] for pdf in pdf_iter]
+    if chunks:
+        all_ts = pd.concat(chunks).sort_values() if len(chunks) > 1 else chunks[0].sort_values()
+        pre_start = pre_last = None
+        pre_n = 0
+
+        def splice_pre() -> None:
+            nonlocal pre_start, pre_last, pre_n, start_us, n
+            if pre_last is None:
+                return
+            if start_us - pre_last <= gap_us:
+                start_us = pre_start
+                n += pre_n
+            else:
+                close(pre_start, pre_last, pre_n)
+            pre_start = pre_last = None
+            pre_n = 0
+
+        for ts_us in all_ts:
+            ts_us = int(ts_us)
+            if last_us is not None and ts_us < start_us:
+                if pre_last is None:
+                    pre_start, pre_last, pre_n = ts_us, ts_us, 1
+                elif ts_us - pre_last > gap_us:
+                    close(pre_start, pre_last, pre_n)
+                    pre_start, pre_last, pre_n = ts_us, ts_us, 1
+                else:
+                    pre_last = ts_us
+                    pre_n += 1
+                continue
+            splice_pre()
+            if last_us is None:
+                start_us, last_us, n = ts_us, ts_us, 1
+            elif ts_us - last_us > gap_us:
+                close(start_us, last_us, n)
+                start_us, last_us, n = ts_us, ts_us, 1
+            else:
+                last_us = max(last_us, ts_us)
+                n += 1
+        splice_pre()
+
+    new_state = None if last_us is None else (start_us, last_us, n)
+    return closed, new_state
+
+
 def _sessionize_group(
     key: tuple[Any, ...],
     pdf_iter: Iterator[pd.DataFrame],
@@ -60,46 +142,11 @@ def _sessionize_group(
     gap_us: int,
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
-    if state.exists:
-        start_us, last_us, n = state.get
-    else:
-        start_us = last_us = None
-        n = 0
-
-    closed: list[tuple[int, int, int, int, int]] = []
-    # Concatenate ALL Arrow chunks before sorting: a group larger than
-    # arrow.maxRecordsPerBatch arrives as multiple chunks, and sorting each
-    # chunk independently would let chunk-boundary out-of-order events
-    # corrupt session boundaries.
-    chunks = [pdf["ts_us"] for pdf in pdf_iter]
-    if chunks:
-        all_ts = pd.concat(chunks).sort_values() if len(chunks) > 1 else chunks[0].sort_values()
-        for ts_us in all_ts:
-            ts_us = int(ts_us)
-            if last_us is None:
-                start_us, last_us, n = ts_us, ts_us, 1
-            elif ts_us < start_us:
-                # Cross-micro-batch out-of-order: an event older than the open
-                # session's start (each batch is sorted, so only carried-over
-                # state can be ahead of it). Within gap of the start it extends
-                # the session backwards; further out it is a standalone session
-                # that wholly precedes the open one and can never merge with
-                # anything later — emit it closed immediately.
-                if start_us - ts_us <= gap_us:
-                    start_us = ts_us
-                    n += 1
-                else:
-                    closed.append((user_id, ts_us, ts_us, 1, 0))
-            elif ts_us - last_us > gap_us:
-                closed.append(
-                    (user_id, start_us, last_us, n, (last_us - start_us) // 1000)
-                )
-                start_us, last_us, n = ts_us, ts_us, 1
-            else:
-                last_us = max(last_us, ts_us)
-                n += 1
-
-    state.update((start_us, last_us, n))
+    closed, new_state = gap_walk(
+        user_id, pdf_iter, tuple(state.get) if state.exists else None, gap_us
+    )
+    if new_state is not None:
+        state.update(new_state)
     if closed:
         yield pd.DataFrame(
             closed,

@@ -42,7 +42,7 @@ from pyspark.sql.streaming.stateful_processor import (
 
 from .finite import run_available_now
 from .ingest import read_events_stream
-from .sessions import SESSION_SCHEMA, STATE_SCHEMA
+from .sessions import SESSION_SCHEMA, STATE_SCHEMA, gap_walk
 
 _COLS = ["user_id", "session_start_us", "session_end_us", "n_events", "duration_ms"]
 
@@ -65,42 +65,19 @@ class GapSessionProcessor(StatefulProcessor):
         self, key: Any, rows: Iterator[pd.DataFrame], timerValues: TimerValues
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        if self.session.exists():
-            start_us, last_us, n = self.session.get()
-        else:
-            start_us = last_us = None
-            n = 0
-
-        closed: list[tuple[int, int, int, int, int]] = []
-        # same chunk-concat + sort + gap walk as sessions._sessionize_group
-        # (kept inline: the state objects differ between the two APIs)
-        chunks = [pdf["ts_us"] for pdf in rows]
-        if chunks:
-            all_ts = pd.concat(chunks).sort_values() if len(chunks) > 1 else chunks[0].sort_values()
-            for ts_us in all_ts:
-                ts_us = int(ts_us)
-                if last_us is None:
-                    start_us, last_us, n = ts_us, ts_us, 1
-                elif ts_us < start_us:
-                    if start_us - ts_us <= self.gap_us:
-                        start_us = ts_us
-                        n += 1
-                    else:
-                        closed.append((user_id, ts_us, ts_us, 1, 0))
-                elif ts_us - last_us > self.gap_us:
-                    closed.append((user_id, start_us, last_us, n, (last_us - start_us) // 1000))
-                    start_us, last_us, n = ts_us, ts_us, 1
-                else:
-                    last_us = max(last_us, ts_us)
-                    n += 1
-
-        if last_us is not None:
-            self.session.update((start_us, last_us, n))
+        closed, new_state = gap_walk(
+            user_id,
+            rows,
+            tuple(self.session.get()) if self.session.exists() else None,
+            self.gap_us,
+        )
+        if new_state is not None:
+            self.session.update(new_state)
             # re-arm the single idle timer: the session dies when the
             # watermark passes last event + gap
             for t in self.handle.listTimers():
                 self.handle.deleteTimer(t)
-            self.handle.registerTimer(last_us // 1000 + self.gap_ms + 1)
+            self.handle.registerTimer(new_state[1] // 1000 + self.gap_ms + 1)
         if closed:
             yield pd.DataFrame(closed, columns=_COLS)
 

@@ -119,6 +119,41 @@ def test_sessionize_multi_batch_state(spark, multi_file_events):
         bt_count[t] -= 1
 
 
+def test_gap_walk_merges_mutually_close_late_events():
+    """Two cross-batch late events within gap of EACH OTHER must form one
+    pre-session (as the batch twin would), not two singletons."""
+    import pandas as pd
+
+    from data_wrangle_openstreetmaps_data_1_spark.streaming.sessions import gap_walk
+
+    closed, state = gap_walk(
+        1,
+        iter([pd.DataFrame({"ts_us": [45_000, 40_000, 115_000]})]),
+        (100_000, 110_000, 2),
+        gap_us=10_000,
+    )
+    # late chain [40k, 45k] merges into ONE closed session (its tail is
+    # 55k before the open start — beyond gap); 115k extends the open one
+    assert closed == [(1, 40_000, 45_000, 2, 5)]
+    assert state == (100_000, 115_000, 3)
+
+
+def test_gap_walk_splices_late_chain_into_open_session():
+    import pandas as pd
+
+    from data_wrangle_openstreetmaps_data_1_spark.streaming.sessions import gap_walk
+
+    closed, state = gap_walk(
+        1,
+        iter([pd.DataFrame({"ts_us": [92_000, 95_000]})]),
+        (100_000, 110_000, 2),
+        gap_us=10_000,
+    )
+    # chain tail 95k is within gap of the open start -> extends it backwards
+    assert closed == []
+    assert state == (92_000, 110_000, 4)
+
+
 def test_sessionize_tws_timers_close_idle_sessions(spark, multi_file_events):
     """transformWithStateInPandas upgrade: every emitted session must match
     a batch session exactly, AND the event-time timers must close MORE
