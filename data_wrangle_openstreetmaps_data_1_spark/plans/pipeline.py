@@ -156,6 +156,31 @@ def dd_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "dd_contamination",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    train AS (SELECT doc_id, md5(text) AS h FROM corpus WHERE doc_id % 7 <> 0),
+    heldout AS (SELECT doc_id, md5(text) AS h FROM corpus WHERE doc_id % 7 = 0)
+    SELECT t.doc_id AS train_id, e.doc_id AS heldout_id
+    FROM train t JOIN heldout e USING (h)
+    """,
+    doc="train/eval decontamination: exact-text collisions between the "
+    "training split and a held-out split, joined on md5 so the shuffle "
+    "moves 16-byte hashes — the standard pre-training leakage check",
+)
+def dd_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    # split on doc_id % 7: the corpus's exact-dup copies live at
+    # doc_id + 20000 and 20000 % 7 == 1, so every planted duplicate lands
+    # in the OPPOSITE split from its original — real leakage to find
+    corpus = _corpus(spark, sf).select("doc_id", F.md5("text").alias("h"))
+    train = corpus.where(F.col("doc_id") % 7 != 0).select(F.col("doc_id").alias("train_id"), "h")
+    heldout = corpus.where(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("heldout_id"), "h"
+    )
+    return train.join(heldout, "h").select("train_id", "heldout_id")
+
+
+@register(
     "dd_groups_cc",
     f"""
     WITH RECURSIVE corpus AS ({_CORPUS_SQL}),
