@@ -82,6 +82,10 @@ def connected_components(
             labels = new_labels
             if changed == 0:
                 return labels.select("id", F.col("label").alias("component"))
+        # non-convergence: the last labels table is still persisted and no
+        # caller will ever consume it — release it before raising so a
+        # long-lived session doesn't accumulate orphaned cached blocks
+        labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds "
             "(component diameter exceeds the round budget)"

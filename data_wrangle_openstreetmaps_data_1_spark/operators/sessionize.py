@@ -39,7 +39,9 @@ def session_stats(df: DataFrame, user_col: str, time_col: str, gap_minutes: floa
     """
     s = sessionize(df, user_col, time_col, gap_minutes)
     span_us = F.max(F.unix_micros(F.col(time_col))) - F.min(F.unix_micros(F.col(time_col)))
-    return s.groupBy(user_col, "session_id").agg(
-        F.count("*").alias("n_events"),
-        F.floor(span_us / F.lit(1000)).alias("duration_ms"),
+    return (
+        s.groupBy(user_col, "session_id")
+        .agg(F.count("*").alias("n_events"), span_us.alias("_span_us"))
+        .withColumn("duration_ms", F.expr("_span_us div 1000"))
+        .drop("_span_us")
     )

@@ -402,8 +402,12 @@ def j_range_join(spark: SparkSession, sf: str) -> DataFrame:
     ),
     sess AS (
       SELECT user_id, ts,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             -- CAST: DuckDB integer sum() yields HUGEINT, which fetchdf()
+             -- materializes as float64 (123.0) vs Spark's int64 (123) — the
+             -- driver's value hash treats those as different values.
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, count(*) AS n_events,

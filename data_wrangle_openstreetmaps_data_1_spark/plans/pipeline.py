@@ -637,9 +637,9 @@ def mm_audio_chunks(spark: SparkSession, sf: str) -> DataFrame:
              n_chars
       FROM documents)
     SELECT source, count(*) AS docs,
-           sum(n_tok) AS total_tokens,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
            round(avg(n_tok), 4) AS avg_tokens,
-           sum(n_bpe) AS total_bpe,
+           CAST(sum(n_bpe) AS BIGINT) AS total_bpe,
            round(avg(n_chars), 4) AS avg_chars
     FROM t GROUP BY source
     """,
@@ -829,7 +829,10 @@ def tx_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
       FROM documents),
     c AS (
       SELECT doc_id, n_tokens, shard,
-             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens AS start
+             -- CAST: integer sum() is HUGEINT in DuckDB -> float64 in pandas,
+             -- and every derived column (chunk_id/offset/n_chunks) inherits it
+             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT)
+               - n_tokens AS start
       FROM t)
     SELECT doc_id, n_tokens, shard,
            start // 512 AS chunk_id,

@@ -78,26 +78,44 @@ _loaded = False
 
 
 def _load_all() -> None:
-    """Import every plans module for its registration side effects.
+    """Import every plans module for its registration side effects, then
+    apply the rotation order from ``rotation.json``.
 
-    Order matters for an external driver that runs the battery under a time
-    budget in registration order: the LLM-pipeline + streaming tier goes
-    FIRST so a truncated run still covers it (r1's battery stopped exactly at
-    the end of the core/cleaning/analytics modules, leaving the entire
-    pipeline/streaming tier unchecked).
+    The external driver checks exactly the FIRST 50 ``queries()`` entries — a
+    hard cap, not a time budget — so with ~80 registered queries a static
+    order permanently hides ~30 from the hard correctness signal.
+    ``tools/rotate_registry.py`` regenerates rotation.json each round from
+    the accumulated CORRECTNESS_r*.json files: never-checked/red queries
+    first, then stalest-green first, so every query re-earns a driver row at
+    least every other round. Queries registered after the last rotation pass
+    (absent from the file) lead the order — they have no driver row yet.
+
+    Dtype contract for every oracle in this registry (enforced by
+    tools/check_oracle.py's DTYPE-PARITY gate): the driver hashes VALUES, so
+    a column must come back from DuckDB's ``fetchdf()`` with the same
+    int-vs-float kind as Spark's ``toPandas()``. Known hazards — DuckDB
+    integer ``sum()`` returns HUGEINT which pandas materializes as float64
+    (CAST it to BIGINT in the SQL; Spark's long sum is int64), and any
+    arithmetic DuckDB widens to HUGEINT inherits the same drift. ``count``,
+    ``//`` on BIGINT, ``len()``, and double aggregates are safe. ``round()``
+    ties differ (Spark HALF_UP vs DuckDB half-even) — keep rounding at >=4dp
+    where tie collisions are improbable, or use ``floor(x*10^k)`` integer
+    forms for exactness.
     """
     global _loaded
     if _loaded:
         return
     from . import analytics, cleaning_geo, core, pipeline, streaming_queries  # noqa: F401
 
-    # Rebuild insertion order: pipeline + streaming first, then the rest in
-    # their original relative order.
-    def _prio(spec: QuerySpec) -> int:
-        mod = spec.spark.__module__.rsplit(".", 1)[-1]
-        return 0 if mod in ("pipeline", "streaming_queries") else 1
+    import json
+    import os
 
-    ordered = sorted(QUERIES.items(), key=lambda kv: _prio(kv[1]))
-    QUERIES.clear()
-    QUERIES.update(ordered)
+    rot_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "rotation.json")
+    if os.path.exists(rot_path):
+        with open(rot_path) as f:
+            pos = {n: i for i, n in enumerate(json.load(f)["order"])}
+        # (name in pos) == False sorts first: new, never-rotated queries lead
+        ordered = sorted(QUERIES.items(), key=lambda kv: (kv[0] in pos, pos.get(kv[0], 0)))
+        QUERIES.clear()
+        QUERIES.update(ordered)
     _loaded = True

@@ -46,12 +46,27 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     if len(sdf) != len(odf):
         problems.append(f"row count differs: spark={len(sdf)} oracle={len(odf)}")
         return problems
-    # ONE shared sort order for both frames, non-float columns first (a
-    # column is "float" if it is float on EITHER side — dtypes can differ,
-    # e.g. a windowed sum comes back int from Spark but float from DuckDB).
-    # Floats last keeps sub-ulp cross-engine diffs from misaligning rows.
     import pandas.api.types as pt
 
+    # Dtype parity gate: the driver hashes VALUES, so int64 123 and float64
+    # 123.0 are different hashes even when numerically equal. The classic
+    # trigger is a DuckDB integer sum() (HUGEINT -> float64 via fetchdf())
+    # against Spark's int64 — exactly the bug that shipped red twice before
+    # this check existed. Fail hard; don't fall through to the value loop,
+    # which would mask it by comparing float(a) == float(b).
+    for col in sdf.columns:
+        s_int, o_int = pt.is_integer_dtype(sdf[col]), pt.is_integer_dtype(odf[col])
+        s_flt, o_flt = pt.is_float_dtype(sdf[col]), pt.is_float_dtype(odf[col])
+        if (s_int and o_flt) or (s_flt and o_int):
+            problems.append(
+                f"DTYPE-PARITY col={col}: spark={sdf[col].dtype} vs "
+                f"oracle={odf[col].dtype} — int vs float hashes differently in "
+                f"the driver (CAST the oracle's integer sum() to BIGINT)"
+            )
+    if problems:
+        return problems
+    # ONE shared sort order for both frames, non-float columns first.
+    # Floats last keeps sub-ulp cross-engine diffs from misaligning rows.
     sort_cols = sorted(
         sdf.columns,
         key=lambda c: (pt.is_float_dtype(sdf[c]) or pt.is_float_dtype(odf[c]), c),
