@@ -51,7 +51,8 @@ def connected_components(
     e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().persist()
 
-    labels = ids.select("id", F.col("id").alias("label")).persist()
+    labels = ids.select("id", F.col("id").alias("label"))
+    prev = None  # the persisted frame backing the current `labels`
     try:
         for _ in range(max_iters):
             # neighbor's current label, keyed by the receiving node
@@ -70,22 +71,31 @@ def connected_components(
                     F.col("label"),
                 )
             ).persist()
-            changed = merged.where(F.col("new_label") < F.col("label")).limit(1).count()
-            new_labels = merged.select("id", F.col("new_label").alias("label")).persist()
-            # MATERIALIZE the new labels before dropping their inputs — an
-            # unmaterialized persist() is only a promise, and unpersisting
-            # merged/labels first would make every later round recompute the
-            # whole lineage back to round 0 (O(rounds^2) joins).
-            new_labels.count()
-            labels.unpersist()
-            merged.unpersist()
-            labels = new_labels
+            # ONE action per round: the full-scan aggregate both counts the
+            # still-improving labels and MATERIALIZES merged's cache (every
+            # partition is computed to feed the sum). Materialize-before-
+            # unpersist matters: dropping the previous round's cache first
+            # would make every later round recompute the whole lineage back
+            # to round 0 (O(rounds^2) joins).
+            changed = (
+                merged.agg(
+                    F.sum((F.col("new_label") < F.col("label")).cast("long"))
+                ).collect()[0][0]
+                or 0
+            )
+            if prev is not None:
+                prev.unpersist()
+            prev = merged
+            # labels is a cheap projection over the cached merged frame — no
+            # second persist/materialize pass needed
+            labels = merged.select("id", F.col("new_label").alias("label"))
             if changed == 0:
                 return labels.select("id", F.col("label").alias("component"))
-        # non-convergence: the last labels table is still persisted and no
-        # caller will ever consume it — release it before raising so a
-        # long-lived session doesn't accumulate orphaned cached blocks
-        labels.unpersist()
+        # non-convergence: the last persisted frame will never be consumed —
+        # release it before raising so a long-lived session doesn't
+        # accumulate orphaned cached blocks
+        if prev is not None:
+            prev.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds "
             "(component diameter exceeds the round budget)"

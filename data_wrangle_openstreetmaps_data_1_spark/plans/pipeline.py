@@ -206,6 +206,7 @@ def dd_contamination(spark: SparkSession, sf: str) -> DataFrame:
     SELECT id AS doc_id, min(label) AS group_id, id = min(label) AS is_keeper
     FROM walk GROUP BY id
     """,
+    bench=True,
     doc="dedup GROUP resolution: connected components (min-id label "
     "propagation) over n-gram-Jaccard near-dup pairs + keeper selection — "
     "the transitive-closure step every pair generator needs before dropping "
@@ -841,6 +842,7 @@ def tx_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
                 ELSE (start + n_tokens - 1) // 512 - start // 512 + 1 END AS n_chunks
     FROM c
     """,
+    bench=True,
     doc="sequence packing (concat-then-chunk, the pretraining layout): "
     "per-shard running token total maps every doc to its chunk id / offset "
     "/ span without materializing the stream; per-shard windows keep the "

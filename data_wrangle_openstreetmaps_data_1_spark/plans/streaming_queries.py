@@ -5,11 +5,15 @@
 must equal the batch groupBy exactly — so even the streaming path is fully
 value-checked by DuckDB.
 
-``st_sessionize`` has no oracle by design: the stateful operator emits only
-*closed* sessions, and which sessions have closed depends on stream progress
-(tail sessions are still open when a finite input ends). Its correctness is
-asserted in tests/test_streaming.py instead, by diffing against the batch
-sessionizer.
+``st_sessionize`` emits only *closed* sessions. In general which sessions
+have closed depends on stream progress, but over the driver's actual input —
+one parquet file consumed by an AvailableNow trigger with no
+maxFilesPerTrigger, i.e. a SINGLE micro-batch — the closed set is fully
+deterministic: every session except each user's last (the tail session stays
+open in state when the input ends). The oracle encodes exactly that:
+batch sessionization minus the per-user max session_id. Batch-split
+robustness (multi-batch, late events) is additionally asserted in
+tests/test_streaming.py by diffing against the batch sessionizer.
 """
 
 from __future__ import annotations
@@ -74,9 +78,39 @@ def st_stream_join(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "st_sessionize",
-    None,  # rows-only: emission set depends on stream progress (see module doc)
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
+      FROM flagged
+    ),
+    agg AS (
+      SELECT user_id, session_id,
+             CAST(min(ts) AS VARCHAR) AS session_start,
+             CAST(max(ts) AS VARCHAR) AS session_end,
+             count(*) AS n_events,
+             (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000 AS duration_ms
+      FROM sess GROUP BY user_id, session_id
+    ),
+    last AS (SELECT user_id, max(session_id) AS last_sid FROM agg GROUP BY user_id)
+    SELECT a.user_id, session_start, session_end, n_events, duration_ms
+    FROM agg a JOIN last l ON a.user_id = l.user_id AND a.session_id < l.last_sid
+    """,
     doc="stateful streaming gap-sessionization via applyInPandasWithState; "
-    "emits closed sessions only — batch-equivalence asserted in tests",
+    "emits closed sessions only. Over the single-file AvailableNow input the "
+    "closed set is deterministic (all sessions but each user's open tail), "
+    "so the oracle is the batch sessionizer minus the per-user last session; "
+    "batch-split robustness additionally asserted in tests",
 )
 def st_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     return run_sessionize_once(spark, sf, gap_minutes=30.0)

@@ -10,14 +10,19 @@ registry reads it at import) ordering queries by:
 
   tier 0 — never driver-checked, or red (hash/rows/schema mismatch or error)
            at their most recent appearance: these need a row NOW;
-  tier 1 — everything else, stalest first (ascending round of last driver
-           row), registration order as the tie-break.
+  tier 1 — implementation or oracle changed since the previous rotation pass
+           (fingerprint = md5 of oracle SQL + Spark function source, stored
+           in rotation.json): a past green row no longer vouches for them;
+  tier 2 — stable green, stalest first (ascending round of last driver row),
+           registration order as the tie-break.
 
 The CORRECTNESS files themselves are the rotation cursor: queries checked in
 round N get stamped last=N and sink below the ones the window missed, so
 every query re-earns a driver row at least every other round with no extra
-state. Run once per round (after the driver drops the new CORRECTNESS file,
-i.e. at the next round's start) and commit the refreshed rotation.json.
+state. Run at round start (after the driver drops the new CORRECTNESS file)
+AND again after editing any query, then commit the refreshed rotation.json —
+the end-of-round pass is what routes just-edited queries into the window the
+driver is about to check.
 
 Usage: python tools/rotate_registry.py [--dry-run]
 """
@@ -36,27 +41,44 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "data_wrangle_openstreetmaps_data_1_spark", "plans", "rotation.json")
 
 
-def correctness_history() -> dict[str, tuple[int, bool]]:
-    """name -> (last round with a driver row, was that row green).
+def correctness_history() -> dict[str, tuple[int, bool, bool]]:
+    """name -> (last round with a driver row, was it green, was it rows-only).
 
-    A rows-only row (err == 'no_oracle') counts as green — it is the
-    strongest signal that query can ever get by design.
+    A rows-only row (err == 'no_oracle') counts as green — the strongest
+    signal a query WITHOUT an oracle can ever get — but the caller demotes it
+    to tier 0 if the query has since gained an oracle (its value check has
+    never actually run).
     """
-    hist: dict[str, tuple[int, bool]] = {}
+    hist: dict[str, tuple[int, bool, bool]] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         m = re.search(r"_r(\d+)\.json$", path)
         if not m:
             continue
         rnd = int(m.group(1))
         for name, cell in json.load(open(path)).items():
-            if cell.get("err") == "no_oracle":
+            rows_only = cell.get("err") == "no_oracle"
+            if rows_only:
                 green = cell.get("spark_rows") is not None
             else:
                 green = bool(
                     cell.get("rows_match") and cell.get("schema_match") and cell.get("hash_match")
                 ) and cell.get("err") is None
-            hist[name] = (rnd, green)
+            hist[name] = (rnd, green, rows_only)
     return hist
+
+
+def fingerprints(registry) -> dict[str, str]:
+    import hashlib
+    import inspect
+
+    fps = {}
+    for name, spec in registry.QUERIES.items():
+        try:
+            src = inspect.getsource(spec.spark)
+        except OSError:
+            src = ""
+        fps[name] = hashlib.md5(((spec.oracle or "") + src).encode()).hexdigest()
+    return fps
 
 
 def main() -> int:
@@ -65,11 +87,21 @@ def main() -> int:
     registry._load_all()
     names = list(registry.QUERIES)
     hist = correctness_history()
+    fps = fingerprints(registry)
+    prev_fps: dict[str, str] = {}
+    if os.path.exists(OUT):
+        prev_fps = json.load(open(OUT)).get("fingerprints", {})
 
     def key(item: tuple[int, str]) -> tuple:
         reg_pos, name = item
-        last, green = hist.get(name, (0, False))
-        tier = 0 if (name not in hist or not green) else 1
+        last, green, rows_only = hist.get(name, (0, False, False))
+        has_oracle = registry.QUERIES[name].oracle is not None
+        if name not in hist or not green or (rows_only and has_oracle):
+            tier = 0
+        elif prev_fps and prev_fps.get(name) != fps[name]:
+            tier = 1  # changed since last rotation pass: past green is stale
+        else:
+            tier = 2
         return (tier, last, reg_pos)
 
     ordered = [n for _, n in sorted(enumerate(names), key=key)]
@@ -79,12 +111,19 @@ def main() -> int:
             os.path.basename(p) for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
         ),
         "order": ordered,
+        "fingerprints": fps,
     }
     window = ordered[:50]
     stale = [n for n in ordered[50:]]
     print(f"{len(ordered)} queries; 50-window head: {window[:8]} ...")
     print(f"outside window ({len(stale)}): {stale}")
-    never_or_red = [n for n in names if n not in hist or not hist[n][1]]
+    never_or_red = [
+        n
+        for n in names
+        if n not in hist
+        or not hist[n][1]
+        or (hist[n][2] and registry.QUERIES[n].oracle is not None)
+    ]
     print(f"tier 0 (never-checked or red): {never_or_red}")
     missed = [n for n in never_or_red if n not in window]
     if missed:
