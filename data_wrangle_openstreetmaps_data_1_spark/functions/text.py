@@ -111,6 +111,29 @@ def quality_score(col: Column) -> Column:
     return score.cast("int")
 
 
+# PII patterns shared verbatim with the DuckDB oracle. Written without regex
+# brace quantifiers so the same literal embeds cleanly in generated SQL, and
+# using only syntax Java regex and RE2 interpret identically (\b is an ASCII
+# word boundary in both).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]+"
+PII_PHONE_RE = r"\b555-[0-9][0-9][0-9][0-9]\b"
+PII_IP_RE = r"\b[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+\b"
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact emails, 555-prefixed phone numbers, and dotted-quad IPs.
+
+    Order matters and is fixed (email -> phone -> ip): the replacement
+    tokens contain no digits, so later passes can't re-match earlier
+    redactions. DuckDB twin: nested ``regexp_replace(..., 'g')`` (DuckDB
+    replaces only the first match without the 'g' flag; Spark replaces all
+    by default).
+    """
+    out = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+    return F.regexp_replace(out, PII_IP_RE, "<IP>")
+
+
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of the sorted distinct token set — the
     classic "fingerprint method" for near-identical detection under token

@@ -52,3 +52,30 @@ def stratified_sample(
         df.withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= n_per_stratum)
     )
+
+
+def shuffle_order(df: DataFrame, key_col: str, n_shards: int, salt: str = "sh1") -> DataFrame:
+    """Deterministic global training shuffle WITHOUT a global sort: every row
+    gets a (shard, pos) address from its content hash — shard =
+    ``hash mod n_shards``, pos = hash-order rank within the shard.
+
+    Reading shards in any order and each shard by ``pos`` yields the same
+    permutation on every run, partitioning, and engine (the hash is the
+    portable md5 tier). The plan is one shuffle on the shard key plus a
+    per-shard sort — no total ordering is ever materialized, so it scales
+    linearly; a seeded ``orderBy(rand())`` would need a global range
+    exchange AND would not be rerun-stable.
+
+    Different salts give independent permutations (fresh data order per
+    epoch).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards={n_shards} must be >= 1")
+    h = portable_hash64(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt)))
+    w = Window.partitionBy("shard").orderBy(F.col("_h").asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_h", h)
+        .withColumn("shard", F.pmod(F.col("_h"), F.lit(n_shards)))
+        .withColumn("pos", F.row_number().over(w))
+        .drop("_h")
+    )

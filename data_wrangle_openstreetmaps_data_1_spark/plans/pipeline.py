@@ -29,7 +29,7 @@ from ..functions.text import (
 )
 from ..operators.components import dedup_groups
 from ..operators.packing import pack_concat_chunks
-from ..operators.sampling import hash_sample, stratified_sample
+from ..operators.sampling import hash_sample, shuffle_order, stratified_sample
 from ..operators.dedup import (
     exact_dedup,
     fingerprint_dedup,
@@ -853,3 +853,196 @@ def tx_pack_chunks(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", bpe_ish_token_count(F.col("text")).alias("n_tokens")
     )
     return pack_concat_chunks(d, "doc_id", "n_tokens", max_tokens=512, n_shards=8)
+
+
+# --------------------------------------------------------------------------
+# repetition / filtering / shuffle tier
+# --------------------------------------------------------------------------
+
+_BIGRAMS_SQL = (
+    "list_transform(range(1, greatest(len(toks) - 1, 0) + 1), "
+    "i -> array_to_string(toks[i:i+1], ' '))"
+)
+
+
+@register(
+    "tx_rep_signals",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tok AS (SELECT doc_id, len(toks) AS n_tokens, unnest(toks) AS tok FROM t),
+    tc AS (SELECT doc_id, n_tokens, tok, count(*) AS c FROM tok GROUP BY 1, 2, 3),
+    tstat AS (SELECT doc_id, n_tokens, count(*) AS n_types,
+                     max(c) AS top_token_count
+              FROM tc GROUP BY 1, 2),
+    bg AS (SELECT doc_id, unnest({_BIGRAMS_SQL}) AS bigram FROM t),
+    bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+    bstat AS (SELECT doc_id, max(c) AS top_bigram_count FROM bc GROUP BY 1)
+    SELECT doc_id, n_tokens, n_types, top_token_count,
+           coalesce(top_bigram_count, 0) AS top_bigram_count,
+           round(n_types / n_tokens, 6) AS ttr
+    FROM tstat LEFT JOIN bstat USING (doc_id)
+    """,
+    doc="Gopher-style repetition signals per doc: type-token ratio, modal "
+    "token frequency, modal bigram frequency. Per-doc modes via exploded "
+    "(doc, term) partial aggregation — the distributed shape (a long doc "
+    "never has to fit one row's expression eval); shuffles carry (id, term, "
+    "count) triples, not text",
+)
+def tx_rep_signals(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.text import tokens as _tokens
+    from ..functions.text import word_shingles
+
+    t = load_table(spark, sf, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    )
+    tok = t.select("doc_id", F.size("toks").alias("n_tokens"), F.explode("toks").alias("tok"))
+    tstat = (
+        tok.groupBy("doc_id", "n_tokens", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id", "n_tokens")
+        .agg(F.count("*").alias("n_types"), F.max("c").alias("top_token_count"))
+    )
+    bstat = (
+        t.select("doc_id", F.explode(word_shingles(F.col("toks"), 2)).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_count"))
+    )
+    return tstat.join(bstat, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        "top_token_count",
+        F.coalesce("top_bigram_count", F.lit(0)).alias("top_bigram_count"),
+        F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("ttr"),
+    )
+
+
+@register(
+    "tx_ngram_counts",
+    f"""
+    WITH t AS (SELECT {_TOKS_SQL} AS toks FROM documents),
+    bg AS (SELECT unnest({_BIGRAMS_SQL}) AS bigram FROM t)
+    SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram
+    ORDER BY cnt DESC, bigram ASC LIMIT 50
+    """,
+    doc="corpus bigram census, top 50 (tie-broken lexically): the n-gram "
+    "counting primitive behind contamination screens and LM eval overlap "
+    "checks; map-side partial agg does the heavy lifting, only (bigram, "
+    "count) pairs shuffle, top-k is TakeOrderedAndProject (no global sort)",
+)
+def tx_ngram_counts(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.text import tokens as _tokens
+    from ..functions.text import word_shingles
+
+    d = load_table(spark, sf, "documents")
+    return (
+        d.select(F.explode(word_shingles(_tokens(F.col("text")), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(50)
+    )
+
+
+def _pii_oracle() -> str:
+    from ..functions.text import PII_EMAIL_RE, PII_IP_RE, PII_PHONE_RE
+
+    aug = (
+        "text || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id "
+        "|| '@example.com' ELSE '' END "
+        "|| CASE WHEN doc_id % 5 = 0 THEN ' call 555-0142 now' ELSE '' END "
+        "|| CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || doc_id % 256 "
+        "|| '.77' ELSE '' END"
+    )
+    return f"""
+    WITH aug AS (SELECT doc_id, {aug} AS text FROM documents),
+    scrub AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS n_emails,
+             len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS n_phones,
+             len(regexp_extract_all(text, '{PII_IP_RE}')) AS n_ips,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{PII_PHONE_RE}', '<PHONE>', 'g'),
+               '{PII_IP_RE}', '<IP>', 'g') AS clean
+      FROM aug)
+    SELECT doc_id, n_emails, n_phones, n_ips, md5(clean) AS clean_hash
+    FROM scrub
+    """
+
+
+@register(
+    "tx_pii_scrub",
+    _pii_oracle(),
+    doc="PII redaction (emails / 555-phones / dotted-quad IPs) with per-type "
+    "counts. The synthetic corpus carries no PII, so the query first plants "
+    "it deterministically (doc_id-derived emails/phones/IPs on residue "
+    "classes) on BOTH engines, then scrubs — the oracle value-checks the "
+    "scrubbed text via md5. Pure regexp built-ins, no UDF; identical "
+    "Java-regex/RE2 syntax subset (functions/text.py PII_*_RE)",
+)
+def tx_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.text import (
+        PII_EMAIL_RE,
+        PII_IP_RE,
+        PII_PHONE_RE,
+        char_count,
+        scrub_pii,
+    )
+
+    d = load_table(spark, sf, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" call 555-0142 now")).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".77"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return aug.select(
+        "doc_id",
+        char_count(F.col("text"), PII_EMAIL_RE).alias("n_emails"),
+        char_count(F.col("text"), PII_PHONE_RE).alias("n_phones"),
+        char_count(F.col("text"), PII_IP_RE).alias("n_ips"),
+        F.md5(scrub_pii(F.col("text"))).alias("clean_hash"),
+    )
+
+
+@register(
+    "tx_shuffle_order",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':sh1'), 1, 15))::BIGINT AS hv
+      FROM documents)
+    SELECT doc_id, hv % 16 AS shard,
+           row_number() OVER (PARTITION BY hv % 16
+                              ORDER BY hv ASC, doc_id ASC) AS pos
+    FROM h
+    """,
+    doc="deterministic training-shuffle addressing: every doc gets a "
+    "(shard, pos) from its content hash — a rerun/partitioning/engine-"
+    "stable global permutation with NO global sort (one shuffle on the "
+    "shard key + per-shard rank); a seeded orderBy(rand()) would need a "
+    "range exchange and is not rerun-stable",
+)
+def tx_shuffle_order(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return shuffle_order(d, "doc_id", n_shards=16).select("doc_id", "shard", "pos")

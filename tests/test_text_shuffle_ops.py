@@ -1,0 +1,76 @@
+"""Unit tests for the repetition/PII/shuffle tier (round-3 additions):
+properties the SQL oracle can't easily express — permutation validity,
+partitioning stability, redaction semantics on crafted strings.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_wrangle_openstreetmaps_data_1_spark.functions.text import scrub_pii, word_shingles, tokens
+from data_wrangle_openstreetmaps_data_1_spark.operators.sampling import shuffle_order
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.range(0, 300).select(F.col("id").alias("doc_id"))
+
+
+def test_shuffle_order_is_a_permutation(spark, docs):
+    out = shuffle_order(docs, "doc_id", n_shards=8).toPandas()
+    assert len(out) == 300
+    assert out["doc_id"].nunique() == 300
+    # within every shard, pos is exactly 1..|shard| (dense rank, no gaps)
+    for _, g in out.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(1, len(g) + 1))
+
+
+def test_shuffle_order_stable_across_partitionings(spark, docs):
+    a = shuffle_order(docs, "doc_id", n_shards=8).toPandas()
+    b = shuffle_order(docs.repartition(13), "doc_id", n_shards=8).toPandas()
+    key = lambda df: df.sort_values("doc_id", ignore_index=True)[["doc_id", "shard", "pos"]]
+    pd.testing.assert_frame_equal(key(a), key(b))
+
+
+def test_shuffle_order_salt_changes_permutation(spark, docs):
+    a = shuffle_order(docs, "doc_id", n_shards=8, salt="sh1").toPandas()
+    b = shuffle_order(docs, "doc_id", n_shards=8, salt="sh2").toPandas()
+    merged = a.merge(b, on="doc_id", suffixes=("_a", "_b"))
+    # independent permutations: not every doc keeps its (shard, pos) address
+    assert ((merged["shard_a"] != merged["shard_b"]) | (merged["pos_a"] != merged["pos_b"])).any()
+
+
+def test_scrub_pii_redacts_all_types(spark):
+    raw = (
+        "write to alice.smith+x@mail.example.org or call 555-0199, "
+        "backup host 10.20.30.40 and bob@corp.io again 555-0101"
+    )
+    df = spark.createDataFrame([(raw,)], ["text"]).select(scrub_pii(F.col("text")).alias("clean"))
+    clean = df.first()["clean"]
+    assert "<EMAIL>" in clean and "<PHONE>" in clean and "<IP>" in clean
+    assert "@" not in clean and "555-0" not in clean and "10.20.30.40" not in clean
+    # both emails and both phones hit, replacement text preserved elsewhere
+    assert clean.count("<EMAIL>") == 2 and clean.count("<PHONE>") == 2
+    assert clean.startswith("write to <EMAIL> or call <PHONE>,")
+
+
+def test_scrub_pii_leaves_clean_text_alone(spark):
+    raw = "no pii here just words and а-я unicode"
+    clean = (
+        spark.createDataFrame([(raw,)], ["text"])
+        .select(scrub_pii(F.col("text")).alias("c"))
+        .first()["c"]
+    )
+    assert clean == raw
+
+
+def test_bigram_shingles_edges(spark):
+    df = spark.createDataFrame([("a b c",), ("solo",)], ["text"]).select(
+        word_shingles(tokens(F.col("text")), 2).alias("bg")
+    )
+    rows = [r["bg"] for r in df.collect()]
+    assert rows[0] == ["a b", "b c"]
+    assert rows[1] == []  # 1 token -> no bigrams, not a descending-sequence blowup
