@@ -54,6 +54,21 @@ def stratified_sample(
     )
 
 
+def mixture_sample(df: DataFrame, key_col: str, rate_bp_col, salt: str = "mx1") -> DataFrame:
+    """Per-row sampling rate (basis points, may differ per source/stratum):
+    the mixture-weighting step of a training-data recipe ("keep 10% of
+    crawl, 50% of books, 100% of reference"). ``rate_bp_col`` is a Column
+    evaluated per row; the keep decision is the same content-hash rule as
+    ``hash_sample``, so mixes are rerun/partitioning/engine stable, and the
+    same salt nests mixes across recipe revisions (raising a source's rate
+    strictly extends its kept set).
+
+    A stateless filter — pushes through scans, no shuffle.
+    """
+    h = portable_hash64(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt)))
+    return df.where(F.pmod(h, F.lit(10_000)) < rate_bp_col)
+
+
 def shuffle_order(df: DataFrame, key_col: str, n_shards: int, salt: str = "sh1") -> DataFrame:
     """Deterministic global training shuffle WITHOUT a global sort: every row
     gets a (shard, pos) address from its content hash — shard =

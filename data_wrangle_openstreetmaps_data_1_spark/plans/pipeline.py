@@ -1046,3 +1046,77 @@ def tx_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
 def tx_shuffle_order(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     return shuffle_order(d, "doc_id", n_shards=16).select("doc_id", "shard", "pos")
+
+
+_NGRAMS8_SQL = (
+    f"list_distinct(list_transform(range(1, greatest(len({_TOKS_SQL}) - 7, 0) + 1), "
+    f"i -> array_to_string(({_TOKS_SQL})[i:i+7], ' ')))"
+)
+
+
+@register(
+    "dd_ngram_contamination",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    g AS (SELECT doc_id, unnest({_NGRAMS8_SQL}) AS gram FROM corpus),
+    h AS (SELECT doc_id, md5(gram) AS gh FROM g),
+    train AS (SELECT doc_id, gh FROM h WHERE doc_id % 7 <> 0),
+    heldout AS (SELECT doc_id, gh FROM h WHERE doc_id % 7 = 0)
+    SELECT t.doc_id AS train_id, e.doc_id AS heldout_id, count(*) AS n_shared
+    FROM train t JOIN heldout e USING (gh)
+    GROUP BY 1, 2
+    """,
+    doc="n-gram-overlap decontamination (the GPT-3-style screen, 8-gram "
+    "here for the short synthetic docs): distinct 8-grams per doc, "
+    "train x heldout equi-join on the gram's md5 so the shuffle carries "
+    "16-byte keys, shared-gram count per crossing pair. Catches partial "
+    "leakage that dd_contamination's exact-text join cannot",
+)
+def dd_ngram_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.text import tokens as _tokens
+    from ..functions.text import word_shingles
+
+    corpus = _corpus(spark, sf)
+    h = corpus.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(_tokens(F.col("text")), 8))).alias("gram"),
+    ).select("doc_id", F.md5("gram").alias("gh"))
+    train = h.where(F.col("doc_id") % 7 != 0).select(F.col("doc_id").alias("train_id"), "gh")
+    heldout = h.where(F.col("doc_id") % 7 == 0).select(F.col("doc_id").alias("heldout_id"), "gh")
+    return (
+        train.join(heldout, "gh")
+        .groupBy("train_id", "heldout_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+@register(
+    "tx_mixture_sample",
+    f"""
+    WITH rated AS (
+      SELECT doc_id, source,
+             CASE regexp_extract(source, 'src([0-9]+)', 1)::INT % 3
+                  WHEN 0 THEN 1000 WHEN 1 THEN 2500 ELSE 5000 END AS rate_bp
+      FROM documents)
+    SELECT source, rate_bp, count(*) AS n_kept
+    FROM rated
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':mx1'), 1, 15))::BIGINT % 10000 < rate_bp
+    GROUP BY 1, 2
+    """,
+    doc="mixture weighting: per-source sampling rates (10% / 25% / 50% by "
+    "source class) applied through the content-hash keep rule — the "
+    "training-mix recipe step; rerun/partitioning/engine stable, nested "
+    "across recipe revisions (raising a rate strictly extends the kept "
+    "set), and a stateless filter that pushes through the scan",
+)
+def tx_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.sampling import mixture_sample
+
+    d = load_table(spark, sf, "documents")
+    rate = (
+        F.when(F.regexp_extract("source", r"src([0-9]+)", 1).cast("int") % 3 == 0, F.lit(1000))
+        .when(F.regexp_extract("source", r"src([0-9]+)", 1).cast("int") % 3 == 1, F.lit(2500))
+        .otherwise(F.lit(5000))
+    )
+    kept = mixture_sample(d.withColumn("rate_bp", rate), "doc_id", F.col("rate_bp"))
+    return kept.groupBy("source", "rate_bp").agg(F.count("*").alias("n_kept"))

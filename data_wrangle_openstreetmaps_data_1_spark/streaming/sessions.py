@@ -155,7 +155,24 @@ def _sessionize_group(
 
 
 def sessionize_stream(events: DataFrame, gap_minutes: float = 30.0) -> DataFrame:
-    """Streaming gap-sessionization: emits each session once, when closed."""
+    """Streaming gap-sessionization: emits each session once, when closed.
+
+    Late-data contract (the no-watermark approximation): cross-batch
+    out-of-order events older than the OPEN session's start are handled
+    exactly — they run through the same gap walk as a pre-session chain and
+    either splice into the open session or close on their own (gap_walk
+    above). What cannot be handled is an event belonging to a session that
+    was already emitted: emitted rows are final (append mode), so such an
+    event starts a fresh session instead of retracting the old one. The
+    standard alternative is to bound lateness explicitly —
+    ``events.withWatermark("ts", "<delay>")`` ahead of the groupBy, which
+    DROPS events older than the watermark and makes the approximation a
+    stated guarantee instead of a silent one; we keep the unbounded form
+    here because the harness replays finite in-order files where the case
+    cannot arise (tests/test_streaming.py pins the multi-batch late-chain
+    behavior), and the TWS variant (sessions_tws.py) closes idle sessions
+    with event-time timers, which is the watermark-native design.
+    """
     gap_us = int(gap_minutes * 60 * 1_000_000)
     prepared = events.select(
         "user_id", (F.unix_micros(F.col("ts"))).alias("ts_us")

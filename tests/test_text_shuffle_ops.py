@@ -74,3 +74,20 @@ def test_bigram_shingles_edges(spark):
     rows = [r["bg"] for r in df.collect()]
     assert rows[0] == ["a b", "b c"]
     assert rows[1] == []  # 1 token -> no bigrams, not a descending-sequence blowup
+
+
+def test_mixture_sample_rates_and_nesting(spark, docs):
+    from data_wrangle_openstreetmaps_data_1_spark.operators.sampling import mixture_sample
+
+    d = docs.withColumn("rate_bp", (F.col("doc_id") % 2 * 4000 + 1000).cast("int"))
+    kept = mixture_sample(d, "doc_id", F.col("rate_bp")).toPandas()
+    # ~10% of the 1000bp class and ~50% of the 5000bp class survive
+    lo = kept[kept.rate_bp == 1000]
+    hi = kept[kept.rate_bp == 5000]
+    assert len(lo) < len(hi)
+    # nesting: raising every rate strictly extends the kept set
+    wider = mixture_sample(d, "doc_id", F.col("rate_bp") + 2000).toPandas()
+    assert set(kept["doc_id"]) <= set(wider["doc_id"])
+    # determinism across partitionings
+    again = mixture_sample(d.repartition(7), "doc_id", F.col("rate_bp")).toPandas()
+    assert set(kept["doc_id"]) == set(again["doc_id"])
