@@ -79,3 +79,39 @@ def test_range_join_is_equi_not_nested_loop(spark):
     # the bucketized rewrite must join on the bucket key, not theta-scan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_shuffle_order_has_no_global_sort(spark):
+    # the whole point vs orderBy(rand()): hash-partition by shard + local
+    # sort inside the window — a rangepartitioning exchange would be the
+    # global total-order the operator exists to avoid
+    plan = plan_of(spark, "tx_shuffle_order")
+    assert "rangepartitioning" not in plan.lower()
+    assert "Window" in plan
+
+
+def test_ngram_counts_topk_and_partial_agg(spark):
+    plan = plan_of(spark, "tx_ngram_counts")
+    assert "TakeOrderedAndProject(limit=50" in plan
+    assert "partial_count" in plan  # map-side combine before the bigram shuffle
+
+
+def test_pii_scrub_is_one_codegen_pass(spark):
+    # pure per-row expressions: no exchange, no UDF eval node
+    plan = plan_of(spark, "tx_pii_scrub")
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "InPandas" not in plan
+
+
+def test_mixture_sample_filter_precedes_shuffle(spark):
+    # the content-hash keep rule is a stateless filter; only the final
+    # per-source rollup may shuffle
+    plan = plan_of(spark, "tx_mixture_sample")
+    assert plan.count("Exchange") <= 2  # agg exchange (+AQE wrapper at most)
+    assert "partial_count" in plan
+
+
+def test_ngram_contamination_no_cartesian(spark):
+    plan = plan_of(spark, "dd_ngram_contamination")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
