@@ -81,6 +81,36 @@ def fingerprints(registry) -> dict[str, str]:
     return fps
 
 
+def compute_order(
+    names: list[str],
+    hist: dict[str, tuple[int, bool, bool]],
+    has_oracle: dict[str, bool],
+    fps: dict[str, str],
+    prev_fps: dict[str, str],
+) -> list[str]:
+    """Pure ordering core (unit-tested in tests/test_rotation_tool.py).
+
+    tier 0: never driver-checked, red at last check, or last check was
+            rows-only but the query has since gained an oracle;
+    tier 1: fingerprint changed since the previous rotation pass;
+    tier 2: stable green — stalest (lowest last-checked round) first.
+    Registration order breaks every tie.
+    """
+
+    def key(item: tuple[int, str]) -> tuple:
+        reg_pos, name = item
+        last, green, rows_only = hist.get(name, (0, False, False))
+        if name not in hist or not green or (rows_only and has_oracle.get(name, False)):
+            tier = 0
+        elif prev_fps and prev_fps.get(name) != fps.get(name):
+            tier = 1  # changed since last rotation pass: past green is stale
+        else:
+            tier = 2
+        return (tier, last, reg_pos)
+
+    return [n for _, n in sorted(enumerate(names), key=key)]
+
+
 def main() -> int:
     from data_wrangle_openstreetmaps_data_1_spark.plans import registry
 
@@ -88,23 +118,12 @@ def main() -> int:
     names = list(registry.QUERIES)
     hist = correctness_history()
     fps = fingerprints(registry)
+    has_oracle = {n: s.oracle is not None for n, s in registry.QUERIES.items()}
     prev_fps: dict[str, str] = {}
     if os.path.exists(OUT):
         prev_fps = json.load(open(OUT)).get("fingerprints", {})
 
-    def key(item: tuple[int, str]) -> tuple:
-        reg_pos, name = item
-        last, green, rows_only = hist.get(name, (0, False, False))
-        has_oracle = registry.QUERIES[name].oracle is not None
-        if name not in hist or not green or (rows_only and has_oracle):
-            tier = 0
-        elif prev_fps and prev_fps.get(name) != fps[name]:
-            tier = 1  # changed since last rotation pass: past green is stale
-        else:
-            tier = 2
-        return (tier, last, reg_pos)
-
-    ordered = [n for _, n in sorted(enumerate(names), key=key)]
+    ordered = compute_order(names, hist, has_oracle, fps, prev_fps)
     payload = {
         "comment": "driver checks the first 50 queries() entries; see tools/rotate_registry.py",
         "generated_from": sorted(
