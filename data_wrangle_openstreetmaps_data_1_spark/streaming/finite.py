@@ -1,9 +1,16 @@
-"""Finite-input streaming execution helper.
+"""Finite-input streaming execution helpers.
 
 ``run_available_now`` drives a streaming DataFrame to completion with
 ``Trigger.AvailableNow`` into a memory sink, snapshots the result, and
 DROPS the sink view — a plain memory sink would otherwise pin a full copy
 of the result on the driver for the session lifetime, one per invocation.
+
+``run_available_now_to_parquet`` is the durable twin: a ``foreachBatch``
+parquet sink, which is how a real deployment lands streaming output in the
+lake (executor-side writes, nothing collected on the driver; the
+checkpoint gives exactly-once per restarted query). The memory-sink runner
+stays the harness default because the oracle comparison needs a driver
+snapshot anyway.
 """
 
 from __future__ import annotations
@@ -11,6 +18,7 @@ from __future__ import annotations
 import uuid
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def run_available_now(stream_df: DataFrame, output_mode: str) -> DataFrame:
@@ -28,3 +36,29 @@ def run_available_now(stream_df: DataFrame, output_mode: str) -> DataFrame:
     snapshot = spark.createDataFrame(out.collect(), out.schema)
     spark.catalog.dropTempView(sink)
     return snapshot
+
+
+def run_available_now_to_parquet(
+    stream_df: DataFrame, path: str, checkpoint: str, output_mode: str = "append"
+) -> None:
+    """Drain a finite stream into a parquet directory via ``foreachBatch``.
+
+    Batches write with executor-side parallelism (mode=append per batch);
+    rows never pass through the driver. ``update``/``complete`` streams
+    (e.g. a windowed aggregation before its watermark closes) are handled
+    by the same writer because each micro-batch frame is just overwritten
+    state — consumers of those modes should read the LAST batch only, which
+    the ``batch_id`` partition column preserves.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
