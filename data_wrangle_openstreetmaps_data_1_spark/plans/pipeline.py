@@ -1120,3 +1120,53 @@ def tx_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
     kept = mixture_sample(d.withColumn("rate_bp", rate), "doc_id", F.col("rate_bp"))
     return kept.groupBy("source", "rate_bp").agg(F.count("*").alias("n_kept"))
+
+
+_CM_BUCKET_SQL = "('0x' || substr(md5(tok || ':cm' || i), 1, 15))::BIGINT % 64"
+
+
+@register(
+    "sk_countmin",
+    f"""
+    WITH tok AS (SELECT unnest({_TOKS_SQL}) AS tok FROM documents),
+    cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+    rows_ AS (SELECT unnest([0, 1, 2, 3]) AS i),
+    buckets AS (
+      SELECT i, {_CM_BUCKET_SQL} AS bucket, CAST(sum(c) AS BIGINT) AS bc
+      FROM cnt CROSS JOIN rows_ GROUP BY 1, 2),
+    probes AS (SELECT tok, c AS true_cnt FROM cnt
+               ORDER BY c DESC, tok ASC LIMIT 10),
+    est AS (
+      SELECT p.tok, p.true_cnt, min(b.bc) AS est_cnt
+      FROM probes p CROSS JOIN rows_
+      JOIN buckets b ON b.i = rows_.i AND b.bucket =
+        ('0x' || substr(md5(p.tok || ':cm' || rows_.i), 1, 15))::BIGINT % 64
+      GROUP BY 1, 2)
+    SELECT tok, true_cnt, est_cnt FROM est
+    """,
+    doc="count-min sketch (4 x 64, portable md5 hash family — bit-identical "
+    "across engines, unlike approx_* sketches): the mergeable frequency "
+    "summary for heavy-hitter tracking when the exact term table is too "
+    "big. Sketch is O(d*w) rows regardless of corpus size; merging "
+    "partition/day sketches is the same groupBy-sum (associative monoid); "
+    "point queries broadcast-join the tiny sketch. Oracle checks the "
+    "overcount-only estimates for the top-10 true heavy hitters",
+)
+def sk_countmin(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.text import tokens as _tokens
+    from ..operators.sketches import countmin_build, countmin_estimate
+
+    d = load_table(spark, sf, "documents")
+    cnt = (
+        d.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .persist()  # feeds both the sketch build and the probe top-k
+    )
+    sketch = countmin_build(cnt, "tok", "c", d=4, w=64, salt="cm")
+    probes = (
+        cnt.orderBy(F.desc("c"), F.asc("tok"))
+        .limit(10)
+        .select("tok", F.col("c").alias("true_cnt"))
+    )
+    return countmin_estimate(sketch, probes, "tok", d=4, w=64, salt="cm")

@@ -1,0 +1,46 @@
+"""Count-min sketch invariants that the top-10 oracle can't pin: the
+overcount-only guarantee holds for EVERY item, and sketches merge as an
+associative monoid (partition-wise build + sum == whole-corpus build),
+which is what makes incremental/day-partitioned maintenance correct."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_wrangle_openstreetmaps_data_1_spark.operators.sketches import (
+    countmin_build,
+    countmin_estimate,
+)
+
+
+def _counts(spark):
+    # zipf-ish synthetic counts with adversarial collisions forced by w=16
+    items = [(f"tok{i}", (200 // (i + 1)) + 1) for i in range(120)]
+    return spark.createDataFrame(items, ["tok", "c"])
+
+
+def test_estimate_never_undercounts_any_item(spark):
+    cnt = _counts(spark)
+    sketch = countmin_build(cnt, "tok", "c", d=3, w=16)
+    est = countmin_estimate(
+        sketch, cnt.select("tok", F.col("c").alias("true_cnt")), "tok", d=3, w=16
+    ).toPandas()
+    assert len(est) == 120
+    assert (est["est_cnt"] >= est["true_cnt"]).all()
+    # and with w=16 over 120 items, collisions exist: some estimate overcounts
+    assert (est["est_cnt"] > est["true_cnt"]).any()
+
+
+def test_sketch_merge_is_groupby_sum(spark):
+    cnt = _counts(spark)
+    whole = countmin_build(cnt, "tok", "c", d=3, w=16)
+    half_a = countmin_build(cnt.where(F.col("c") % 2 == 0), "tok", "c", d=3, w=16)
+    half_b = countmin_build(cnt.where(F.col("c") % 2 != 0), "tok", "c", d=3, w=16)
+    merged = (
+        half_a.unionByName(half_b).groupBy("i", "bucket").agg(F.sum("bc").alias("bc"))
+    )
+    a = whole.toPandas().sort_values(["i", "bucket"], ignore_index=True)
+    b = merged.toPandas().sort_values(["i", "bucket"], ignore_index=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
