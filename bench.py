@@ -58,6 +58,15 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # "core11" = the headline set as benched in rounds 1-2, BEFORE
+    # dd_groups_cc/tx_pack_chunks joined in round 3 — kept as a stable
+    # subtotal so round-over-round totals stay comparable as the headline
+    # set grows (a bigger total from MORE queries is not a regression).
+    core11 = [
+        "a2_top_users", "j2_join3_chain", "j1_broadcast_join", "tpch_q1_pricing",
+        "tpch_q3_revenue", "tpch_q5_regional", "t_hourly_rollup", "g3_near_radius",
+        "dd_exact", "dd_minhash_lsh", "sim_knn_brute",
+    ]
     print(
         json.dumps(
             {
@@ -65,6 +74,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "core11_value": round(sum(timings[q] for q in core11 if q in timings), 3),
                 "sf": sf_val,
             }
         )

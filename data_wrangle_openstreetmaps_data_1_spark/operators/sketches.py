@@ -74,3 +74,56 @@ def countmin_estimate(
     joined = expanded.join(F.broadcast(sketch), ["i", "bucket"])
     group_cols = [c for c in probes.columns]
     return joined.groupBy(*group_cols).agg(F.min("bc").alias("est_cnt"))
+
+
+def bloom_build(items: DataFrame, item_col: str, k: int = 3, m: int = 1024, salt: str = "bl") -> DataFrame:
+    """Bloom filter as a relation of set bit positions (<= m rows after
+    distinct): the "seen before" membership summary behind incremental
+    dedup and contamination screens.
+
+    Portable-hash bits make the filter bit-identical across engines, so a
+    query over it is value-checkable (engine-private bloom builders are
+    not). Like the count-min table, merging two filters is trivial
+    relational algebra — UNION DISTINCT of bit sets. At production scale
+    (m in the billions) the same positions would aggregate into packed
+    bitmap chunks (bucket = bit div 64, word = bit_or of 1 << (bit % 64));
+    the unpacked relation keeps the oracle twin exact here.
+    """
+    rows = items.select(
+        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("i"),
+        F.col(item_col).alias("item"),
+    )
+    return rows.select(
+        F.pmod(
+            portable_hash64(F.concat(F.col("item"), F.lit(f":{salt}"), F.col("i").cast("string"))),
+            F.lit(m),
+        ).alias("bit")
+    ).distinct()
+
+
+def bloom_member(
+    bloom: DataFrame, probes: DataFrame, item_col: str, k: int = 3, m: int = 1024, salt: str = "bl"
+) -> DataFrame:
+    """Rows of ``probes`` whose item has ALL k bits set (definite-or-false-
+    positive membership; definite negatives are filtered out — the bloom
+    guarantee). The filter is broadcast; probes never shuffle for the
+    membership test itself."""
+    expanded = probes.select(
+        "*", F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("i")
+    ).withColumn(
+        "bit",
+        F.pmod(
+            portable_hash64(
+                F.concat(F.col(item_col), F.lit(f":{salt}"), F.col("i").cast("string"))
+            ),
+            F.lit(m),
+        ),
+    )
+    joined = expanded.join(F.broadcast(bloom), "bit")
+    group_cols = list(probes.columns)
+    return (
+        joined.groupBy(*group_cols)
+        .agg(F.count("*").alias("_bits_present"))
+        .where(F.col("_bits_present") == k)
+        .drop("_bits_present")
+    )

@@ -1170,3 +1170,61 @@ def sk_countmin(spark: SparkSession, sf: str) -> DataFrame:
         .select("tok", F.col("c").alias("true_cnt"))
     )
     return countmin_estimate(sketch, probes, "tok", d=4, w=64, salt="cm")
+
+
+@register(
+    "sk_bloom_contamination",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    g AS (SELECT doc_id, unnest({_NGRAMS8_SQL}) AS gram FROM corpus),
+    ks AS (SELECT unnest([0, 1, 2]) AS i),
+    train_bits AS (
+      SELECT DISTINCT
+        ('0x' || substr(md5(gram || ':bl' || i), 1, 15))::BIGINT % 1024 AS bit
+      FROM g CROSS JOIN ks WHERE doc_id % 7 <> 0),
+    ho AS (SELECT doc_id, gram FROM g WHERE doc_id % 7 = 0),
+    probe AS (
+      SELECT ho.doc_id, ho.gram, count(*) AS bits_present
+      FROM ho CROSS JOIN ks
+      JOIN train_bits tb
+        ON tb.bit = ('0x' || substr(md5(ho.gram || ':bl' || ks.i), 1, 15))::BIGINT % 1024
+      GROUP BY 1, 2),
+    hits AS (SELECT doc_id, count(*) AS n_hits FROM probe
+             WHERE bits_present = 3 GROUP BY 1),
+    totals AS (SELECT doc_id, count(*) AS n_grams FROM ho GROUP BY doc_id)
+    SELECT t.doc_id AS heldout_id, t.n_grams, coalesce(h.n_hits, 0) AS n_hits
+    FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """,
+    doc="bloom-filter contamination screen: train-side 8-grams populate a "
+    "k=3/m=1024 bloom (portable-hash bits — value-checkable, unlike "
+    "engine-private blooms), heldout grams probe it. Per heldout doc: gram "
+    "count + grams-in-bloom count (includes deterministic false positives "
+    "— the bloom guarantee is no false NEGATIVES, so n_hits bounds true "
+    "overlap from above). The filter is one broadcast relation; a real "
+    "deployment packs the same bits into bitmap words and keeps the "
+    "incremental union-merge property",
+)
+def sk_bloom_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.text import tokens as _tokens
+    from ..functions.text import word_shingles
+    from ..operators.sketches import bloom_build, bloom_member
+
+    corpus = _corpus(spark, sf)
+    g = corpus.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(_tokens(F.col("text")), 8))).alias("gram"),
+    )
+    train_g = g.where(F.col("doc_id") % 7 != 0)
+    ho = g.where(F.col("doc_id") % 7 == 0).persist()  # probed twice (totals + hits)
+    bloom = bloom_build(train_g, "gram", k=3, m=1024, salt="bl")
+    hits = (
+        bloom_member(bloom, ho, "gram", k=3, m=1024, salt="bl")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    totals = ho.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    return totals.join(hits, "doc_id", "left").select(
+        F.col("doc_id").alias("heldout_id"),
+        "n_grams",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+    )

@@ -44,3 +44,35 @@ def test_sketch_merge_is_groupby_sum(spark):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_bloom_no_false_negatives_and_some_rejections(spark):
+    from data_wrangle_openstreetmaps_data_1_spark.operators.sketches import (
+        bloom_build,
+        bloom_member,
+    )
+
+    members = spark.createDataFrame([(f"in{i}",) for i in range(80)], ["item"])
+    others = spark.createDataFrame([(f"out{i}",) for i in range(80)], ["item"])
+    bloom = bloom_build(members, "item", k=3, m=512)
+    # bloom guarantee: every true member passes
+    back = bloom_member(bloom, members, "item", k=3, m=512).toPandas()
+    assert len(back) == 80
+    # and the filter genuinely rejects (false-positive rate < 100%)
+    fp = bloom_member(bloom, others, "item", k=3, m=512).toPandas()
+    assert len(fp) < 80
+    # schema passthrough: probe columns survive, no helper columns leak
+    assert list(back.columns) == ["item"]
+
+
+def test_bloom_merge_is_union_distinct(spark):
+    from data_wrangle_openstreetmaps_data_1_spark.operators.sketches import bloom_build
+
+    items = spark.createDataFrame([(f"t{i}",) for i in range(60)], ["item"])
+    whole = bloom_build(items, "item", k=3, m=256)
+    merged = (
+        bloom_build(items.limit(30), "item", k=3, m=256)
+        .unionByName(bloom_build(items.subtract(items.limit(30)), "item", k=3, m=256))
+        .distinct()
+    )
+    assert sorted(r.bit for r in whole.collect()) == sorted(r.bit for r in merged.collect())
