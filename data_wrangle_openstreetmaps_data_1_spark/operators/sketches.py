@@ -101,6 +101,63 @@ def bloom_build(items: DataFrame, item_col: str, k: int = 3, m: int = 1024, salt
     ).distinct()
 
 
+# HyperLogLog: m = 2^HLL_P buckets; rho drawn from HLL_RHO_BITS hash bits.
+HLL_P = 8
+HLL_M = 1 << HLL_P
+HLL_RHO_BITS = 44
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)  # standard bias constant, m >= 128
+
+
+def hll_build(items: DataFrame, item_col: str, salt: str = "hll") -> DataFrame:
+    """HyperLogLog sketch as a relation of (bucket, rho) — at most m=256
+    rows regardless of corpus size.
+
+    Built on the portable md5 hash family so the sketch is bit-identical
+    across engines (``approx_count_distinct``'s HLL++ sketch is
+    engine-private and unverifiable). The geometric statistic is
+    trailing-zeros+1 of the 44 hash bits above the bucket index — same
+    distribution as the classic leading-zeros rank, but computable with
+    pure integer ops both engines share: ``length(bin(rem & -rem))``
+    isolates the lowest set bit and reads its position off the binary
+    string, no float log anywhere.
+
+    Merging sketches (per-partition, per-day, cross-corpus) is the same
+    groupBy-max — HLL is a max-monoid, which is the whole point at 100 TB:
+    one tiny mergeable summary instead of a global distinct shuffle.
+    """
+    h = portable_hash64(F.concat(F.col(item_col), F.lit(f":{salt}")))
+    mask = (1 << HLL_RHO_BITS) - 1
+    b = items.select(
+        F.pmod(h, F.lit(HLL_M)).alias("bucket"),
+        F.shiftright(h, HLL_P).bitwiseAND(F.lit(mask)).alias("rem"),
+    )
+    rho = F.when(F.col("rem") == 0, F.lit(HLL_RHO_BITS + 1)).otherwise(
+        F.length(F.bin(F.col("rem").bitwiseAND(-F.col("rem"))))
+    )
+    return b.select("bucket", rho.alias("rho")).groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(sketch: DataFrame) -> DataFrame:
+    """One-row (est_distinct, nonempty_buckets) from an ``hll_build`` sketch.
+
+    Raw HLL estimator alpha*m^2 / sum(2^-rho), no small-range correction —
+    the linear-counting branch needs ``ln``, whose last-ulp behavior is not
+    guaranteed identical across engines, while this form is: every 2^-rho
+    term is an exact dyadic (span < 53 bits, so the double sum is exact and
+    order-independent), and the final multiply/divide is a single IEEE
+    operation on both sides. Estimate floors to BIGINT.
+    """
+    s = sketch.agg(
+        F.count("*").alias("nb"),
+        F.sum(F.expr("cast(1 as double) / shiftleft(cast(1 as bigint), rho)")).alias("s_ne"),
+    )
+    est = F.floor(
+        F.lit(HLL_ALPHA * HLL_M * HLL_M)
+        / ((F.lit(HLL_M) - F.col("nb")).cast("double") + F.col("s_ne"))
+    ).cast("long")
+    return s.select(est.alias("est_distinct"), F.col("nb").alias("nonempty_buckets"))
+
+
 def bloom_member(
     bloom: DataFrame, probes: DataFrame, item_col: str, k: int = 3, m: int = 1024, salt: str = "bl"
 ) -> DataFrame:

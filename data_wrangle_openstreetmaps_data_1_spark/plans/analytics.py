@@ -230,6 +230,39 @@ def a_cube_matrix(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "a_pivot_wide",
+    """
+    SELECT o_orderpriority AS priority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
+           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS total_f,
+           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS total_o,
+           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 2) AS total_p
+    FROM orders GROUP BY 1
+    """,
+    doc="pivot (long->wide reshape): order counts and revenue per priority x "
+    "status, statuses as columns. Spark's pivot() with an EXPLICIT value "
+    "list — the implicit form runs a blocking distinct scan first and "
+    "hard-caps at spark.sql.pivotMaxValues; with pinned values it is one "
+    "partial-agg shuffle, same cost as the plain groupBy. Oracle is the "
+    "equivalent conditional aggregation",
+)
+def a_pivot_wide(spark: SparkSession, sf: str) -> DataFrame:
+    wide = (
+        load_table(spark, sf, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+    return wide.select(
+        "priority",
+        *[F.coalesce(f"{s}_cnt", F.lit(0)).alias(f"n_{s.lower()}") for s in ("F", "O", "P")],
+        *[F.col(f"{s}_total").alias(f"total_{s.lower()}") for s in ("F", "O", "P")],
+    )
+
+
+@register(
     "w_lead_lag_delta",
     """
     SELECT event_id, user_id,

@@ -374,6 +374,47 @@ def sim_knn_brute(spark: SparkSession, sf: str) -> DataFrame:
     return knn_brute(emb, queries, "vec_id", "embedding", k=10)
 
 
+@register(
+    "sim_quantized",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    st AS (SELECT min(x) AS lo, max(x) AS hi
+           FROM (SELECT unnest(v) AS x FROM v)),
+    q8 AS (SELECT vec_id,
+                  list_transform(v, x -> least(255::BIGINT, greatest(0::BIGINT,
+                    floor((x - lo) * (CAST(255 AS DOUBLE) / (hi - lo)))::BIGINT))) AS q
+           FROM v CROSS JOIN st),
+    qq AS (SELECT vec_id AS query_id, q AS qa FROM q8 WHERE vec_id < 5),
+    tt AS (SELECT vec_id AS neighbor_id, q AS qb FROM q8),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             list_reduce(list_transform(range(1, 65), i -> qa[i] * qb[i]),
+                         (a, b) -> a + b) AS qscore
+      FROM tt CROSS JOIN qq WHERE query_id <> neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, qscore,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY qscore DESC, neighbor_id ASC) AS rk
+      FROM scored)
+    SELECT query_id, neighbor_id, qscore FROM ranked WHERE rk <= 10
+    """,
+    doc="int8 scalar-quantized top-10 retrieval: global-min/max codebook "
+    "(floor levels — round() ties differ across engines, floor doesn't), "
+    "exact int64 dot-product scoring, so the WHOLE query is integer "
+    "arithmetic — bit-stable under any partitioning, unlike float cosine "
+    "whose sum order matters. 4x less scan bandwidth than the float "
+    "baseline; production re-ranks these candidates with exact cosine",
+)
+def sim_quantized(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.similarity import knn_quantized
+
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    return knn_quantized(emb, queries, "vec_id", "embedding", k=10)
+
+
 def _neardup_oracle(tau: float = 0.45, dim: int = 64, n_planes: int = 8, bands: int = 4) -> str:
     """DuckDB twin of banded sign-LSH near-dup pairs: same deterministic
     hyperplanes per band (neardup_band_planes), same left-fold dot order, so
@@ -1227,4 +1268,69 @@ def sk_bloom_contamination(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id").alias("heldout_id"),
         "n_grams",
         F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+    )
+
+
+def _hll_oracle() -> str:
+    """DuckDB twin of the portable HLL sketch — generated from the same
+    constants (operators/sketches.py) so bucket, rho, and the folded
+    alpha*m^2 double literal agree bit-for-bit."""
+    from ..operators.sketches import HLL_ALPHA, HLL_M, HLL_P, HLL_RHO_BITS
+
+    mask = (1 << HLL_RHO_BITS) - 1
+    alpha_m2 = HLL_ALPHA * HLL_M * HLL_M
+    return f"""
+    WITH tok AS (SELECT doc_id::VARCHAR || ':' || unnest({_TOKS_SQL}) AS tok
+                 FROM documents),
+    h AS (SELECT ('0x' || substr(md5(tok || ':hll'), 1, 15))::BIGINT AS h FROM tok),
+    br AS (SELECT h % {HLL_M} AS bucket, (h >> {HLL_P}) & {mask} AS rem FROM h),
+    r AS (SELECT bucket,
+                 max(CASE WHEN rem = 0 THEN {HLL_RHO_BITS + 1}
+                          ELSE length(bin(rem & -rem)) END) AS rho
+          FROM br GROUP BY bucket),
+    s AS (SELECT count(*) AS nb,
+                 sum(CAST(1 AS DOUBLE) / (1::BIGINT << rho)) AS s_ne FROM r),
+    est AS (SELECT CAST(floor(CAST('{alpha_m2!r}' AS DOUBLE)
+                              / (CAST({HLL_M} - nb AS DOUBLE) + s_ne)) AS BIGINT)
+                     AS est_distinct,
+                   nb AS nonempty_buckets FROM s),
+    t AS (SELECT count(DISTINCT tok) AS true_distinct FROM tok)
+    SELECT est_distinct, true_distinct, nonempty_buckets,
+           abs(est_distinct - true_distinct) * 10000 // true_distinct AS err_bp
+    FROM est CROSS JOIN t
+    """
+
+
+@register(
+    "sk_hll",
+    _hll_oracle(),
+    doc="HyperLogLog distinct-count sketch (m=256, portable md5 hash family "
+    "— bit-identical across engines, unlike approx_count_distinct's "
+    "engine-private HLL++). rho = trailing-zeros rank read off bin(rem & "
+    "-rem): pure integer ops, no float log; estimator sum is exact-dyadic "
+    "so the double math is order-independent and value-checkable. The "
+    "sketch is a 256-row max-monoid relation — merging per-partition/day "
+    "sketches is the same groupBy-max, the 100 TB alternative to a global "
+    "distinct shuffle. Counted domain: distinct (doc, term) incidence "
+    "pairs (the DF denominator) — large enough (~12k at sf0.01) that the "
+    "raw estimator is in its accurate range without the small-range "
+    "linear-counting branch. Oracle checks estimate, true count, error bp",
+)
+def sk_hll(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.text import tokens as _tokens
+    from ..operators.sketches import hll_build, hll_estimate
+
+    d = load_table(spark, sf, "documents")
+    toks = (
+        d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t"))
+        .select(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("t")).alias("tok"))
+        .persist()
+    )
+    est = hll_estimate(hll_build(toks, "tok"))
+    true = toks.agg(F.count_distinct("tok").alias("true_distinct"))
+    return est.crossJoin(true).select(
+        "est_distinct",
+        "true_distinct",
+        "nonempty_buckets",
+        F.expr("abs(est_distinct - true_distinct) * 10000 div true_distinct").alias("err_bp"),
     )

@@ -24,6 +24,7 @@ from ..streaming.dedup import run_dedup_once
 from ..streaming.join import run_stream_join_once
 from ..streaming.rollup import run_hourly_rollup_once
 from ..streaming.sessions import run_sessionize_once
+from ..streaming.topk import run_topk_once
 from .registry import register
 
 
@@ -74,6 +75,28 @@ def st_dedup(spark: SparkSession, sf: str) -> DataFrame:
 )
 def st_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     return run_stream_join_once(spark, sf, window_minutes=10.0)
+
+
+@register(
+    "st_topk",
+    """
+    WITH c AS (SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+                      event_type, count(*) AS cnt
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT hour, event_type, cnt,
+                 row_number() OVER (PARTITION BY hour
+                                    ORDER BY cnt DESC, event_type ASC) AS rk
+          FROM c)
+    SELECT hour, event_type, cnt, rk FROM r WHERE rk <= 3
+    """,
+    doc="streaming windowed heavy hitters: watermarked per-hour counts in "
+    "the stream (rank is not streaming-legal — a row's rank isn't final "
+    "until its window closes), top-3 ranked per closed window at the sink "
+    "(foreachBatch in production, snapshot here); equals the batch "
+    "count+rank twin over a finite input, which the oracle checks",
+)
+def st_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return run_topk_once(spark, sf, k=3)
 
 
 @register(
