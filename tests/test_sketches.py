@@ -76,3 +76,38 @@ def test_bloom_merge_is_union_distinct(spark):
         .distinct()
     )
     assert sorted(r.bit for r in whole.collect()) == sorted(r.bit for r in merged.collect())
+
+
+def test_hll_estimate_within_error_bound(spark):
+    """Raw HLL with m=256 has relative stddev ~1.04/sqrt(256) = 6.5%; a 25%
+    band (~4 sigma) on 5000 distinct items is a deterministic check (the
+    hash is fixed, so this can only break if the estimator math changes)."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.sketches import (
+        hll_build,
+        hll_estimate,
+    )
+
+    n = 5000
+    items = spark.range(n).select(F.concat(F.lit("u"), F.col("id")).alias("item"))
+    est = hll_estimate(hll_build(items, "item")).collect()[0]
+    assert abs(est.est_distinct - n) / n < 0.25
+    assert est.nonempty_buckets <= 256
+
+
+def test_hll_insensitive_to_duplicates_and_merge(spark):
+    """HLL is a max-monoid: duplicated input and partition-wise build +
+    groupBy-max both yield the identical sketch (not just a close one)."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.sketches import hll_build
+
+    items = spark.range(800).select(F.concat(F.lit("k"), F.col("id")).alias("item"))
+    whole = hll_build(items, "item")
+    doubled = hll_build(items.unionByName(items), "item")
+    merged = (
+        hll_build(items.where(F.col("item").rlike("[02468]$")), "item")
+        .unionByName(hll_build(items.where(F.col("item").rlike("[13579]$")), "item"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    base = sorted((r.bucket, r.rho) for r in whole.collect())
+    assert sorted((r.bucket, r.rho) for r in doubled.collect()) == base
+    assert sorted((r.bucket, r.rho) for r in merged.collect()) == base
