@@ -16,8 +16,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+
+from ..functions.timeutil import normalize_event_ts
 
 TABLES = (
     "region",
@@ -36,19 +36,20 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table from ``sf_dir`` as a DataFrame.
 
-    ``events.ts`` arrives as TIMESTAMP(NANOS) parquet, which Spark reads as
-    long (``spark.sql.legacy.parquet.nanosAsLong``); convert to a real
-    microsecond timestamp here (floor division — identical to the
-    truncation DuckDB applies reading the same file).
+    ``events.ts`` has shipped in multiple physical forms across testdata
+    generations (TIMESTAMP(NANOS)-as-long, ``timestamp[us]`` NTZ); whatever
+    arrives is normalized to a canonical TIMESTAMP whose instant equals the
+    wall clock interpreted as UTC — see functions/timeutil.py.
     """
     if name == "events":
         # Must work under ANY caller-provided SparkSession (the driver builds
         # its own, without our session.py tuning), so set the runtime conf
-        # here rather than relying on the builder.
+        # here rather than relying on the builder.  Harmless for non-nanos
+        # files; required to read the legacy nanos form at all.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_event_ts(df, "ts")
     return df
 
 

@@ -12,10 +12,7 @@ from pyspark.sql import functions as F
 
 from data_wrangle_openstreetmaps_data_1_spark.operators.sessionize import session_stats
 from data_wrangle_openstreetmaps_data_1_spark.sources.tables import load_table
-from data_wrangle_openstreetmaps_data_1_spark.streaming.ingest import (
-    EVENTS_RAW_SCHEMA,
-    read_events_stream,
-)
+from data_wrangle_openstreetmaps_data_1_spark.streaming.ingest import read_events_stream
 from data_wrangle_openstreetmaps_data_1_spark.streaming.rollup import run_hourly_rollup_once
 from data_wrangle_openstreetmaps_data_1_spark.streaming.sessions import (
     run_sessionize_once,
