@@ -67,6 +67,11 @@ def main() -> None:
         "tpch_q3_revenue", "tpch_q5_regional", "t_hourly_rollup", "g3_near_radius",
         "dd_exact", "dd_minhash_lsh", "sim_knn_brute",
     ]
+    missing = [q for q in core11 if q not in timings]
+    if missing:
+        # core11 is the round-over-round comparator; a silently shrunk sum
+        # would read as a speedup
+        print(f"WARNING: core11 queries missing from bench run: {missing}", file=sys.stderr)
     print(
         json.dumps(
             {

@@ -59,7 +59,12 @@ def countmin_estimate(
 ) -> DataFrame:
     """Point-query the sketch: est(item) = min over rows of that row's
     bucket count. ``sketch`` is broadcast (d x w rows); probes never
-    shuffle."""
+    shuffle.
+
+    LEFT join + coalesce(0): a bucket no build item ever hashed to is
+    absent from the sketch relation, and an absent bucket means count 0 —
+    an inner join would silently drop that row and overestimate (or lose
+    the probe entirely when all d buckets are empty)."""
     expanded = probes.select(
         "*", F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("i")
     ).withColumn(
@@ -71,9 +76,11 @@ def countmin_estimate(
             F.lit(w),
         ),
     )
-    joined = expanded.join(F.broadcast(sketch), ["i", "bucket"])
+    joined = expanded.join(F.broadcast(sketch), ["i", "bucket"], "left")
     group_cols = [c for c in probes.columns]
-    return joined.groupBy(*group_cols).agg(F.min("bc").alias("est_cnt"))
+    return joined.groupBy(*group_cols).agg(
+        F.min(F.coalesce(F.col("bc"), F.lit(0))).alias("est_cnt")
+    )
 
 
 def bloom_build(items: DataFrame, item_col: str, k: int = 3, m: int = 1024, salt: str = "bl") -> DataFrame:
@@ -164,7 +171,12 @@ def bloom_member(
     """Rows of ``probes`` whose item has ALL k bits set (definite-or-false-
     positive membership; definite negatives are filtered out — the bloom
     guarantee). The filter is broadcast; probes never shuffle for the
-    membership test itself."""
+    membership test itself.
+
+    LEFT join + a presence flag, folded with min(): "all k bits set" must
+    hold per distinct probe key regardless of row multiplicity — the old
+    inner-join ``count(*) == k`` form miscounted duplicate probe rows
+    (2 duplicates -> 2k joined rows -> filtered out despite membership)."""
     expanded = probes.select(
         "*", F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("i")
     ).withColumn(
@@ -176,11 +188,12 @@ def bloom_member(
             F.lit(m),
         ),
     )
-    joined = expanded.join(F.broadcast(bloom), "bit")
+    marked = F.broadcast(bloom.withColumn("_bit_set", F.lit(1)))
+    joined = expanded.join(marked, "bit", "left")
     group_cols = list(probes.columns)
     return (
         joined.groupBy(*group_cols)
-        .agg(F.count("*").alias("_bits_present"))
-        .where(F.col("_bits_present") == k)
-        .drop("_bits_present")
+        .agg(F.min(F.coalesce(F.col("_bit_set"), F.lit(0))).alias("_all_set"))
+        .where(F.col("_all_set") == 1)
+        .drop("_all_set")
     )

@@ -43,16 +43,27 @@ def run_available_now_to_parquet(
 ) -> None:
     """Drain a finite stream into a parquet directory via ``foreachBatch``.
 
-    Batches write with executor-side parallelism (mode=append per batch);
-    rows never pass through the driver. ``update``/``complete`` streams
-    (e.g. a windowed aggregation before its watermark closes) are handled
-    by the same writer because each micro-batch frame is just overwritten
-    state — consumers of those modes should read the LAST batch only, which
-    the ``batch_id`` partition column preserves.
+    Batches write with executor-side parallelism; rows never pass through
+    the driver. ``update``/``complete`` streams (e.g. a windowed
+    aggregation before its watermark closes) are handled by the same
+    writer because each micro-batch frame is just overwritten state —
+    consumers of those modes should read the LAST batch only, which the
+    ``batch_id`` partition column preserves.
+
+    Idempotent under restart: ``foreachBatch`` is at-least-once (a batch
+    that crashed mid-write is re-delivered with the SAME batch_id), so the
+    write is dynamic-partition-overwrite keyed by batch_id — a re-delivery
+    replaces its own partition instead of appending duplicates.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(path)
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
 
     q = (
         stream_df.writeStream.foreachBatch(write_batch)

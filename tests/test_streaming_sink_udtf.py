@@ -34,7 +34,8 @@ def test_foreachbatch_parquet_sink_equals_memory_sink(spark, tmp_path):
     ).toPandas()
 
     run_available_now_to_parquet(rollup, out, ckpt, output_mode="append")
-    assert glob.glob(os.path.join(out, "*.parquet"))
+    # files land under batch_id=N/ partitions (dynamic-overwrite idempotence)
+    assert glob.glob(os.path.join(out, "batch_id=*", "*.parquet"))
     got = spark.read.parquet(out).drop("batch_id").toPandas()
 
     key = lambda df: df.sort_values(list(sorted(df.columns)), ignore_index=True)[

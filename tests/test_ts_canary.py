@@ -97,6 +97,18 @@ def test_legacy_nanos_long_form_still_supported(spark):
     assert out[0]["us"] == 1704067200123456
 
 
+def test_events_is_single_file():
+    """The st_sessionize / st_topk oracles are exact only under single-
+    micro-batch input (see COVERAGE.md §2.11 determinism note): the events
+    table must be ONE parquet file, not a multi-part directory."""
+    path = os.path.join(SF, "events.parquet")
+    assert os.path.isfile(path), (
+        "events.parquet became a directory/multi-file layout — the "
+        "single-micro-batch determinism assumption behind the st_sessionize "
+        "and st_topk oracles no longer holds; revisit streaming_queries.py"
+    )
+
+
 def test_unsupported_type_fails_loudly():
     from pyspark.sql.types import StringType
 

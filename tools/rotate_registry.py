@@ -50,11 +50,17 @@ def correctness_history() -> dict[str, tuple[int, bool, bool]]:
     never actually run).
     """
     hist: dict[str, tuple[int, bool, bool]] = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+
+    def round_of(path: str) -> int:
         m = re.search(r"_r(\d+)\.json$", path)
-        if not m:
+        return int(m.group(1)) if m else -1
+
+    # numeric sort — lexical order would misplace r100 before r20 and break
+    # the "newest row wins" accumulation below
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")), key=round_of):
+        rnd = round_of(path)
+        if rnd < 0:
             continue
-        rnd = int(m.group(1))
         for name, cell in json.load(open(path)).items():
             rows_only = cell.get("err") == "no_oracle"
             if rows_only:
