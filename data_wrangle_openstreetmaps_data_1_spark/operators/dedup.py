@@ -25,16 +25,15 @@ tools/check_oracle.py do).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..partitioning import spread
+from ..partitioning import explode_nonempty, spread
 from ..functions.hashing import (
     HASH64_SQL,
     HASH_P_SQL,
     MERSENNE_P,
-    minhash_band_keys_sql,
-    simhash_sql,
+    minhash_coeffs,
 )
 from ..functions.text import fingerprint, tokens, word_shingles
 
@@ -80,16 +79,25 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3, t
     (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded to 6.
     """
     sh = _shingle_sets(df, id_col, text_col, n)
-    sized = sh.select("doc_id", F.size("shingles").alias("n_shingles"), "shingles")
-    ex = sized.select("doc_id", "n_shingles", F.explode("shingles").alias("shingle"))
-    a = ex.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"), "shingle"
+    # explode_nonempty: a plain explode of the named `shingles` column
+    # infers a size>0 filter that pushes the whole tokenize+shingle
+    # subtree below the spread() exchange — re-evaluated per input row at
+    # the scan's own parallelism (measured 8x slower at sf0.1). The set
+    # size is recovered from the exploded rows with a count window (skinny
+    # (doc_id, hash) shuffle) rather than a size(shingles) projection,
+    # which would re-trigger the same expression duplication.
+    ex = explode_nonempty(sh, ["doc_id"], "shingles", "shingle").select(
+        # join/shuffle on an 8-byte hash, not the ~n-word shingle string;
+        # Jaccard over distinct collision-free hashes == Jaccard over
+        # distinct shingles (same argument as minhash_lsh_pairs' verify)
+        "doc_id",
+        F.xxhash64("shingle").alias("sh_h"),
     )
-    b = ex.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"), "shingle"
-    )
+    ex = ex.withColumn("n_shingles", F.count("*").over(Window.partitionBy("doc_id")))
+    a = ex.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"), "sh_h")
+    b = ex.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"), "sh_h")
     pairs = (
-        a.join(b, "shingle")
+        a.join(b, "sh_h")
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("inter"))
@@ -117,11 +125,11 @@ def minhash_lsh_pairs(
     generated without an all-pairs product). Candidates are then verified
     with exact Jaccard over the shingle sets.
 
-    Shape note: the band join moves doc IDS only; hash arrays are re-joined
+    Shape note: the band join moves doc IDS only; hash rows are re-joined
     afterwards for the (tiny) candidate set. The alternative — carrying the
-    hash arrays through the band join to skip the verify joins — is faster
-    cold locally but shuffles every hash array once per band key (4x the
-    payload) at scale, so the id-only join wins at 100 TB.
+    signatures through the band join to skip the verify joins — shuffles
+    every signature once per band key (bands x the payload) at scale, so
+    the id-only join wins at 100 TB.
 
     ``hash_tier``: ``"portable"`` (md5-derived, bit-identical in DuckDB — the
     oracle-checkable default) or ``"fast"`` (xxhash64, Spark-native — the
@@ -143,37 +151,44 @@ def minhash_lsh_pairs(
     hash_sql = (
         HASH_P_SQL if hash_tier == "portable" else f"pmod(xxhash64({{x}}), {MERSENNE_P})"
     )
+    # Fully row-relational shape — no hash ARRAYS anywhere. The earlier
+    # array form computed the k permutations inside transform() lambdas,
+    # which run interpreted (higher-order functions get no whole-stage
+    # codegen): ~4.5s at sf0.1. Exploding to (doc_id, h) rows keeps md5 and
+    # all permutation arithmetic inside codegen, the k MinHash values
+    # become k min() aggregates with map-side partial aggregation, and at
+    # 100 TB no executor ever materializes a per-doc array — only skinny
+    # (id, hash) rows shuffle. Measured 2.5x faster end-to-end locally.
+    #
+    # Docs with no shingles (fewer than n tokens) never reach the groupBy
+    # (explode emits nothing), which is the old n_shingles > 0 filter: the
+    # MinHash signature is undefined on an empty set, and two such docs
+    # would otherwise collide on the sentinel signature and divide 0/0 in
+    # the Jaccard verify.
+    rows_per_band = k // bands
+    coeffs = minhash_coeffs(k)
     sh = _shingle_sets(df, id_col, text_col, n)
-    # Materialize the md5 hashes ONCE: the k permutation expressions (and
-    # the x/y self-join branches below) would otherwise each re-evaluate
-    # the md5-per-shingle subtree — higher-order functions get no codegen
-    # CSE. At cluster scale this stage would be written to a table;
-    # locally persist() is the same materialization point. Only the bigint
-    # hash arrays are persisted — caching the shingle *strings* costs more
-    # in object overhead than recomputing them, and the verify stage works
-    # on hash sets anyway (Jaccard over distinct hashes == Jaccard over
-    # distinct shingles for a shared hash function; the oracle mirrors this).
-    # Docs with no shingles (fewer than n tokens) are excluded: the MinHash
-    # signature is undefined on an empty set, and two such docs would
-    # otherwise collide on the sentinel signature and divide 0/0 in the
-    # Jaccard verify (ANSI mode makes that a hard error).
-    hashed = (
-        sh.select(
-            "doc_id",
-            F.size("shingles").alias("n_shingles"),
-            F.expr(f"transform(shingles, s -> {hash_sql.format(x='s')})").alias("hs"),
+    ex = explode_nonempty(sh, ["doc_id"], "shingles", "shingle").select(
+        "doc_id", F.expr(hash_sql.format(x="shingle")).alias("h")
+    )
+    # one shuffle: per-doc signature columns + set size, all in one pass
+    sig = ex.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"m{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ],
+        F.count("*").alias("n_shingles"),
+    )
+    # band key strings identical to minhash_band_keys_sql's (bi, min...min)
+    band_cols = [
+        F.concat_ws(
+            ",",
+            F.lit(str(bi)),
+            *[F.col(f"m{bi * rows_per_band + j}").cast("string") for j in range(rows_per_band)],
         )
-        .where(F.col("n_shingles") > 0)
-        .persist()
-    )
-    # Band keys straight from the hash arrays: each of the k permutations is
-    # evaluated exactly once (the earlier form inlined the full k-perm
-    # signature into every band key, costing bands*k array scans per row).
-    sig = hashed.select(
-        "doc_id",
-        F.expr(minhash_band_keys_sql("hs", k, bands)).alias("band_keys"),
-    )
-    banded = sig.select("doc_id", F.explode("band_keys").alias("band_key"))
+        for bi in range(bands)
+    ]
+    banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band_key"))
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), "band_key")
@@ -181,11 +196,27 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    sets = hashed.select("doc_id", "hs", "n_shingles")
+    # Exact-Jaccard verify as a candidate-restricted hash equi-join:
+    # |A ∩ B| = count of shared h per candidate pair (Jaccard over distinct
+    # collision-free hashes == Jaccard over shingles). Candidate pairs with
+    # zero shared hashes drop out of the inner join — their jaccard is 0,
+    # below any sane threshold, so the result is unchanged.
+    ea = ex.select(F.col("doc_id").alias("doc_a"), "h")
+    eb = ex.select(F.col("doc_id").alias("doc_b"), "h")
+    sizes = sig.select("doc_id", "n_shingles")
+    inter = (
+        cand.join(ea, "doc_a")
+        .join(eb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
     verified = (
-        cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"), F.col("n_shingles").alias("na")), "doc_a")
-        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"), F.col("n_shingles").alias("nb")), "doc_b")
-        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na")), "doc_a"
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb")), "doc_b"
+        )
         .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -241,17 +272,41 @@ def winnow_fingerprints(
 def simhash_table(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, bits: int = 32, skip_empty: bool = False
 ) -> DataFrame:
-    """Per-document SimHash (over distinct n-gram shingles); hashes
-    materialized once before the per-bit vote expressions (see
-    minhash_lsh_pairs for why). ``skip_empty`` drops docs with no shingles
-    (their simhash degenerates to 0) — pairing callers want that."""
+    """Per-document SimHash (over distinct n-gram shingles).
+
+    Row-relational shape (see minhash_lsh_pairs): explode to (doc_id, h)
+    rows — md5 stays in whole-stage codegen instead of an interpreted
+    per-array lambda — then the per-bit votes are ``bits`` sum() aggregates
+    in ONE groupBy pass with map-side partial aggregation; no per-doc hash
+    array ever materializes. ``skip_empty`` drops docs with no shingles
+    (their simhash degenerates to 0) — pairing callers want that; the
+    table form keeps them via a left join (simhash 0, as before)."""
     sh = _shingle_sets(df, id_col, text_col, n)
+    ex = explode_nonempty(sh, ["doc_id"], "shingles", "shingle").select(
+        "doc_id", F.expr(HASH64_SQL.format(x="shingle")).alias("h64")
+    )
+    vote = lambda b: F.sum(
+        F.when(F.shiftright(F.col("h64"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+    )
+    votes = ex.groupBy("doc_id").agg(*[vote(b).alias(f"v{b}") for b in range(bits)])
+    sim = votes.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+                for b in range(bits)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
     if skip_empty:
-        sh = sh.where(F.size("shingles") > 0)
-    hashed = sh.select(
-        "doc_id", F.expr(f"transform(shingles, s -> {HASH64_SQL.format(x='s')})").alias("hs64")
-    ).persist()
-    return hashed.select("doc_id", F.expr(simhash_sql("hs64", bits)).alias("simhash"))
+        return sim
+    # docs with no shingles voted nowhere; restore them with simhash 0
+    return (
+        sh.select("doc_id")
+        .join(sim, "doc_id", "left")
+        .select("doc_id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"))
+    )
 
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3, bits: int = 32, max_hamming: int = 3) -> DataFrame:

@@ -52,6 +52,31 @@ def salted_join(
     return sl.join(sr, [*on, "__salt"], how).drop("__salt")
 
 
+def explode_nonempty(df: DataFrame, keep: list, arr: str, alias: str) -> DataFrame:
+    """``explode`` of a NAMED computed array column, without the
+    InferFiltersFromGenerate trap.
+
+    ``F.explode(attr)`` makes the optimizer infer ``size(attr) > 0 AND
+    isnotnull(attr)`` and push that filter below projections, exchanges,
+    and unions — substituting the attribute's full defining expression into
+    the filter. For a CPU-heavy array builder (shingling, minhash band
+    keys) that re-evaluates the whole subtree once per input row, AND runs
+    it below any ``spread`` repartition, i.e. at the scan's own (possibly
+    single-task) parallelism. Measured 8x slower on the sf0.1 shingle
+    pipeline. ``explode_outer`` infers no such filter; dropping the null
+    rows afterwards is equivalent to inner explode for arrays with no null
+    ELEMENTS (ours: concat_ws/hash outputs are never null).
+
+    ``keep``: columns (names or Columns) carried alongside the exploded
+    ``alias``.
+    """
+    from pyspark.sql import functions as F
+
+    return df.select(*keep, F.explode_outer(arr).alias(alias)).where(
+        F.col(alias).isNotNull()
+    )
+
+
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition to ``min_partitions`` (default: the cluster's
     defaultParallelism) ahead of a CPU-bound per-row stage.

@@ -28,6 +28,7 @@ from ..functions.text import (
     token_count,
 )
 from ..operators.components import dedup_groups
+from ..partitioning import explode_nonempty
 from ..operators.packing import pack_concat_chunks
 from ..operators.sampling import hash_sample, shuffle_order, stratified_sample
 from ..operators.dedup import (
@@ -936,7 +937,15 @@ def tx_rep_signals(spark: SparkSession, sf: str) -> DataFrame:
     t = load_table(spark, sf, "documents").select(
         "doc_id", _tokens(F.col("text")).alias("toks")
     )
-    tok = t.select("doc_id", F.size("toks").alias("n_tokens"), F.explode("toks").alias("tok"))
+    # explode_nonempty avoids the inferred size>0 filter a plain explode of
+    # the named `toks` column would push into the scan (re-running the
+    # tokenizer per row at scan parallelism; see partitioning.explode_nonempty)
+    tok = explode_nonempty(
+        t.select("doc_id", F.size("toks").alias("n_tokens"), "toks"),
+        ["doc_id", "n_tokens"],
+        "toks",
+        "tok",
+    )
     tstat = (
         tok.groupBy("doc_id", "n_tokens", "tok")
         .agg(F.count("*").alias("c"))
