@@ -115,3 +115,55 @@ def test_ngram_contamination_no_cartesian(spark):
     plan = plan_of(spark, "dd_ngram_contamination")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_explode_nonempty_defeats_inferred_filter(spark):
+    """InferFiltersFromGenerate regression guard: a plain explode of a named
+    computed array column infers a size>0 filter that pushes the array
+    builder below exchanges (re-evaluated per input row at scan
+    parallelism); explode_nonempty must not."""
+    from pyspark.sql import functions as F
+
+    from data_wrangle_openstreetmaps_data_1_spark.partitioning import explode_nonempty
+
+    base = spark.range(100).select(
+        "id", F.expr("transform(sequence(1, cast(id % 5 as int)), x -> x * id)").alias("arr")
+    )
+    control = base.select("id", F.explode("arr").alias("x"))
+    control_plan = control._jdf.queryExecution().optimizedPlan().toString()
+    fixed = explode_nonempty(base, ["id"], "arr", "x")
+    fixed_plan = fixed._jdf.queryExecution().optimizedPlan().toString()
+
+    def filter_mentions_builder(plan: str) -> bool:
+        return any("transform(" in ln for ln in plan.splitlines() if "Filter" in ln)
+
+    # the control documents the trap exists; if Spark ever stops inferring
+    # the filter, the helper (and this test) can be retired
+    assert filter_mentions_builder(control_plan), control_plan
+    assert not filter_mentions_builder(fixed_plan), fixed_plan
+    # semantics: identical rows
+    assert sorted(map(tuple, fixed.collect())) == sorted(map(tuple, control.collect()))
+
+
+def test_jaccard_scan_side_free_of_shingle_recompute(spark):
+    """The shingle builder must appear in exactly one Generate input, never
+    in a Filter pushed to the scan side of the spread() exchange."""
+    plan = plan_of(spark, "dd_ngram_jaccard")
+    for ln in plan.splitlines():
+        if "Filter" in ln or "FileScan" in ln:
+            assert "array_distinct" not in ln, ln
+            assert "concat_ws" not in ln, ln
+
+
+def test_minhash_is_aggregate_shaped_no_lambdas(spark):
+    """MinHash runs as min() aggregates over exploded hash rows (codegen),
+    not interpreted transform() lambdas over per-doc arrays."""
+    plan = plan_of(spark, "dd_minhash_lsh")
+    # the shingle builder's transform() is the one legitimate lambda (one
+    # eval per doc); hashing and permutation arithmetic must NOT be inside
+    # any lambda — they run per shingle and belong in codegen
+    for ln in plan.splitlines():
+        if "lambdafunction" in ln:
+            assert "md5" not in ln and "xxhash64" not in ln, ln
+    assert "partial_min" in plan  # map-side partial aggregation of the k mins
+    assert "CartesianProduct" not in plan
