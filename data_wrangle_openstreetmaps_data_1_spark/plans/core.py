@@ -553,6 +553,92 @@ def j_anti_join(spark: SparkSession, sf: str) -> DataFrame:
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
+@register(
+    "j_asof_backward",
+    """
+    SELECT c.event_id AS click_id, c.user_id,
+           CAST(c.ts AS VARCHAR) AS click_ts,
+           CAST(v.ts AS VARCHAR) AS view_ts,
+           round(v.value, 2) AS view_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value
+                    FROM events WHERE event_type = 'view' GROUP BY 1, 2) v
+      ON c.user_id = v.user_id AND v.ts <= c.ts
+    """,
+    doc="as-of join (nearest prior event): every click + the user's latest "
+    "view at-or-before it, left-outer. Implemented as the union + "
+    "last-observation-carried-forward window — ONE shuffle keyed by user, "
+    "no range-join candidate blow-up (operators/asof.py); DuckDB's native "
+    "ASOF LEFT JOIN is the oracle. Views pre-aggregated to unique (user, "
+    "ts) — neither engine defines the equal-timestamp winner",
+)
+def j_asof_backward(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    e = load_table(spark, sf, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    views = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    joined = asof_join(
+        clicks, views, on=["user_id"], value_cols=["value"], matched_time_alias="view_ts"
+    )
+    return joined.select(
+        "click_id",
+        "user_id",
+        F.col("ts").cast("string").alias("click_ts"),
+        F.col("view_ts").cast("string").alias("view_ts"),
+        F.round("value", 2).alias("view_value"),
+    )
+
+
+@register(
+    "j_asof_tolerance",
+    """
+    SELECT c.event_id AS click_id, c.user_id,
+           CAST(CASE WHEN v.ts >= c.ts - INTERVAL 10 MINUTES THEN v.ts END AS VARCHAR) AS view_ts,
+           round(CASE WHEN v.ts >= c.ts - INTERVAL 10 MINUTES THEN v.value END, 2) AS view_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value
+                    FROM events WHERE event_type = 'view' GROUP BY 1, 2) v
+      ON c.user_id = v.user_id AND v.ts <= c.ts
+    """,
+    doc="as-of join with tolerance (pandas merge_asof semantics): matches "
+    "older than 10 minutes are nulled, rows kept — the bounded-staleness "
+    "feature-lookup shape of a training pipeline",
+)
+def j_asof_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    e = load_table(spark, sf, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    views = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    joined = asof_join(
+        clicks,
+        views,
+        on=["user_id"],
+        value_cols=["value"],
+        matched_time_alias="view_ts",
+        tolerance=F.expr("INTERVAL 10 MINUTES"),
+    )
+    return joined.select(
+        "click_id",
+        "user_id",
+        F.col("view_ts").cast("string").alias("view_ts"),
+        F.round("value", 2).alias("view_value"),
+    )
+
+
 # --------------------------------------------------------------------------
 # §2.6 sort/limit + §2.7 set ops
 # --------------------------------------------------------------------------

@@ -1,0 +1,108 @@
+"""as-of join semantics + plan shape (operators/asof.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_wrangle_openstreetmaps_data_1_spark.operators.asof import asof_join
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:00"), "L1"),
+            (1, ts("2024-01-01 10:05:00"), "L2"),
+            (1, ts("2024-01-01 09:00:00"), "L0"),  # before any right row
+            (2, ts("2024-01-01 10:00:00"), "L3"),  # key with no right rows
+        ],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 09:30:00"), 10.0),
+            (1, ts("2024-01-01 10:00:00"), 20.0),  # tie with L1
+            (1, ts("2024-01-01 10:04:00"), 30.0),
+        ],
+        "k long, ts timestamp, v double",
+    )
+    return left, right
+
+
+def test_backward_with_ties_and_misses(spark, frames):
+    left, right = frames
+    out = {
+        r["tag"]: r["v"]
+        for r in asof_join(left, right, on=["k"], value_cols=["v"]).collect()
+    }
+    assert out == {
+        "L0": None,  # nothing at or before 09:00
+        "L1": 20.0,  # tie: right row AT the left timestamp is visible
+        "L2": 30.0,  # latest prior, not just any prior
+        "L3": None,  # key never appears on the right
+    }
+
+
+def test_forward_direction(spark, frames):
+    left, right = frames
+    out = {
+        r["tag"]: r["v"]
+        for r in asof_join(
+            left, right, on=["k"], value_cols=["v"], direction="forward"
+        ).collect()
+    }
+    assert out == {
+        "L0": 10.0,  # earliest right at-or-after 09:00
+        "L1": 20.0,  # tie visible in forward direction too
+        "L2": None,  # nothing at or after 10:05
+        "L3": None,
+    }
+
+
+def test_tolerance_nulls_stale_matches(spark, frames):
+    left, right = frames
+    out = {
+        r["tag"]: (r["v"], r["mt"])
+        for r in asof_join(
+            left,
+            right,
+            on=["k"],
+            value_cols=["v"],
+            matched_time_alias="mt",
+            tolerance=F.expr("INTERVAL 30 SECONDS"),
+        ).collect()
+    }
+    # L2's nearest match (10:04) is 60s stale -> nulled but row kept
+    assert out["L2"] == (None, None)
+    assert out["L1"] == (20.0, ts("2024-01-01 10:00:00"))
+    assert len(out) == 4
+
+
+def test_left_columns_preserved_and_clash_rejected(spark, frames):
+    left, right = frames
+    res = asof_join(left, right, on=["k"], value_cols=["v"])
+    assert res.columns == ["k", "ts", "tag", "v"]
+    with pytest.raises(ValueError, match="already exist"):
+        asof_join(left, right.withColumnRenamed("v", "tag"), on=["k"], value_cols=["tag"])
+
+
+def test_plan_is_single_shuffle_window_no_join(spark, frames):
+    """The 100 TB contract: one exchange keyed by the join key, a window,
+    and NO join operator of any kind."""
+    left, right = frames
+    plan = (
+        asof_join(left, right, on=["k"], value_cols=["v"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, plan
+    assert "Window" in plan
+    assert plan.count("Exchange") == 1, plan
