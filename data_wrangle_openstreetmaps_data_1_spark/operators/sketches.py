@@ -197,3 +197,61 @@ def bloom_member(
         .where(F.col("_all_set") == 1)
         .drop("_all_set")
     )
+
+
+# --------------------------------------------------------------------------
+# Histogram-quantile sketch: one-pass mergeable quantiles
+# --------------------------------------------------------------------------
+
+def histogram_build(
+    items: DataFrame, value_col: str, lo: float, width: float, nb: int
+) -> DataFrame:
+    """Fixed-width histogram sketch: (bucket, c) with at most ``nb`` rows
+    regardless of input size — the one-pass distributed quantile summary
+    (approx_percentile's t-digest is engine-private and unverifiable; the
+    equi-width histogram is exactly reproducible in any engine).
+
+    Mergeable monoid like count-min/HLL: per-partition / per-day sketches
+    combine with the same groupBy-sum, so incremental maintenance at
+    100 TB is one tiny shuffle. Out-of-range values clamp to the edge
+    buckets, so mass is never lost. Use a power-of-two ``width`` so the
+    bucket arithmetic is float-exact across engines.
+    """
+    b = F.least(
+        F.lit(nb - 1),
+        F.greatest(F.lit(0), F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int")),
+    )
+    return items.select(b.alias("bucket")).groupBy("bucket").agg(F.count("*").alias("c"))
+
+
+def histogram_quantiles(
+    sketch: DataFrame, qs: list[float], lo: float, width: float
+) -> DataFrame:
+    """Quantile estimates by linear interpolation inside the crossing
+    bucket: est(q) = lo + width * (bucket + (q*N - cum_before) / c).
+
+    All work happens on the <= nb-row sketch (broadcast-sized); the
+    original data is never touched again. Error bound: one bucket width.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = sketch.select(
+        "bucket",
+        "c",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.orderBy(F.lit(1))).alias("n"),
+    )
+    qdf = cum.crossJoin(
+        F.broadcast(
+            cum.sparkSession.createDataFrame([(q,) for q in qs], "q double").limit(len(qs))
+        )
+    )
+    hit = qdf.where(
+        (F.col("cum") >= F.col("q") * F.col("n"))
+        & ((F.col("cum") - F.col("c")) < F.col("q") * F.col("n"))
+    )
+    est = F.lit(lo) + F.lit(width) * (
+        F.col("bucket") + (F.col("q") * F.col("n") - (F.col("cum") - F.col("c"))) / F.col("c")
+    )
+    return hit.select("q", F.round(est, 2).alias("est")).orderBy("q")

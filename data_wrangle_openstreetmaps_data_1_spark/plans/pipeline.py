@@ -1343,3 +1343,37 @@ def sk_hll(spark: SparkSession, sf: str) -> DataFrame:
         "nonempty_buckets",
         F.expr("abs(est_distinct - true_distinct) * 10000 div true_distinct").alias("err_bp"),
     )
+
+
+@register(
+    "sk_histogram_quantiles",
+    """
+    WITH s AS (
+      SELECT least(255, greatest(0, cast(floor(l_extendedprice / 512.0) AS int))) AS bucket,
+             count(*) AS c
+      FROM lineitem GROUP BY 1),
+    cum AS (
+      SELECT bucket, c,
+             sum(c) OVER (ORDER BY bucket) AS cum,
+             sum(c) OVER () AS n
+      FROM s),
+    qs(q) AS (VALUES (0.5), (0.9), (0.99))
+    SELECT q, round(512.0 * (bucket + (q * n - (cum - c)) / c), 2) AS est
+    FROM cum, qs
+    WHERE cum >= q * n AND (cum - c) < q * n
+    ORDER BY q
+    """,
+    doc="one-pass mergeable quantile sketch: fixed-width histogram (<= 256 "
+    "rows whatever the input size; power-of-two width keeps the bucket "
+    "arithmetic float-exact across engines) + linear interpolation inside "
+    "the crossing bucket — the verifiable stand-in for approx_percentile, "
+    "whose t-digest is engine-private. Merging per-partition/day sketches "
+    "is the same groupBy-sum (sum-monoid, like sk_countmin); at 100 TB the "
+    "quantile query never re-touches the data, only the sketch",
+)
+def sk_histogram_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.sketches import histogram_build, histogram_quantiles
+
+    li = load_table(spark, sf, "lineitem")
+    sketch = histogram_build(li, "l_extendedprice", lo=0.0, width=512.0, nb=256)
+    return histogram_quantiles(sketch, [0.5, 0.9, 0.99], lo=0.0, width=512.0)

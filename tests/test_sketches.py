@@ -111,3 +111,47 @@ def test_hll_insensitive_to_duplicates_and_merge(spark):
     base = sorted((r.bucket, r.rho) for r in whole.collect())
     assert sorted((r.bucket, r.rho) for r in doubled.collect()) == base
     assert sorted((r.bucket, r.rho) for r in merged.collect()) == base
+
+
+def test_histogram_sketch_merge_is_groupby_sum(spark):
+    """The sketch is a sum-monoid: sketching halves and merging with
+    groupBy-sum equals sketching the whole."""
+    from pyspark.sql import functions as F
+
+    from data_wrangle_openstreetmaps_data_1_spark.operators.sketches import histogram_build
+
+    df = spark.range(1000).select((F.col("id") * 7 % 997).cast("double").alias("x"))
+    whole = histogram_build(df, "x", lo=0.0, width=64.0, nb=16)
+    h1 = histogram_build(df.where("id % 2 = 0"), "x", lo=0.0, width=64.0, nb=16)
+    h2 = histogram_build(df.where("id % 2 = 1"), "x", lo=0.0, width=64.0, nb=16)
+    merged = h1.unionByName(h2).groupBy("bucket").agg(F.sum("c").alias("c"))
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_histogram_sketch_clamps_and_conserves_mass(spark):
+    from pyspark.sql import functions as F
+
+    from data_wrangle_openstreetmaps_data_1_spark.operators.sketches import histogram_build
+
+    df = spark.createDataFrame([(-5.0,), (0.0,), (63.9,), (64.0,), (1e9,)], "x double")
+    sk = {r["bucket"]: r["c"] for r in histogram_build(df, "x", 0.0, 64.0, nb=4).collect()}
+    assert sum(sk.values()) == 5  # nothing lost
+    assert sk[0] == 3  # -5 clamps down, 0 and 63.9 in range
+    assert sk[3] == 1  # 1e9 clamps to the top bucket
+    assert sk[1] == 1  # 64.0 lands in bucket 1
+
+
+def test_histogram_quantiles_within_one_bucket_of_exact(spark):
+    from pyspark.sql import functions as F
+
+    from data_wrangle_openstreetmaps_data_1_spark.operators.sketches import (
+        histogram_build,
+        histogram_quantiles,
+    )
+
+    df = spark.range(10000).select((F.col("id") % 4096).cast("double").alias("x"))
+    sk = histogram_build(df, "x", lo=0.0, width=256.0, nb=16)
+    est = {r["q"]: r["est"] for r in histogram_quantiles(sk, [0.5, 0.9], 0.0, 256.0).collect()}
+    exact = df.selectExpr("percentile(x, array(0.5, 0.9)) as p").collect()[0]["p"]
+    assert abs(est[0.5] - exact[0]) <= 256.0
+    assert abs(est[0.9] - exact[1]) <= 256.0
