@@ -565,6 +565,7 @@ def j_anti_join(spark: SparkSession, sf: str) -> DataFrame:
                     FROM events WHERE event_type = 'view' GROUP BY 1, 2) v
       ON c.user_id = v.user_id AND v.ts <= c.ts
     """,
+    bench=True,
     doc="as-of join (nearest prior event): every click + the user's latest "
     "view at-or-before it, left-outer. Implemented as the union + "
     "last-observation-carried-forward window — ONE shuffle keyed by user, "
@@ -725,4 +726,41 @@ def u2_intersect(spark: SparkSession, sf: str) -> DataFrame:
         p.where(F.col("p_size") < 10)
         .select("p_brand")
         .intersect(p.where(F.col("p_size") > 40).select("p_brand"))
+    )
+
+
+@register(
+    "j_salted_skew",
+    """
+    WITH hot AS (
+      SELECT user_id, count(*) AS user_total
+      FROM events GROUP BY user_id
+      ORDER BY user_total DESC, user_id ASC LIMIT 10)
+    SELECT e.user_id, e.event_type, count(*) AS cnt,
+           max(h.user_total) AS user_total
+    FROM events e JOIN hot h ON e.user_id = h.user_id
+    GROUP BY e.user_id, e.event_type
+    """,
+    bench=True,
+    doc="skew-resistant salted join, value-checked equal to the plain join: "
+    "each hot key spreads over 8 salt sub-keys (the small side replicated "
+    "8x), so a key owning a third of the fact table — the reference's user "
+    "distribution, readme.md:184-192 — lands on 8 tasks instead of one. "
+    "AQE skew-split only rescues sort-merge joins after the fact; salting "
+    "fixes the layout up front and also covers the aggregation AFTER the "
+    "join (partitioning.salted_join)",
+)
+def j_salted_skew(spark: SparkSession, sf: str) -> DataFrame:
+    from ..partitioning import salted_join
+
+    e = load_table(spark, sf, "events").select("user_id", "event_type")
+    hot = (
+        e.groupBy("user_id")
+        .agg(F.count("*").alias("user_total"))
+        .orderBy(F.desc("user_total"), F.asc("user_id"))
+        .limit(10)
+    )
+    joined = salted_join(e, hot, ["user_id"], salt=8)
+    return joined.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("cnt"), F.max("user_total").alias("user_total")
     )

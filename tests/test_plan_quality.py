@@ -167,3 +167,20 @@ def test_minhash_is_aggregate_shaped_no_lambdas(spark):
             assert "md5" not in ln and "xxhash64" not in ln, ln
     assert "partial_min" in plan  # map-side partial aggregation of the k mins
     assert "CartesianProduct" not in plan
+
+
+def test_salted_skew_join_spreads_hot_keys(spark):
+    """The salted join must key its exchange on (user_id, __salt) so a hot
+    user's rows spread over `salt` tasks, and the result must stay a hash
+    join (no cartesian fallback from the synthetic key)."""
+    plan = plan_of(spark, "j_salted_skew")
+    assert "__salt" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_query_single_window_no_join(spark):
+    plan = plan_of(spark, "j_asof_backward")
+    assert "Window" in plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert bad not in plan, bad
