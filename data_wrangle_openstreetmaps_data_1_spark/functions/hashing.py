@@ -52,62 +52,6 @@ HASH64_SQL = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
 HASH_P_SQL = f"({HASH64_SQL} % {MERSENNE_P})"
 
 
-def minhash_signature_sql(hashes_col: str, k: int = 16, seed: int = 7) -> str:
-    """Spark-SQL string: array of k MinHash values over a bigint-array column."""
-    mins = ", ".join(
-        f"coalesce(array_min(transform({hashes_col}, h -> ({a}L * h + {b}L) % {MERSENNE_P})), {MERSENNE_P})"
-        for a, b in minhash_coeffs(k, seed)
-    )
-    return f"array({mins})"
-
-
-def minhash_bands_sql(signature_sql: str, bands: int, rows_per_band: int) -> str:
-    """Spark-SQL string: LSH band keys from a signature array expression.
-
-    Only safe when ``signature_sql`` is a bound column reference: an inline
-    signature expression would be re-evaluated once per band (bands x k
-    permutation scans). Prefer :func:`minhash_band_keys_sql`, which emits
-    each permutation exactly once.
-    """
-    keys = ", ".join(
-        f"concat_ws(',', '{bi}', concat_ws(',', transform("
-        f"slice({signature_sql}, {bi * rows_per_band + 1}, {rows_per_band}), v -> cast(v as string))))"
-        for bi in range(bands)
-    )
-    return f"array({keys})"
-
-
-def minhash_band_keys_sql(hashes_col: str, k: int, bands: int, seed: int = 7) -> str:
-    """Spark-SQL string: LSH band keys straight from the hash-array column.
-
-    Emits every affine permutation exactly once (grouped into its band)
-    instead of materializing the full signature per band key — the band key
-    values are identical to ``minhash_bands_sql(minhash_signature_sql(...))``
-    but the expression does k array scans, not bands*k.
-    """
-    rows_per_band = k // bands
-    coeffs = minhash_coeffs(k, seed)
-    keys = []
-    for bi in range(bands):
-        mins = ", ".join(
-            f"cast(coalesce(array_min(transform({hashes_col}, h -> ({a}L * h + {b}L) % {MERSENNE_P})), {MERSENNE_P}) as string)"
-            for a, b in coeffs[bi * rows_per_band : (bi + 1) * rows_per_band]
-        )
-        keys.append(f"concat_ws(',', '{bi}', {mins})")
-    return f"array({', '.join(keys)})"
-
-
-def simhash_sql(hashes_col: str, bits: int = 32) -> str:
-    """Spark-SQL string: SimHash over a bigint-array column (per-bit votes)."""
-    terms = " + ".join(
-        f"(case when aggregate({hashes_col}, 0, (acc, h) -> acc + "
-        f"(case when (shiftright(h, {b}) & 1) = 1 then 1 else -1 end)) > 0 "
-        f"then cast({2**b} as bigint) else cast(0 as bigint) end)"
-        for b in range(bits)
-    )
-    return f"({terms})"
-
-
 def portable_hash_p(col: Column) -> Column:
     """Portable hash reduced mod p for the affine-permutation family."""
     return portable_hash64(col) % MERSENNE_P

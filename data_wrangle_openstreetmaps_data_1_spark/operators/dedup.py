@@ -15,12 +15,14 @@ Scale notes: every pairwise step is gated by an equi-join on a bucket key
 (shingle, band key, or simhash band), so the shuffle is keyed and AQE can
 split skewed buckets. Nothing materializes on the driver.
 
-Cache lifecycle: the LSH operators ``persist()`` their hashed intermediate
-(the result DataFrame references it from several branches, so it must
-outlive this call — there is no safe point to unpersist inside the
-operator). Callers running many operators in one session should
-``spark.catalog.clearCache()`` between them (bench.py and
-tools/check_oracle.py do).
+Cache lifecycle: only ``winnow_fingerprints`` still ``persist()``s an
+intermediate (its windowed-min lambda needs a bound column — an inline
+expression would re-evaluate the whole hash array per window position).
+The minhash/simhash paths are fully row-relational since round 5 and need
+no cache: hashing runs in whole-stage codegen over exploded rows and every
+reuse is a fresh codegen pass, not a lambda re-evaluation. Callers running
+many operators in one session should ``spark.catalog.clearCache()``
+between them (bench.py and tools/check_oracle.py do).
 """
 
 from __future__ import annotations
@@ -179,7 +181,8 @@ def minhash_lsh_pairs(
         ],
         F.count("*").alias("n_shingles"),
     )
-    # band key strings identical to minhash_band_keys_sql's (bi, min...min)
+    # band key string layout shared with the generated oracle SQL
+    # (_minhash_oracle): '<band>,<min>,...,<min>'
     band_cols = [
         F.concat_ws(
             ",",
