@@ -106,3 +106,67 @@ def test_plan_is_single_shuffle_window_no_join(spark, frames):
     assert "Join" not in plan, plan
     assert "Window" in plan
     assert plan.count("Exchange") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# property test vs pandas.merge_asof (independent reference implementation)
+# ---------------------------------------------------------------------------
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_keys = st.integers(min_value=0, max_value=3)
+_times = st.integers(min_value=0, max_value=60)
+_left_rows = st.lists(st.tuples(_keys, _times), min_size=1, max_size=12)
+# unique (key, time) on the right: equal-timestamp ties are deliberately
+# excluded — neither pandas nor this engine defines the same winner
+_right_rows = st.lists(
+    st.tuples(_keys, _times), min_size=0, max_size=12, unique_by=lambda r: (r[0], r[1])
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(left=_left_rows, right=_right_rows, direction=st.sampled_from(["backward", "forward"]), tol=st.sampled_from([None, 5]))
+def test_asof_matches_pandas_merge_asof(spark, left, right, direction, tol):
+    from pyspark.sql import functions as F
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k long, ts long, rid long"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, float(k * 1000 + t)) for k, t in right] or [],
+        "k long, ts long, v double",
+    )
+    got = {
+        r["rid"]: r["v"]
+        for r in asof_join(
+            ldf,
+            rdf,
+            on=["k"],
+            value_cols=["v"],
+            direction=direction,
+            tolerance=None if tol is None else F.lit(tol),
+        ).collect()
+    }
+
+    lp = pd.DataFrame(
+        {
+            "k": pd.Series([k for k, _ in left], dtype="int64"),
+            "ts": pd.Series([t for _, t in left], dtype="int64"),
+            "rid": pd.Series(range(len(left)), dtype="int64"),
+        }
+    ).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(
+        {
+            "k": pd.Series([k for k, _ in right], dtype="int64"),
+            "ts": pd.Series([t for _, t in right], dtype="int64"),
+            "v": pd.Series([float(k * 1000 + t) for k, t in right], dtype="float64"),
+        }
+    ).sort_values("ts", kind="stable")
+    merged = pd.merge_asof(
+        lp, rp, on="ts", by="k", direction=direction,
+        tolerance=tol, allow_exact_matches=True,
+    )
+    want = {int(r.rid): (None if pd.isna(r.v) else float(r.v)) for r in merged.itertuples()}
+    assert got == want
