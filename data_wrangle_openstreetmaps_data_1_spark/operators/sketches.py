@@ -255,3 +255,45 @@ def histogram_quantiles(
         F.col("bucket") + (F.col("q") * F.col("n") - (F.col("cum") - F.col("c"))) / F.col("c")
     )
     return hit.select("q", F.round(est, 2).alias("est")).orderBy("q")
+
+
+def hll_build_grouped(
+    items: DataFrame, item_col: str, group_cols: list[str], salt: str = "hll"
+) -> DataFrame:
+    """Per-group HLL sketches in ONE pass: (group..., bucket, rho), at most
+    m=256 rows per group whatever the group's cardinality.
+
+    This is the form a 100 TB pipeline actually runs — distinct users per
+    day/source/shard — where exact count(distinct) per group would shuffle
+    every raw pair. Still a max-monoid per group: merging per-partition or
+    per-day grouped sketches is the same groupBy-max over (group, bucket).
+    """
+    h = portable_hash64(F.concat(F.col(item_col), F.lit(f":{salt}")))
+    mask = (1 << HLL_RHO_BITS) - 1
+    b = items.select(
+        *group_cols,
+        F.pmod(h, F.lit(HLL_M)).alias("bucket"),
+        F.shiftright(h, HLL_P).bitwiseAND(F.lit(mask)).alias("rem"),
+    )
+    rho = F.when(F.col("rem") == 0, F.lit(HLL_RHO_BITS + 1)).otherwise(
+        F.length(F.bin(F.col("rem").bitwiseAND(-F.col("rem"))))
+    )
+    return (
+        b.select(*group_cols, "bucket", rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate_grouped(sketch: DataFrame, group_cols: list[str]) -> DataFrame:
+    """(group..., est_distinct, nonempty_buckets) per group from a grouped
+    sketch — same exact-dyadic estimator as hll_estimate (see its note)."""
+    s = sketch.groupBy(*group_cols).agg(
+        F.count("*").alias("nb"),
+        F.sum(F.expr("cast(1 as double) / shiftleft(cast(1 as bigint), rho)")).alias("s_ne"),
+    )
+    est = F.floor(
+        F.lit(HLL_ALPHA * HLL_M * HLL_M)
+        / ((F.lit(HLL_M) - F.col("nb")).cast("double") + F.col("s_ne"))
+    ).cast("long")
+    return s.select(*group_cols, est.alias("est_distinct"), F.col("nb").alias("nonempty_buckets"))

@@ -1377,3 +1377,69 @@ def sk_histogram_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
     sketch = histogram_build(li, "l_extendedprice", lo=0.0, width=512.0, nb=256)
     return histogram_quantiles(sketch, [0.5, 0.9, 0.99], lo=0.0, width=512.0)
+
+
+def _hll_grouped_oracle() -> str:
+    """DuckDB twin of the GROUPED portable HLL sketch (same constants as
+    _hll_oracle; grouped by event_type over user-day incidence items)."""
+    from ..operators.sketches import HLL_ALPHA, HLL_M, HLL_P, HLL_RHO_BITS
+
+    mask = (1 << HLL_RHO_BITS) - 1
+    alpha_m2 = HLL_ALPHA * HLL_M * HLL_M
+    return f"""
+    WITH it AS (SELECT event_type,
+                       user_id::VARCHAR || ':' || CAST(CAST(ts AS DATE) AS VARCHAR) AS item
+                FROM events),
+    h AS (SELECT event_type,
+                 ('0x' || substr(md5(item || ':hll'), 1, 15))::BIGINT AS h FROM it),
+    br AS (SELECT event_type, h % {HLL_M} AS bucket, (h >> {HLL_P}) & {mask} AS rem FROM h),
+    r AS (SELECT event_type, bucket,
+                 max(CASE WHEN rem = 0 THEN {HLL_RHO_BITS + 1}
+                          ELSE length(bin(rem & -rem)) END) AS rho
+          FROM br GROUP BY 1, 2),
+    s AS (SELECT event_type, count(*) AS nb,
+                 sum(CAST(1 AS DOUBLE) / (1::BIGINT << rho)) AS s_ne
+          FROM r GROUP BY event_type),
+    est AS (SELECT event_type,
+                   CAST(floor(CAST('{alpha_m2!r}' AS DOUBLE)
+                              / (CAST({HLL_M} - nb AS DOUBLE) + s_ne)) AS BIGINT)
+                     AS est_distinct,
+                   nb AS nonempty_buckets FROM s),
+    t AS (SELECT event_type, count(DISTINCT item) AS true_distinct
+          FROM it GROUP BY event_type)
+    SELECT est.event_type, est_distinct, true_distinct, nonempty_buckets,
+           abs(est_distinct - true_distinct) * 10000 // true_distinct AS err_bp
+    FROM est JOIN t USING (event_type)
+    """
+
+
+@register(
+    "sk_hll_grouped",
+    _hll_grouped_oracle(),
+    doc="per-group HyperLogLog: distinct active user-days per event_type in "
+    "ONE pass over the events table — (group, bucket, rho) sketches of at "
+    "most 256 rows per group, so the shuffle carries sketch rows instead "
+    "of every raw (user, day) pair: THE 100 TB shape for per-day/source "
+    "distinct telemetry. Same portable hash family and exact-dyadic "
+    "estimator as sk_hll; oracle checks per-group estimate, true count, "
+    "and error bp",
+)
+def sk_hll_grouped(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.sketches import hll_build_grouped, hll_estimate_grouped
+
+    e = load_table(spark, sf, "events")
+    items = e.select(
+        "event_type",
+        F.concat(
+            F.col("user_id").cast("string"), F.lit(":"), F.to_date("ts").cast("string")
+        ).alias("item"),
+    )
+    est = hll_estimate_grouped(hll_build_grouped(items, "item", ["event_type"]), ["event_type"])
+    true = items.groupBy("event_type").agg(F.count_distinct("item").alias("true_distinct"))
+    return est.join(true, "event_type").select(
+        "event_type",
+        "est_distinct",
+        "true_distinct",
+        "nonempty_buckets",
+        F.expr("abs(est_distinct - true_distinct) * 10000 div true_distinct").alias("err_bp"),
+    )

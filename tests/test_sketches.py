@@ -155,3 +155,32 @@ def test_histogram_quantiles_within_one_bucket_of_exact(spark):
     exact = df.selectExpr("percentile(x, array(0.5, 0.9)) as p").collect()[0]["p"]
     assert abs(est[0.5] - exact[0]) <= 256.0
     assert abs(est[0.9] - exact[1]) <= 256.0
+
+
+def test_hll_grouped_merge_is_groupby_max(spark):
+    """Per-group HLL stays a max-monoid: sketching halves and merging with
+    groupBy-max over (group, bucket) equals sketching the whole."""
+    from pyspark.sql import functions as F
+
+    from data_wrangle_openstreetmaps_data_1_spark.operators.sketches import (
+        hll_build_grouped,
+        hll_estimate_grouped,
+    )
+
+    df = spark.range(2000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.concat(F.lit("u"), (F.col("id") * 13 % 500).cast("string")).alias("item"),
+    )
+    whole = hll_build_grouped(df, "item", ["g"])
+    h1 = hll_build_grouped(df.where("id % 2 = 0"), "item", ["g"])
+    h2 = hll_build_grouped(df.where("id % 2 = 1"), "item", ["g"])
+    merged = h1.unionByName(h2).groupBy("g", "bucket").agg(F.max("rho").alias("rho"))
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+    # and the grouped estimator lands within ~15% of truth per group
+    est = {r["g"]: r["est_distinct"] for r in hll_estimate_grouped(whole, ["g"]).collect()}
+    true = {
+        r["g"]: r["t"]
+        for r in df.groupBy("g").agg(F.count_distinct("item").alias("t")).collect()
+    }
+    for g in true:
+        assert abs(est[g] - true[g]) / true[g] < 0.15, (g, est[g], true[g])
