@@ -114,3 +114,64 @@ def test_unsupported_type_fails_loudly():
 
     with pytest.raises(TypeError):
         canonical_event_ts(StringType(), "ts")
+
+
+def test_all_tables_load_with_expected_columns(spark):
+    """Whole-testdata canary: every table the registry depends on must load
+    through load_table with its required columns in a workable type class.
+    Round 4 was lost to a silent physical-type change in ONE column; this
+    names the table and column on the next drift instead of surfacing as
+    scattered driver reds."""
+    from pyspark.sql.types import (
+        DateType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StringType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    numeric = (LongType, IntegerType, DoubleType, FloatType)
+    timeish = (TimestampType, TimestampNTZType, DateType)
+    required = {
+        "region": {"r_regionkey": numeric, "r_name": (StringType,)},
+        "nation": {"n_nationkey": numeric, "n_name": (StringType,), "n_regionkey": numeric},
+        "customer": {
+            "c_custkey": numeric, "c_name": (StringType,),
+            "c_nationkey": numeric, "c_acctbal": (DoubleType,),
+            "c_mktsegment": (StringType,),
+        },
+        "supplier": {"s_suppkey": numeric, "s_nationkey": numeric},
+        "part": {"p_partkey": numeric, "p_brand": (StringType,), "p_type": (StringType,), "p_size": numeric},
+        "orders": {
+            "o_orderkey": numeric, "o_custkey": numeric,
+            "o_orderstatus": (StringType,), "o_totalprice": (DoubleType,),
+            "o_orderdate": timeish, "o_orderpriority": (StringType,),
+        },
+        "lineitem": {
+            "l_orderkey": numeric, "l_quantity": (DoubleType,),
+            "l_extendedprice": (DoubleType,), "l_discount": (DoubleType,),
+            "l_tax": (DoubleType,), "l_shipdate": timeish + (StringType,),
+        },
+        "events": {
+            "event_id": numeric, "user_id": numeric,
+            "event_type": (StringType,), "value": (DoubleType,),
+            "props": (StringType,),
+            # post-normalization contract: exactly TIMESTAMP
+            "ts": (TimestampType,),
+        },
+        "documents": {"doc_id": numeric, "text": (StringType,)},
+        "embeddings": {"vec_id": numeric},
+    }
+    problems = []
+    for table, cols in required.items():
+        df = load_table(spark, "/root/testdata/sf0.01", table)
+        have = {f.name: f.dataType for f in df.schema.fields}
+        for col, classes in cols.items():
+            if col not in have:
+                problems.append(f"{table}.{col}: MISSING (have {sorted(have)})")
+            elif not isinstance(have[col], classes):
+                problems.append(f"{table}.{col}: {have[col]} not in {[c.__name__ for c in classes]}")
+    assert not problems, "\n".join(problems)
