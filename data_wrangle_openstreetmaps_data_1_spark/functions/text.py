@@ -139,3 +139,27 @@ def fingerprint(col: Column) -> Column:
     classic "fingerprint method" for near-identical detection under token
     reordering. Portable (md5 identical across engines)."""
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col)))))
+
+
+def canonical_url(col: Column) -> Column:
+    """RFC-3986-lite URL canonicalization — the web-crawl dedup key.
+
+    Rules (kept to syntax both Java regex and RE2 support — no lookahead,
+    so the DuckDB oracle can mirror each step):
+      1. lowercase scheme://host (path/query stay case-sensitive)
+      2. drop the #fragment
+      3. strip default ports (:80 http, :443 https)
+      4. strip utm_*/gclid/fbclid tracking params, tidying ?/& leftovers
+      5. strip trailing slashes
+    """
+    host = F.regexp_extract(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
+    u = F.concat(F.lower(host), F.substring(col, F.length(host) + 1, F.lit(1 << 30)))
+    u = F.regexp_replace(u, r"#.*", "")
+    u = F.regexp_replace(u, r"^https://([^/:?#]+):443/", r"https://$1/")
+    u = F.regexp_replace(u, r"^https://([^/:?#]+):443$", r"https://$1")
+    u = F.regexp_replace(u, r"^http://([^/:?#]+):80/", r"http://$1/")
+    u = F.regexp_replace(u, r"^http://([^/:?#]+):80$", r"http://$1")
+    u = F.regexp_replace(u, r"(utm_[a-z]+|gclid|fbclid)=[^&#]*&?", "")
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    return F.regexp_replace(u, r"/+$", "")

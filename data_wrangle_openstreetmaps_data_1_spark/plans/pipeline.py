@@ -1443,3 +1443,124 @@ def sk_hll_grouped(spark: SparkSession, sf: str) -> DataFrame:
         "nonempty_buckets",
         F.expr("abs(est_distinct - true_distinct) * 10000 div true_distinct").alias("err_bp"),
     )
+
+
+@register(
+    "tx_sliding_chunks",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    ch AS (
+      SELECT doc_id, unnest(list_transform(
+               range(0, CASE WHEN len(toks) = 0 THEN 0
+                             ELSE (len(toks) - 1) // 48 + 1 END),
+               i -> struct_pack(
+                      chunk_id := i,
+                      chunk := array_to_string(toks[i * 48 + 1 : i * 48 + 64], ' '))
+             )) AS c
+      FROM t)
+    SELECT doc_id, c.chunk_id AS chunk_id,
+           len({_TOKS_SQL.replace("text", "c.chunk")}) AS chunk_tokens,
+           md5(c.chunk) AS chunk_md5
+    FROM ch JOIN documents USING (doc_id)
+    """,
+    doc="sliding-window chunking with overlap (window 64 tokens, stride 48): "
+    "the RAG / pretraining windowing primitive. Per-doc array slices — "
+    "strictly local work, no shuffle at all until a downstream consumer "
+    "groups; chunk text value-checked by md5 like tx_pii_scrub. The last "
+    "chunk may be short (clamped slice); empty docs emit no chunks",
+)
+def tx_sliding_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.text import tokens as _tokens
+
+    window, stride = 64, 48
+    d = load_table(spark, sf, "documents")
+    toks = _tokens(F.col("text"))
+    n_chunks = F.when(F.size(toks) == 0, F.lit(0)).otherwise(
+        (F.size(toks) - 1) / F.lit(stride) + 1
+    ).cast("int")
+    chunk = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.alias("chunk_id"),
+                F.concat_ws(" ", F.slice(toks, i * stride + 1, window)).alias("chunk"),
+            ),
+        )
+    )
+    # sequence(0, -1) would generate a DESCENDING range for empty docs;
+    # filter them before the generator instead
+    ch = d.where(F.size(toks) > 0).select("doc_id", chunk.alias("c"))
+    return ch.select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.size(F.split(F.lower(F.trim(F.col("c.chunk"))), r"\s+")).alias("chunk_tokens"),
+        F.md5(F.col("c.chunk")).alias("chunk_md5"),
+    )
+
+
+def _url_oracle() -> str:
+    """DuckDB twin of canonical_url (functions/text.py) over the same
+    deterministically planted URL variants. RE2 replacement syntax (\\1,
+    explicit 'g' flag) vs Spark's Java ($1, global by default) — same
+    outputs, rule for rule."""
+    plant = (
+        "CASE doc_id % 4 "
+        "WHEN 0 THEN 'HTTPS://Example.COM:443/articles/' || (doc_id % 50) "
+        "WHEN 1 THEN 'https://example.com/articles/' || (doc_id % 50) || '/' "
+        "WHEN 2 THEN 'https://example.com/articles/' || (doc_id % 50) "
+        "|| '?utm_source=feed&utm_campaign=x' "
+        "ELSE 'https://example.com/articles/' || (doc_id % 50) || '#section-2' END"
+    )
+    return f"""
+    WITH raw AS (SELECT doc_id, {plant} AS url FROM documents),
+    c0 AS (SELECT doc_id,
+                  lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*'))
+                  || substr(url, length(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*')) + 1)
+                  AS u FROM raw),
+    c1 AS (SELECT doc_id, regexp_replace(u, '#.*', '', 'g') AS u FROM c0),
+    c2 AS (SELECT doc_id,
+                  regexp_replace(regexp_replace(regexp_replace(regexp_replace(u,
+                    '^https://([^/:?#]+):443/', 'https://\\1/'),
+                    '^https://([^/:?#]+):443$', 'https://\\1'),
+                    '^http://([^/:?#]+):80/', 'http://\\1/'),
+                    '^http://([^/:?#]+):80$', 'http://\\1') AS u FROM c1),
+    c3 AS (SELECT doc_id,
+                  regexp_replace(regexp_replace(regexp_replace(u,
+                    '(utm_[a-z]+|gclid|fbclid)=[^&#]*&?', '', 'g'),
+                    '\\?&', '?', 'g'),
+                    '[?&]+$', '', 'g') AS u FROM c2),
+    canon AS (SELECT doc_id, regexp_replace(u, '/+$', '', 'g') AS canonical_url FROM c3)
+    SELECT canonical_url, count(*) AS n_docs, min(doc_id) AS keep_doc
+    FROM canon GROUP BY canonical_url
+    """
+
+
+@register(
+    "tx_url_canonicalize",
+    _url_oracle(),
+    doc="URL canonicalization + dedup-by-URL (the CommonCrawl-style crawl "
+    "dedup key): lowercase scheme/host, drop fragments, strip default "
+    "ports and utm/gclid/fbclid tracking params, trim trailing slashes — "
+    "pure regexp built-ins kept to RE2-compatible syntax so the oracle "
+    "mirrors every rule. The corpus has no URL column, so variants are "
+    "planted deterministically on doc_id residues (the tx_pii_scrub "
+    "pattern): 4 surface forms per target collapse to one canonical key",
+)
+def tx_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.text import canonical_url
+
+    d = load_table(spark, sf, "documents")
+    k = (F.col("doc_id") % 50).cast("string")
+    raw = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("HTTPS://Example.COM:443/articles/"), k))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("https://example.com/articles/"), k, F.lit("/")))
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("https://example.com/articles/"), k, F.lit("?utm_source=feed&utm_campaign=x")),
+        )
+        .otherwise(F.concat(F.lit("https://example.com/articles/"), k, F.lit("#section-2")))
+    )
+    canon = d.select("doc_id", canonical_url(raw).alias("canonical_url"))
+    return canon.groupBy("canonical_url").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc")
+    )

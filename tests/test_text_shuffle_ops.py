@@ -91,3 +91,26 @@ def test_mixture_sample_rates_and_nesting(spark, docs):
     # determinism across partitionings
     again = mixture_sample(d.repartition(7), "doc_id", F.col("rate_bp")).toPandas()
     assert set(kept["doc_id"]) == set(again["doc_id"])
+
+
+def test_canonical_url_rules(spark):
+    from pyspark.sql import functions as F
+
+    from data_wrangle_openstreetmaps_data_1_spark.functions.text import canonical_url
+
+    cases = {
+        "HTTPS://Example.COM:443/Articles/7": "https://example.com/Articles/7",
+        "https://example.com/Articles/7/": "https://example.com/Articles/7",
+        "https://example.com/Articles/7?utm_source=feed&utm_campaign=x": "https://example.com/Articles/7",
+        "https://example.com/Articles/7#section-2": "https://example.com/Articles/7",
+        # mid-query tracking strip keeps real params and the '?'
+        "http://Example.com:80/a?x=1&utm_medium=m&y=2": "http://example.com/a?x=1&y=2",
+        "https://example.com/a?utm_source=s": "https://example.com/a",
+        # bare origin unharmed; path case preserved (case-sensitive servers)
+        "https://example.com": "https://example.com",
+        # :8443 is NOT a default port and must survive
+        "https://example.com:8443/a": "https://example.com:8443/a",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r["url"]: r["c"] for r in df.select("url", canonical_url(F.col("url")).alias("c")).collect()}
+    assert got == cases
