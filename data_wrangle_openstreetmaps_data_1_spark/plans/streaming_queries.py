@@ -137,3 +137,43 @@ def st_topk(spark: SparkSession, sf: str) -> DataFrame:
 )
 def st_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     return run_sessionize_once(spark, sf, gap_minutes=30.0)
+
+
+def _st_hll_oracle() -> str:
+    from ..operators.sketches import HLL_ALPHA, HLL_M, HLL_P, HLL_RHO_BITS
+
+    mask = (1 << HLL_RHO_BITS) - 1
+    alpha_m2 = HLL_ALPHA * HLL_M * HLL_M
+    return f"""
+    WITH it AS (SELECT user_id::VARCHAR || ':' || CAST(CAST(ts AS DATE) AS VARCHAR) AS item
+                FROM events),
+    h AS (SELECT ('0x' || substr(md5(item || ':hll'), 1, 15))::BIGINT AS h FROM it),
+    br AS (SELECT h % {HLL_M} AS bucket, (h >> {HLL_P}) & {mask} AS rem FROM h),
+    r AS (SELECT bucket,
+                 max(CASE WHEN rem = 0 THEN {HLL_RHO_BITS + 1}
+                          ELSE length(bin(rem & -rem)) END) AS rho
+          FROM br GROUP BY bucket),
+    s AS (SELECT count(*) AS nb,
+                 sum(CAST(1 AS DOUBLE) / (1::BIGINT << rho)) AS s_ne FROM r)
+    SELECT CAST(floor(CAST('{alpha_m2!r}' AS DOUBLE)
+                      / (CAST({HLL_M} - nb AS DOUBLE) + s_ne)) AS BIGINT)
+             AS est_distinct,
+           nb AS nonempty_buckets FROM s
+    """
+
+
+@register(
+    "st_hll",
+    _st_hll_oracle(),
+    doc="STREAMING distinct count via HyperLogLog: groupBy(bucket).max(rho) "
+    "is the HLL merge, so the streaming aggregation state is bounded at "
+    "m=256 rows no matter how many distinct items pass — the inverse of "
+    "dropDuplicates' one-state-row-per-key, and no watermark needed (a "
+    "max-monoid never expires). Estimate computed sink-side from the "
+    "final sketch snapshot; over a finite input it equals the batch "
+    "sketch, which the oracle value-checks",
+)
+def st_hll(spark: SparkSession, sf: str) -> DataFrame:
+    from ..streaming.sketch import run_hll_once
+
+    return run_hll_once(spark, sf)

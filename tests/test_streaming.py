@@ -268,3 +268,34 @@ def test_stream_stream_join_equals_batch(spark, sf_small):
     )
     cols = ["click_id", "user_id", "click_ts", "view_ts", "view_value"]
     assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_streaming_hll_equals_batch_sketch(spark, sf_small):
+    """The streaming sketch state is the same max-monoid as the batch
+    build: final snapshot == batch hll_build, bounded at m=256 rows."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.sketches import HLL_M, hll_build
+    from data_wrangle_openstreetmaps_data_1_spark.streaming.sketch import (
+        hll_sketch_stream,
+        run_hll_once,
+    )
+    from data_wrangle_openstreetmaps_data_1_spark.streaming.finite import run_available_now
+    from data_wrangle_openstreetmaps_data_1_spark.streaming.ingest import read_events_stream
+
+    def items_of(df):
+        return df.select(
+            F.concat(
+                F.col("user_id").cast("string"), F.lit(":"), F.to_date("ts").cast("string")
+            ).alias("item")
+        )
+
+    streamed = run_available_now(
+        hll_sketch_stream(items_of(read_events_stream(spark, sf_small)), "item"), "complete"
+    )
+    batch = hll_build(items_of(load_table(spark, sf_small, "events")), "item")
+    s_rows = sorted(map(tuple, streamed.collect()))
+    b_rows = sorted(map(tuple, batch.collect()))
+    assert s_rows == b_rows
+    assert 0 < len(s_rows) <= HLL_M  # the bounded-state guarantee
+
+    est = run_hll_once(spark, sf_small).collect()[0]
+    assert est["est_distinct"] > 0
