@@ -184,3 +184,21 @@ def test_asof_join_query_single_window_no_join(spark):
     assert "Window" in plan
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin", "CartesianProduct"):
         assert bad not in plan, bad
+
+
+def test_funnel_single_shuffle_three_windows(spark):
+    """Three stacked unordered window mins must reuse ONE (user, day)
+    partitioning: a second exchange keyed on the same cols would mean the
+    100 TB events table moves twice; the final stage rollup's exchange is
+    AQE-coalesced and tiny."""
+    plan = plan_of(spark, "a_funnel_stages")
+    assert plan.count("Window") >= 3
+    # exchanges: 1 for the window partitioning + (distinct/rollup aggs on
+    # tiny per-key rows); the window partitioning must appear exactly once
+    import re
+
+    window_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "user_id" in ln and "day" in ln and "stage" not in ln
+    ]
+    assert len(window_exchanges) == 1, plan
