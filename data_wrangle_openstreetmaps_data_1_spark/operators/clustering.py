@@ -101,3 +101,41 @@ def kmeans_summary(df: DataFrame, id_col: str, vec_col: str, k: int = 8, iters: 
         .agg(F.count("*").alias("n_members"))
         .withColumn("centroid_norm", norm_map[F.col("cluster")])
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 3,
+    tau: float = 0.45,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster embeddings with k-means, then inside each cluster drop every
+    item that has a >= tau cosine neighbor with a smaller id (the greedy
+    keep-first rule, deterministic by id order).
+
+    Scale story: clustering first is what makes embedding dedup tractable —
+    the pairwise stage is confined WITHIN clusters, so its cost is
+    sum(|cluster|^2) instead of n^2; at 100 TB you scale k with n to keep
+    cluster sizes bounded (SemDeDup's own recipe), and the per-cluster
+    pair join is a keyed equi-join on cluster id that AQE can split.
+
+    Output: (cluster, n_members, n_dropped) — compact, exactly comparable;
+    cosine rounded to 6 before the threshold so both engines decide
+    identically (the sim_neardup_cosine parity contract).
+    """
+    from ..functions.vectors import cosine
+
+    _, assigned = kmeans_fit(df, id_col, vec_col, k=k, iters=iters)
+    a = assigned.select("cluster", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = assigned.select("cluster", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, "cluster").where(F.col("id_a") < F.col("id_b"))
+    near = pairs.where(F.round(cosine(F.col("va"), F.col("vb")), 6) >= tau)
+    drops = near.select("cluster", "id_b").distinct()
+    members = assigned.groupBy("cluster").agg(F.count("*").alias("n_members"))
+    nd = drops.groupBy("cluster").agg(F.count("*").alias("n_dropped"))
+    return members.join(nd, "cluster", "left").select(
+        "cluster", "n_members", F.coalesce("n_dropped", F.lit(0)).alias("n_dropped")
+    )

@@ -546,11 +546,13 @@ def sim_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return ann_lsh(emb, queries, "vec_id", "embedding", k=10, dim=64, n_planes=8)
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64, r: int = 6) -> str:
-    """Relationally-unrolled Lloyd iterations. Parity contract with the Spark
-    operator (operators/clustering.py): centroids quantized to ``r`` decimals
-    each iteration; assignment d2 is the same left-fold over (v[i]-c[i])^2;
-    ties to the lowest cluster index; empty clusters keep their centroid."""
+def _kmeans_ctes(k: int = 8, iters: int = 3, dim: int = 64, r: int = 6) -> list[str]:
+    """Relationally-unrolled Lloyd iterations (shared by the ml_kmeans and
+    dd_semantic oracles). Parity contract with the Spark operator
+    (operators/clustering.py): centroids quantized to ``r`` decimals each
+    iteration; assignment d2 is the same left-fold over (v[i]-c[i])^2;
+    ties to the lowest cluster index; empty clusters keep their centroid.
+    The final assignment CTE is ``assign{iters-1}``."""
     d2 = (
         f"list_reduce(list_transform(range(1, {dim + 1}), "
         f"i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])), (a, b) -> a + b)"
@@ -577,6 +579,11 @@ def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64, r: int = 6) -> str
             f"LEFT JOIN (SELECT cluster, array_agg(cv ORDER BY dim) AS c "
             f"FROM dims{it} GROUP BY cluster) n USING (cluster))"
         )
+    return ctes
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64, r: int = 6) -> str:
+    ctes = _kmeans_ctes(k, iters, dim, r)
     return f"""
     WITH {", ".join(ctes)}
     SELECT a.cluster, count(*) AS n_members,
@@ -1564,3 +1571,47 @@ def tx_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
     return canon.groupBy("canonical_url").agg(
         F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc")
     )
+
+
+def _semdedup_oracle(k: int = 8, iters: int = 3, dim: int = 64, r: int = 6, tau: float = 0.45) -> str:
+    """DuckDB twin of semantic_dedup: the unrolled k-means CTEs (shared with
+    _kmeans_oracle) + within-cluster pairwise cosine + greedy keep-first."""
+    ctes = _kmeans_ctes(k, iters, dim, r)
+    fa = f"assign{iters - 1}"
+    cos = (
+        f"round(list_reduce(list_transform(range(1, {dim + 1}), i -> a.v[i] * b.v[i]), (x, y) -> x + y)"
+        f" / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))"
+        f" * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y))), 6)"
+    )
+    ctes.append(
+        f"drops AS (SELECT DISTINCT a.cluster, b.vec_id FROM {fa} a JOIN {fa} b "
+        f"ON a.cluster = b.cluster AND a.vec_id < b.vec_id WHERE {cos} >= {tau})"
+    )
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT m.cluster, m.n_members, coalesce(d.n_dropped, 0) AS n_dropped
+    FROM (SELECT cluster, count(*) AS n_members FROM {fa} GROUP BY cluster) m
+    LEFT JOIN (SELECT cluster, count(*) AS n_dropped FROM drops GROUP BY cluster) d
+    USING (cluster)
+    """
+
+
+@register(
+    "dd_semantic",
+    _semdedup_oracle(),
+    doc="SemDeDup-style semantic dedup (Abbas et al. 2023): k-means cluster "
+    "the embeddings (the same value-checked 3-iteration Lloyd trajectory "
+    "as ml_kmeans), then drop within-cluster items with a >= 0.45-cosine "
+    "smaller-id neighbor (greedy keep-first, deterministic). Clustering "
+    "confines the pairwise stage to sum(|cluster|^2) instead of n^2 — at "
+    "scale k grows with n to bound cluster sizes, and the pair stage is a "
+    "cluster-keyed equi-join AQE can split. Cosine rounded to 6 before "
+    "thresholding so both engines decide identically",
+)
+def dd_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.clustering import semantic_dedup
+
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return semantic_dedup(emb, "vec_id", "embedding", k=8, iters=3, tau=0.45)

@@ -52,3 +52,25 @@ def test_empty_cluster_keeps_centroid(spark):
     cents, _ = kmeans_fit(df, "vec_id", "embedding", k=3, iters=2)
     assert len(cents) == 3
     assert all(len(c) == 2 and all(x is not None for x in c) for c in cents)
+
+
+def test_semantic_dedup_greedy_keep_first(spark):
+    """Constructed clusters: exact + near duplicates of the keeper are
+    dropped; the smallest id in each near-dup group survives."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.clustering import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0]),       # seed c1, keeper
+        (1, [0.0, 1.0]),       # seed c2, alone
+        (2, [1.0, 0.0]),       # exact dup of 0 -> dropped
+        (3, [0.9999, 0.01]),   # near dup of 0 -> dropped
+        (4, [0.6, 0.8]),       # same cluster as 1? distinct direction, kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["cluster"]: (r["n_members"], r["n_dropped"])
+        for r in semantic_dedup(df, "vec_id", "embedding", k=2, iters=1, tau=0.99).collect()
+    }
+    assert sum(m for m, _ in out.values()) == 5  # every vector assigned once
+    assert out[1] == (3, 2)  # ids 2 and 3 dropped, id 0 kept
+    assert out[2][1] == 0    # no >= 0.99 pairs in cluster 2
