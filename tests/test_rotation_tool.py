@@ -68,3 +68,20 @@ def test_empty_prev_fingerprints_never_forces_tier1():
     hist = {"a": hist_entry(1), "b": hist_entry(2)}
     order = compute_order(names, hist, {n: True for n in names}, FPS, {})
     assert order == ["a", "b"]
+
+
+def test_force_head_outranks_organic_tier0():
+    # a builder-asserted must-check (green driver history, red locally)
+    # must lead even a crowded organic tier 0 — that's its whole purpose
+    names = list("abcde")
+    hist = {"e": hist_entry(2)}  # a-d never checked -> organic tier 0
+    order = compute_order(
+        names, hist, {n: True for n in names}, FPS, FPS, force_head=["e"]
+    )
+    assert order[0] == "e"
+    # and names not in the registry are filtered by the caller, so an
+    # unknown name in the file cannot break ordering here
+    order2 = compute_order(
+        names, hist, {n: True for n in names}, FPS, FPS, force_head=[]
+    )
+    assert order2[-1] == "e"  # without forcing, its green row sinks it

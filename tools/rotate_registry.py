@@ -93,20 +93,28 @@ def compute_order(
     has_oracle: dict[str, bool],
     fps: dict[str, str],
     prev_fps: dict[str, str],
+    force_head: list[str] | None = None,
 ) -> list[str]:
     """Pure ordering core (unit-tested in tests/test_rotation_tool.py).
 
-    tier 0: never driver-checked, red at last check, or last check was
-            rows-only but the query has since gained an oracle;
+    tier 0: ``force_head`` names (builder-asserted must-check: e.g. a query
+            whose driver row is green but that was found red LOCALLY — the
+            history can't know), then never driver-checked, red at last
+            check, or last check was rows-only but the query has since
+            gained an oracle;
     tier 1: fingerprint changed since the previous rotation pass;
     tier 2: stable green — stalest (lowest last-checked round) first.
     Registration order breaks every tie.
     """
+    forced = set(force_head or [])
 
     def key(item: tuple[int, str]) -> tuple:
         reg_pos, name = item
         last, green, rows_only = hist.get(name, (0, False, False))
-        if name not in hist or not green or (rows_only and has_oracle.get(name, False)):
+        if name in forced:
+            tier = 0
+            last = -1  # ahead of organic tier 0 so a long tier 0 can't push it out
+        elif name not in hist or not green or (rows_only and has_oracle.get(name, False)):
             tier = 0
         elif prev_fps and prev_fps.get(name) != fps.get(name):
             tier = 1  # changed since last rotation pass: past green is stale
@@ -129,7 +137,15 @@ def main() -> int:
     if os.path.exists(OUT):
         prev_fps = json.load(open(OUT)).get("fingerprints", {})
 
-    ordered = compute_order(names, hist, has_oracle, fps, prev_fps)
+    # Builder-asserted must-check names (see compute_order docstring). The
+    # file holds {"force_head": [...], "note": ...}; names here are purged
+    # once the driver shows a fresh green row for them.
+    force_head: list[str] = []
+    overrides_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "rotation_overrides.json")
+    if os.path.exists(overrides_path):
+        force_head = [n for n in json.load(open(overrides_path)).get("force_head", []) if n in names]
+
+    ordered = compute_order(names, hist, has_oracle, fps, prev_fps, force_head)
     payload = {
         "comment": "driver checks the first 50 queries() entries; see tools/rotate_registry.py",
         "generated_from": sorted(
