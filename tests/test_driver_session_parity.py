@@ -21,10 +21,21 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF = "/root/testdata/sf0.001"
 
-# One query per conf-risk class: events TIMESTAMP(NANOS) read + timestamp
-# arithmetic (sessionize_gap), timestamp->string rendering (t_hourly_rollup),
-# Arrow/pandas_udf (g4_polygon_pip), persist()-based dedup (dd_exact).
-QUERIES = ["sessionize_gap", "t_hourly_rollup", "g4_polygon_pip", "dd_exact"]
+# One query per conf-risk class: events ts ingestion (any physical form) +
+# timestamp arithmetic (sessionize_gap), timestamp->string rendering
+# (t_hourly_rollup), Arrow/pandas_udf (g4_polygon_pip), persist()-based
+# dedup (dd_exact), date derivation from canonical ts (sk_hll_grouped),
+# union+LOCF window as-of join (j_asof_backward), streaming sketch agg
+# under a plain session (st_hll).
+QUERIES = [
+    "sessionize_gap",
+    "t_hourly_rollup",
+    "g4_polygon_pip",
+    "dd_exact",
+    "sk_hll_grouped",
+    "j_asof_backward",
+    "st_hll",
+]
 
 _CHILD = r"""
 import json, sys
