@@ -534,3 +534,51 @@ def a_funnel_stages(spark: SparkSession, sf: str) -> DataFrame:
     )
     per_ud = s3.select("user_id", "day", stage.alias("stage")).distinct()
     return per_ud.groupBy("stage").agg(F.count("*").alias("n_user_days"))
+
+
+@register(
+    "w_session_window_native",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS sid
+      FROM flagged
+    )
+    SELECT user_id, CAST(min(ts) AS VARCHAR) AS session_start,
+           count(*) AS n_events,
+           (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000 AS duration_ms
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="Spark's NATIVE session_window aggregation (vs sessionize_gap's "
+    "manual two-window form): groupBy(user, session_window(ts, gap)) — one "
+    "shuffle, merge-on-overlap inside the aggregation, usable unchanged in "
+    "Structured Streaming. Boundary semantics differ from the manual "
+    "operator: the merge window is half-open, so an event EXACTLY gap "
+    "after its predecessor starts a NEW session (oracle uses >=, the "
+    "manual twin uses >) — documented, value-checked difference",
+)
+def w_session_window_native(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    g = e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w")).agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    return g.select(
+        "user_id",
+        F.col("first_ts").cast("string").alias("session_start"),
+        "n_events",
+        ((F.unix_micros("last_ts") - F.unix_micros("first_ts")) / 1000)
+        .cast("long")
+        .alias("duration_ms"),
+    )
