@@ -159,7 +159,12 @@ def canonical_url(col: Column) -> Column:
     u = F.regexp_replace(u, r"^https://([^/:?#]+):443$", r"https://$1")
     u = F.regexp_replace(u, r"^http://([^/:?#]+):80/", r"http://$1/")
     u = F.regexp_replace(u, r"^http://([^/:?#]+):80$", r"http://$1")
-    u = F.regexp_replace(u, r"(utm_[a-z]+|gclid|fbclid)=[^&#]*&?", "")
-    u = F.regexp_replace(u, r"\?&", "?")
+    # Anchored to a [?&] delimiter so a param whose name merely ENDS with a
+    # tracked name (e.g. ?xgclid=1) is never mangled; the (...)+ run form
+    # consumes consecutive tracked params (?utm_a=1&utm_b=2&rest=3 ->
+    # ?rest=3) that a single-param anchored match would miss, because
+    # regexp_replace resumes scanning after the consumed delimiter.
+    u = F.regexp_replace(u, r"([?&])((?:utm_[a-z]+|gclid|fbclid)=[^&#]*&?)+", r"$1")
+    u = F.regexp_replace(u, r"\?&+", "?")
     u = F.regexp_replace(u, r"[?&]+$", "")
     return F.regexp_replace(u, r"/+$", "")

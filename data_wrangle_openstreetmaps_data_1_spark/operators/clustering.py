@@ -113,8 +113,12 @@ def semantic_dedup(
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
     cluster embeddings with k-means, then inside each cluster drop every
-    item that has a >= tau cosine neighbor with a smaller id (the greedy
-    keep-first rule, deterministic by id order).
+    item that has ANY >= tau cosine neighbor with a smaller id — even one
+    that was itself dropped. This is an over-approximation of the greedy
+    keep-first rule (chain a~b, b~c, a!~c: greedy keeps c, this drops it),
+    chosen because it is a single keyed self-join instead of an inherently
+    sequential per-cluster scan; deterministic by id order, and the oracle
+    mirrors the same rule.
 
     Scale story: clustering first is what makes embedding dedup tractable —
     the pairwise stage is confined WITHIN clusters, so its cost is

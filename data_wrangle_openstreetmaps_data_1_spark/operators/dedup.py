@@ -110,6 +110,37 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3, t
     return pairs
 
 
+def jaccard_truth_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.4
+) -> DataFrame:
+    """ALL pairs with exact Jaccard >= threshold — the ground truth the LSH
+    tiers are measured against (dd_lsh_tier_audit). Same shape as
+    ngram_jaccard_pairs but over the PORTABLE md5-derived mod-p hash with
+    explicit (doc_id, h) dedup, so set sizes and intersections are counts
+    of DISTINCT hash values — bit-identical to the DuckDB twin
+    (list_distinct + unnest) including any mod-p collision behavior, with
+    no reliance on collision-freeness.
+    """
+    sh = _shingle_sets(df, id_col, text_col, n)
+    ex = (
+        explode_nonempty(sh, ["doc_id"], "shingles", "shingle")
+        .select("doc_id", F.expr(HASH_P_SQL.format(x="shingle")).alias("h"))
+        .distinct()
+    )
+    ex = ex.withColumn("n_h", F.count("*").over(Window.partitionBy("doc_id")))
+    a = ex.select(F.col("doc_id").alias("doc_a"), F.col("n_h").alias("na"), "h")
+    b = ex.select(F.col("doc_id").alias("doc_b"), F.col("n_h").alias("nb"), "h")
+    return (
+        a.join(b, "h")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").alias("inter"))
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -207,11 +238,18 @@ def minhash_lsh_pairs(
     ea = ex.select(F.col("doc_id").alias("doc_a"), "h")
     eb = ex.select(F.col("doc_id").alias("doc_b"), "h")
     sizes = sig.select("doc_id", "n_shingles")
+    # count_distinct, not count(*): two distinct shingles in one doc can
+    # collide mod MERSENNE_P (only 2^31-1), duplicating (doc_id, h) rows on
+    # both join sides and inflating the raw row count quadratically. The
+    # oracle's list_intersect deduplicates, so |A ∩ B| here must be the
+    # count of DISTINCT shared hash values. (n_shingles stays count(*) over
+    # the exploded distinct-shingle rows = len(shingles), matching the
+    # oracle's n_sh exactly.)
     inter = (
         cand.join(ea, "doc_a")
         .join(eb, ["doc_b", "h"])
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+        .agg(F.count_distinct("h").alias("inter"))
     )
     verified = (
         inter.join(

@@ -101,6 +101,37 @@ def ann_lsh(targets: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k
     )
 
 
+def recall_at_k(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """Retrieval quality of an ANN result against the exact top-k ground
+    truth: per query, ``hits`` = |approx ∩ exact| and ``recall_at_k`` =
+    hits / k. Both inputs are (query_id, neighbor_id, ...) top-k tables.
+
+    Queries the ANN missed entirely still get a row (hits = 0) via the
+    left join from the exact side's query list — silent omission is the
+    failure mode this metric exists to catch. Join moves (query, neighbor)
+    id pairs only: at scale this is k rows per query per side, so the
+    whole check is driver-negligible regardless of corpus size.
+    """
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            F.round(F.coalesce("hits", F.lit(0)).cast("double") / F.lit(float(k)), 6).alias(
+                "recall_at_k"
+            ),
+        )
+    )
+
+
 def _l2sq(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, v: acc + v

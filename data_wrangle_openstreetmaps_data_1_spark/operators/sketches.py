@@ -176,7 +176,13 @@ def bloom_member(
     LEFT join + a presence flag, folded with min(): "all k bits set" must
     hold per distinct probe key regardless of row multiplicity — the old
     inner-join ``count(*) == k`` form miscounted duplicate probe rows
-    (2 duplicates -> 2k joined rows -> filtered out despite membership)."""
+    (2 duplicates -> 2k joined rows -> filtered out despite membership).
+
+    NOTE: the groupBy is over ALL probe columns, so duplicate probe rows
+    collapse to one output row — membership is a property of the probe
+    VALUE, not the row. Callers that need row multiplicity preserved must
+    carry their own row id (e.g. ``monotonically_increasing_id`` before
+    calling); every registered caller probes distinct keys."""
     expanded = probes.select(
         "*", F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("i")
     ).withColumn(

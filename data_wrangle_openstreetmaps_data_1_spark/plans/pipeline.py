@@ -346,9 +346,7 @@ _NQ = "sqrt(list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b))"
 _NT = "sqrt(list_reduce(list_transform(tv, x -> x * x), (a, b) -> a + b))"
 
 
-@register(
-    "sim_knn_brute",
-    f"""
+_KNN_BRUTE_SQL = f"""
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                FROM embeddings WHERE vec_id < 5),
     t AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS tv FROM embeddings),
@@ -362,7 +360,12 @@ _NT = "sqrt(list_reduce(list_transform(tv, x -> x * x), (a, b) -> a + b))"
       FROM scored)
     SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim
     FROM ranked WHERE rk <= 10
-    """,
+    """
+
+
+@register(
+    "sim_knn_brute",
+    _KNN_BRUTE_SQL,
     bench=True,
     doc="brute-force top-10 cosine ANN baseline: broadcast query vectors, "
     "expression-only dot/norm (zip_with+aggregate), per-query window top-k",
@@ -493,9 +496,7 @@ def _ann_lsh_oracle(dim: int = 64, n_planes: int = 8, k: int = 10) -> str:
 _L2SQ = "list_reduce(list_transform(range(1, 65), i -> (e.v[i] - c.c_vec[i]) * (e.v[i] - c.c_vec[i])), (a, b) -> a + b)"
 
 
-@register(
-    "sim_ivf",
-    f"""
+_IVF_SQL = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     cent AS (SELECT vec_id AS c_id, v AS c_vec FROM e WHERE vec_id < 16),
     assign AS (
@@ -515,7 +516,12 @@ _L2SQ = "list_reduce(list_transform(range(1, 65), i -> (e.v[i] - c.c_vec[i]) * (
       FROM scored)
     SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim
     FROM ranked WHERE rk <= 10
-    """,
+    """
+
+
+@register(
+    "sim_ivf",
+    _IVF_SQL,
     doc="IVF approximate top-k cosine: coarse-quantize to the 16 seed "
     "centroids, queries probe their 2 nearest clusters (cluster equi-join "
     "replaces the full scan; at 100 TB the target table is partitioned by "
@@ -1533,8 +1539,8 @@ def _url_oracle() -> str:
                     '^http://([^/:?#]+):80$', 'http://\\1') AS u FROM c1),
     c3 AS (SELECT doc_id,
                   regexp_replace(regexp_replace(regexp_replace(u,
-                    '(utm_[a-z]+|gclid|fbclid)=[^&#]*&?', '', 'g'),
-                    '\\?&', '?', 'g'),
+                    '([?&])((?:utm_[a-z]+|gclid|fbclid)=[^&#]*&?)+', '\\1', 'g'),
+                    '\\?&+', '?', 'g'),
                     '[?&]+$', '', 'g') AS u FROM c2),
     canon AS (SELECT doc_id, regexp_replace(u, '/+$', '', 'g') AS canonical_url FROM c3)
     SELECT canonical_url, count(*) AS n_docs, min(doc_id) AS keep_doc

@@ -28,7 +28,6 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
-    TimestampNTZType,
 )
 
 from ..functions.timeutil import normalize_event_ts
@@ -42,11 +41,10 @@ def _events_raw_schema(spark: SparkSession, sf_dir: str) -> StructType:
     to stay robust across Spark versions.
     """
     probed = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    # The footer type passes through as-is (epoch long, timestamp_ntz, or a
+    # future format) — normalize_event_ts rejects unsupported types loudly
+    # downstream, so no coercion happens here.
     ts_type = probed["ts"].dataType
-    if not isinstance(ts_type, (LongType, TimestampNTZType)):
-        # already a with-tz timestamp, or a future format normalize_event_ts
-        # will reject loudly downstream
-        ts_type = probed["ts"].dataType
     fields = {
         "event_id": LongType(),
         "user_id": LongType(),

@@ -110,6 +110,12 @@ def test_canonical_url_rules(spark):
         "https://example.com": "https://example.com",
         # :8443 is NOT a default port and must survive
         "https://example.com:8443/a": "https://example.com:8443/a",
+        # a param whose name merely ENDS with a tracked name is NOT tracked
+        "https://example.com/a?xgclid=1": "https://example.com/a?xgclid=1",
+        "https://example.com/a?mygclid=1&y=2": "https://example.com/a?mygclid=1&y=2",
+        # consecutive tracked params stripped as a run, delimiter restored
+        "https://example.com/a?utm_a=1&utm_b=2&rest=3": "https://example.com/a?rest=3",
+        "https://example.com/a?x=1&utm_m=2&gclid=3&y=4": "https://example.com/a?x=1&y=4",
     }
     df = spark.createDataFrame([(u,) for u in cases], "url string")
     got = {r["url"]: r["c"] for r in df.select("url", canonical_url(F.col("url")).alias("c")).collect()}
