@@ -11,7 +11,7 @@ import sys
 
 sys.path.insert(0, "/root/repo/tools")
 
-from rotate_registry import compute_order  # noqa: E402
+from rotate_registry import compute_order, reachable_source  # noqa: E402
 
 FPS = {n: f"fp_{n}" for n in "abcdefg"}
 
@@ -85,3 +85,90 @@ def test_force_head_outranks_organic_tier0():
         names, hist, {n: True for n in names}, FPS, FPS, force_head=[]
     )
     assert order2[-1] == "e"  # without forcing, its green row sinks it
+
+
+# ---------------------------------------------------------------------------
+# Transitive fingerprints (round 6): a helper rewrite must re-tier callers.
+# Round 4's silent staleness was exactly this hole — dd_groups_cc's green row
+# kept vouching after ngram_jaccard_pairs (a helper it calls) was rewritten,
+# and only a hand-maintained force_head list papered over it.
+# ---------------------------------------------------------------------------
+
+
+def test_reachable_source_covers_registry_helpers():
+    # the real criterion: ngram_jaccard_pairs (and ITS helpers, two modules
+    # away) are inside dd_groups_cc's fingerprint closure, so editing any of
+    # them alone flips the fingerprint -> tier 1 in compute_order
+    from data_wrangle_openstreetmaps_data_1_spark.plans import registry
+
+    registry._load_all()
+    src = reachable_source(registry.QUERIES["dd_groups_cc"].spark)
+    assert "def ngram_jaccard_pairs" in src  # direct callee (operators/dedup.py)
+    assert "def _shingle_sets" in src  # callee-of-callee
+    assert "def explode_nonempty" in src  # cross-module helper (partitioning.py)
+    assert "def dedup_groups" in src  # operators/components.py
+    # and an UNRELATED operator module is NOT dragged in (precision: a
+    # sketches.py edit must not re-tier every dedup query)
+    assert "def bloom_member" not in src
+
+
+def test_reachable_source_sees_in_function_imports():
+    # tx_url_canonicalize does `from ..functions.text import canonical_url`
+    # INSIDE the function body — binds locally, invisible to co_names-in-
+    # globals resolution; the AST import walk must catch it
+    from data_wrangle_openstreetmaps_data_1_spark.plans import registry
+
+    registry._load_all()
+    src = reachable_source(registry.QUERIES["tx_url_canonicalize"].spark)
+    assert "def canonical_url" in src
+
+
+def _write_tpkg(root, helper_body, const_val=5):
+    (root / "tpkg" / "sub").mkdir(parents=True, exist_ok=True)
+    (root / "tpkg" / "__init__.py").write_text("")
+    (root / "tpkg" / "sub" / "__init__.py").write_text("")
+    (root / "tpkg" / "sub" / "helper.py").write_text(
+        f"K = {const_val}\n\n\ndef g():\n    return {helper_body}\n"
+    )
+    (root / "tpkg" / "caller.py").write_text(
+        "from .sub.helper import K, g\n\n\ndef f():\n    return g() + K\n"
+    )
+
+
+def test_helper_edit_alone_changes_caller_fingerprint(tmp_path):
+    import importlib
+    import linecache
+
+    sys.path.insert(0, str(tmp_path))
+    try:
+        _write_tpkg(tmp_path, "1")
+        caller = importlib.import_module("tpkg.caller")
+        fp1 = reachable_source(caller.f)
+        assert "def g" in fp1 and "const:K=5" in fp1
+
+        # edit ONLY the helper function body; caller.py untouched
+        _write_tpkg(tmp_path, "2")
+        linecache.clearcache()
+        importlib.reload(sys.modules["tpkg.sub.helper"])
+        caller = importlib.reload(caller)
+        fp2 = reachable_source(caller.f)
+        assert fp1 != fp2
+
+        # edit ONLY the shared constant
+        _write_tpkg(tmp_path, "2", const_val=7)
+        linecache.clearcache()
+        importlib.reload(sys.modules["tpkg.sub.helper"])
+        caller = importlib.reload(caller)
+        fp3 = reachable_source(caller.f)
+        assert fp3 != fp2 and "const:K=7" in fp3
+
+        # and a changed fingerprint is exactly what re-tiers the caller to 1
+        hist = {"f": hist_entry(2), "x": hist_entry(2)}
+        fps = {"f": fp3, "x": "fp_x"}
+        prev = {"f": fp2, "x": "fp_x"}
+        order = compute_order(["x", "f"], hist, {"f": True, "x": True}, fps, prev)
+        assert order[0] == "f"
+    finally:
+        sys.path.remove(str(tmp_path))
+        for m in [m for m in sys.modules if m == "tpkg" or m.startswith("tpkg.")]:
+            del sys.modules[m]

@@ -11,8 +11,10 @@ registry reads it at import) ordering queries by:
   tier 0 — never driver-checked, or red (hash/rows/schema mismatch or error)
            at their most recent appearance: these need a row NOW;
   tier 1 — implementation or oracle changed since the previous rotation pass
-           (fingerprint = md5 of oracle SQL + Spark function source, stored
-           in rotation.json): a past green row no longer vouches for them;
+           (fingerprint = md5 of oracle SQL + the TRANSITIVE source closure
+           of the Spark function — the function itself plus every
+           same-package helper/constant it reaches, see reachable_source —
+           stored in rotation.json): a past green row no longer vouches;
   tier 2 — stable green, stalest first (ascending round of last driver row),
            registration order as the tie-break.
 
@@ -73,16 +75,160 @@ def correctness_history() -> dict[str, tuple[int, bool, bool]]:
     return hist
 
 
+def reachable_source(fn, pkg_prefix: str | None = None) -> str:
+    """Source of ``fn`` PLUS every same-package object it transitively
+    reaches: called helpers, referenced classes, in-function imports, and
+    module-level constants (by repr). This makes the rotation fingerprint
+    TRANSITIVE — rewriting ``ngram_jaccard_pairs`` changes the fingerprint
+    of every registered query that calls it, so past green rows correctly
+    stop vouching. (The pre-round-6 form hashed only the registered
+    function's own source; a helper rewrite left callers' stale green rows
+    standing — round 4's silent-staleness class — papered over by a
+    hand-maintained force_head list in rotation_overrides.json.)
+
+    Traversal: BFS over code objects. Per function: global name references
+    (``co_names`` resolved in ``__globals__``), nested code objects in
+    ``co_consts`` (lambdas/comprehensions), closure cells, and AST-parsed
+    in-function ``from x import y`` statements (those bind locally, so the
+    co_names-in-globals walk can't see them). Only objects whose module is
+    inside ``pkg_prefix`` (default: ``fn``'s top-level package) expand;
+    pyspark/stdlib references are skipped. Referenced module-level
+    constants contribute ``name=repr(value)`` so editing a shared SQL
+    template / regex / coefficient table also re-tiers its users; sets are
+    repr'd sorted (raw set repr order is not process-stable).
+    """
+    import ast
+    import functools
+    import importlib
+    import inspect
+    import textwrap
+    import types
+
+    if pkg_prefix is None:
+        pkg_prefix = (getattr(fn, "__module__", "") or "").split(".")[0]
+    chunks: dict[str, str] = {}
+    seen_codes: set[int] = set()
+    seen_objs: set[int] = set()
+    SIMPLE = (str, bytes, int, float, bool, complex, tuple, list, dict, set, frozenset)
+
+    def in_pkg(modname: str | None) -> bool:
+        return modname == pkg_prefix or (modname or "").startswith(pkg_prefix + ".")
+
+    def visit_const(name: str, obj) -> None:
+        try:
+            r = repr(sorted(obj, key=repr)) if isinstance(obj, (set, frozenset)) else repr(obj)
+        except Exception:
+            return
+        if len(r) <= 20000:
+            chunks.setdefault(f"const:{name}={r}", "")
+
+    def visit_obj(obj) -> None:
+        if id(obj) in seen_objs:
+            return
+        seen_objs.add(id(obj))
+        if isinstance(obj, types.ModuleType):
+            if in_pkg(getattr(obj, "__name__", None)):
+                key = "mod:" + obj.__name__
+                if key not in chunks:
+                    try:
+                        chunks[key] = inspect.getsource(obj)
+                    except (OSError, TypeError):
+                        pass
+            return
+        if isinstance(obj, (staticmethod, classmethod)):
+            visit_obj(obj.__func__)
+            return
+        if isinstance(obj, functools.partial):
+            visit_obj(obj.func)
+            return
+        if isinstance(obj, types.FunctionType):
+            if not in_pkg(obj.__module__):
+                return
+            key = f"fn:{obj.__module__}.{obj.__qualname__}"
+            if key in chunks:
+                return
+            try:
+                src = inspect.getsource(obj)
+            except (OSError, TypeError):
+                src = ""
+            chunks[key] = src
+            visit_code(obj.__code__, obj.__globals__)
+            for cell in obj.__closure__ or ():
+                try:
+                    visit_obj(cell.cell_contents)
+                except ValueError:  # empty cell
+                    pass
+            visit_imports(src, obj.__module__)
+            return
+        if inspect.isclass(obj):
+            if not in_pkg(getattr(obj, "__module__", None)):
+                return
+            key = f"cls:{obj.__module__}.{obj.__qualname__}"
+            if key in chunks:
+                return
+            try:
+                chunks[key] = inspect.getsource(obj)
+            except (OSError, TypeError):
+                chunks[key] = ""
+            for v in vars(obj).values():
+                visit_obj(v)
+            return
+
+    def visit_code(code, globs) -> None:
+        if id(code) in seen_codes:
+            return
+        seen_codes.add(id(code))
+        for nm in code.co_names:
+            if nm in globs:
+                v = globs[nm]
+                if isinstance(v, SIMPLE):
+                    visit_const(nm, v)
+                else:
+                    visit_obj(v)
+        for const in code.co_consts:
+            if isinstance(const, types.CodeType):
+                visit_code(const, globs)
+
+    def visit_imports(src: str, modname: str) -> None:
+        try:
+            tree = ast.parse(textwrap.dedent(src))
+        except SyntaxError:
+            return
+        pkg = (modname or "").rpartition(".")[0]
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ImportFrom):
+                try:
+                    mod = importlib.import_module(
+                        "." * node.level + (node.module or ""), package=pkg or None
+                    )
+                except Exception:
+                    continue
+                if not in_pkg(mod.__name__):
+                    continue
+                for alias in node.names:
+                    tgt = getattr(mod, alias.name, mod)
+                    if isinstance(tgt, SIMPLE):
+                        visit_const(alias.name, tgt)
+                    else:
+                        visit_obj(tgt)
+            elif isinstance(node, ast.Import):
+                for alias in node.names:
+                    if in_pkg(alias.name):
+                        try:
+                            visit_obj(importlib.import_module(alias.name))
+                        except Exception:
+                            pass
+
+    visit_obj(fn)
+    return "\n".join(k + "\n" + chunks[k] for k in sorted(chunks))
+
+
 def fingerprints(registry) -> dict[str, str]:
     import hashlib
-    import inspect
 
     fps = {}
     for name, spec in registry.QUERIES.items():
-        try:
-            src = inspect.getsource(spec.spark)
-        except OSError:
-            src = ""
+        src = reachable_source(spec.spark)
         fps[name] = hashlib.md5(((spec.oracle or "") + src).encode()).hexdigest()
     return fps
 
