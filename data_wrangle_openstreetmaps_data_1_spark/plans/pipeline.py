@@ -278,6 +278,71 @@ def dd_minhash_lsh_fast(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "dd_lsh_tier_audit",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM corpus),
+    hashed AS (SELECT doc_id,
+                      list_distinct(list_transform(shingles, s -> {_HASH_P_SQL})) AS hs
+               FROM sh WHERE len(shingles) > 0),
+    sized AS (SELECT doc_id, len(hs) AS n_h, hs FROM hashed),
+    ex AS (SELECT doc_id, n_h, unnest(hs) AS h FROM sized),
+    truth AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_h AS na, b.n_h AS nb,
+               count(*) AS inter
+        FROM ex a JOIN ex b USING (h) WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4)
+      WHERE round(inter / (na + nb - inter), 6) >= 0.4),
+    portable AS ({_minhash_oracle()})
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM portable) AS BIGINT) AS n_portable,
+           CAST((SELECT count(*) FROM portable p JOIN truth t
+                 ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b) AS BIGINT)
+             AS n_portable_in_truth,
+           CAST(0 AS BIGINT) AS n_fast_outside_truth
+    """,
+    doc="LSH tier audit bounding the oracle-less fast tier: n_truth = ALL "
+    "pairs with exact Jaccard >= 0.4 (full shingle-hash equi-join, portable "
+    "hash, DISTINCT-deduped on both engines); n_portable / "
+    "n_portable_in_truth audit the portable tier's yield and precision "
+    "against that ground truth; n_fast_outside_truth pins the xxhash64 "
+    "fast tier's PRECISION to exactly zero false positives — every "
+    "fast-tier verified pair must be a genuine >= 0.4 pair, which the "
+    "oracle can assert (the count is hash-independent) even though it "
+    "cannot reproduce the fast tier's candidate sample itself. Closes the "
+    "dd_minhash_lsh_fast 'rows-only, nothing bounds its values' gap",
+)
+def dd_lsh_tier_audit(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.dedup import jaccard_truth_pairs
+
+    corpus = _corpus(spark, sf)
+    truth = (
+        jaccard_truth_pairs(corpus, "doc_id", "text", n=3, threshold=0.4)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    portable = (
+        minhash_lsh_pairs(corpus, "doc_id", "text", n=3, k=16, bands=4, threshold=0.4)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    fast = minhash_lsh_pairs(
+        corpus, "doc_id", "text", n=3, k=16, bands=4, threshold=0.4, hash_tier="fast"
+    ).select("doc_a", "doc_b")
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    n_portable = portable.agg(F.count("*").alias("n_portable"))
+    n_pit = (
+        portable.join(truth, ["doc_a", "doc_b"]).agg(F.count("*").alias("n_portable_in_truth"))
+    )
+    n_fot = (
+        fast.join(truth, ["doc_a", "doc_b"], "left_anti")
+        .agg(F.count("*").alias("n_fast_outside_truth"))
+    )
+    return n_truth.crossJoin(n_portable).crossJoin(n_pit).crossJoin(n_fot)
+
+
 def _simhash_oracle(bits: int = 32) -> str:
     terms = " + ".join(
         f"(CASE WHEN list_sum(list_transform(hs64, h -> CASE WHEN ((h >> {b}) & 1) = 1 "
@@ -550,6 +615,56 @@ def sim_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
     queries = emb.where(F.col("vec_id") < 5)
     return ann_lsh(emb, queries, "vec_id", "embedding", k=10, dim=64, n_planes=8)
+
+
+@register(
+    "sim_recall_at_k",
+    f"""
+    WITH exact AS ({_KNN_BRUTE_SQL}),
+    ann AS ({_ann_lsh_oracle()}),
+    ivf AS ({_IVF_SQL}),
+    ap AS (SELECT 'ann_lsh' AS method, query_id, neighbor_id FROM ann
+           UNION ALL
+           SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf),
+    hits AS (SELECT method, ap.query_id, count(*) AS hits
+             FROM ap JOIN exact ON ap.query_id = exact.query_id
+                               AND ap.neighbor_id = exact.neighbor_id
+             GROUP BY 1, 2),
+    base AS (SELECT m.method, q.query_id
+             FROM (SELECT DISTINCT query_id FROM exact) q
+             CROSS JOIN (SELECT 'ann_lsh' AS method UNION ALL SELECT 'ivf') m)
+    SELECT base.method, base.query_id,
+           CAST(coalesce(hits.hits, 0) AS BIGINT) AS hits,
+           round(CAST(coalesce(hits.hits, 0) AS DOUBLE) / CAST(10 AS DOUBLE), 6)
+             AS recall_at_k
+    FROM base LEFT JOIN hits
+      ON base.method = hits.method AND base.query_id = hits.query_id
+    """,
+    doc="ANN retrieval QUALITY, value-checked: recall@10 of the sign-LSH and "
+    "IVF candidates against the brute-force exact top-10 (per query, per "
+    "method; zero-hit queries still get a row). Both sides are "
+    "deterministic — shared hyperplanes/centroid seeds — so the oracle "
+    "replays the identical three retrievals and pins the recall VALUES, "
+    "closing the 'approximate operators are only checked for determinism, "
+    "never for quality' gap",
+)
+def sim_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.similarity import recall_at_k
+
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    centroids = emb.where(F.col("vec_id") < 16)
+    exact = knn_brute(emb, queries, "vec_id", "embedding", k=10)
+    ann = ann_lsh(emb, queries, "vec_id", "embedding", k=10, dim=64, n_planes=8)
+    ivf = ivf_search(emb, queries, centroids, "vec_id", "embedding", k=10, nprobe=2)
+    out = (
+        recall_at_k(exact, ann, 10)
+        .withColumn("method", F.lit("ann_lsh"))
+        .unionByName(recall_at_k(exact, ivf, 10).withColumn("method", F.lit("ivf")))
+    )
+    return out.select("method", "query_id", "hits", "recall_at_k")
 
 
 def _kmeans_ctes(k: int = 8, iters: int = 3, dim: int = 64, r: int = 6) -> list[str]:

@@ -11,7 +11,7 @@ import sys
 
 sys.path.insert(0, "/root/repo/tools")
 
-from rotate_registry import compute_order, reachable_source  # noqa: E402
+from rotate_registry import carry_vouched, compute_order, reachable_source  # noqa: E402
 
 FPS = {n: f"fp_{n}" for n in "abcdefg"}
 
@@ -85,6 +85,35 @@ def test_force_head_outranks_organic_tier0():
         names, hist, {n: True for n in names}, FPS, FPS, force_head=[]
     )
     assert order2[-1] == "e"  # without forcing, its green row sinks it
+
+
+def test_vouched_fingerprint_sticky_until_new_driver_row():
+    # An edit keeps the query tier 1 across ANY number of rotation rewrites
+    # until the DRIVER re-checks it — the pre-round-6 behavior consumed the
+    # changed-marker on every write, so an edited query could silently drop
+    # back to tier 2 before the driver ever saw it.
+    names = ["q"]
+    hist = {"q": hist_entry(5)}
+    # pass 1: q was edited (current fp "new" vs stored "old"); driver last
+    # round seen by the previous pass was also 5 -> no new driver row
+    vouched, last = carry_vouched(names, hist, {"q": "old"}, {"q": "old"}, {"q": 5})
+    assert vouched == {"q": "old"} and last == {"q": 5}
+    order = compute_order(["x", "q"], {**hist, "x": hist_entry(5)},
+                          {"q": True, "x": True}, {"q": "new", "x": "fx"},
+                          {**vouched, "x": "fx"})
+    assert order[0] == "q"  # tier 1
+    # pass 2 (rotation rewritten, fingerprints now store "new", but STILL no
+    # new driver row): vouched must carry "old" forward, q stays tier 1
+    vouched2, _ = carry_vouched(names, hist, {"q": "new"}, vouched, {"q": 5})
+    assert vouched2 == {"q": "old"}
+    # driver round 6 lands a row for q: the pass that sees it adopts the
+    # fingerprint the driver ran against ("new") -> q returns to tier 2
+    vouched3, last3 = carry_vouched(names, {"q": hist_entry(6)}, {"q": "new"}, vouched2, {"q": 5})
+    assert vouched3 == {"q": "new"} and last3 == {"q": 6}
+    order3 = compute_order(["x", "q"], {"q": hist_entry(6), "x": hist_entry(6)},
+                           {"q": True, "x": True}, {"q": "new", "x": "fx"},
+                           {**vouched3, "x": "fx"})
+    assert order3 == ["x", "q"]  # both tier 2, tie broken by registration
 
 
 # ---------------------------------------------------------------------------

@@ -248,7 +248,11 @@ def compute_order(
             history can't know), then never driver-checked, red at last
             check, or last check was rows-only but the query has since
             gained an oracle;
-    tier 1: fingerprint changed since the previous rotation pass;
+    tier 1: fingerprint differs from the VOUCHED fingerprint (``prev_fps``
+            here — the closure state the query's last driver row actually
+            checked, carried by carry_vouched until a NEW driver row
+            arrives, so an edit stays tier 1 across any number of rotation
+            rewrites within a round);
     tier 2: stable green — stalest (lowest last-checked round) first.
     Registration order breaks every tie.
     """
@@ -271,6 +275,42 @@ def compute_order(
     return [n for _, n in sorted(enumerate(names), key=key)]
 
 
+def carry_vouched(
+    names: list[str],
+    hist: dict[str, tuple[int, bool, bool]],
+    prev_fps: dict[str, str],
+    prev_vouched: dict[str, str],
+    prev_last: dict[str, int],
+) -> tuple[dict[str, str], dict[str, int]]:
+    """Per-query VOUCHED fingerprint: the closure state the last driver row
+    actually vouches for. Sticky across rotation rewrites — tier-1 status
+    must survive until the query EARNS a fresh driver row, not until the
+    next time this tool happens to run (the pre-round-6 behavior consumed
+    the changed-marker on every write, so an edited query could silently
+    drop back to tier 2 before the driver ever re-checked it).
+
+    Update rule: when a query's newest CORRECTNESS round is newer than what
+    the previous rotation pass had seen (``prev_last``), the driver has
+    checked it since — adopt the fingerprint stored at that pass (the code
+    state the driver ran against, to rotation-write granularity). Otherwise
+    carry the old vouched value forward unchanged. First adoption (no
+    ``vouched`` map in rotation.json yet) falls back to ``prev_fps``,
+    reproducing the old semantics for exactly one pass.
+    """
+    vouched: dict[str, str] = {}
+    last_rounds: dict[str, int] = {}
+    for name in names:
+        if name in hist:
+            last_rounds[name] = hist[name][0]
+        if name in hist and hist[name][0] > prev_last.get(name, -1):
+            v = prev_fps.get(name)
+        else:
+            v = prev_vouched.get(name, prev_fps.get(name))
+        if v is not None:
+            vouched[name] = v
+    return vouched, last_rounds
+
+
 def main() -> int:
     from data_wrangle_openstreetmaps_data_1_spark.plans import registry
 
@@ -280,8 +320,14 @@ def main() -> int:
     fps = fingerprints(registry)
     has_oracle = {n: s.oracle is not None for n, s in registry.QUERIES.items()}
     prev_fps: dict[str, str] = {}
+    prev_vouched: dict[str, str] = {}
+    prev_last: dict[str, int] = {}
     if os.path.exists(OUT):
-        prev_fps = json.load(open(OUT)).get("fingerprints", {})
+        prev = json.load(open(OUT))
+        prev_fps = prev.get("fingerprints", {})
+        prev_vouched = prev.get("vouched", {})
+        prev_last = prev.get("last_rounds", {})
+    vouched, last_rounds = carry_vouched(names, hist, prev_fps, prev_vouched, prev_last)
 
     # Builder-asserted must-check names (see compute_order docstring). The
     # file holds {"force_head": [...], "note": ...}; names here are purged
@@ -291,7 +337,7 @@ def main() -> int:
     if os.path.exists(overrides_path):
         force_head = [n for n in json.load(open(overrides_path)).get("force_head", []) if n in names]
 
-    ordered = compute_order(names, hist, has_oracle, fps, prev_fps, force_head)
+    ordered = compute_order(names, hist, has_oracle, fps, vouched, force_head)
     payload = {
         "comment": "driver checks the first 50 queries() entries; see tools/rotate_registry.py",
         "generated_from": sorted(
@@ -299,6 +345,8 @@ def main() -> int:
         ),
         "order": ordered,
         "fingerprints": fps,
+        "vouched": vouched,
+        "last_rounds": last_rounds,
     }
     window = ordered[:50]
     stale = [n for n in ordered[50:]]
