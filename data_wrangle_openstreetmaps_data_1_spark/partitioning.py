@@ -24,16 +24,32 @@ def salted_join(
     on: list[str],
     salt: int = 8,
     how: str = "inner",
+    hot_threshold: int = 100_000,
 ) -> DataFrame:
-    """Skew-resistant equi-join: spread each hot left key over ``salt``
-    sub-keys and replicate the (small) right side once per sub-key.
+    """Two-path skew-resistant equi-join: salt ONLY the hot keys, take the
+    plain join for everything else, union the results.
 
     The reference's user distribution is the motivating case — one user owns
     ~35% of all edits (reference readme.md:184-192); a plain shuffle join on
     such a key puts a third of the data in one task. AQE's skew-join split
     handles sort-merge joins after the fact; salting fixes the layout up
-    front and also covers aggregations-after-join. Right side grows by
-    ``salt``x — use only when it is broadcast-small-ish.
+    front and also covers aggregations-after-join.
+
+    Two-path shape (the earlier whole-side form salted EVERY left row and
+    replicated the ENTIRE right side ``salt``x, wasting ``salt``x shuffle
+    traffic on the cold majority and restricting use to broadcast-small
+    right sides):
+
+    1. one skinny aggregate finds left keys with >= ``hot_threshold`` rows
+       — map-side partial agg, so the shuffle moves one row per key per
+       input partition, never the payload. The hot set is at most
+       |left| / hot_threshold keys, so broadcasting it is safe by
+       construction.
+    2. hot-key left rows get a uniform salt in [0, salt); right rows for
+       hot keys are replicated ``salt``x; the salted equi-join spreads
+       each hot key over ``salt`` tasks.
+    3. cold keys (including null keys, which match nothing in the hot set)
+       join completely untouched — no salt column, no replication.
 
     Only inner/left/left_semi/left_anti types are accepted: under right or
     full outer joins every unmatched right row would survive once per salt
@@ -43,13 +59,29 @@ def salted_join(
         raise ValueError(f"salted_join does not support how={how!r} (right/full outer would duplicate unmatched right rows)")
     from pyspark.sql import functions as F
 
-    sl = left.withColumn(
-        "__salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt))
+    hot = (
+        left.groupBy(*on)
+        .agg(F.count("*").alias("__n"))
+        .where(F.col("__n") >= hot_threshold)
+        .select(*on)
+        .withColumn("__hot", F.lit(1))
     )
-    sr = right.withColumn(
-        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    lf = left.join(F.broadcast(hot), on, "left")
+    l_hot = (
+        lf.where(F.col("__hot") == 1)
+        .drop("__hot")
+        .withColumn("__salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt)))
     )
-    return sl.join(sr, [*on, "__salt"], how).drop("__salt")
+    l_cold = lf.where(F.col("__hot").isNull()).drop("__hot")
+    rf = right.join(F.broadcast(hot), on, "left")
+    r_hot = (
+        rf.where(F.col("__hot") == 1)
+        .drop("__hot")
+        .withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    )
+    r_cold = rf.where(F.col("__hot").isNull()).drop("__hot")
+    hot_joined = l_hot.join(r_hot, [*on, "__salt"], how).drop("__salt")
+    return hot_joined.unionByName(l_cold.join(r_cold, on, how))
 
 
 def explode_nonempty(df: DataFrame, keep: list, arr: str, alias: str) -> DataFrame:

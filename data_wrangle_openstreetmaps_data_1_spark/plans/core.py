@@ -732,35 +732,40 @@ def u2_intersect(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "j_salted_skew",
     """
-    WITH hot AS (
+    WITH per_user AS (
       SELECT user_id, count(*) AS user_total
-      FROM events GROUP BY user_id
-      ORDER BY user_total DESC, user_id ASC LIMIT 10)
+      FROM events GROUP BY user_id),
+    top5 AS (SELECT * FROM per_user ORDER BY user_total DESC, user_id ASC LIMIT 5),
+    bot5 AS (SELECT * FROM per_user ORDER BY user_total ASC, user_id ASC LIMIT 5),
+    dim AS (SELECT * FROM top5 UNION SELECT * FROM bot5)
     SELECT e.user_id, e.event_type, count(*) AS cnt,
-           max(h.user_total) AS user_total
-    FROM events e JOIN hot h ON e.user_id = h.user_id
+           max(d.user_total) AS user_total
+    FROM events e JOIN dim d ON e.user_id = d.user_id
     GROUP BY e.user_id, e.event_type
     """,
     bench=True,
-    doc="skew-resistant salted join, value-checked equal to the plain join: "
-    "each hot key spreads over 8 salt sub-keys (the small side replicated "
-    "8x), so a key owning a third of the fact table — the reference's user "
-    "distribution, readme.md:184-192 — lands on 8 tasks instead of one. "
-    "AQE skew-split only rescues sort-merge joins after the fact; salting "
-    "fixes the layout up front and also covers the aggregation AFTER the "
-    "join (partitioning.salted_join)",
+    doc="skew-resistant TWO-PATH salted join, value-checked equal to the "
+    "plain join: keys above the frequency threshold spread over 8 salt "
+    "sub-keys (right rows replicated 8x for THOSE keys only), cold keys "
+    "take the plain join untouched, results union — so a key owning a "
+    "third of the fact table (the reference's user distribution, "
+    "readme.md:184-192) lands on 8 tasks while the cold majority pays "
+    "zero replication. AQE skew-split only rescues sort-merge joins after "
+    "the fact; salting fixes the layout up front and also covers the "
+    "aggregation AFTER the join (partitioning.salted_join). The dim side "
+    "is top-5 UNION bottom-5 users and the threshold (80) falls between "
+    "the two groups' per-user counts, so BOTH paths carry rows in the "
+    "checked result — the salted hot path AND the untouched cold path",
 )
 def j_salted_skew(spark: SparkSession, sf: str) -> DataFrame:
     from ..partitioning import salted_join
 
     e = load_table(spark, sf, "events").select("user_id", "event_type")
-    hot = (
-        e.groupBy("user_id")
-        .agg(F.count("*").alias("user_total"))
-        .orderBy(F.desc("user_total"), F.asc("user_id"))
-        .limit(10)
-    )
-    joined = salted_join(e, hot, ["user_id"], salt=8)
+    per_user = e.groupBy("user_id").agg(F.count("*").alias("user_total"))
+    top5 = per_user.orderBy(F.desc("user_total"), F.asc("user_id")).limit(5)
+    bot5 = per_user.orderBy(F.asc("user_total"), F.asc("user_id")).limit(5)
+    dim = top5.unionByName(bot5).distinct()
+    joined = salted_join(e, dim, ["user_id"], salt=8, hot_threshold=80)
     return joined.groupBy("user_id", "event_type").agg(
         F.count("*").alias("cnt"), F.max("user_total").alias("user_total")
     )

@@ -60,47 +60,30 @@ def child_array(df: DataFrame, name: str) -> Column | None:
 def count_tags(spark: SparkSession, path: str) -> DataFrame:
     """A5: tag-frequency count over the raw XML (mapparser.py:16-21).
 
-    Counts every element tag (including nested ``tag``/``nd``/``member``)
-    in ONE declarative plan: per row-tag kind, a single aggregate computes
-    the element count plus every child cardinality (``sum(size(...))`` —
-    no explode), the per-kind rows are unpivoted and unioned, and one final
-    groupBy sums across kinds. One action, no per-child count jobs, no
-    driver-side dict — at planet scale the old shape was N full XML passes.
+    ONE pass: a text-mode tag census. ``spark.read.text`` splits the file
+    by line across executors (one FileScan — the pre-round-6 form ran one
+    full XML scan per rowTag kind, 4 reads of the corpus at planet scale),
+    then ``regexp_extract_all`` pulls every element-START name and one
+    partial-agg'd groupBy counts them. This is exactly the reference's
+    iterparse start-event census: every ``<name`` opening, whatever the
+    element kind — including kinds the per-rowTag form had to enumerate.
+
+    The regex requires the char after ``<`` to be a name-start letter, so
+    ``</closing``, ``<?xml``, and ``<!DOCTYPE/<!--`` never match. Known
+    limit, documented: an element-like token INSIDE a comment or CDATA
+    block would be counted (iterparse would not); OSM exports contain
+    neither, and value parity with the reference's own goldens is pinned
+    by test_count_tags_golden.
+
     Output: (tag string, cnt long), sorted by tag.
     """
-    pieces = []
-    for t in ("node", "way", "relation", "bounds"):
-        try:
-            df = read_elements(spark, path, t)
-        except Exception:
-            continue
-        if not df.columns:
-            continue
-        children = [c for c in ("tag", "nd", "member") if child_array(df, c) is not None]
-        agg = df.agg(
-            F.count(F.lit(1)).alias("__self"),
-            *[
-                F.sum(F.coalesce(F.size(child_array(df, c)), F.lit(0))).alias(c)
-                for c in children
-            ],
-        )
-        rows = F.array(
-            F.struct(F.lit(t).alias("tag"), F.col("__self").cast("long").alias("cnt")),
-            *[
-                F.struct(F.lit(c).alias("tag"), F.col(c).cast("long").alias("cnt"))
-                for c in children
-            ],
-        )
-        pieces.append(agg.select(F.explode(rows).alias("s")).select("s.tag", "s.cnt"))
-    out = spark.createDataFrame([("osm", 1)], "tag string, cnt long")
-    for p in pieces:
-        out = out.unionByName(p)
-    return (
-        out.where(F.col("cnt") > 0)
-        .groupBy("tag")
-        .agg(F.sum("cnt").alias("cnt"))
-        .orderBy("tag")
+    lines = spark.read.text(path)
+    tags = lines.select(
+        F.explode(
+            F.expr(r"regexp_extract_all(value, '<([A-Za-z_][A-Za-z0-9_.:-]*)', 1)")
+        ).alias("tag")
     )
+    return tags.groupBy("tag").agg(F.count("*").alias("cnt")).orderBy("tag")
 
 
 def relation_members(spark: SparkSession, path: str) -> DataFrame:

@@ -21,7 +21,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def run_available_now(stream_df: DataFrame, output_mode: str) -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame, output_mode: str, max_rows: int = 1_000_000
+) -> DataFrame:
+    """Drain a finite stream through a memory sink and snapshot the result.
+
+    DRIVER-SIDED BY DESIGN: the memory sink materializes the full result on
+    the driver, so this runner is only for queries whose output is a small
+    aggregate (every registered ``st_*`` query returns counts/rollups). The
+    ``max_rows`` guard turns a future large-result misuse into a loud error
+    instead of a silent driver OOM — such queries belong on
+    :func:`run_available_now_to_parquet` (executor-side writes, unbounded).
+    """
     spark = stream_df.sparkSession
     sink = f"finite_{uuid.uuid4().hex[:12]}"
     q = (
@@ -33,9 +44,18 @@ def run_available_now(stream_df: DataFrame, output_mode: str) -> DataFrame:
     )
     q.awaitTermination()
     out = spark.table(sink)
-    snapshot = spark.createDataFrame(out.collect(), out.schema)
-    spark.catalog.dropTempView(sink)
-    return snapshot
+    try:
+        n = out.count()  # rows already sit in driver memory; the count is local
+        if n > max_rows:
+            raise ValueError(
+                f"run_available_now drained {n} rows into the driver-side memory "
+                f"sink (max_rows={max_rows}); large-result streaming queries must "
+                "use run_available_now_to_parquet (foreachBatch, executor-side "
+                "writes) instead"
+            )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.catalog.dropTempView(sink)
 
 
 def run_available_now_to_parquet(

@@ -51,6 +51,13 @@ def test_count_tags_golden(spark):
     }
 
 
+def test_count_tags_single_filescan(spark):
+    # the census must stay ONE pass over the XML (the old per-rowTag form
+    # scanned the file once per element kind — 4 reads at planet scale)
+    plan = count_tags(spark, FIXTURE)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1
+
+
 def _all_tag_keys(spark):
     keys = []
     for t in ("node", "way", "relation"):

@@ -299,3 +299,18 @@ def test_streaming_hll_equals_batch_sketch(spark, sf_small):
 
     est = run_hll_once(spark, sf_small).collect()[0]
     assert est["est_distinct"] > 0
+
+
+def test_memory_snapshot_guard_rejects_large_results(spark, sf_small):
+    """The memory-sink runner is driver-sided by design; a large-result
+    stream must fail LOUDLY with a pointer to the parquet runner, not OOM
+    the driver. Also: the temp view must not leak when the guard fires."""
+    import pytest
+
+    from data_wrangle_openstreetmaps_data_1_spark.streaming.finite import run_available_now
+    from data_wrangle_openstreetmaps_data_1_spark.streaming.ingest import read_events_stream
+
+    raw = read_events_stream(spark, sf_small).select("event_id", "user_id")
+    with pytest.raises(ValueError, match="run_available_now_to_parquet"):
+        run_available_now(raw, "append", max_rows=10)
+    assert not [t.name for t in spark.catalog.listTables() if t.name.startswith("finite_")]
