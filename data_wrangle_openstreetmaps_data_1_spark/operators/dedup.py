@@ -84,10 +84,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3, t
     # explode_nonempty: a plain explode of the named `shingles` column
     # infers a size>0 filter that pushes the whole tokenize+shingle
     # subtree below the spread() exchange — re-evaluated per input row at
-    # the scan's own parallelism (measured 8x slower at sf0.1). The set
-    # size is recovered from the exploded rows with a count window (skinny
-    # (doc_id, hash) shuffle) rather than a size(shingles) projection,
-    # which would re-trigger the same expression duplication.
+    # the scan's own parallelism (measured 8x slower at sf0.1).
     ex = explode_nonempty(sh, ["doc_id"], "shingles", "shingle").select(
         # join/shuffle on an 8-byte hash, not the ~n-word shingle string;
         # Jaccard over distinct collision-free hashes == Jaccard over
@@ -95,14 +92,31 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3, t
         "doc_id",
         F.xxhash64("shingle").alias("sh_h"),
     )
-    ex = ex.withColumn("n_shingles", F.count("*").over(Window.partitionBy("doc_id")))
-    a = ex.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"), "sh_h")
-    b = ex.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"), "sh_h")
-    pairs = (
+    # Set sizes live in a TINY (doc_id, n) aggregate joined onto the
+    # POST-aggregation pair table — the same shape as minhash_lsh_pairs'
+    # verify. The earlier form carried n_shingles through the big self-join
+    # via a count window, which shuffles AND SORTS every exploded row by
+    # doc_id before the sh_h join even starts (measured: the sort was the
+    # single largest stage of dd_groups_cc at the 10x rehearsal scale) and
+    # widens every joined row by two longs. AQE picks the join build side:
+    # locally `sizes` broadcasts; at corpus scale the FILTERED pair table
+    # is the small side.
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = ex.select(F.col("doc_id").alias("doc_a"), "sh_h")
+    b = ex.select(F.col("doc_id").alias("doc_b"), "sh_h")
+    inter = (
         a.join(b, "sh_h")
         .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "na", "nb")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
+    )
+    pairs = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na")), "doc_a"
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb")), "doc_b"
+        )
         .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -127,14 +141,20 @@ def jaccard_truth_pairs(
         .select("doc_id", F.expr(HASH_P_SQL.format(x="shingle")).alias("h"))
         .distinct()
     )
-    ex = ex.withColumn("n_h", F.count("*").over(Window.partitionBy("doc_id")))
-    a = ex.select(F.col("doc_id").alias("doc_a"), F.col("n_h").alias("na"), "h")
-    b = ex.select(F.col("doc_id").alias("doc_b"), F.col("n_h").alias("nb"), "h")
-    return (
+    # sizes joined post-aggregation, not carried through the self-join via
+    # a count window — see ngram_jaccard_pairs for the measured rationale
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_h"))
+    a = ex.select(F.col("doc_id").alias("doc_a"), "h")
+    b = ex.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
         a.join(b, "h")
         .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "na", "nb")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_h").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_h").alias("nb")), "doc_b")
         .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

@@ -101,6 +101,55 @@ def ann_lsh(targets: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k
     )
 
 
+def ann_lsh_multiband(
+    targets: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Multi-probe sign-LSH ANN: candidates = union over ``bands``
+    independent hyperplane sets of same-bucket rows, then exact-cosine
+    top-k. Single-band ann_lsh has measured recall@10 of 0.0-0.2 on the
+    embeddings corpus (sim_recall_at_k) because one 8-bit bucket holds
+    ~1/256 of the corpus; OR-ing ``bands`` independent buckets trades
+    ``bands``x the candidate volume for multiplicatively better recall —
+    the standard LSH OR-construction (same banding the neardup pair path
+    uses). Still a keyed equi-join per band, never a full scan; the
+    100 TB shape is unchanged.
+
+    Output schema matches :func:`knn_brute`.
+    """
+    keys = ", ".join(
+        f"concat('{bi}:', {lsh_bucket_sql(vec_col, planes)})"
+        for bi, planes in enumerate(neardup_band_planes(dim, n_planes, bands))
+    )
+    bucket = F.explode(F.expr(f"array({keys})")).alias("bucket")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), bucket
+    )
+    t = spread(targets).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("t_vec"), bucket
+    )
+    scored = (
+        t.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("t_vec")).alias("cos_raw")
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"))
+    )
+
+
 def recall_at_k(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
     """Retrieval quality of an ANN result against the exact top-k ground
     truth: per query, ``hits`` = |approx ∩ exact| and ``recall_at_k`` =

@@ -26,7 +26,10 @@ SF = "/root/testdata/sf0.001"
 # (t_hourly_rollup), Arrow/pandas_udf (g4_polygon_pip), persist()-based
 # dedup (dd_exact), date derivation from canonical ts (sk_hll_grouped),
 # union+LOCF window as-of join (j_asof_backward), streaming sketch agg
-# under a plain session (st_hll).
+# under a plain session (st_hll). Round-6 classes: eager localCheckpoint
+# in an iterative loop (dd_groups_cc_star — checkpoint blocks under a
+# plain session), persist + left_anti + crossJoin-of-aggregates
+# (dd_lsh_tier_audit).
 QUERIES = [
     "sessionize_gap",
     "t_hourly_rollup",
@@ -35,6 +38,8 @@ QUERIES = [
     "sk_hll_grouped",
     "j_asof_backward",
     "st_hll",
+    "dd_groups_cc_star",
+    "dd_lsh_tier_audit",
 ]
 
 _CHILD = r"""

@@ -1,0 +1,109 @@
+"""Generate an sf1-equivalent LOCAL dataset for the scale rehearsal.
+
+No network in the container (DuckDB's tpch dbgen extension cannot be
+downloaded), so sf1 is produced by replicating the driver's sf0.1 tables
+``SHARDS``x with foreign-key-consistent key offsets:
+
+- customer/supplier/part/orders/lineitem: every key column shifts by
+  ``shard * (max key + 1)`` on BOTH sides of each FK, so join
+  cardinalities scale linearly (each shard joins only within itself),
+  exactly like a bigger TPC-H run.
+- events: event_id/user_id shift (10x users, same per-user distribution).
+- documents: doc_id shifts by 30_000 per shard — clear of the corpus
+  CTE's +10_000/+20_000 planted-duplicate ranges — and non-zero shards
+  get a per-shard marker injected after EVERY 2 WORDS. Verbatim
+  replication would plant 10-way exact-duplicate groups (measured: 17x
+  dd_groups_cc at 10x data from 45-pair cliques); markers every 3 words
+  still left cross-shard Jaccard ~0.18, and even BELOW-threshold overlap
+  is quadratic in shards at the shingle JOIN (the join emits a row per
+  shared shingle before the threshold filter — measured 11.6x). With a
+  marker inside EVERY 3-gram window, cross-shard shingle sets are fully
+  disjoint — like a real 10x corpus — while each shard keeps the
+  original's internal near-dup structure (both members of a planted pair
+  receive the same injection pattern).
+- embeddings: vec_id shifts; non-zero shards get a small deterministic
+  nonlinear perturbation (cosine is scale-invariant, so a multiplicative
+  tweak would leave 10-way exact-duplicate vectors; the additive term
+  actually moves directions).
+
+Usage: python tools/gen_scale_rehearsal.py [src_dir] [dst_dir] [shards]
+Defaults: /root/testdata/sf0.1 -> /tmp/sf1, 10 shards.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+SHARDS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+
+def main() -> int:
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count() or 8}")
+
+    def src(t: str) -> str:
+        return f"read_parquet('{SRC}/{t}.parquet')"
+
+    copies = {
+        # dimension tables don't scale in TPC-H; keep them verbatim
+        "region": f"SELECT * FROM {src('region')}",
+        "nation": f"SELECT * FROM {src('nation')}",
+        "customer": f"""
+            SELECT c_custkey + s * 15000 AS c_custkey, c_name, c_nationkey,
+                   c_acctbal, c_mktsegment
+            FROM {src('customer')} CROSS JOIN range({SHARDS}) t(s)""",
+        "supplier": f"""
+            SELECT s_suppkey + s * 1000 AS s_suppkey, s_name, s_nationkey, s_acctbal
+            FROM {src('supplier')} CROSS JOIN range({SHARDS}) t(s)""",
+        "part": f"""
+            SELECT p_partkey + s * 20000 AS p_partkey, p_name, p_brand, p_type,
+                   p_size, p_retailprice
+            FROM {src('part')} CROSS JOIN range({SHARDS}) t(s)""",
+        "orders": f"""
+            SELECT o_orderkey + s * 150000 AS o_orderkey,
+                   o_custkey + s * 15000 AS o_custkey,
+                   o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+            FROM {src('orders')} CROSS JOIN range({SHARDS}) t(s)""",
+        "lineitem": f"""
+            SELECT l_orderkey + s * 150000 AS l_orderkey,
+                   l_partkey + s * 20000 AS l_partkey,
+                   l_suppkey + s * 1000 AS l_suppkey,
+                   l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+                   l_returnflag, l_linestatus, l_shipdate
+            FROM {src('lineitem')} CROSS JOIN range({SHARDS}) t(s)""",
+        "events": f"""
+            SELECT event_id + s * 100000 AS event_id, ts,
+                   user_id + s * 1500 AS user_id, event_type, value, props
+            FROM {src('events')} CROSS JOIN range({SHARDS}) t(s)""",
+        "documents": f"""
+            SELECT doc_id + s * 30000 AS doc_id,
+                   CASE WHEN s = 0 THEN text
+                        ELSE regexp_replace(text, '(\\S+ \\S+) ',
+                                            '\\1 s' || s || 'x ', 'g')
+                   END AS text,
+                   lang, source, n_chars
+            FROM {src('documents')} CROSS JOIN range({SHARDS}) t(s)""",
+        "embeddings": f"""
+            SELECT vec_id + s * 2000 AS vec_id,
+                   CASE WHEN s = 0 THEN embedding
+                        ELSE list_transform(embedding,
+                             x -> x + 0.0005 * s * (x * x - 0.5))::FLOAT[]
+                   END AS embedding,
+                   label
+            FROM {src('embeddings')} CROSS JOIN range({SHARDS}) t(s)""",
+    }
+    for t, q in copies.items():
+        con.execute(f"COPY ({q}) TO '{DST}/{t}.parquet' (FORMAT PARQUET)")
+        n = con.execute(f"SELECT count(*) FROM read_parquet('{DST}/{t}.parquet')").fetchone()[0]
+        print(f"{t}: {n} rows")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
