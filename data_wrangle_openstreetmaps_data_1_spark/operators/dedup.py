@@ -15,14 +15,19 @@ Scale notes: every pairwise step is gated by an equi-join on a bucket key
 (shingle, band key, or simhash band), so the shuffle is keyed and AQE can
 split skewed buckets. Nothing materializes on the driver.
 
-Cache lifecycle: only ``winnow_fingerprints`` still ``persist()``s an
-intermediate (its windowed-min lambda needs a bound column — an inline
-expression would re-evaluate the whole hash array per window position).
-The minhash/simhash paths are fully row-relational since round 5 and need
-no cache: hashing runs in whole-stage codegen over exploded rows and every
-reuse is a fresh codegen pass, not a lambda re-evaluation. Callers running
-many operators in one session should ``spark.catalog.clearCache()``
-between them (bench.py and tools/check_oracle.py do).
+Cache lifecycle: ``winnow_fingerprints`` persists its hash array (the
+windowed-min lambda needs a bound column), and since round 6
+``minhash_lsh_pairs`` persists its exploded (doc_id, hash) row table —
+it feeds three consumers with three DIFFERENT shuffle keys, so
+ReusedExchange cannot deduplicate the tokenize+shingle+md5 pipeline and
+the cache saves two full recomputes of the CPU-heaviest stage (measured
+at the sf1 rehearsal: 14.2s -> 7.9s). ``persist()`` defaults to
+MEMORY_AND_DISK, so skinny hash rows spill rather than OOM at corpus
+scale. ``ngram_jaccard_pairs`` makes the same cache OPT-IN
+(``cache_exploded``) — see its docstring for the measured trade — and
+the simhash path stays cache-free (one consumer). Callers running many
+operators in one session should ``spark.catalog.clearCache()`` between
+them (bench.py, tools/check_oracle.py, and the registry wrapper do).
 """
 
 from __future__ import annotations
@@ -73,12 +78,29 @@ def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     )
 
 
-def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5) -> DataFrame:
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    cache_exploded: bool = False,
+) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle.
 
     explode(shingles) -> self-equi-join on shingle -> per-pair intersection
     count -> Jaccard = inter / (|A| + |B| - inter). Output:
     (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded to 6.
+
+    ``cache_exploded`` persists the exploded (doc_id, hash) rows, saving
+    two recomputes of the tokenize+shingle pipeline (three consumers on
+    three shuffle keys). Measured at the sf1 rehearsal: standalone pairs
+    29.5s -> 21.9s WITH the cache, but dd_groups_cc (pairs + iterative CC
+    on top) 34.1s -> 38.2s — the resident cache competes with the CC
+    rounds for executor memory. Default off: the composed pipeline is the
+    common case, and xxhash64 shingling is ~3x cheaper to recompute than
+    the minhash path's md5 (which is why minhash_lsh_pairs persists
+    unconditionally).
     """
     sh = _shingle_sets(df, id_col, text_col, n)
     # explode_nonempty: a plain explode of the named `shingles` column
@@ -92,6 +114,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3, t
         "doc_id",
         F.xxhash64("shingle").alias("sh_h"),
     )
+    if cache_exploded:
+        ex = ex.persist()
     # Set sizes live in a TINY (doc_id, n) aggregate joined onto the
     # POST-aggregation pair table — the same shape as minhash_lsh_pairs'
     # verify. The earlier form carried n_shingles through the big self-join
@@ -221,9 +245,16 @@ def minhash_lsh_pairs(
     rows_per_band = k // bands
     coeffs = minhash_coeffs(k)
     sh = _shingle_sets(df, id_col, text_col, n)
+    # persist: the exploded hash table feeds THREE consumers with three
+    # different shuffle keys (signature groupBy on doc_id, verify joins on
+    # doc_a and on (doc_b, h)), so without a cache the tokenize+shingle+md5
+    # pipeline — the CPU-heaviest stage — runs three times (ReusedExchange
+    # can't help across differing keys). Measured at the sf1 rehearsal:
+    # 14.2s -> 7.9s. persist() default is MEMORY_AND_DISK, so at corpus
+    # scale the skinny (id, hash) rows spill rather than OOM.
     ex = explode_nonempty(sh, ["doc_id"], "shingles", "shingle").select(
         "doc_id", F.expr(hash_sql.format(x="shingle")).alias("h")
-    )
+    ).persist()
     # one shuffle: per-doc signature columns + set size, all in one pass
     sig = ex.groupBy("doc_id").agg(
         *[
