@@ -477,6 +477,42 @@ def t_hourly_rollup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "a_retention_cohorts",
+    """
+    WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+               FROM events GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+    SELECT CAST(CAST(f.cw AS DATE) AS VARCHAR) AS cohort_week,
+           CAST(date_diff('day', f.cw, a.w) // 7 AS INTEGER) AS week_n,
+           count(DISTINCT a.user_id) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="cohort retention matrix: users bucketed by first-seen week, "
+    "distinct-user counts per (cohort, weeks-since) cell — the classic "
+    "product-analytics triangle. Two partial-agg'd groupBys + one keyed "
+    "join; the per-user first-week table is the small derived side (one "
+    "row per user), so at 100 TB of events AQE broadcasts it. Week "
+    "arithmetic stays integral (both weeks are Monday-truncated, so the "
+    "day diff is an exact multiple of 7) — no float anywhere",
+)
+def a_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    first = e.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cw"))
+    active = e.select("user_id", F.date_trunc("week", F.col("ts")).alias("w")).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            # date-render: DuckDB's date_trunc('week') yields DATE while
+            # Spark's yields timestamp — both sides stringify the DATE form
+            F.col("cw").cast("date").cast("string").alias("cohort_week"),
+            (F.datediff(F.col("w"), F.col("cw")) / 7).cast("int").alias("week_n"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@register(
     "a_funnel_stages",
     """
     WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type, ts FROM events),

@@ -241,6 +241,73 @@ def dd_groups_cc_star(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "dd_apply_stats",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    g AS (SELECT md5(text) AS th, count(*) AS cnt, min(length(text)) AS nc
+          FROM corpus GROUP BY 1)
+    SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+           count(*) AS n_kept,
+           CAST(sum(cnt) - count(*) AS BIGINT) AS n_dropped,
+           CAST(sum((cnt - 1) * nc) AS BIGINT) AS chars_dropped
+    FROM g
+    """,
+    doc="dedup APPLICATION summary — the step after pair/group resolution "
+    "that every pipeline actually ships: keep min-id per exact-hash group, "
+    "report corpus rows kept/dropped and characters saved. Rows never "
+    "leave the executors; the answer is one aggregate over the 16-byte "
+    "hash groups",
+)
+def dd_apply_stats(spark: SparkSession, sf: str) -> DataFrame:
+    h = _corpus(spark, sf).select(F.md5("text").alias("th"), F.length("text").alias("nc"))
+    g = h.groupBy("th").agg(F.count("*").alias("cnt"), F.min("nc").alias("nc"))
+    return g.agg(
+        F.sum("cnt").cast("long").alias("n_total"),
+        F.count("*").alias("n_kept"),
+        (F.sum("cnt") - F.count("*")).cast("long").alias("n_dropped"),
+        F.sum((F.col("cnt") - 1) * F.col("nc")).cast("long").alias("chars_dropped"),
+    )
+
+
+@register(
+    "tx_domain_mix",
+    r"""
+    WITH s AS (SELECT source, count(*) AS n_docs,
+                      CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\s+')))
+                           AS BIGINT) AS n_tokens
+               FROM documents GROUP BY source),
+    t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+                 CAST(sum(n_tokens) AS BIGINT) AS tt FROM s)
+    SELECT source, n_docs, n_tokens,
+           round(n_docs / td, 6) AS pct_docs,
+           round(n_tokens / tt, 6) AS pct_tokens
+    FROM s, t
+    """,
+    doc="data-mixture report: per-source document and token counts with "
+    "corpus proportions — the sampling-weight input every pretraining "
+    "mixture needs (and the report regenerated after every filter pass). "
+    "One partial-agg'd groupBy plus a broadcast 1-row total; token counts "
+    "share the whitespace tokenizer with tx_token_stats",
+)
+def tx_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    stats = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    tot = stats.agg(
+        F.sum("n_docs").alias("td"), F.sum("n_tokens").alias("tt")
+    )
+    return stats.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_docs") / F.col("td"), 6).alias("pct_docs"),
+        F.round(F.col("n_tokens") / F.col("tt"), 6).alias("pct_tokens"),
+    )
+
+
 def _minhash_oracle(k: int = 16, bands: int = 4, threshold: float = 0.4) -> str:
     r = k // bands
     perms = ", ".join(
