@@ -1,0 +1,105 @@
+"""tools/gen_scale_rehearsal.py invariants (DuckDB-only, no Spark).
+
+The rehearsal's conclusions are only as good as the generated corpus:
+foreign keys must stay join-consistent after per-shard offsets (else join
+cardinality silently collapses) and cross-shard document shingle sets must
+be DISJOINT (else the shingle self-join is quadratic in shards — the 17x
+artifact round 6 measured and fixed, twice)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import duckdb
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def gen_dir(tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("scale2"))
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "gen_scale_rehearsal.py"), SRC, dst, "2"],
+        check=True,
+        capture_output=True,
+    )
+    return dst
+
+
+def test_fk_integrity_after_offsets(gen_dir):
+    con = duckdb.connect()
+    dangling = con.execute(
+        f"""
+        SELECT
+          (SELECT count(*) FROM read_parquet('{gen_dir}/orders.parquet') o
+           WHERE NOT EXISTS (SELECT 1 FROM read_parquet('{gen_dir}/customer.parquet') c
+                             WHERE c.c_custkey = o.o_custkey)),
+          (SELECT count(*) FROM read_parquet('{gen_dir}/lineitem.parquet') l
+           WHERE NOT EXISTS (SELECT 1 FROM read_parquet('{gen_dir}/orders.parquet') o
+                             WHERE o.o_orderkey = l.l_orderkey)),
+          (SELECT count(*) FROM read_parquet('{gen_dir}/lineitem.parquet') l
+           WHERE NOT EXISTS (SELECT 1 FROM read_parquet('{gen_dir}/part.parquet') p
+                             WHERE p.p_partkey = l.l_partkey))
+        """
+    ).fetchone()
+    assert dangling == (0, 0, 0)
+
+
+def test_rows_scale_and_keys_unique(gen_dir):
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "events", "documents", "embeddings"):
+        n_src = con.execute(f"SELECT count(*) FROM read_parquet('{SRC}/{t}.parquet')").fetchone()[0]
+        n_dst = con.execute(f"SELECT count(*) FROM read_parquet('{gen_dir}/{t}.parquet')").fetchone()[0]
+        assert n_dst == 2 * n_src, t
+    uniq = con.execute(
+        f"SELECT count(*) - count(DISTINCT doc_id) FROM read_parquet('{gen_dir}/documents.parquet')"
+    ).fetchone()[0]
+    assert uniq == 0
+
+
+def test_cross_shard_shingles_disjoint(gen_dir):
+    # every 3-gram window of a non-zero shard contains that shard's marker,
+    # so shard texts share NO shingles with shard 0 (or each other)
+    con = duckdb.connect()
+    shared = con.execute(
+        f"""
+        WITH d AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                   FROM read_parquet('{gen_dir}/documents.parquet')),
+        sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(t) - 2, 0) + 1),
+                 i -> array_to_string(t[i:i+2], ' ')))) AS s
+               FROM d),
+        x AS (SELECT doc_id // 30000 AS shard, s FROM sh)
+        SELECT count(*) FROM (SELECT s FROM x GROUP BY s HAVING count(DISTINCT shard) > 1)
+        """
+    ).fetchone()[0]
+    assert shared == 0
+
+
+def test_within_shard_near_dup_structure_preserved(gen_dir):
+    # the planted near-dup relationship (doc vs its +10000 corpus twin via
+    # first-word drop) must survive marker injection INSIDE each shard:
+    # a shard-1 doc and its tail-copy still share most shingles
+    con = duckdb.connect()
+    j = con.execute(
+        f"""
+        WITH d AS (SELECT doc_id, text FROM read_parquet('{gen_dir}/documents.parquet')
+                   WHERE doc_id IN (30040, 30041)),
+        pair AS (
+          SELECT a.text AS ta, regexp_replace(b.text, '^\\S+\\s+', '') AS tb
+          FROM d a, d b WHERE a.doc_id = 30040 AND b.doc_id = 30040),
+        toks AS (SELECT regexp_split_to_array(lower(trim(ta)), '\\s+') AS x,
+                        regexp_split_to_array(lower(trim(tb)), '\\s+') AS y FROM pair),
+        sh AS (SELECT list_distinct(list_transform(range(1, greatest(len(x)-2,0)+1),
+                        i -> array_to_string(x[i:i+2], ' '))) AS sa,
+                      list_distinct(list_transform(range(1, greatest(len(y)-2,0)+1),
+                        i -> array_to_string(y[i:i+2], ' '))) AS sb FROM toks)
+        SELECT len(list_intersect(sa, sb)) * 1.0 /
+               (len(sa) + len(sb) - len(list_intersect(sa, sb))) FROM sh
+        """
+    ).fetchone()[0]
+    assert j > 0.5
