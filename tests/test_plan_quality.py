@@ -171,10 +171,12 @@ def test_minhash_is_aggregate_shaped_no_lambdas(spark):
 
 def test_salted_skew_join_spreads_hot_keys(spark):
     """The salted join must key its exchange on (user_id, __salt) so a hot
-    user's rows spread over `salt` tasks, and the result must stay a hash
-    join (no cartesian fallback from the synthetic key)."""
+    user's rows spread over `salt` tasks, stay a hash join (no cartesian
+    fallback from the synthetic key), and show the round-6 TWO-PATH shape:
+    a Union of the salted hot join and the untouched cold join."""
     plan = plan_of(spark, "j_salted_skew")
     assert "__salt" in plan
+    assert "Union" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
