@@ -565,16 +565,17 @@ def sim_knn_brute(spark: SparkSession, sf: str) -> DataFrame:
     return knn_brute(emb, queries, "vec_id", "embedding", k=10)
 
 
-@register(
-    "sim_quantized",
-    """
+_QUANT_SQL = """
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    st AS (SELECT min(x) AS lo, max(x) AS hi
-           FROM (SELECT unnest(v) AS x FROM v)),
+    n AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_reduce(
+                   list_transform(v, y -> y * y), (a, b) -> a + b))) AS vn
+          FROM v),
+    st AS (SELECT max(abs(x)) AS m FROM (SELECT unnest(vn) AS x FROM n)),
     q8 AS (SELECT vec_id,
-                  list_transform(v, x -> least(255::BIGINT, greatest(0::BIGINT,
-                    floor((x - lo) * (CAST(255 AS DOUBLE) / (hi - lo)))::BIGINT))) AS q
-           FROM v CROSS JOIN st),
+                  list_transform(vn,
+                    x -> floor(x * (CAST(127 AS DOUBLE) / m))::BIGINT) AS q
+           FROM n CROSS JOIN st),
     qq AS (SELECT vec_id AS query_id, q AS qa FROM q8 WHERE vec_id < 5),
     tt AS (SELECT vec_id AS neighbor_id, q AS qb FROM q8),
     scored AS (
@@ -588,13 +589,19 @@ def sim_knn_brute(spark: SparkSession, sf: str) -> DataFrame:
                                 ORDER BY qscore DESC, neighbor_id ASC) AS rk
       FROM scored)
     SELECT query_id, neighbor_id, qscore FROM ranked WHERE rk <= 10
-    """,
+    """
+
+
+@register(
+    "sim_quantized",
+    _QUANT_SQL,
     doc="int8 scalar-quantized top-10 retrieval: global-min/max codebook "
     "(floor levels — round() ties differ across engines, floor doesn't), "
     "exact int64 dot-product scoring, so the WHOLE query is integer "
     "arithmetic — bit-stable under any partitioning, unlike float cosine "
     "whose sum order matters. 4x less scan bandwidth than the float "
-    "baseline; production re-ranks these candidates with exact cosine",
+    "baseline; production re-ranks these candidates with exact cosine "
+    "(sim_recall_at_k quantifies the quantization loss per query)",
 )
 def sim_quantized(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.similarity import knn_quantized
@@ -799,11 +806,14 @@ def sim_ann_multiband(spark: SparkSession, sf: str) -> DataFrame:
     ann AS ({_ann_lsh_oracle()}),
     annmb AS ({_ann_multiband_oracle(n_planes=6, bands=8)}),
     ivf AS ({_IVF_SQL}),
+    quant AS ({_QUANT_SQL}),
     ap AS (SELECT 'ann_lsh' AS method, query_id, neighbor_id FROM ann
            UNION ALL
            SELECT 'ann_multiband' AS method, query_id, neighbor_id FROM annmb
            UNION ALL
-           SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf),
+           SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf
+           UNION ALL
+           SELECT 'quantized' AS method, query_id, neighbor_id FROM quant),
     hits AS (SELECT method, ap.query_id, count(*) AS hits
              FROM ap JOIN exact ON ap.query_id = exact.query_id
                                AND ap.neighbor_id = exact.neighbor_id
@@ -812,7 +822,8 @@ def sim_ann_multiband(spark: SparkSession, sf: str) -> DataFrame:
              FROM (SELECT DISTINCT query_id FROM exact) q
              CROSS JOIN (SELECT 'ann_lsh' AS method
                          UNION ALL SELECT 'ann_multiband'
-                         UNION ALL SELECT 'ivf') m)
+                         UNION ALL SELECT 'ivf'
+                         UNION ALL SELECT 'quantized') m)
     SELECT base.method, base.query_id,
            CAST(coalesce(hits.hits, 0) AS BIGINT) AS hits,
            round(CAST(coalesce(hits.hits, 0) AS DOUBLE) / CAST(10 AS DOUBLE), 6)
@@ -821,15 +832,17 @@ def sim_ann_multiband(spark: SparkSession, sf: str) -> DataFrame:
       ON base.method = hits.method AND base.query_id = hits.query_id
     """,
     doc="ANN retrieval QUALITY, value-checked: recall@10 of single-band "
-    "sign-LSH, multi-band sign-LSH, and IVF candidates against the brute-"
-    "force exact top-10 (per query, per method; zero-hit queries still get "
-    "a row). All sides are deterministic — shared hyperplanes/centroid "
-    "seeds — so the oracle replays the identical retrievals and pins the "
-    "recall VALUES, closing the 'approximate operators are only checked "
-    "for determinism, never for quality' gap",
+    "sign-LSH, multi-band sign-LSH, IVF, and int8-quantized candidates "
+    "against the brute-force exact top-10 (per query, per method; "
+    "zero-hit queries still get a row). All sides are deterministic — "
+    "shared hyperplanes/centroid seeds/codebooks — so the oracle replays "
+    "the identical retrievals and pins the recall VALUES, closing the "
+    "'approximate operators are only checked for determinism, never for "
+    "quality' gap. The quantized row doubles as the measured quantization "
+    "loss of the int8 scan path",
 )
 def sim_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
-    from ..operators.similarity import ann_lsh_multiband, recall_at_k
+    from ..operators.similarity import ann_lsh_multiband, knn_quantized, recall_at_k
 
     emb = load_table(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -840,11 +853,13 @@ def sim_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
     ann = ann_lsh(emb, queries, "vec_id", "embedding", k=10, dim=64, n_planes=8)
     annmb = ann_lsh_multiband(emb, queries, "vec_id", "embedding", k=10, n_planes=6, bands=8)
     ivf = ivf_search(emb, queries, centroids, "vec_id", "embedding", k=10, nprobe=2)
+    quant = knn_quantized(emb, queries, "vec_id", "embedding", k=10)
     out = (
         recall_at_k(exact, ann, 10)
         .withColumn("method", F.lit("ann_lsh"))
         .unionByName(recall_at_k(exact, annmb, 10).withColumn("method", F.lit("ann_multiband")))
         .unionByName(recall_at_k(exact, ivf, 10).withColumn("method", F.lit("ivf")))
+        .unionByName(recall_at_k(exact, quant, 10).withColumn("method", F.lit("quantized")))
     )
     return out.select("method", "query_id", "hits", "recall_at_k")
 
