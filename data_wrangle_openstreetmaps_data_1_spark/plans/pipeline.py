@@ -613,6 +613,65 @@ def sim_quantized(spark: SparkSession, sf: str) -> DataFrame:
     return knn_quantized(emb, queries, "vec_id", "embedding", k=10)
 
 
+_QUANT50_SQL = _QUANT_SQL.replace("rk <= 10", "rk <= 50")
+
+
+@register(
+    "sim_rerank_pipeline",
+    f"""
+    WITH cand AS ({_QUANT50_SQL}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             list_reduce(list_transform(range(1, 65), i -> q.v[i] * t.v[i]), (a, b) -> a + b)
+               / (sqrt(list_reduce(list_transform(q.v, x -> x * x), (a, b) -> a + b))
+                  * sqrt(list_reduce(list_transform(t.v, x -> x * x), (a, b) -> a + b))) AS cs
+      FROM cand JOIN e q ON cand.query_id = q.vec_id
+                JOIN e t ON cand.neighbor_id = t.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cs,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, neighbor_id ASC) AS rk
+      FROM scored)
+    SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim
+    FROM ranked WHERE rk <= 10
+    """,
+    doc="the production TWO-STAGE retrieval: int8 symmetric-quantized scan "
+    "selects top-50 candidates at 4x less bandwidth (integer arithmetic, "
+    "bit-stable), then exact float cosine re-ranks only those 50 per "
+    "query to the final top-10. At 100 TB the quantized stage is the only "
+    "full scan; the re-rank touches 50 vectors per query via an id "
+    "equi-join. Value-checked end-to-end — and with the symmetric "
+    "codebook's measured recall, the output matches sim_knn_brute's "
+    "exact top-10 on this corpus",
+)
+def sim_rerank_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.vectors import cosine
+    from ..operators.similarity import knn_quantized
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    cand = knn_quantized(emb, queries, "vec_id", "embedding", k=50).select(
+        "query_id", "neighbor_id"
+    )
+    qv = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+    tv = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("t_vec"))
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(tv, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("t_vec")).alias("cos_raw"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"))
+    )
+
+
 def _neardup_oracle(tau: float = 0.45, dim: int = 64, n_planes: int = 8, bands: int = 4) -> str:
     """DuckDB twin of banded sign-LSH near-dup pairs: same deterministic
     hyperplanes per band (neardup_band_planes), same left-fold dot order, so
