@@ -152,9 +152,17 @@ def connected_components_star(
     (child -> component min), so labels fall out of one final left join.
     """
     ids = nodes.select(F.col(id_col).alias("id")).distinct()
+    # Restrict edges to endpoints present in `nodes` — label propagation
+    # does this implicitly (an unknown endpoint has no label row to
+    # propagate), and without the filter the star algorithm would adopt an
+    # unknown endpoint as a component minimum, emitting labels that don't
+    # exist in the node table. Two semi-joins over the skinny edge list,
+    # cheaper than a single iteration round.
     e = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .where(F.col("u") != F.col("v"))
+        .join(ids.withColumnRenamed("id", "u"), "u", "left_semi")
+        .join(ids.withColumnRenamed("id", "v"), "v", "left_semi")
         .distinct()
         .persist()
     )
@@ -197,8 +205,10 @@ def connected_components_star(
         if digest == prev_digest:
             # fixpoint: e is (child, root) stars with root = component min;
             # root < child for every edge, singletons absent. The final
-            # cached frame stays persisted to back the returned plan — the
-            # registry wrapper / callers clear caches between queries.
+            # checkpoint blocks back the returned plan; note checkpoint
+            # blocks live in the BlockManager, NOT the SQL cache —
+            # catalog.clearCache() does not free them, the context cleaner
+            # does once the frames are garbage collected.
             star = e.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("component"))
             return ids.join(star, "id", "left").select(
                 "id", F.coalesce("component", F.col("id")).alias("component")

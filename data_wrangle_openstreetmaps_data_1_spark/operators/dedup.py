@@ -32,7 +32,7 @@ them (bench.py, tools/check_oracle.py, and the registry wrapper do).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..partitioning import explode_nonempty, spread

@@ -54,6 +54,14 @@ def salted_join(
     Only inner/left/left_semi/left_anti types are accepted: under right or
     full outer joins every unmatched right row would survive once per salt
     replica (``salt``x duplicates).
+
+    Cost shape: the left side is read three times (the skinny hot-key
+    aggregate plus the two filtered branches) and the right twice. This is
+    deliberate: the extra reads are column-pruned parquet SCANS (cheap,
+    pushdown-friendly), traded against the old form's ``salt``x shuffle
+    WRITE of the whole right side — and persisting the flagged left frame
+    to avoid the re-read would pin the full fact table in executor memory,
+    the one thing a skew-handling helper must never do.
     """
     if how not in ("inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi", "left_anti", "leftanti"):
         raise ValueError(f"salted_join does not support how={how!r} (right/full outer would duplicate unmatched right rows)")

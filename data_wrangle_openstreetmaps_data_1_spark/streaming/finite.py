@@ -29,9 +29,12 @@ def run_available_now(
     DRIVER-SIDED BY DESIGN: the memory sink materializes the full result on
     the driver, so this runner is only for queries whose output is a small
     aggregate (every registered ``st_*`` query returns counts/rollups). The
-    ``max_rows`` guard turns a future large-result misuse into a loud error
-    instead of a silent driver OOM — such queries belong on
-    :func:`run_available_now_to_parquet` (executor-side writes, unbounded).
+    ``max_rows`` guard fires AFTER the sink has accumulated the result (the
+    sink itself is the materialization point), so it cannot stop a result
+    too large for the heap — what it does is fail loudly on oversized
+    results that fit, before ``collect()`` doubles them, pointing misuse at
+    :func:`run_available_now_to_parquet` (executor-side writes, unbounded)
+    instead of letting it grow with the data until the heap genuinely OOMs.
     """
     spark = stream_df.sparkSession
     sink = f"finite_{uuid.uuid4().hex[:12]}"

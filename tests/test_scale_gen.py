@@ -51,20 +51,34 @@ def test_fk_integrity_after_offsets(gen_dir):
 
 def test_rows_scale_and_keys_unique(gen_dir):
     con = duckdb.connect()
-    for t in ("customer", "orders", "lineitem", "events", "documents", "embeddings"):
+    keys = {
+        "customer": "c_custkey",
+        "orders": "o_orderkey",
+        "lineitem": None,  # composite (orderkey, linenumber); covered via orders
+        "events": "event_id",
+        "documents": "doc_id",
+        "embeddings": "vec_id",
+    }
+    for t, key in keys.items():
         n_src = con.execute(f"SELECT count(*) FROM read_parquet('{SRC}/{t}.parquet')").fetchone()[0]
         n_dst = con.execute(f"SELECT count(*) FROM read_parquet('{gen_dir}/{t}.parquet')").fetchone()[0]
         assert n_dst == 2 * n_src, t
-    uniq = con.execute(
-        f"SELECT count(*) - count(DISTINCT doc_id) FROM read_parquet('{gen_dir}/documents.parquet')"
-    ).fetchone()[0]
-    assert uniq == 0
+        if key:
+            dup = con.execute(
+                f"SELECT count(*) - count(DISTINCT {key}) FROM read_parquet('{gen_dir}/{t}.parquet')"
+            ).fetchone()[0]
+            assert dup == 0, f"{t}.{key} collides across shards"
 
 
 def test_cross_shard_shingles_disjoint(gen_dir):
     # every 3-gram window of a non-zero shard contains that shard's marker,
     # so shard texts share NO shingles with shard 0 (or each other)
     con = duckdb.connect()
+    # derive the shard stride exactly as the generator does: max(doc_id)+1
+    # of the SOURCE plus the corpus CTE's planted range
+    stride = con.execute(
+        f"SELECT max(doc_id) + 1 + 20000 FROM read_parquet('{SRC}/documents.parquet')"
+    ).fetchone()[0]
     shared = con.execute(
         f"""
         WITH d AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
@@ -73,7 +87,7 @@ def test_cross_shard_shingles_disjoint(gen_dir):
                  range(1, greatest(len(t) - 2, 0) + 1),
                  i -> array_to_string(t[i:i+2], ' ')))) AS s
                FROM d),
-        x AS (SELECT doc_id // 30000 AS shard, s FROM sh)
+        x AS (SELECT doc_id // {stride} AS shard, s FROM sh)
         SELECT count(*) FROM (SELECT s FROM x GROUP BY s HAVING count(DISTINCT shard) > 1)
         """
     ).fetchone()[0]
@@ -81,17 +95,20 @@ def test_cross_shard_shingles_disjoint(gen_dir):
 
 
 def test_within_shard_near_dup_structure_preserved(gen_dir):
-    # the planted near-dup relationship (doc vs its +10000 corpus twin via
-    # first-word drop) must survive marker injection INSIDE each shard:
-    # a shard-1 doc and its tail-copy still share most shingles
+    # the corpus CTE derives near-dups by dropping a doc's FIRST WORD; a
+    # marker-injected shard doc and its own first-word-dropped form must
+    # still share most shingles, or the planted near-dup relationships
+    # would vanish from every non-zero shard
     con = duckdb.connect()
+    stride = con.execute(
+        f"SELECT max(doc_id) + 1 + 20000 FROM read_parquet('{SRC}/documents.parquet')"
+    ).fetchone()[0]
     j = con.execute(
         f"""
-        WITH d AS (SELECT doc_id, text FROM read_parquet('{gen_dir}/documents.parquet')
-                   WHERE doc_id IN (30040, 30041)),
-        pair AS (
-          SELECT a.text AS ta, regexp_replace(b.text, '^\\S+\\s+', '') AS tb
-          FROM d a, d b WHERE a.doc_id = 30040 AND b.doc_id = 30040),
+        WITH pair AS (
+          SELECT text AS ta, regexp_replace(text, '^\\S+\\s+', '') AS tb
+          FROM read_parquet('{gen_dir}/documents.parquet')
+          WHERE doc_id = {stride} + 40),
         toks AS (SELECT regexp_split_to_array(lower(trim(ta)), '\\s+') AS x,
                         regexp_split_to_array(lower(trim(tb)), '\\s+') AS y FROM pair),
         sh AS (SELECT list_distinct(list_transform(range(1, greatest(len(x)-2,0)+1),

@@ -9,9 +9,9 @@ downloaded), so sf1 is produced by replicating the driver's sf0.1 tables
   cardinalities scale linearly (each shard joins only within itself),
   exactly like a bigger TPC-H run.
 - events: event_id/user_id shift (10x users, same per-user distribution).
-- documents: doc_id shifts by 30_000 per shard — clear of the corpus
-  CTE's +10_000/+20_000 planted-duplicate ranges — and non-zero shards
-  get a per-shard marker injected after EVERY 2 WORDS. Verbatim
+- documents: doc_id shifts by max(doc_id)+20_001 per shard — clear of the
+  corpus CTE's +10_000/+20_000 planted-duplicate ranges — and non-zero
+  shards get a per-shard marker injected after EVERY 2 WORDS. Verbatim
   replication would plant 10-way exact-duplicate groups (measured: 17x
   dd_groups_cc at 10x data from 45-pair cliques); markers every 3 words
   still left cross-shard Jaccard ~0.18, and even BELOW-threshold overlap
@@ -50,39 +50,57 @@ def main() -> int:
     def src(t: str) -> str:
         return f"read_parquet('{SRC}/{t}.parquet')"
 
+    # Per-shard key offsets COMPUTED as max(key)+1 from the actual source —
+    # hardcoded constants would silently collide on any src whose keys
+    # exceed them (e.g. re-sharding this tool's own output, or a sparse
+    # dbgen orderkey space), invalidating every scaling conclusion.
+    def off(table: str, key: str, extra: int = 0) -> int:
+        return con.execute(f"SELECT max({key}) + 1 + {extra} FROM {src(table)}").fetchone()[0]
+
+    o_cust = off("customer", "c_custkey")
+    o_supp = off("supplier", "s_suppkey")
+    o_part = off("part", "p_partkey")
+    o_ord = off("orders", "o_orderkey")
+    o_evt = off("events", "event_id")
+    o_user = off("events", "user_id")
+    # documents: the corpus CTE plants duplicates at doc_id + 10k/+20k, so
+    # the shard stride must clear the planted range too
+    o_doc = off("documents", "doc_id", extra=20000)
+    o_vec = off("embeddings", "vec_id")
+
     copies = {
         # dimension tables don't scale in TPC-H; keep them verbatim
         "region": f"SELECT * FROM {src('region')}",
         "nation": f"SELECT * FROM {src('nation')}",
         "customer": f"""
-            SELECT c_custkey + s * 15000 AS c_custkey, c_name, c_nationkey,
+            SELECT c_custkey + s * {o_cust} AS c_custkey, c_name, c_nationkey,
                    c_acctbal, c_mktsegment
             FROM {src('customer')} CROSS JOIN range({SHARDS}) t(s)""",
         "supplier": f"""
-            SELECT s_suppkey + s * 1000 AS s_suppkey, s_name, s_nationkey, s_acctbal
+            SELECT s_suppkey + s * {o_supp} AS s_suppkey, s_name, s_nationkey, s_acctbal
             FROM {src('supplier')} CROSS JOIN range({SHARDS}) t(s)""",
         "part": f"""
-            SELECT p_partkey + s * 20000 AS p_partkey, p_name, p_brand, p_type,
+            SELECT p_partkey + s * {o_part} AS p_partkey, p_name, p_brand, p_type,
                    p_size, p_retailprice
             FROM {src('part')} CROSS JOIN range({SHARDS}) t(s)""",
         "orders": f"""
-            SELECT o_orderkey + s * 150000 AS o_orderkey,
-                   o_custkey + s * 15000 AS o_custkey,
+            SELECT o_orderkey + s * {o_ord} AS o_orderkey,
+                   o_custkey + s * {o_cust} AS o_custkey,
                    o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
             FROM {src('orders')} CROSS JOIN range({SHARDS}) t(s)""",
         "lineitem": f"""
-            SELECT l_orderkey + s * 150000 AS l_orderkey,
-                   l_partkey + s * 20000 AS l_partkey,
-                   l_suppkey + s * 1000 AS l_suppkey,
+            SELECT l_orderkey + s * {o_ord} AS l_orderkey,
+                   l_partkey + s * {o_part} AS l_partkey,
+                   l_suppkey + s * {o_supp} AS l_suppkey,
                    l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
                    l_returnflag, l_linestatus, l_shipdate
             FROM {src('lineitem')} CROSS JOIN range({SHARDS}) t(s)""",
         "events": f"""
-            SELECT event_id + s * 100000 AS event_id, ts,
-                   user_id + s * 1500 AS user_id, event_type, value, props
+            SELECT event_id + s * {o_evt} AS event_id, ts,
+                   user_id + s * {o_user} AS user_id, event_type, value, props
             FROM {src('events')} CROSS JOIN range({SHARDS}) t(s)""",
         "documents": f"""
-            SELECT doc_id + s * 30000 AS doc_id,
+            SELECT doc_id + s * {o_doc} AS doc_id,
                    CASE WHEN s = 0 THEN text
                         ELSE regexp_replace(text, '(\\S+ \\S+) ',
                                             '\\1 s' || s || 'x ', 'g')
@@ -90,7 +108,7 @@ def main() -> int:
                    lang, source, n_chars
             FROM {src('documents')} CROSS JOIN range({SHARDS}) t(s)""",
         "embeddings": f"""
-            SELECT vec_id + s * 2000 AS vec_id,
+            SELECT vec_id + s * {o_vec} AS vec_id,
                    CASE WHEN s = 0 THEN embedding
                         ELSE list_transform(embedding,
                              x -> x + 0.0005 * s * (x * x - 0.5))::FLOAT[]
