@@ -417,7 +417,6 @@ def dd_minhash_lsh_fast(spark: SparkSession, sf: str) -> DataFrame:
         FROM ex a JOIN ex b USING (h) WHERE a.doc_id < b.doc_id
         GROUP BY 1, 2, 3, 4)),
     truth AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.4),
-    truth_loose AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.38),
     portable AS ({_minhash_oracle()})
     SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
            CAST((SELECT count(*) FROM portable) AS BIGINT) AS n_portable,
