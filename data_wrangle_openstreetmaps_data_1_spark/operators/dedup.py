@@ -445,3 +445,97 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3, bits: i
         .where(F.col("hamming") <= max_hamming)
     )
     return cand
+
+
+def _minhash_sig_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int, k: int, bands: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(ex, sizes, banded) for one side of an asymmetric MinHash join —
+    the same row-relational shape as minhash_lsh_pairs (portable hash
+    tier), factored so the incremental path can build each side
+    independently. ``ex`` is persisted: it feeds the signature groupBy
+    and the cross-side verify join (two different shuffle keys)."""
+    coeffs = minhash_coeffs(k)
+    rows_per_band = k // bands
+    sh = _shingle_sets(df, id_col, text_col, n)
+    ex = (
+        explode_nonempty(sh, ["doc_id"], "shingles", "shingle")
+        .select("doc_id", F.expr(HASH_P_SQL.format(x="shingle")).alias("h"))
+        .persist()
+    )
+    sig = ex.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"m{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ],
+        F.count("*").alias("n_shingles"),
+    )
+    band_cols = [
+        F.concat_ws(
+            ",",
+            F.lit(str(bi)),
+            *[F.col(f"m{bi * rows_per_band + j}").cast("string") for j in range(rows_per_band)],
+        )
+        for bi in range(bands)
+    ]
+    banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band_key"))
+    return ex, sig.select("doc_id", "n_shingles"), banded
+
+
+def minhash_lsh_join(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """INCREMENTAL dedup: match a new ingest batch against an existing
+    corpus index without ever generating index×index (or batch×batch)
+    pairs — the shape a continuously-ingesting 100 TB pipeline actually
+    runs, where the index side's signatures are a stored, band-bucketed
+    table and only the (much smaller) new batch is hashed per run.
+
+    Candidates = (new, index) doc pairs sharing any MinHash band key —
+    an equi-join of the new batch's band rows against the index's band
+    rows; with the index banded table pre-bucketed by band_key on disk,
+    the join is co-located and the per-run cost is driven by batch size,
+    not corpus size. Verify = exact Jaccard restricted to candidates,
+    via the cross-side (doc, hash) equi-join (count of DISTINCT shared
+    hashes — same collision-safe argument as minhash_lsh_pairs).
+
+    Output: (new_id, index_id, jaccard) with jaccard >= threshold.
+    """
+    if bands < 1 or k % bands != 0:
+        raise ValueError(f"bands={bands} must divide k={k} exactly")
+    ex_n, sizes_n, banded_n = _minhash_sig_rows(new_df, id_col, text_col, n, k, bands)
+    ex_i, sizes_i, banded_i = _minhash_sig_rows(index_df, id_col, text_col, n, k, bands)
+    cand = (
+        banded_n.select(F.col("doc_id").alias("new_id"), "band_key")
+        .join(banded_i.select(F.col("doc_id").alias("index_id"), "band_key"), "band_key")
+        .select("new_id", "index_id")
+        .distinct()
+    )
+    inter = (
+        cand.join(ex_n.select(F.col("doc_id").alias("new_id"), "h"), "new_id")
+        .join(ex_i.select(F.col("doc_id").alias("index_id"), "h"), ["index_id", "h"])
+        .groupBy("new_id", "index_id")
+        .agg(F.count_distinct("h").alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes_n.select(F.col("doc_id").alias("new_id"), F.col("n_shingles").alias("nn")),
+            "new_id",
+        )
+        .join(
+            sizes_i.select(F.col("doc_id").alias("index_id"), F.col("n_shingles").alias("ni")),
+            "index_id",
+        )
+        .withColumn(
+            "jaccard", F.round(F.col("inter") / (F.col("nn") + F.col("ni") - F.col("inter")), 6)
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("new_id", "index_id", "jaccard")
+    )

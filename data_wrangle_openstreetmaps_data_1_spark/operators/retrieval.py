@@ -1,0 +1,93 @@
+"""Lexical retrieval over the document corpus: inverted postings + BM25.
+
+The reference engine's query surface is lookup/aggregation only; a
+training-data pipeline additionally needs *retrieval* — "which documents
+match these terms, ranked" — both as a data-curation tool (targeted
+subcorpus extraction) and as the lexical half of hybrid (BM25 + vector)
+search next to operators/similarity.py.
+
+All scoring is fixed-point integer arithmetic (scale 1000) so the scores
+hash bit-identically in the DuckDB oracle: idf uses a monotone rational
+surrogate instead of ln() (libm results are not contractually identical
+across engines), and every division is integral ``div`` on positive
+operands (Spark truncates, DuckDB floors — identical for non-negatives,
+and every operand here is non-negative by construction).
+
+100 TB shape: the postings build is one explode + one (term, doc) groupBy
+with map-side partial aggregation — the shuffle carries (term, doc_id,
+count) rows, never text. df/avgdl are tiny aggregates broadcast onto the
+postings; top-k per term is a window over per-term partitions (a handful
+of query terms ⇒ a handful of partitions, each reduced map-side by the
+rank filter at 100 TB via TakeOrdered-style partial sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+# BM25 constants, pre-scaled by 1000 (k1 = 1.2, b = 0.75).
+K1_FP = 1200
+B_FP = 750
+
+
+def inverted_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(term, doc_id, tf) postings from whitespace-tokenized lowercased text.
+
+    One explode + one groupBy; partial aggregation collapses repeated
+    terms map-side before the (term, doc_id) shuffle.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    return tok.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """Per-term BM25 top-k documents, fixed-point integer scoring.
+
+    score_fp = (tf * (k1+1)*1000 * idf_fp) div (tf*1000 + k1*norm_fp/1000)
+      norm_fp = (1000 - b*1000) + (b*1000 * dl * 1000) div avgdl_fp
+      idf_fp  = ((N - df) * 1000) div (df + 1) + 1000   (rational, > 0)
+
+    The idf is the Robertson idf's rational core (N - df)/(df + 1) without
+    the log — monotone in df, so rankings agree with classic BM25 on any
+    fixed corpus; the absence of ln() is what makes the score value-
+    checkable bit-for-bit across engines.
+
+    Output: (term, doc_id, tf, df, score_fp, rnk), rnk <= k, ties broken
+    by doc_id for cross-engine determinism.
+    """
+    docs = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
+    lens = docs.select("doc_id", F.size("toks").alias("dl")).where(F.col("dl") >= 1)
+    stats = lens.agg(
+        F.count("*").alias("n_docs"),
+        F.expr("sum(dl) * 1000 div count(*)").alias("avgdl_fp"),
+    )
+    post = inverted_postings(df, id_col, text_col).where(F.col("term").isin(terms))
+    dfreq = post.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        post.join(F.broadcast(dfreq), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("idf_fp", F.expr("(n_docs - df) * 1000 div (df + 1) + 1000"))
+        .withColumn("norm_fp", F.expr(f"(1000 - {B_FP}) + ({B_FP} * dl * 1000) div avgdl_fp"))
+        .withColumn(
+            "score_fp",
+            F.expr(f"(tf * {K1_FP + 1000} * idf_fp) div (tf * 1000 + ({K1_FP} * norm_fp) div 1000)"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("score_fp"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("term", "doc_id", "tf", "df", "score_fp", "rnk")
+    )

@@ -1,0 +1,253 @@
+"""Round-6 extension tier: lexical retrieval (BM25), quality gating,
+line-level dedup, incremental index dedup, and blocked fuzzy matching —
+the data-curation operators a production pretraining pipeline runs that
+round 5's tiers did not yet cover.
+
+Every oracle here follows the registry's dtype-parity contract (integer
+fixed-point scoring, CASTs where DuckDB would widen to HUGEINT, md5
+digests instead of shipping rebuilt text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MERSENNE_P, minhash_coeffs
+from ..operators.dedup import minhash_lsh_join
+from ..operators.fuzzy import fuzzy_blocked_pairs
+from ..operators.linedup import line_dedup
+from ..operators.quality import (
+    GATE_STOPWORDS,
+    MAX_MEAN_LEN_X10,
+    MAX_MODAL_PCT,
+    MAX_TOKENS,
+    MIN_MEAN_LEN_X10,
+    MIN_TOKENS,
+    quality_gates,
+)
+from ..operators.retrieval import B_FP, K1_FP, bm25_topk
+from ..sources.tables import load_table
+from .pipeline import _CORPUS_SQL, _HASH_P_SQL, _SHINGLES_SQL, _TOKS_SQL, _corpus
+from .registry import register
+
+# --------------------------------------------------------------------------
+# BM25 lexical retrieval
+# --------------------------------------------------------------------------
+
+BM25_TERMS = ["spark", "hash", "window"]
+_TERMS_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+
+@register(
+    "tx_bm25_topk",
+    rf"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    lens AS (SELECT doc_id, len(toks) AS dl FROM d WHERE len(toks) >= 1),
+    stats AS (SELECT count(*) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) * 1000 // count(*) AS avgdl_fp
+              FROM lens),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    post AS (SELECT term, doc_id, count(*) AS tf FROM tok
+             WHERE term IN ({_TERMS_IN}) GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+    scored AS (
+      SELECT term, doc_id, tf, df,
+             (n_docs - df) * 1000 // (df + 1) + 1000 AS idf_fp,
+             (1000 - {B_FP}) + ({B_FP} * dl * 1000) // avgdl_fp AS norm_fp
+      FROM post JOIN dfreq USING (term) JOIN lens USING (doc_id)
+      CROSS JOIN stats),
+    s2 AS (SELECT term, doc_id, tf, df,
+                  (tf * {K1_FP + 1000} * idf_fp)
+                    // (tf * 1000 + ({K1_FP} * norm_fp) // 1000) AS score_fp
+           FROM scored),
+    r AS (SELECT term, doc_id, tf, df, score_fp,
+                 row_number() OVER (PARTITION BY term
+                                    ORDER BY score_fp DESC, doc_id ASC) AS rnk
+          FROM s2)
+    SELECT term, doc_id, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           CAST(score_fp AS BIGINT) AS score_fp, rnk
+    FROM r WHERE rnk <= 5
+    """,
+    doc="BM25 top-5 per query term, fixed-point integer scoring (rational "
+    "idf surrogate — no ln(), so scores hash identically across engines); "
+    "postings = one explode + (term, doc) groupBy; df/avgdl broadcast",
+)
+def tx_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return bm25_topk(load_table(spark, sf, "documents"), "doc_id", "text", BM25_TERMS, k=5)
+
+
+# --------------------------------------------------------------------------
+# quality gates (Gopher-style conjunction with per-rule verdicts)
+# --------------------------------------------------------------------------
+
+_GATE_STOPS_IN = ", ".join(f"'{w}'" for w in GATE_STOPWORDS)
+
+
+@register(
+    "tx_quality_gates",
+    rf"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+    pt AS (SELECT doc_id, term, count(*) AS cnt,
+                  CAST(sum(length(term)) AS BIGINT) AS chars
+           FROM tok GROUP BY 1, 2),
+    pd AS (SELECT doc_id,
+                  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                  CAST(sum(chars) AS BIGINT) AS n_chars,
+                  CAST(max(cnt) AS BIGINT) AS modal_cnt,
+                  max(CASE WHEN term IN ({_GATE_STOPS_IN}) THEN 1 ELSE 0 END)
+                    AS has_stop
+           FROM pt GROUP BY 1)
+    SELECT doc_id, n_tokens,
+           n_tokens BETWEEN {MIN_TOKENS} AND {MAX_TOKENS} AS g_len,
+           n_chars * 10 // n_tokens
+             BETWEEN {MIN_MEAN_LEN_X10} AND {MAX_MEAN_LEN_X10} AS g_wordlen,
+           has_stop = 1 AS g_stop,
+           modal_cnt * 100 <= n_tokens * {MAX_MODAL_PCT} AS g_rep,
+           (n_tokens BETWEEN {MIN_TOKENS} AND {MAX_TOKENS})
+             AND (n_chars * 10 // n_tokens
+                  BETWEEN {MIN_MEAN_LEN_X10} AND {MAX_MEAN_LEN_X10})
+             AND has_stop = 1
+             AND modal_cnt * 100 <= n_tokens * {MAX_MODAL_PCT} AS passed
+    FROM pd
+    """,
+    doc="Gopher-style quality gate conjunction with per-rule verdicts kept "
+    "in the output (token-count bounds, mean-token-length bounds, stopword "
+    "presence, modal-token repetition) — all integer fixed-point, no libm",
+)
+def tx_quality_gates(spark: SparkSession, sf: str) -> DataFrame:
+    return quality_gates(load_table(spark, sf, "documents"), "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# line-level dedup (CCNet-style)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dd_line_dedup",
+    rf"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    d0 AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM corpus),
+    d AS (SELECT doc_id, toks FROM d0 WHERE len(toks) >= 1),
+    la AS (SELECT doc_id,
+                  list_transform(range(0, (len(toks) - 1) // 10 + 1),
+                                 i -> array_to_string(toks[i*10+1:i*10+10], ' '))
+                    AS lines
+           FROM d),
+    lines AS (
+      SELECT doc_id, u.pos AS pos, u.line AS line
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(0, len(lines)),
+                                         j -> {{'pos': j, 'line': lines[j+1]}}))
+                     AS u
+            FROM la)),
+    dup AS (SELECT md5(line) AS lh FROM lines
+            GROUP BY md5(line) HAVING count(DISTINCT doc_id) >= 2),
+    kept AS (SELECT l.doc_id, l.pos, l.line FROM lines l
+             LEFT JOIN dup ON md5(l.line) = dup.lh WHERE dup.lh IS NULL),
+    tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY 1),
+    reb AS (SELECT doc_id, count(*) AS n_kept,
+                   md5(string_agg(line, ' ' ORDER BY pos)) AS clean_md5
+            FROM kept GROUP BY 1)
+    SELECT t.doc_id, CAST(t.n_lines AS BIGINT) AS n_lines,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(r.clean_md5, md5('')) AS clean_md5
+    FROM tot t LEFT JOIN reb r USING (doc_id)
+    """,
+    doc="CCNet-style line-level dedup: fixed-width token windows stand in "
+    "for lines (no newlines in the synthetic corpus); census on md5(line), "
+    "drop lines in >= 2 docs via LEFT ANTI join, ordered rebuild digest",
+)
+def dd_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    return line_dedup(_corpus(spark, sf), "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# incremental dedup: new batch vs existing index
+# --------------------------------------------------------------------------
+
+
+def _minhash_side(tag: str, src: str, k: int = 16, bands: int = 4) -> str:
+    r = k // bands
+    perms = ", ".join(
+        f"coalesce(list_min(list_transform(hs, h -> ({a} * h + {b}) % {MERSENNE_P})), {MERSENNE_P})"
+        for a, b in minhash_coeffs(k)
+    )
+    band_keys = ", ".join(
+        f"'{bi},' || array_to_string(sig[{bi * r + 1}:{bi * r + r}], ',')" for bi in range(bands)
+    )
+    return f"""
+    sh_{tag} AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM {src}),
+    hashed_{tag} AS (
+      SELECT doc_id, len(shingles) AS n_sh,
+             list_transform(shingles, s -> {_HASH_P_SQL}) AS hs
+      FROM sh_{tag} WHERE len(shingles) > 0),
+    sigs_{tag} AS (SELECT doc_id, [{perms}] AS sig FROM hashed_{tag}),
+    banded_{tag} AS (SELECT doc_id, unnest([{band_keys}]) AS band_key FROM sigs_{tag})"""
+
+
+@register(
+    "dd_incremental",
+    rf"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    newb AS (SELECT doc_id, text FROM corpus WHERE doc_id >= 10000),
+    idx AS (SELECT doc_id, text FROM corpus WHERE doc_id < 10000),
+    {_minhash_side('n', 'newb')},
+    {_minhash_side('i', 'idx')},
+    cand AS (
+      SELECT DISTINCT bn.doc_id AS new_id, bi.doc_id AS index_id
+      FROM banded_n bn JOIN banded_i bi USING (band_key)),
+    verified AS (
+      SELECT new_id, index_id,
+             round(len(list_intersect(hn.hs, hi.hs)) /
+                   (hn.n_sh + hi.n_sh - len(list_intersect(hn.hs, hi.hs))),
+                   6) AS jaccard
+      FROM cand JOIN hashed_n hn ON new_id = hn.doc_id
+                JOIN hashed_i hi ON index_id = hi.doc_id)
+    SELECT new_id, index_id, jaccard FROM verified WHERE jaccard >= 0.4
+    """,
+    doc="incremental ingest dedup: MinHash-band equi-join of a NEW batch "
+    "against a stored index — no index×index or batch×batch pairs ever "
+    "generated; per-run cost scales with batch size, not corpus size "
+    "(the continuously-ingesting pipeline's shape)",
+)
+def dd_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    corpus = _corpus(spark, sf)
+    new_batch = corpus.where(F.col("doc_id") >= 10000)
+    index = corpus.where(F.col("doc_id") < 10000)
+    return minhash_lsh_join(new_batch, index, "doc_id", "text", n=3, k=16, bands=4, threshold=0.4)
+
+
+# --------------------------------------------------------------------------
+# blocked fuzzy matching (entity resolution)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "j_fuzzy_blocked",
+    r"""
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+    keyed AS (
+      SELECT name, u.kpos AS kpos, u.key AS key
+      FROM (SELECT name,
+                   unnest(list_transform(
+                     range(0, least(len(regexp_split_to_array(name, '\s+')), 2)),
+                     j -> {'kpos': j,
+                           'key': regexp_split_to_array(name, '\s+')[j+1]})) AS u
+            FROM names)
+      WHERE length(u.key) > 0),
+    cand AS (
+      SELECT DISTINCT a.name AS name_a, b.name AS name_b
+      FROM keyed a JOIN keyed b ON a.kpos = b.kpos AND a.key = b.key
+      WHERE a.name < b.name)
+    SELECT name_a, name_b, levenshtein(name_a, name_b) AS dist
+    FROM cand WHERE levenshtein(name_a, name_b) <= 2
+    """,
+    doc="blocked fuzzy entity matching: distinct names -> multi-pass token "
+    "blocking (equi-join per token position) -> Levenshtein <= 2 verify; "
+    "never an all-pairs product, edit distance runs once per deduped "
+    "candidate pair",
+)
+def j_fuzzy_blocked(spark: SparkSession, sf: str) -> DataFrame:
+    return fuzzy_blocked_pairs(load_table(spark, sf, "part"), "p_name", max_dist=2)

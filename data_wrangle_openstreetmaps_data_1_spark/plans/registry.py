@@ -106,7 +106,7 @@ def _load_all() -> None:
     global _loaded
     if _loaded:
         return
-    from . import analytics, cleaning_geo, core, pipeline, streaming_queries  # noqa: F401
+    from . import analytics, cleaning_geo, core, pipeline, pipeline_ext, streaming_queries  # noqa: F401
 
     import json
     import os
