@@ -448,7 +448,8 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3, bits: i
 
 
 def _minhash_sig_rows(
-    df: DataFrame, id_col: str, text_col: str, n: int, k: int, bands: int
+    df: DataFrame, id_col: str, text_col: str, n: int, k: int, bands: int,
+    persist: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(ex, sizes, banded) for one side of an asymmetric MinHash join —
     the same row-relational shape as minhash_lsh_pairs (portable hash
@@ -458,11 +459,11 @@ def _minhash_sig_rows(
     coeffs = minhash_coeffs(k)
     rows_per_band = k // bands
     sh = _shingle_sets(df, id_col, text_col, n)
-    ex = (
-        explode_nonempty(sh, ["doc_id"], "shingles", "shingle")
-        .select("doc_id", F.expr(HASH_P_SQL.format(x="shingle")).alias("h"))
-        .persist()
+    ex = explode_nonempty(sh, ["doc_id"], "shingles", "shingle").select(
+        "doc_id", F.expr(HASH_P_SQL.format(x="shingle")).alias("h")
     )
+    if persist:
+        ex = ex.persist()
     sig = ex.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"m{i}")
@@ -482,6 +483,23 @@ def _minhash_sig_rows(
     return ex, sig.select("doc_id", "n_shingles"), banded
 
 
+def minhash_index(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 16, bands: int = 4
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Precompute (and pin) the stored-index artifacts for repeated
+    incremental joins: the exploded (doc, hash) rows, the per-doc set
+    sizes, and the banded signature table — all persisted and eagerly
+    materialized, so a stream deduping many micro-batches against the same
+    index hashes the corpus ONCE, not once per batch. On disk at 100 TB
+    these would be bucketed by band_key (banded) and doc_id (ex/sizes);
+    see tests/test_streaming_incremental.py for the bucketed-plan assert."""
+    ex, sizes, banded = _minhash_sig_rows(df, id_col, text_col, n, k, bands)
+    sizes = sizes.persist()
+    banded = banded.persist()
+    banded.count()  # materializes ex -> sizes -> banded in one pass
+    return ex, sizes, banded
+
+
 def minhash_lsh_join(
     new_df: DataFrame,
     index_df: DataFrame,
@@ -491,6 +509,8 @@ def minhash_lsh_join(
     k: int = 16,
     bands: int = 4,
     threshold: float = 0.4,
+    index_artifacts: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    persist_new: bool = True,
 ) -> DataFrame:
     """INCREMENTAL dedup: match a new ingest batch against an existing
     corpus index without ever generating index×index (or batch×batch)
@@ -510,8 +530,16 @@ def minhash_lsh_join(
     """
     if bands < 1 or k % bands != 0:
         raise ValueError(f"bands={bands} must divide k={k} exactly")
-    ex_n, sizes_n, banded_n = _minhash_sig_rows(new_df, id_col, text_col, n, k, bands)
-    ex_i, sizes_i, banded_i = _minhash_sig_rows(index_df, id_col, text_col, n, k, bands)
+    # persist_new=False for per-micro-batch streaming callers: the batch
+    # side is small enough to recompute (2 consumers) and an un-unpersisted
+    # cache entry per micro-batch would accumulate for the stream lifetime.
+    ex_n, sizes_n, banded_n = _minhash_sig_rows(
+        new_df, id_col, text_col, n, k, bands, persist=persist_new
+    )
+    if index_artifacts is not None:
+        ex_i, sizes_i, banded_i = index_artifacts
+    else:
+        ex_i, sizes_i, banded_i = _minhash_sig_rows(index_df, id_col, text_col, n, k, bands)
     cand = (
         banded_n.select(F.col("doc_id").alias("new_id"), "band_key")
         .join(banded_i.select(F.col("doc_id").alias("index_id"), "band_key"), "band_key")

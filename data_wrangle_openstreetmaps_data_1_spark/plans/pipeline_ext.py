@@ -187,9 +187,7 @@ def _minhash_side(tag: str, src: str, k: int = 16, bands: int = 4) -> str:
     banded_{tag} AS (SELECT doc_id, unnest([{band_keys}]) AS band_key FROM sigs_{tag})"""
 
 
-@register(
-    "dd_incremental",
-    rf"""
+_INCREMENTAL_ORACLE = rf"""
     WITH corpus AS ({_CORPUS_SQL}),
     newb AS (SELECT doc_id, text FROM corpus WHERE doc_id >= 10000),
     idx AS (SELECT doc_id, text FROM corpus WHERE doc_id < 10000),
@@ -206,7 +204,12 @@ def _minhash_side(tag: str, src: str, k: int = 16, bands: int = 4) -> str:
       FROM cand JOIN hashed_n hn ON new_id = hn.doc_id
                 JOIN hashed_i hi ON index_id = hi.doc_id)
     SELECT new_id, index_id, jaccard FROM verified WHERE jaccard >= 0.4
-    """,
+    """
+
+
+@register(
+    "dd_incremental",
+    _INCREMENTAL_ORACLE,
     doc="incremental ingest dedup: MinHash-band equi-join of a NEW batch "
     "against a stored index — no index×index or batch×batch pairs ever "
     "generated; per-run cost scales with batch size, not corpus size "
@@ -217,6 +220,46 @@ def dd_incremental(spark: SparkSession, sf: str) -> DataFrame:
     new_batch = corpus.where(F.col("doc_id") >= 10000)
     index = corpus.where(F.col("doc_id") < 10000)
     return minhash_lsh_join(new_batch, index, "doc_id", "text", n=3, k=16, bands=4, threshold=0.4)
+
+
+@register(
+    "st_incremental_dedup",
+    _INCREMENTAL_ORACLE,
+    doc="STREAMING twin of dd_incremental: the planted new-doc batch "
+    "arrives via a parquet file-source stream and every micro-batch is "
+    "deduped against the static corpus index inside foreachBatch (the "
+    "landing-zone admission-control pattern); over the driver's single-file "
+    "input the union of batches equals the batch join exactly, which this "
+    "shared oracle checks — multi-batch splits are asserted equal in "
+    "tests/test_streaming_incremental.py",
+)
+def st_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from ..streaming.incremental import read_documents_stream, run_incremental_dedup_once
+
+    stream = read_documents_stream(spark, sf).select("doc_id", "text")
+    # the planted-corpus new batch, derived with narrow streaming-legal ops:
+    # one source, explode of the two planted variants, filter (the batch
+    # twin _corpus() uses union of two scans, which on a stream would mean
+    # two file sources over the same directory)
+    variants = F.array(
+        F.struct(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
+            (F.col("doc_id") % 5 == 0).alias("keep"),
+        ),
+        F.struct(
+            (F.col("doc_id") + 20000).alias("doc_id"),
+            F.col("text").alias("text"),
+            (F.col("doc_id") % 7 == 0).alias("keep"),
+        ),
+    )
+    new_stream = (
+        stream.select(F.explode(variants).alias("v"))
+        .where(F.col("v.keep"))
+        .select(F.col("v.doc_id").alias("doc_id"), F.col("v.text").alias("text"))
+    )
+    index = load_table(spark, sf, "documents").select("doc_id", "text")
+    return run_incremental_dedup_once(new_stream, index)
 
 
 # --------------------------------------------------------------------------
