@@ -69,6 +69,7 @@ _TERMS_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
            CAST(score_fp AS BIGINT) AS score_fp, rnk
     FROM r WHERE rnk <= 5
     """,
+    bench=True,
     doc="BM25 top-5 per query term, fixed-point integer scoring (rational "
     "idf surrogate — no ln(), so scores hash identically across engines); "
     "postings = one explode + (term, doc) groupBy; df/avgdl broadcast",
@@ -210,6 +211,7 @@ _INCREMENTAL_ORACLE = rf"""
 @register(
     "dd_incremental",
     _INCREMENTAL_ORACLE,
+    bench=True,
     doc="incremental ingest dedup: MinHash-band equi-join of a NEW batch "
     "against a stored index — no index×index or batch×batch pairs ever "
     "generated; per-run cost scales with batch size, not corpus size "
