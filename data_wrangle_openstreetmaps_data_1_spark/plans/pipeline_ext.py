@@ -296,3 +296,57 @@ def st_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
 )
 def j_fuzzy_blocked(spark: SparkSession, sf: str) -> DataFrame:
     return fuzzy_blocked_pairs(load_table(spark, sf, "part"), "p_name", max_dist=2)
+
+
+# --------------------------------------------------------------------------
+# iterative graph analytics: fixed-point PageRank
+# --------------------------------------------------------------------------
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    from ..operators.graph import DAMP_PCT, SCALE
+
+    tele = f"({100 - DAMP_PCT} * ({SCALE} // n_nodes)) // 100"
+    ctes = [
+        """eraw AS (SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""",
+        "edges AS (SELECT a AS src, b AS dst FROM eraw UNION SELECT b, a FROM eraw)",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1)",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        "n AS (SELECT count(*) AS n_nodes FROM nodes)",
+        f"r0 AS (SELECT node, {SCALE} // n_nodes AS r FROM nodes CROSS JOIN n)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"""r{i + 1} AS (
+          SELECT e.dst AS node,
+                 {tele} + ({DAMP_PCT} * sum(p.r // d.outdeg)) // 100 AS r
+          FROM edges e JOIN r{i} p ON e.src = p.node JOIN deg d ON e.src = d.src
+          CROSS JOIN n
+          GROUP BY e.dst, n.n_nodes)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node, CAST(r AS BIGINT) AS pr_fp FROM r{iters}"
+    )
+
+
+@register(
+    "ml_pagerank",
+    _pagerank_oracle(),
+    doc="fixed-point PageRank (3 unrolled iterations, damping 0.85) over "
+    "the customer<->supplier bipartite graph derived from orders+lineitem; "
+    "all-integer trajectory, value-checked against the same iterations "
+    "unrolled as DuckDB CTEs (the ml_kmeans pattern); per round one keyed "
+    "equi-join + one partial-agg groupBy — bucketable, driver-free",
+)
+def ml_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    eraw = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.col("o_custkey").alias("src"), (F.col("l_suppkey") + 1000000).alias("dst")
+    )
+    return pagerank(eraw, iters=3)
