@@ -350,3 +350,109 @@ def ml_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_custkey").alias("src"), (F.col("l_suppkey") + 1000000).alias("dst")
     )
     return pagerank(eraw, iters=3)
+
+
+# --------------------------------------------------------------------------
+# end-to-end curation funnel: gates -> exact dedup -> fingerprint dedup
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tx_curation_funnel",
+    rf"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    tokd AS (SELECT doc_id, text, len({_TOKS_SQL}) AS n_toks FROM corpus),
+    tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM corpus),
+    pt AS (SELECT doc_id, term, count(*) AS cnt,
+                  CAST(sum(length(term)) AS BIGINT) AS chars
+           FROM tok GROUP BY 1, 2),
+    pd AS (SELECT doc_id,
+                  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                  CAST(sum(chars) AS BIGINT) AS n_chars,
+                  CAST(max(cnt) AS BIGINT) AS modal_cnt,
+                  max(CASE WHEN term IN ({_GATE_STOPS_IN}) THEN 1 ELSE 0 END)
+                    AS has_stop
+           FROM pt GROUP BY 1),
+    ok AS (SELECT doc_id FROM pd
+           WHERE n_tokens BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
+             AND n_chars * 10 // n_tokens
+                 BETWEEN {MIN_MEAN_LEN_X10} AND {MAX_MEAN_LEN_X10}
+             AND has_stop = 1
+             AND modal_cnt * 100 <= n_tokens * {MAX_MODAL_PCT}),
+    gated AS (SELECT t.doc_id, t.text, t.n_toks FROM tokd t JOIN ok USING (doc_id)),
+    ex_keep AS (SELECT min(doc_id) AS doc_id
+                FROM (SELECT doc_id, md5(text) AS h FROM gated) GROUP BY h),
+    s3 AS (SELECT g.doc_id, g.text, g.n_toks FROM gated g JOIN ex_keep USING (doc_id)),
+    fp_keep AS (SELECT min(doc_id) AS doc_id
+                FROM (SELECT doc_id,
+                             md5(array_to_string(list_sort(list_distinct({_TOKS_SQL})), ' '))
+                               AS fp
+                      FROM s3) GROUP BY fp),
+    s4 AS (SELECT s.doc_id, s.n_toks FROM s3 s JOIN fp_keep USING (doc_id))
+    SELECT * FROM (
+      SELECT 0 AS stage_ord, 'raw' AS stage,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS n_tokens FROM tokd
+      UNION ALL
+      SELECT 1, 'gated', CAST(count(*) AS BIGINT), CAST(sum(n_toks) AS BIGINT) FROM gated
+      UNION ALL
+      SELECT 2, 'exact_dedup', CAST(count(*) AS BIGINT), CAST(sum(n_toks) AS BIGINT) FROM s3
+      UNION ALL
+      SELECT 3, 'fingerprint_dedup', CAST(count(*) AS BIGINT), CAST(sum(n_toks) AS BIGINT) FROM s4)
+    """,
+    doc="the curation pipeline end-to-end as ONE query with per-stage "
+    "survivor counts (the report every filtering run produces): quality "
+    "gates -> exact dedup keepers -> fingerprint dedup keepers, each stage "
+    "feeding the next; composes quality_gates + exact_dedup + "
+    "fingerprint_dedup unchanged",
+)
+def tx_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.text import token_count
+    from ..operators.dedup import exact_dedup, fingerprint_dedup
+
+    corpus = _corpus(spark, sf).withColumn("n_toks", token_count(F.col("text")))
+    ok = quality_gates(corpus, "doc_id", "text").where("passed").select("doc_id")
+    gated = corpus.join(ok, "doc_id")
+    ex_keep = exact_dedup(gated, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id"), F.lit(True).alias("is_ex")
+    )
+    s3 = gated.join(ex_keep, "doc_id")
+    fp_keep = fingerprint_dedup(s3, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id"), F.lit(True).alias("is_fp")
+    )
+    # one flags table, ONE evaluation: per-doc survival booleans left-joined
+    # onto the corpus, then a single conditional aggregation unpivoted with
+    # stack() — the naive form (four unioned agg branches, each re-deriving
+    # gates+dedups from scratch) re-ran the whole pipeline per stage and
+    # measured 39s at sf0.01 vs ~3s for this shape.
+    flags = (
+        corpus.join(ok.withColumn("is_gated", F.lit(True)), "doc_id", "left")
+        .join(ex_keep, "doc_id", "left")
+        .join(fp_keep, "doc_id", "left")
+        .select(
+            "n_toks",
+            F.coalesce("is_gated", F.lit(False)).alias("g"),
+            F.coalesce("is_ex", F.lit(False)).alias("e"),
+            F.coalesce("is_fp", F.lit(False)).alias("p"),
+        )
+    )
+    agg = flags.agg(
+        F.count("*").alias("d0"),
+        F.sum("n_toks").alias("t0"),
+        F.count_if(F.col("g")).alias("d1"),
+        F.sum(F.when(F.col("g"), F.col("n_toks")).otherwise(0)).alias("t1"),
+        F.count_if(F.col("g") & F.col("e")).alias("d2"),
+        F.sum(F.when(F.col("g") & F.col("e"), F.col("n_toks")).otherwise(0)).alias("t2"),
+        F.count_if(F.col("g") & F.col("e") & F.col("p")).alias("d3"),
+        F.sum(F.when(F.col("g") & F.col("e") & F.col("p"), F.col("n_toks")).otherwise(0)).alias(
+            "t3"
+        ),
+    )
+    return agg.selectExpr(
+        """stack(4,
+             0, 'raw', d0, t0,
+             1, 'gated', d1, t1,
+             2, 'exact_dedup', d2, t2,
+             3, 'fingerprint_dedup', d3, t3)
+           AS (stage_ord, stage, n_docs, n_tokens)"""
+    )
