@@ -204,3 +204,44 @@ def test_funnel_single_shuffle_three_windows(spark):
         if "Exchange hashpartitioning" in ln and "user_id" in ln and "day" in ln and "stage" not in ln
     ]
     assert len(window_exchanges) == 1, plan
+
+
+def test_bm25_broadcasts_stats_prunes_scan(spark):
+    plan = plan_of(spark, "tx_bm25_topk")
+    # df and corpus stats are tiny aggregates: both reach the postings as
+    # broadcasts, never shuffling the posting table by anything but term
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    # the documents scan reads exactly the two needed columns
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    assert "partial_count" in plan  # postings tf: map-side combine
+
+
+def test_line_dedup_census_and_antijoin(spark):
+    plan = plan_of(spark, "dd_line_dedup")
+    # boilerplate drop is a LEFT ANTI equi-join on the 16-byte line hash
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the census pre-aggregates map-side before shuffling line hashes
+    assert "partial_count" in plan
+
+
+def test_incremental_join_never_pairs_index_with_itself(spark):
+    plan = plan_of(spark, "dd_incremental")
+    # every join is an equi-join (band key / hash / id) — no products
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min" in plan  # minhash signature: k min() partial aggs
+
+
+def test_pagerank_round_is_join_plus_partial_agg(spark):
+    plan = plan_of(spark, "ml_pagerank")
+    assert "CartesianProduct" not in plan
+    # 3 rounds => 3 contribution aggregations, each with map-side partials
+    assert plan.count("partial_sum") >= 3
+
+
+def test_fuzzy_blocked_is_equi_join(spark):
+    plan = plan_of(spark, "j_fuzzy_blocked")
+    # blocking must be an equi-join on (kpos, key); the Levenshtein verify
+    # is a post-join filter, never a join condition forcing a product
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
