@@ -94,3 +94,24 @@ def shuffle_order(df: DataFrame, key_col: str, n_shards: int, salt: str = "sh1")
         .withColumn("pos", F.row_number().over(w))
         .drop("_h")
     )
+
+
+def weighted_hash_sample(
+    df: DataFrame, key_col: str, weight_col: str, max_weight: int, salt: str = "w1"
+) -> DataFrame:
+    """Per-row weighted deterministic sampling: keep a row with probability
+    ``weight / max_weight``, decided by the same portable content-hash rule
+    as :func:`hash_sample` — so the decision is a pure function of (key,
+    salt, weight), stable across runs, partitionings, and engines.
+
+    The pretraining use: quality-weighted corpus downsampling (keep
+    high-quality documents with higher probability) without any RNG state,
+    so a re-run on re-sharded data keeps EXACTLY the same documents.
+    ``weight_col`` must be integral and in [0, max_weight].
+    """
+    if max_weight <= 0:
+        raise ValueError(f"max_weight={max_weight} must be positive")
+    h = portable_hash64(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt)))
+    return df.where(
+        F.pmod(h, F.lit(max_weight)) < F.col(weight_col)
+    )

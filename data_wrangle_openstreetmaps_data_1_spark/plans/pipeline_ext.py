@@ -456,3 +456,105 @@ def tx_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
              3, 'fingerprint_dedup', d3, t3)
            AS (stage_ord, stage, n_docs, n_tokens)"""
     )
+
+
+# --------------------------------------------------------------------------
+# quality-weighted sampling + snapshot upsert (batch MERGE)
+# --------------------------------------------------------------------------
+
+_QUALITY_SQL = rf"""CAST(50
+      + (CASE WHEN len({_TOKS_SQL}) BETWEEN 20 AND 1000 THEN 25 ELSE 0 END)
+      + (CASE WHEN len(regexp_extract_all(text, '[^\w\s]'))
+                   / greatest(length(text), 1) < 0.1 THEN 15 ELSE 0 END)
+      + (CASE WHEN list_sum(list_transform({_TOKS_SQL}, x -> length(x)))
+                   / greatest(len({_TOKS_SQL}), 1) BETWEEN 3 AND 10
+              THEN 10 ELSE 0 END) AS INT)"""
+
+
+@register(
+    "tx_weighted_sample",
+    rf"""
+    WITH t AS (SELECT doc_id, source, {_QUALITY_SQL} AS quality FROM documents)
+    SELECT doc_id, source, quality FROM t
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':w1'), 1, 15))::BIGINT % 100
+          < quality
+    """,
+    doc="quality-weighted deterministic sampling: keep probability = "
+    "quality/100, decided by the portable content-hash rule (pure function "
+    "of doc_id+salt+weight — re-runs on re-sharded data keep exactly the "
+    "same documents, no RNG state anywhere)",
+)
+def tx_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.text import quality_score
+    from ..operators.sampling import weighted_hash_sample
+
+    d = load_table(spark, sf, "documents").withColumn(
+        "quality", quality_score(F.col("text"))
+    )
+    return weighted_hash_sample(d, "doc_id", "quality", 100, salt="w1").select(
+        "doc_id", "source", "quality"
+    )
+
+
+@register(
+    "u_upsert_snapshot",
+    r"""
+    WITH snap AS (
+      SELECT c_custkey AS key, c_name AS name,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer),
+    changes AS (
+      SELECT c_custkey AS key, c_name AS name_new,
+             CAST(round(c_acctbal * 100) AS BIGINT) + 10000 AS bal_new
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT 900000 + s_suppkey, s_name,
+             CAST(round(s_acctbal * 100) AS BIGINT)
+      FROM supplier)
+    SELECT coalesce(s.key, c.key) AS key,
+           coalesce(c.name_new, s.name) AS name,
+           coalesce(c.bal_new, s.bal_cents) AS bal_cents,
+           CASE WHEN c.key IS NULL THEN 'keep'
+                WHEN s.key IS NULL THEN 'insert'
+                ELSE 'update' END AS op
+    FROM snap s FULL OUTER JOIN changes c ON s.key = c.key
+    """,
+    doc="batch MERGE/upsert: apply a changes table (updates + inserts) onto "
+    "a snapshot via ONE full-outer equi-join with coalesce resolution and a "
+    "per-row op verdict — the SCD-style snapshot-maintenance pattern for "
+    "stores without a MERGE primitive; integer cents avoid float-rounding "
+    "divergence",
+)
+def u_upsert_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    snap = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    cust_updates = (
+        load_table(spark, sf, "customer")
+        .where(F.col("c_custkey") % 10 == 0)
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("name_new"),
+            (F.round(F.col("c_acctbal") * 100).cast("long") + 10000).alias("bal_new"),
+        )
+    )
+    supp_inserts = load_table(spark, sf, "supplier").select(
+        (F.lit(900000) + F.col("s_suppkey")).alias("key"),
+        F.col("s_name").alias("name_new"),
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("bal_new"),
+    )
+    changes = cust_updates.unionByName(supp_inserts)
+    merged = snap.withColumn("in_snap", F.lit(True)).join(
+        changes.withColumn("in_chg", F.lit(True)), "key", "full_outer"
+    )
+    return merged.select(
+        "key",
+        F.coalesce("name_new", "name").alias("name"),
+        F.coalesce("bal_new", "bal_cents").alias("bal_cents"),
+        F.when(F.col("in_chg").isNull(), "keep")
+        .when(F.col("in_snap").isNull(), "insert")
+        .otherwise("update")
+        .alias("op"),
+    )

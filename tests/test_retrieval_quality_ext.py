@@ -124,3 +124,36 @@ def test_minhash_join_is_asymmetric(spark):
     # never appear — output ids are strictly (new, index)
     assert all(n in (100, 101) and i in (1, 2, 3) for n, i in got)
     assert (101, 1) not in got
+
+
+def test_weighted_sample_nested_and_bounds(spark):
+    from data_wrangle_openstreetmaps_data_1_spark.operators.sampling import (
+        weighted_hash_sample,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(500).select(F.col("id").alias("k"))
+    zero = weighted_hash_sample(df.withColumn("w", F.lit(0)), "k", "w", 100)
+    full = weighted_hash_sample(df.withColumn("w", F.lit(100)), "k", "w", 100)
+    lo = {r.k for r in weighted_hash_sample(df.withColumn("w", F.lit(30)), "k", "w", 100).collect()}
+    hi = {r.k for r in weighted_hash_sample(df.withColumn("w", F.lit(60)), "k", "w", 100).collect()}
+    assert zero.count() == 0
+    assert full.count() == 500
+    assert lo <= hi  # same salt: larger weight strictly extends the sample
+    assert 0 < len(lo) < len(hi) < 500
+
+
+def test_upsert_snapshot_ops(spark):
+    from data_wrangle_openstreetmaps_data_1_spark.plans.registry import query_map
+
+    rows = query_map()["u_upsert_snapshot"](spark, "/root/testdata/sf0.001").collect()
+    by_op = {}
+    for r in rows:
+        by_op.setdefault(r.op, []).append(r)
+    # every customer key survives; updates are exactly the %10 keys;
+    # inserts live in the 900k range
+    assert all(r.key % 10 == 0 for r in by_op["update"])
+    assert all(r.key >= 900000 for r in by_op["insert"])
+    assert len(by_op["update"]) > 0 and len(by_op["insert"]) > 0
+    keys = {r.key for r in rows}
+    assert len(keys) == len(rows)  # merge is key-unique
