@@ -558,3 +558,85 @@ def u_upsert_snapshot(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise("update")
         .alias("op"),
     )
+
+
+# --------------------------------------------------------------------------
+# analytics breadth: TPC-H Q18 shape + sliding-window distinct users
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q18_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS qty
+      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300)
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents, qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+    doc="TPC-H Q18 shape (large-volume customers): HAVING-filtered "
+    "aggregate drives the join — the fact table reduces FIRST (groupBy "
+    "with map-side partials + having), then only the surviving keys join "
+    "orders/customer; the selective aggregate side broadcasts under AQE",
+)
+def tpch_q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty_d"))
+        .where(F.col("qty_d") > 300)
+        .select("l_orderkey", F.col("qty_d").cast("long").alias("qty"))
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+            "qty",
+        )
+    )
+
+
+@register(
+    "a_wau_sliding",
+    """
+    WITH ud AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+                FROM events),
+    ex AS (SELECT user_id, day + i::INTEGER AS wend
+           FROM ud, unnest(range(0, 7)) AS t(i)),
+    days AS (SELECT DISTINCT day AS wend FROM ud)
+    SELECT strftime(wend, '%Y-%m-%d') AS window_end,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+    FROM ex JOIN days USING (wend)
+    GROUP BY wend
+    """,
+    doc="7-day sliding distinct users (WAU) via the explode-to-windows "
+    "trick: each distinct (user, day) row replicates into the 7 windows it "
+    "belongs to, turning a sliding DISTINCT — which has no native window "
+    "form — into one plain groupBy-distinct; cost is a bounded 7x on the "
+    "already-deduped (user, day) table, never a per-window re-scan of raw "
+    "events. Window ends are restricted to observed days (no partial "
+    "phantom windows past the data)",
+)
+def a_wau_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    ex = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias("wend"),
+    )
+    days = ud.select(F.col("day").alias("wend")).distinct()
+    return (
+        ex.join(days, "wend", "left_semi")
+        .groupBy("wend")
+        .agg(F.count_distinct("user_id").alias("wau"))
+        .select(F.date_format("wend", "yyyy-MM-dd").alias("window_end"), "wau")
+    )
