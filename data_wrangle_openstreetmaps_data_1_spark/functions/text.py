@@ -97,6 +97,18 @@ def predict_lang(col: Column) -> Column:
     return pred
 
 
+# The quality composite's SQL twin, single source of truth shared by every
+# oracle that scores quality (tx_quality, tx_weighted_sample). Callers
+# interpolate the three sub-expressions for their own CTE context.
+QUALITY_SQL_TEMPLATE = (
+    "CAST(50"
+    " + (CASE WHEN {n_toks} BETWEEN 20 AND 1000 THEN 25 ELSE 0 END)"
+    " + (CASE WHEN {punct} < 0.1 THEN 15 ELSE 0 END)"
+    " + (CASE WHEN {atl} >= 3 AND {atl} <= 10 THEN 10 ELSE 0 END)"
+    " AS INT)"
+)
+
+
 def quality_score(col: Column) -> Column:
     """Composite 0-100 quality score from length / punctuation / mean token
     length, mirroring classic pretraining-data heuristics. Deterministic

@@ -32,6 +32,8 @@ them (bench.py, tools/check_oracle.py, and the registry wrapper do).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -483,9 +485,23 @@ def _minhash_sig_rows(
     return ex, sig.select("doc_id", "n_shingles"), banded
 
 
+class MinhashIndex(NamedTuple):
+    """Prepared index-side artifacts plus the signature parameters they
+    were built with — carried along so a join can refuse artifacts whose
+    band keys could never match its own (wrong n/k/bands silently yields
+    an empty candidate set, i.e. every duplicate admitted as unique)."""
+
+    ex: DataFrame
+    sizes: DataFrame
+    banded: DataFrame
+    n: int
+    k: int
+    bands: int
+
+
 def minhash_index(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 16, bands: int = 4
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> MinhashIndex:
     """Precompute (and pin) the stored-index artifacts for repeated
     incremental joins: the exploded (doc, hash) rows, the per-doc set
     sizes, and the banded signature table — all persisted and eagerly
@@ -493,11 +509,13 @@ def minhash_index(
     index hashes the corpus ONCE, not once per batch. On disk at 100 TB
     these would be bucketed by band_key (banded) and doc_id (ex/sizes);
     see tests/test_streaming_incremental.py for the bucketed-plan assert."""
+    if bands < 1 or k % bands != 0:
+        raise ValueError(f"bands={bands} must divide k={k} exactly")
     ex, sizes, banded = _minhash_sig_rows(df, id_col, text_col, n, k, bands)
     sizes = sizes.persist()
     banded = banded.persist()
     banded.count()  # materializes ex -> sizes -> banded in one pass
-    return ex, sizes, banded
+    return MinhashIndex(ex, sizes, banded, n, k, bands)
 
 
 def minhash_lsh_join(
@@ -509,7 +527,7 @@ def minhash_lsh_join(
     k: int = 16,
     bands: int = 4,
     threshold: float = 0.4,
-    index_artifacts: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    index_artifacts: MinhashIndex | None = None,
     persist_new: bool = True,
 ) -> DataFrame:
     """INCREMENTAL dedup: match a new ingest batch against an existing
@@ -537,7 +555,18 @@ def minhash_lsh_join(
         new_df, id_col, text_col, n, k, bands, persist=persist_new
     )
     if index_artifacts is not None:
-        ex_i, sizes_i, banded_i = index_artifacts
+        if (index_artifacts.n, index_artifacts.k, index_artifacts.bands) != (n, k, bands):
+            raise ValueError(
+                f"index_artifacts were built with (n={index_artifacts.n}, "
+                f"k={index_artifacts.k}, bands={index_artifacts.bands}) but the "
+                f"join requested (n={n}, k={k}, bands={bands}) — mismatched "
+                "band keys would silently produce an empty candidate set"
+            )
+        ex_i, sizes_i, banded_i = (
+            index_artifacts.ex,
+            index_artifacts.sizes,
+            index_artifacts.banded,
+        )
     else:
         ex_i, sizes_i, banded_i = _minhash_sig_rows(index_df, id_col, text_col, n, k, bands)
     cand = (

@@ -74,11 +74,19 @@ def pagerank(
             .join(deg, "src")
             .groupBy("dst")
             .agg(F.sum(F.expr("r div outdeg")).alias("m"))
+            .select(F.col("dst").alias("node"), "m")
         )
-        # symmetrized graph: every node has an in-edge, so contrib covers
-        # the full node set and no left-join backfill is needed
+        if not symmetrize:
+            # a directed graph can have zero-in-degree nodes; without this
+            # backfill they would vanish from r after round 1 (groupBy only
+            # emits receiving nodes) and stop contributing to their
+            # out-neighbors. Symmetrized graphs skip the extra join: every
+            # node has an in-edge by construction.
+            contrib = nodes.join(contrib, "node", "left").select(
+                "node", F.coalesce("m", F.lit(0)).alias("m")
+            )
         r = contrib.crossJoin(F.broadcast(nstats)).select(
-            F.col("dst").alias("node"),
+            "node",
             F.expr(f"{teleport} + ({DAMP_PCT} * m) div 100").alias("r"),
         )
     return r.select("node", F.col("r").alias("pr_fp"))

@@ -72,7 +72,14 @@ def bm25_topk(
         F.count("*").alias("n_docs"),
         F.expr("sum(dl) * 1000 div count(*)").alias("avgdl_fp"),
     )
-    post = inverted_postings(df, id_col, text_col).where(F.col("term").isin(terms))
+    # postings derive from the ALREADY-tokenized docs frame — tokenizing
+    # the corpus once, not once for lens and again for the postings
+    post = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
     dfreq = post.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
         post.join(F.broadcast(dfreq), "term")

@@ -107,11 +107,14 @@ def weighted_hash_sample(
     The pretraining use: quality-weighted corpus downsampling (keep
     high-quality documents with higher probability) without any RNG state,
     so a re-run on re-sharded data keeps EXACTLY the same documents.
-    ``weight_col`` must be integral and in [0, max_weight].
+    ``weight_col`` must be integral and in [0, max_weight]; weights are
+    quantized to basis points (floor of weight*10000/max_weight), so a
+    max_weight that does not divide 10000 loses sub-bp precision only.
+
+    Delegates to :func:`mixture_sample` — ONE content-hash keep rule in
+    this module, not two near-copies to keep in sync.
     """
     if max_weight <= 0:
         raise ValueError(f"max_weight={max_weight} must be positive")
-    h = portable_hash64(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt)))
-    return df.where(
-        F.pmod(h, F.lit(max_weight)) < F.col(weight_col)
-    )
+    rate_bp = F.expr(f"cast({weight_col} as bigint) * 10000 div {max_weight}")
+    return mixture_sample(df, key_col, rate_bp, salt=salt)

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import MERSENNE_P, minhash_coeffs
 from ..functions.text import (
     LANG_MARKERS,
+    QUALITY_SQL_TEMPLATE,
     avg_token_len,
     bpe_ish_token_count,
     predict_lang,
@@ -1143,11 +1144,7 @@ def tx_langid(spark: SparkSession, sf: str) -> DataFrame:
     SELECT doc_id, len(toks) AS n_tokens,
            round(punct, 6) AS punct_ratio,
            round(atl, 4) AS avg_token_len,
-           CAST(50
-             + (CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 25 ELSE 0 END)
-             + (CASE WHEN punct < 0.1 THEN 15 ELSE 0 END)
-             + (CASE WHEN atl >= 3 AND atl <= 10 THEN 10 ELSE 0 END)
-           AS INT) AS quality
+           {QUALITY_SQL_TEMPLATE.format(n_toks="len(toks)", punct="punct", atl="atl")} AS quality
     FROM t
     """,
     doc="document quality scoring: length/punctuation/token-shape heuristics "

@@ -14,6 +14,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import MERSENNE_P, minhash_coeffs
+from ..functions.text import QUALITY_SQL_TEMPLATE
+from ..operators.linedup import LINE_TOKENS
 from ..operators.dedup import minhash_lsh_join
 from ..operators.fuzzy import fuzzy_blocked_pairs
 from ..operators.linedup import line_dedup
@@ -132,8 +134,9 @@ def tx_quality_gates(spark: SparkSession, sf: str) -> DataFrame:
     d0 AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM corpus),
     d AS (SELECT doc_id, toks FROM d0 WHERE len(toks) >= 1),
     la AS (SELECT doc_id,
-                  list_transform(range(0, (len(toks) - 1) // 10 + 1),
-                                 i -> array_to_string(toks[i*10+1:i*10+10], ' '))
+                  list_transform(range(0, (len(toks) - 1) // {LINE_TOKENS} + 1),
+                                 i -> array_to_string(
+                                   toks[i*{LINE_TOKENS}+1:i*{LINE_TOKENS}+{LINE_TOKENS}], ' '))
                     AS lines
            FROM d),
     lines AS (
@@ -462,13 +465,16 @@ def tx_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
 # quality-weighted sampling + snapshot upsert (batch MERGE)
 # --------------------------------------------------------------------------
 
-_QUALITY_SQL = rf"""CAST(50
-      + (CASE WHEN len({_TOKS_SQL}) BETWEEN 20 AND 1000 THEN 25 ELSE 0 END)
-      + (CASE WHEN len(regexp_extract_all(text, '[^\w\s]'))
-                   / greatest(length(text), 1) < 0.1 THEN 15 ELSE 0 END)
-      + (CASE WHEN list_sum(list_transform({_TOKS_SQL}, x -> length(x)))
-                   / greatest(len({_TOKS_SQL}), 1) BETWEEN 3 AND 10
-              THEN 10 ELSE 0 END) AS INT)"""
+# quality composite from the single-source template (functions/text.py),
+# instantiated over raw `text` (no CTE aliases available here)
+_QUALITY_SQL = QUALITY_SQL_TEMPLATE.format(
+    n_toks=f"len({_TOKS_SQL})",
+    punct=r"(len(regexp_extract_all(text, '[^\w\s]')) / greatest(length(text), 1))",
+    atl=(
+        f"(list_sum(list_transform({_TOKS_SQL}, x -> length(x)))"
+        f" / greatest(len({_TOKS_SQL}), 1))"
+    ),
+)
 
 
 @register(
@@ -476,8 +482,8 @@ _QUALITY_SQL = rf"""CAST(50
     rf"""
     WITH t AS (SELECT doc_id, source, {_QUALITY_SQL} AS quality FROM documents)
     SELECT doc_id, source, quality FROM t
-    WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':w1'), 1, 15))::BIGINT % 100
-          < quality
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':w1'), 1, 15))::BIGINT % 10000
+          < quality * 10000 // 100
     """,
     doc="quality-weighted deterministic sampling: keep probability = "
     "quality/100, decided by the portable content-hash rule (pure function "

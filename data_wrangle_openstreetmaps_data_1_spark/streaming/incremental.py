@@ -34,7 +34,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from ..operators.dedup import minhash_index, minhash_lsh_join
 
@@ -77,7 +77,15 @@ def run_incremental_dedup_once(
     """
     spark = new_stream.sparkSession
     collected: list = []
-    schema_holder: list[StructType] = []
+    # static schema: a zero-batch stream (empty landing zone) must return
+    # an EMPTY frame, not crash on an unset first-batch schema
+    out_schema = StructType(
+        [
+            StructField("new_id", LongType()),
+            StructField("index_id", LongType()),
+            StructField("jaccard", DoubleType()),
+        ]
+    )
     # hash/sign/band the index ONCE, pinned — each micro-batch reuses the
     # persisted artifacts instead of recomputing the corpus-side pipeline
     artifacts = minhash_index(index_df, id_col, text_col, n=n, k=k, bands=bands)
@@ -93,6 +101,9 @@ def run_incremental_dedup_once(
             bands=bands,
             threshold=threshold,
             index_artifacts=artifacts,
+            # no per-batch persist: each micro-batch's exploded hash table
+            # would otherwise stay cached for the stream lifetime
+            persist_new=False,
         )
         rows = matches.collect()
         if len(collected) + len(rows) > _MAX_DRIVER_ROWS:
@@ -102,8 +113,6 @@ def run_incremental_dedup_once(
                 "outputs through a foreachBatch parquet sink instead"
             )
         collected.extend(rows)
-        if not schema_holder:
-            schema_holder.append(matches.schema)
 
     q = (
         new_stream.writeStream.foreachBatch(process_batch)
@@ -112,4 +121,4 @@ def run_incremental_dedup_once(
         .start()
     )
     q.awaitTermination()
-    return spark.createDataFrame(collected, schema_holder[0])
+    return spark.createDataFrame(collected, out_schema)

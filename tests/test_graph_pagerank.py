@@ -43,3 +43,33 @@ def test_ring_is_uniform(spark):
     pr = _pr(spark, edges)
     assert len(set(pr.values())) == 1
     assert len(pr) == n
+
+
+def test_directed_keeps_source_only_nodes(spark):
+    # node 4 has an out-edge but NO in-edge: it must stay in the result
+    # (teleport-only rank) and keep contributing to node 1 every round
+    edges = [(1, 2), (2, 3), (3, 1), (4, 1)]
+    pr = _pr(spark, edges, symmetrize=False)
+    assert set(pr) == {1, 2, 3, 4}
+    # node 4 never receives: teleport-only rank, strictly the smallest —
+    # but present and positive (the round-1 dropout bug would lose it)
+    assert 0 < pr[4] < min(pr[1], pr[2], pr[3])
+
+
+def test_mismatched_index_artifacts_rejected(spark):
+    import pytest
+
+    from data_wrangle_openstreetmaps_data_1_spark.operators.dedup import (
+        minhash_index,
+        minhash_lsh_join,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(20)))], ["doc_id", "text"]
+    )
+    art = minhash_index(docs, "doc_id", "text", k=16, bands=4)
+    with pytest.raises(ValueError, match="mismatched"):
+        minhash_lsh_join(docs, None, "doc_id", "text", k=16, bands=8,
+                         index_artifacts=art)
+    with pytest.raises(ValueError, match="divide"):
+        minhash_index(docs, "doc_id", "text", k=16, bands=5)

@@ -64,6 +64,7 @@ def test_prepared_index_reuse_matches_fresh(spark, corpus):
     index, new_rows = corpus
     new = _mk_docs(spark, new_rows)
     art = minhash_index(index, "doc_id", "text")
+    assert (art.n, art.k, art.bands) == (3, 16, 4)
     with_art = minhash_lsh_join(
         new, None, "doc_id", "text", index_artifacts=art, persist_new=False
     )
@@ -76,13 +77,13 @@ def test_bucketed_index_band_join_no_index_shuffle(spark, corpus):
     bucketed by band_key, so the per-batch candidate join needs NO exchange
     on the (huge) index side — only the small new batch shuffles."""
     index, new_rows = corpus
-    _, _, banded_i = minhash_index(index, "doc_id", "text")
+    banded_i = minhash_index(index, "doc_id", "text").banded
     spark.sql("DROP TABLE IF EXISTS b_minhash_index")
     banded_i.write.bucketBy(8, "band_key").sortBy("band_key").saveAsTable("b_minhash_index")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         stored = spark.table("b_minhash_index")
-        _, _, banded_n = minhash_index(_mk_docs(spark, new_rows), "doc_id", "text")
+        banded_n = minhash_index(_mk_docs(spark, new_rows), "doc_id", "text").banded
 
         def join_plan(index_side):
             j = banded_n.withColumnRenamed("doc_id", "new_id").join(
