@@ -646,3 +646,55 @@ def a_wau_sliding(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("wau"))
         .select(F.date_format("wend", "yyyy-MM-dd").alias("window_end"), "wau")
     )
+
+
+# --------------------------------------------------------------------------
+# vector aggregation: per-source embedding centroids (mean-pooling)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sim_source_centroids",
+    """
+    WITH j AS (
+      SELECT d.source, e.embedding
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+    ex AS (
+      SELECT source, i - 1 AS pos,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+      FROM j, unnest(range(1, len(embedding) + 1)) AS t(i)),
+    agg AS (SELECT source, pos, CAST(sum(q) AS BIGINT) AS s,
+                   count(*) AS n FROM ex GROUP BY 1, 2)
+    SELECT source, CAST(pos AS INT) AS pos, s // n AS centroid_fp FROM agg
+    """,
+    doc="per-group embedding centroid (mean-pooling — the vector-column "
+    "GROUP BY primitive behind class prototypes / per-domain embedding "
+    "drift reports): posexplode to (group, dim, component) rows, ONE "
+    "groupBy with map-side partial sums. Components are quantized to "
+    "1e-6 fixed-point BEFORE summation: float addition is order-dependent "
+    "and a distributed sum has no deterministic order, so only the "
+    "integer-sum form can hash identically across engines AND across "
+    "partitionings (the ml_kmeans determinism argument)",
+)
+def sim_source_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    d = load_table(spark, sf, "documents").select("doc_id", "source")
+    j = e.join(d, e.vec_id == d.doc_id).select("source", "embedding")
+    ex = j.select(
+        "source",
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "source",
+        "pos",
+        # floor(x*1e6 + 0.5), NOT round(): round() tie-breaking differs
+        # across engines (registry dtype contract); floor is bit-identical
+        # explicit widen to DOUBLE first: float*int promotion differs
+        # between engines, and a single-precision product can floor to a
+        # different integer near a boundary
+        F.floor(F.col("x").cast("double") * 1000000 + 0.5).cast("long").alias("q"),
+    )
+    return (
+        ex.groupBy("source", "pos")
+        .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+        .select("source", "pos", F.expr("s div n").alias("centroid_fp"))
+    )
