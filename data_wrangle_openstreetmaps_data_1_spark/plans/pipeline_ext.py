@@ -698,3 +698,84 @@ def sim_source_centroids(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
         .select("source", "pos", F.expr("s div n").alias("centroid_fp"))
     )
+
+
+# --------------------------------------------------------------------------
+# time-series gap fill + join-key skew report
+# --------------------------------------------------------------------------
+
+
+@register(
+    "t_gap_fill",
+    """
+    WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+                      date_trunc('hour', max(ts)) AS h1 FROM events),
+    hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b),
+    types AS (SELECT DISTINCT event_type FROM events),
+    hourly AS (SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS cnt
+               FROM events GROUP BY 1, 2)
+    SELECT CAST(h AS VARCHAR) AS hour, event_type,
+           CAST(coalesce(cnt, 0) AS BIGINT) AS cnt
+    FROM hours CROSS JOIN types LEFT JOIN hourly USING (h, event_type)
+    """,
+    doc="time-series densification: a generated calendar spine (hour range "
+    "x distinct types — sequence/explode, no data shuffle to build it) "
+    "LEFT JOINs the rollup so silent gaps become explicit zero rows; the "
+    "prerequisite for correct moving averages and alerting downstream",
+)
+def t_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.count("*").alias("cnt"))
+    span = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = span.select(
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    return (
+        hours.crossJoin(F.broadcast(types))
+        .join(hourly, ["h", "event_type"], "left")
+        .select(
+            F.col("h").cast("string").alias("hour"),
+            "event_type",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        )
+    )
+
+
+@register(
+    "a_skew_report",
+    """
+    WITH per_key AS (SELECT o_custkey AS k, count(*) AS cnt
+                     FROM orders GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(max(cnt) AS BIGINT) AS max_cnt,
+           CAST(sum(cnt) AS BIGINT) * 100 // count(*) AS mean_cnt_x100,
+           CAST(max(cnt) AS BIGINT) * 10000 // CAST(sum(cnt) AS BIGINT)
+             AS top1_share_bp
+    FROM per_key
+    """,
+    doc="join-key skew diagnostic over orders.o_custkey: key count, max "
+    "per-key multiplicity, integer mean, and the hottest key's share in "
+    "basis points — the measurement that decides between a plain shuffle "
+    "join, AQE skew handling, and explicit two-path salting "
+    "(partitioning.salted_join)",
+)
+def a_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    per_key = (
+        load_table(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    return per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.expr("sum(cnt) * 100 div count(*)").alias("mean_cnt_x100"),
+        F.expr("max(cnt) * 10000 div sum(cnt)").alias("top1_share_bp"),
+    )
