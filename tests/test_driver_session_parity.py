@@ -40,6 +40,13 @@ QUERIES = [
     "st_hll",
     "dd_groups_cc_star",
     "dd_lsh_tier_audit",
+    # Round-6b classes: foreachBatch streaming + prepared-index persist
+    # under a plain session (st_incremental_dedup), calendar-spine
+    # sequence/explode over timestamps (t_gap_fill), fixed-point iterative
+    # graph loop (ml_pagerank)
+    "st_incremental_dedup",
+    "t_gap_fill",
+    "ml_pagerank",
 ]
 
 _CHILD = r"""
