@@ -1,0 +1,62 @@
+"""Ingest robustness: quarantined JSONL, schema evolution, compaction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from data_wrangle_openstreetmaps_data_1_spark.sources.robust import (
+    compact_parquet,
+    read_jsonl_quarantine,
+    read_parquet_evolved,
+)
+
+SCHEMA = StructType([StructField("id", LongType()), StructField("name", StringType())])
+
+
+def test_quarantine_preserves_bad_lines(spark, tmp_path):
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "a"}\n'
+        "this is not json\n"
+        '{"id": 2, "name": "b"}\n'
+        '{"id": "not-a-number", "name": "c"}\n'
+    )
+    good, bad = read_jsonl_quarantine(spark, str(p), SCHEMA)
+    assert {(r.id, r.name) for r in good.collect()} == {(1, "a"), (2, "b")}
+    bad_lines = [r[0] for r in bad.collect()]
+    assert len(bad_lines) == 2
+    assert "this is not json" in bad_lines
+    # the corrupt line is preserved VERBATIM for replay
+    assert any("not-a-number" in b for b in bad_lines)
+
+
+def test_schema_evolution_merges_columns(spark, tmp_path):
+    old = spark.createDataFrame([(1, "a")], ["id", "name"])
+    new = spark.createDataFrame([(2, "b", "en")], ["id", "name", "lang"])
+    old.write.parquet(f"{tmp_path}/t/v1")
+    new.write.parquet(f"{tmp_path}/t/v2")
+    merged = read_parquet_evolved(spark, f"{tmp_path}/t/v1", f"{tmp_path}/t/v2")
+    assert set(merged.columns) == {"id", "name", "lang"}
+    rows = {r.id: r.lang for r in merged.collect()}
+    assert rows[1] is None and rows[2] == "en"
+    # the default read would silently drop 'lang' for v1-footer-first reads
+    # (not asserted: footer order is nondeterministic — the point is the
+    # helper makes the safe behavior the named path)
+
+
+def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
+    df = spark.range(10000).select(
+        F.col("id"), (F.col("id") % 50).alias("k"), F.sha1(F.col("id").cast("string")).alias("pad")
+    )
+    df.repartition(64).write.parquet(f"{tmp_path}/frag")
+    import glob
+
+    n_in = len(glob.glob(f"{tmp_path}/frag/part-*.parquet"))
+    assert n_in == 64
+    n_out = compact_parquet(spark, f"{tmp_path}/frag", f"{tmp_path}/compact", target_mb=128,
+                            sort_by=["k", "id"])
+    assert n_out < n_in
+    out = spark.read.parquet(f"{tmp_path}/compact")
+    assert out.count() == 10000
+    assert out.agg(F.sum("id")).collect()[0][0] == sum(range(10000))
