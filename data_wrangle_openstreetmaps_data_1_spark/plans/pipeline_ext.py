@@ -779,3 +779,43 @@ def a_skew_report(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("sum(cnt) * 100 div count(*)").alias("mean_cnt_x100"),
         F.expr("max(cnt) * 10000 div sum(cnt)").alias("top1_share_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# statistical LM scoring (KenLM-filter stand-in)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tx_lm_score",
+    rf"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    d2 AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 2),
+    ex AS (
+      SELECT doc_id,
+             md5(u.w1 || ' ' || u.w2) AS bg_h,
+             md5(u.w1) AS un_h
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> {{'w1': toks[i], 'w2': toks[i+1]}}))
+                     AS u
+            FROM d2)),
+    bgc AS (SELECT bg_h, count(*) AS c_bg FROM ex GROUP BY 1),
+    unc AS (SELECT un_h, count(*) AS c_un FROM ex GROUP BY 1),
+    scored AS (
+      SELECT doc_id, c_bg * 1000000 // c_un AS p_fp
+      FROM ex JOIN bgc USING (bg_h) JOIN unc USING (un_h))
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(CAST(sum(p_fp) AS BIGINT) // count(*) AS BIGINT) AS lm_score_fp
+    FROM scored GROUP BY doc_id
+    """,
+    doc="statistical LM quality score (the KenLM-filter stand-in): mean "
+    "bigram continuation probability of each doc under the corpus's own "
+    "bigram statistics, integer fixed-point 1e6 — no log-space floats, so "
+    "bit-identical across engines; md5-keyed count joins shuffle 16-byte "
+    "hashes, never text",
+)
+def tx_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.lmscore import lm_score
+
+    return lm_score(load_table(spark, sf, "documents"), "doc_id", "text")
