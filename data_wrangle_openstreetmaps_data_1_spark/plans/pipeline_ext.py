@@ -819,3 +819,100 @@ def tx_lm_score(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.lmscore import lm_score
 
     return lm_score(load_table(spark, sf, "documents"), "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# TPC-H breadth: Q10 (returned-items revenue) and Q19 (disjunctive pushdown)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q10_returns",
+    """
+    SELECT c_custkey, c_name,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue_cents DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape (returned-items revenue): returnflag + date-range "
+    "filters push to the scans, customer dim broadcasts, top-20 is "
+    "TakeOrderedAndProject. Per-ROW integer cents before the sum (not "
+    "round-after-sum): a distributed double sum is order-dependent, the "
+    "integer sum is exact at any parallelism",
+)
+def tpch_q10_returns(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            o.where(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1997-01-01")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .withColumn(
+            "cents",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long"),
+        )
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum("cents").alias("revenue_cents"), F.count("*").alias("n_items"))
+        .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q19_disjunctive",
+    """
+    SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 35)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+    doc="TPC-H Q19 shape (disjunctive predicates): Catalyst splits the "
+    "OR-of-ANDs, pushing the common-column disjunctions (brand/size to the "
+    "part scan, quantity to the lineitem scan) below the join so both "
+    "sides shrink before shuffling — the classic pushdown-through-OR test",
+)
+def tpch_q19_disjunctive(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    joined = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 35)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    return joined.where(cond).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+        ).alias("revenue_cents"),
+        F.count("*").alias("n_items"),
+    )

@@ -245,3 +245,20 @@ def test_fuzzy_blocked_is_equi_join(spark):
     # blocking must be an equi-join on (kpos, key); the Levenshtein verify
     # is a post-join filter, never a join condition forcing a product
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q10_topk_and_broadcasts(spark):
+    plan = plan_of(spark, "tpch_q10_returns")
+    assert "TakeOrderedAndProject(limit=20" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan
+
+
+def test_q19_disjunction_pushes_through_or(spark):
+    plan = plan_of(spark, "tpch_q19_disjunctive")
+    # Catalyst must extract the common-column disjunctions from the
+    # OR-of-ANDs and push them to EACH scan — quantity bounds reach the
+    # lineitem scan, brand/size reach the part scan, both below the join
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity" in plan
+    assert "EqualTo(p_brand,Brand#" in plan
+    assert "CartesianProduct" not in plan
