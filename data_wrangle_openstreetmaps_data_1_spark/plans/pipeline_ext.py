@@ -916,3 +916,49 @@ def tpch_q19_disjunctive(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("revenue_cents"),
         F.count("*").alias("n_items"),
     )
+
+
+# --------------------------------------------------------------------------
+# multimodal: frame-level video near-dup (perceptual-hash shape)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "mm_video_neardup",
+    rf"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    frames AS (
+      SELECT doc_id, md5(text || CAST(frame_idx AS VARCHAR)) AS frame_md5
+      FROM (SELECT doc_id, text,
+                   unnest(range(0, CAST(doc_id % 7 + 1 AS INT), 2)) AS frame_idx
+            FROM corpus)),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_frames
+      FROM frames a JOIN frames b USING (frame_md5)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, CAST(shared_frames AS BIGINT) AS shared_frames
+    FROM pairs WHERE shared_frames >= 1
+    """,
+    doc="frame-level video near-dup (the perceptual-hash dedup shape): "
+    "sampled-frame fingerprints equi-join across media assets, pairs "
+    "ranked by shared-frame count — candidates come from the frame-hash "
+    "join, never an asset×asset product; with a real codec the md5 "
+    "stand-in becomes a pHash and the join key a pHash band",
+)
+def mm_video_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.multimodal import attach_media, sample_frames
+
+    # attach_media reads n_chars for the width/height metadata (unused by
+    # frame sampling); the planted corpus carries only (doc_id, text)
+    corpus = _corpus(spark, sf).withColumn("n_chars", F.length("text"))
+    frames = sample_frames(attach_media(corpus), stride=2).select("doc_id", "frame_md5")
+    a = frames.select(F.col("doc_id").alias("doc_a"), "frame_md5")
+    b = frames.select(F.col("doc_id").alias("doc_b"), "frame_md5")
+    return (
+        a.join(b, "frame_md5")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared_frames"))
+        .where(F.col("shared_frames") >= 1)
+    )
