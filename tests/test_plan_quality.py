@@ -262,3 +262,38 @@ def test_q19_disjunction_pushes_through_or(spark):
     assert "Or(Or(And(GreaterThanOrEqual(l_quantity" in plan
     assert "EqualTo(p_brand,Brand#" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_no_unexpected_products_registry_wide(spark):
+    """Registry-wide plan lint: NO CartesianProduct anywhere, and the set
+    of queries using BroadcastNestedLoopJoin is pinned — every entry below
+    is an intentional crossJoin of a broadcast 1-row aggregate (corpus
+    stats, hash constants) or the sanctioned tiny-theta-side geo/kNN
+    shape. A new query accidentally introducing a product join fails here
+    by name instead of shipping."""
+    from data_wrangle_openstreetmaps_data_1_spark.plans.registry import query_map
+
+    BNLJ_ALLOWED = {
+        # broadcast 1-row corpus-stat / constant aggregates
+        "tx_bm25_topk", "tx_domain_mix", "tx_tfidf_top_terms", "ml_pagerank",
+        "t_gap_fill", "sk_hll", "sk_histogram_quantiles", "dd_lsh_tier_audit",
+        # broadcast tiny query/probe side (the deliberate theta shapes)
+        "sim_knn_brute", "sim_ivf", "sim_quantized", "sim_rerank_pipeline",
+        "sim_recall_at_k", "g3_near_radius", "g3_haversine_pairs",
+    }
+    # skipped: streaming queries EXECUTE on construction; iterative /
+    # multi-action queries run real work during plan building (covered by
+    # their own plan tests above)
+    SKIP_PREFIXES = ("st_",)
+    SKIP = {"dd_groups_cc", "dd_groups_cc_star", "dd_groups_minhash",
+            "ml_kmeans", "dd_semantic"}
+    offenders = {}
+    for name, fn in query_map().items():
+        if name.startswith(SKIP_PREFIXES) or name in SKIP:
+            continue
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+            offenders[name] = "unexpected BroadcastNestedLoopJoin"
+    assert not offenders, offenders

@@ -105,3 +105,48 @@ def test_bucketed_index_band_join_no_index_shuffle(spark, corpus):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_minhash_index")
+
+
+def test_parquet_sink_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Restart semantics of the durable sink: a second AvailableNow run on
+    the SAME checkpoint processes only files that arrived since the first
+    run — every input row lands in the output exactly once across runs."""
+    import glob as globmod
+    import shutil
+
+    from pyspark.sql import functions as F
+    from data_wrangle_openstreetmaps_data_1_spark.streaming.finite import (
+        run_available_now_to_parquet,
+    )
+
+    land = f"{tmp_path}/land"
+    out = f"{tmp_path}/out"
+    ckpt = f"{tmp_path}/ckpt"
+    import os
+
+    os.makedirs(land)
+
+    def drop_file(i, lo, hi):
+        stage = f"{tmp_path}/stage{i}"
+        spark.range(lo, hi).select(F.col("id")).coalesce(1).write.mode("overwrite").parquet(stage)
+        shutil.copy(globmod.glob(f"{stage}/part-*.parquet")[0], f"{land}/f{i}.parquet")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("id long").format("parquet")
+            .option("pathGlobFilter", "*.parquet").load(land)
+        )
+        run_available_now_to_parquet(stream, out, ckpt)
+
+    drop_file(0, 0, 100)
+    run_once()
+    assert spark.read.parquet(out).count() == 100
+
+    drop_file(1, 100, 250)
+    run_once()  # same checkpoint: must pick up ONLY f1
+    got = spark.read.parquet(out)
+    assert got.count() == 250
+    assert got.select("id").distinct().count() == 250  # exactly once
+
+    run_once()  # nothing new: no duplicates either
+    assert spark.read.parquet(out).count() == 250
