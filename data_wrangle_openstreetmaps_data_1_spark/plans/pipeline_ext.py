@@ -962,3 +962,106 @@ def mm_video_neardup(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("shared_frames"))
         .where(F.col("shared_frames") >= 1)
     )
+
+
+# --------------------------------------------------------------------------
+# UDF-surface completion: GROUPED_AGG pandas_udf + relational RLE
+# --------------------------------------------------------------------------
+
+
+@register(
+    "a_trimmed_mean_grouped",
+    """
+    WITH r AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars, doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(CAST(sum(n_chars) AS BIGINT) // count(*) AS BIGINT)
+             AS trimmed_mean
+    FROM r
+    WHERE rk > n // 10 AND rk <= n - n // 10
+    GROUP BY lang
+    """,
+    doc="10% trimmed mean of doc length per language via a GROUPED_AGG "
+    "pandas_udf (the one Arrow UDF kind the surface matrix lacked): each "
+    "group's values arrive as ONE Arrow-backed pandas Series, the trim is "
+    "numpy-side, one scalar returns per group. The DuckDB twin ranks with "
+    "windows and drops floor(n/10) from each end; ties broken by doc_id "
+    "ordering in BOTH engines so the trimmed multiset is identical",
+)
+def a_trimmed_mean_grouped(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.grouped_agg import trimmed_count_10pct, trimmed_mean_10pct
+
+    d = load_table(spark, sf, "documents")
+    # the UDF sorts by VALUE only, so the kept multiset is well-defined
+    # whatever the doc_id tie order — the oracle's doc_id tiebreak merely
+    # fixes WHICH equal values are dropped, which cannot change the sum
+    return (
+        d.groupBy("lang")
+        .agg(
+            trimmed_count_10pct(F.col("n_chars")).alias("n_kept"),
+            trimmed_mean_10pct(F.col("n_chars")).alias("trimmed_mean"),
+        )
+        .select("lang", "n_kept", "trimmed_mean")
+    )
+
+
+@register(
+    "a_rle_runs",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    flagged AS (
+      SELECT user_id, event_type, ts,
+             CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                  THEN 1 ELSE 0 END AS is_start
+      FROM s),
+    runs AS (
+      SELECT user_id, event_type,
+             sum(is_start) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_type
+                                 ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged)
+    SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+           event_type, CAST(count(*) AS BIGINT) AS run_len
+    FROM runs GROUP BY 1, 2, 3
+    """,
+    doc="run-length encoding of each user's event-type sequence — the "
+    "classic gaps-and-islands shape done relationally (lag flags run "
+    "starts, a running sum numbers runs, one groupBy collapses them): "
+    "two windows over ONE (user, time) sort + one aggregation, no "
+    "per-row Python anywhere",
+)
+def a_rle_runs(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_type")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = flagged.withColumn("run_id", F.sum("is_start").over(w2))
+    return runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.count("*").alias("run_len")
+    )
