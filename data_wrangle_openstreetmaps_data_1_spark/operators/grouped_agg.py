@@ -37,3 +37,40 @@ def trimmed_mean_10pct(v: pd.Series) -> int:
 def trimmed_count_10pct(v: pd.Series) -> int:
     """How many values survive the 10% trim (n - 2*floor(n/10))."""
     return len(v) - 2 * (len(v) // 10)
+
+
+def lis_per_group(df, group_col: str, order_cols: list[str], value_col: str):
+    """Per-group longest STRICTLY increasing subsequence length — the
+    canonical genuinely-imperative per-group algorithm (patience sorting,
+    O(n log n)), run via batch ``applyInPandas`` (grouped map): each
+    group's rows arrive as one ordered pandas frame, Python computes what
+    no algebraic aggregate can, one summary row returns per group.
+
+    Output: (group, n_events, lis_len). Value-checked against a
+    recursive-CTE DP oracle (quadratic, fine at oracle scale) — the
+    UDF surface stays inside the correctness gate even for imperative
+    logic.
+
+    Scale note: like every grouped map, a group materializes on one
+    executor — right for bounded per-entity series; shard the series
+    first if a single group can exceed executor memory.
+    """
+    from bisect import bisect_left
+
+    out_schema = f"{group_col} long, n_events long, lis_len long"
+
+    def one_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="stable", ignore_index=True)
+        tails: list = []
+        for v in pdf[value_col]:
+            i = bisect_left(tails, v)
+            if i == len(tails):
+                tails.append(v)
+            else:
+                tails[i] = v
+        return pd.DataFrame(
+            {group_col: [pdf[group_col].iloc[0]], "n_events": [len(pdf)],
+             "lis_len": [len(tails)]}
+        )
+
+    return df.groupBy(group_col).applyInPandas(one_group, schema=out_schema)

@@ -1065,3 +1065,41 @@ def a_rle_runs(spark: SparkSession, sf: str) -> DataFrame:
     return runs.groupBy("user_id", "run_id", "event_type").agg(
         F.count("*").alias("run_len")
     )
+
+
+@register(
+    "a_lis_per_user",
+    """
+    WITH RECURSIVE e AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pos
+      FROM events),
+    edges AS (
+      SELECT a.user_id, a.pos AS i, b.pos AS j
+      FROM e a JOIN e b USING (user_id)
+      WHERE b.pos > a.pos AND b.value > a.value),
+    walk(user_id, pos, len) AS (
+      SELECT user_id, pos, 1 FROM e
+      UNION
+      SELECT w.user_id, ed.j, w.len + 1
+      FROM walk w JOIN edges ed ON ed.user_id = w.user_id AND ed.i = w.pos),
+    n AS (SELECT user_id, count(*) AS n_events FROM e GROUP BY 1),
+    l AS (SELECT user_id, max(len) AS lis_len FROM walk GROUP BY 1)
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           CAST(lis_len AS BIGINT) AS lis_len
+    FROM n JOIN l USING (user_id)
+    """,
+    doc="per-user longest strictly-increasing subsequence of event values "
+    "— batch applyInPandas (grouped map, the last uncovered Arrow UDF "
+    "kind): patience sorting in Python per group, because no algebraic "
+    "aggregate or window expresses LIS; still fully VALUE-checked against "
+    "a recursive-CTE DP oracle (bounded state: (pos, len) pairs dedup "
+    "under UNION). Values are compared, never operated on, so float "
+    "parity is exact",
+)
+def a_lis_per_user(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.grouped_agg import lis_per_group
+
+    ev = load_table(spark, sf, "events").select("user_id", "ts", "event_id", "value")
+    return lis_per_group(ev, "user_id", ["ts", "event_id"], "value")
