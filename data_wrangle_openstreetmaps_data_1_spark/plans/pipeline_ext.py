@@ -938,7 +938,7 @@ def tpch_q19_disjunctive(spark: SparkSession, sf: str) -> DataFrame:
       WHERE a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT doc_a, doc_b, CAST(shared_frames AS BIGINT) AS shared_frames
-    FROM pairs WHERE shared_frames >= 1
+    FROM pairs
     """,
     doc="frame-level video near-dup (the perceptual-hash dedup shape): "
     "sampled-frame fingerprints equi-join across media assets, pairs "
@@ -959,8 +959,11 @@ def mm_video_neardup(spark: SparkSession, sf: str) -> DataFrame:
         a.join(b, "frame_md5")
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
+        # every pair in the output co-occurs by construction (the groupBy
+        # count is >= 1); shared_frames is the RANKING signal — a caller
+        # thresholds it per-codec (real pHash would demand >= 2-3
+        # corroborating frames; the md5 stand-in has no hash noise)
         .agg(F.count("*").alias("shared_frames"))
-        .where(F.col("shared_frames") >= 1)
     )
 
 
@@ -977,7 +980,7 @@ def mm_video_neardup(spark: SparkSession, sf: str) -> DataFrame:
              row_number() OVER (PARTITION BY lang
                                 ORDER BY n_chars, doc_id) AS rk,
              count(*) OVER (PARTITION BY lang) AS n
-      FROM documents)
+      FROM documents WHERE n_chars IS NOT NULL)
     SELECT lang,
            CAST(count(*) AS BIGINT) AS n_kept,
            CAST(CAST(sum(n_chars) AS BIGINT) // count(*) AS BIGINT)
@@ -996,7 +999,9 @@ def mm_video_neardup(spark: SparkSession, sf: str) -> DataFrame:
 def a_trimmed_mean_grouped(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.grouped_agg import trimmed_count_10pct, trimmed_mean_10pct
 
-    d = load_table(spark, sf, "documents")
+    # NULLs excluded up front: pandas sum() skips NaN (an all-NULL group
+    # would yield 0 where SQL yields NULL) — filter in BOTH engines instead
+    d = load_table(spark, sf, "documents").where(F.col("n_chars").isNotNull())
     # the UDF sorts by VALUE only, so the kept multiset is well-defined
     # whatever the doc_id tie order — the oracle's doc_id tiebreak merely
     # fixes WHICH equal values are dropped, which cannot change the sum
@@ -1014,19 +1019,19 @@ def a_trimmed_mean_grouped(spark: SparkSession, sf: str) -> DataFrame:
     "a_rle_runs",
     """
     WITH s AS (
-      SELECT user_id, event_type, ts,
+      SELECT user_id, event_type, ts, event_id,
              lag(event_type) OVER w AS prev_type
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     flagged AS (
-      SELECT user_id, event_type, ts,
+      SELECT user_id, event_type, ts, event_id,
              CASE WHEN prev_type IS NULL OR prev_type <> event_type
                   THEN 1 ELSE 0 END AS is_start
       FROM s),
     runs AS (
       SELECT user_id, event_type,
              sum(is_start) OVER (PARTITION BY user_id
-                                 ORDER BY ts, event_type
+                                 ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS run_id
       FROM flagged)
     SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
@@ -1048,6 +1053,7 @@ def a_rle_runs(spark: SparkSession, sf: str) -> DataFrame:
         "user_id",
         "event_type",
         "ts",
+        "event_id",
         F.when(
             F.lag("event_type").over(w).isNull()
             | (F.lag("event_type").over(w) != F.col("event_type")),
@@ -1056,9 +1062,12 @@ def a_rle_runs(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(0)
         .alias("is_start"),
     )
+    # the run-numbering window MUST replay the same (ts, event_id) order
+    # as the lag window — ordering by a different tiebreak would renumber
+    # runs when a user has multiple events at one timestamp
     w2 = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_type")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     runs = flagged.withColumn("run_id", F.sum("is_start").over(w2))
@@ -1074,7 +1083,7 @@ def a_rle_runs(spark: SparkSession, sf: str) -> DataFrame:
       SELECT user_id, value,
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS pos
-      FROM events),
+      FROM events WHERE value IS NOT NULL),
     edges AS (
       SELECT a.user_id, a.pos AS i, b.pos AS j
       FROM e a JOIN e b USING (user_id)
@@ -1101,5 +1110,11 @@ def a_rle_runs(spark: SparkSession, sf: str) -> DataFrame:
 def a_lis_per_user(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.grouped_agg import lis_per_group
 
-    ev = load_table(spark, sf, "events").select("user_id", "ts", "event_id", "value")
+    # NULL values are excluded in BOTH engines: NaN through bisect_left
+    # corrupts the patience tails, and SQL comparisons are NULL-safe false
+    ev = (
+        load_table(spark, sf, "events")
+        .where(F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
+    )
     return lis_per_group(ev, "user_id", ["ts", "event_id"], "value")

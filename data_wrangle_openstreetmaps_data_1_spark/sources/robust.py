@@ -16,6 +16,8 @@ output files land near the target size whatever the input fragmentation.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
@@ -23,11 +25,21 @@ from pyspark.sql.types import StringType, StructField, StructType
 CORRUPT_COL = "_corrupt_record"
 
 
+class QuarantinedRead(NamedTuple):
+    """good/bad splits plus the cached parsed parent — call
+    ``raw.unpersist()`` once both splits are consumed, or the parse stays
+    pinned in storage memory for the session lifetime."""
+
+    good: DataFrame
+    bad: DataFrame
+    raw: DataFrame
+
+
 def read_jsonl_quarantine(
     spark: SparkSession, path: str, schema: StructType
-) -> tuple[DataFrame, DataFrame]:
+) -> QuarantinedRead:
     """PERMISSIVE JSONL read with an explicit schema: returns
-    ``(good_rows, quarantine)``.
+    ``(good_rows, quarantine, raw)`` — unpersist ``raw`` when done.
 
     Good rows have the declared columns; quarantine rows carry the raw
     offending line in ``_corrupt_record`` for offline replay. The schema
@@ -51,7 +63,7 @@ def read_jsonl_quarantine(
     )
     good = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.where(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
-    return good, bad
+    return QuarantinedRead(good, bad, df)
 
 
 def read_parquet_evolved(spark: SparkSession, *paths: str) -> DataFrame:

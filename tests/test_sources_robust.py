@@ -22,13 +22,14 @@ def test_quarantine_preserves_bad_lines(spark, tmp_path):
         '{"id": 2, "name": "b"}\n'
         '{"id": "not-a-number", "name": "c"}\n'
     )
-    good, bad = read_jsonl_quarantine(spark, str(p), SCHEMA)
+    good, bad, raw = read_jsonl_quarantine(spark, str(p), SCHEMA)
     assert {(r.id, r.name) for r in good.collect()} == {(1, "a"), (2, "b")}
     bad_lines = [r[0] for r in bad.collect()]
     assert len(bad_lines) == 2
     assert "this is not json" in bad_lines
     # the corrupt line is preserved VERBATIM for replay
     assert any("not-a-number" in b for b in bad_lines)
+    raw.unpersist()
 
 
 def test_schema_evolution_merges_columns(spark, tmp_path):
