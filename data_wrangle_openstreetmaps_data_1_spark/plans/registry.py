@@ -82,9 +82,9 @@ def _load_all() -> None:
     apply the rotation order from ``rotation.json``.
 
     The external driver checks exactly the FIRST 50 ``queries()`` entries — a
-    hard cap, not a time budget — so with roughly twice that many registered
+    hard cap, not a time budget — so with well over that many registered
     queries (see COVERAGE.md's generated count) a static order permanently
-    hides half of them from the hard correctness signal.
+    hides most of them from the hard correctness signal.
     ``tools/rotate_registry.py`` regenerates rotation.json each round from
     the accumulated CORRECTNESS_r*.json files: never-checked/red queries
     first, then stalest-green first, so every query re-earns a driver row at
