@@ -1178,3 +1178,104 @@ def g_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n_triangles"))
     )
     return n_edges.crossJoin(tri)
+
+
+# --------------------------------------------------------------------------
+# sketch algebra: HLL inclusion-exclusion intersection (audience overlap)
+# --------------------------------------------------------------------------
+
+
+def _hll_intersect_oracle(type_a: str = "click", type_b: str = "view") -> str:
+    from ..operators.sketches import HLL_ALPHA, HLL_M, HLL_P, HLL_RHO_BITS
+
+    mask = (1 << HLL_RHO_BITS) - 1
+    alpha_m2 = HLL_ALPHA * HLL_M * HLL_M
+
+    def side(tag: str, etype: str) -> str:
+        return f"""
+    tok_{tag} AS (
+      SELECT DISTINCT user_id::VARCHAR || '@' ||
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS tok
+      FROM events WHERE event_type = '{etype}'),
+    r_{tag} AS (
+      SELECT h % {HLL_M} AS bucket,
+             max(CASE WHEN rem = 0 THEN {HLL_RHO_BITS + 1}
+                      ELSE length(bin(rem & -rem)) END) AS rho
+      FROM (SELECT h, (h >> {HLL_P}) & {mask} AS rem
+            FROM (SELECT ('0x' || substr(md5(tok || ':hll'), 1, 15))::BIGINT AS h
+                  FROM tok_{tag}))
+      GROUP BY 1),
+    est_{tag} AS (
+      SELECT CAST(floor(CAST('{alpha_m2!r}' AS DOUBLE)
+                        / (CAST({HLL_M} - count(*) AS DOUBLE)
+                           + sum(CAST(1 AS DOUBLE) / (1::BIGINT << rho))))
+               AS BIGINT) AS est
+      FROM r_{tag})"""
+
+    return f"""
+    WITH {side('a', type_a)},
+    {side('b', type_b)},
+    r_u AS (SELECT bucket, max(rho) AS rho
+            FROM (SELECT * FROM r_a UNION ALL SELECT * FROM r_b) GROUP BY 1),
+    est_u AS (
+      SELECT CAST(floor(CAST('{alpha_m2!r}' AS DOUBLE)
+                        / (CAST({HLL_M} - count(*) AS DOUBLE)
+                           + sum(CAST(1 AS DOUBLE) / (1::BIGINT << rho))))
+               AS BIGINT) AS est
+      FROM r_u),
+    t AS (SELECT count(*) AS true_inter
+          FROM tok_a JOIN tok_b USING (tok))
+    SELECT est_a.est AS est_a, est_b.est AS est_b, est_u.est AS est_union,
+           est_a.est + est_b.est - est_u.est AS est_inter,
+           CAST(true_inter AS BIGINT) AS true_inter
+    FROM est_a CROSS JOIN est_b CROSS JOIN est_u CROSS JOIN t
+    """
+
+
+@register(
+    "sk_hll_intersect",
+    _hll_intersect_oracle(),
+    doc="sketch ALGEBRA: audience overlap (distinct user-days doing "
+    "'click' AND 'view') by inclusion-exclusion over three HLL sketches — "
+    "|A∩B| ≈ est(A) + est(B) - est(A∪B), where the union sketch is just "
+    "the groupBy-max merge of the two (the max-monoid property). At 100 TB "
+    "the per-segment sketches are 256-row relations maintained "
+    "incrementally; ANY pairwise overlap is then computable without "
+    "touching raw data — the thing a plain distinct count can never do. "
+    "True intersection reported alongside for the accuracy story",
+)
+def sk_hll_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.sketches import hll_build, hll_estimate
+
+    ev = load_table(spark, sf, "events")
+
+    def side(etype: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == etype)
+            .select(
+                F.concat(
+                    F.col("user_id").cast("string"),
+                    F.lit("@"),
+                    F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd"),
+                ).alias("tok")
+            )
+            .distinct()
+        )
+
+    tok_a, tok_b = side("click"), side("view")
+    sk_a = hll_build(tok_a, "tok").persist()
+    sk_b = hll_build(tok_b, "tok").persist()
+    sk_u = (
+        sk_a.unionByName(sk_b).groupBy("bucket").agg(F.max("rho").alias("rho"))
+    )
+    est_a = hll_estimate(sk_a).select(F.col("est_distinct").alias("est_a"))
+    est_b = hll_estimate(sk_b).select(F.col("est_distinct").alias("est_b"))
+    est_u = hll_estimate(sk_u).select(F.col("est_distinct").alias("est_union"))
+    true_i = tok_a.join(tok_b, "tok").agg(F.count("*").alias("true_inter"))
+    return (
+        est_a.crossJoin(est_b)
+        .crossJoin(est_u)
+        .withColumn("est_inter", F.col("est_a") + F.col("est_b") - F.col("est_union"))
+        .crossJoin(true_i)
+        .select("est_a", "est_b", "est_union", "est_inter", "true_inter")
+    )
