@@ -1279,3 +1279,59 @@ def sk_hll_intersect(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(true_i)
         .select("est_a", "est_b", "est_union", "est_inter", "true_inter")
     )
+
+
+# --------------------------------------------------------------------------
+# distribution drift report (corpus monitoring)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tx_drift_report",
+    rf"""
+    WITH tok AS (SELECT doc_id % 2 AS slice, unnest({_TOKS_SQL}) AS token
+                 FROM documents),
+    c AS (SELECT token,
+                 count(*) FILTER (WHERE slice = 0) AS ca,
+                 count(*) FILTER (WHERE slice = 1) AS cb
+          FROM tok GROUP BY token),
+    n AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+          FROM c),
+    scored AS (
+      SELECT token, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
+             abs(CAST(ca AS BIGINT) * 100000 // na
+                 - CAST(cb AS BIGINT) * 100000 // nb) AS drift_bp10,
+             row_number() OVER (ORDER BY ca + cb DESC, token ASC) AS rk
+      FROM c CROSS JOIN n)
+    SELECT token, ca, cb, drift_bp10 FROM scored WHERE rk <= 20
+    """,
+    doc="distribution-drift monitor between two corpus slices (the "
+    "yesterday-vs-today check a production ingest runs before training): "
+    "per-token frequency in each slice and the absolute difference of "
+    "their corpus shares in 0.1-basis-points, for the top-20 tokens by "
+    "combined count — one conditional-aggregation pass (count FILTER "
+    "collapses both slices in a single groupBy, no per-slice scans), "
+    "totals broadcast, integer shares so the report hashes identically",
+)
+def tx_drift_report(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.text import tokens as _tokens
+
+    tok = load_table(spark, sf, "documents").select(
+        (F.col("doc_id") % 2).alias("slice"), F.explode(_tokens(F.col("text"))).alias("token")
+    )
+    c = tok.groupBy("token").agg(
+        F.count_if(F.col("slice") == 0).alias("ca"),
+        F.count_if(F.col("slice") == 1).alias("cb"),
+    )
+    n = c.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    scored = c.crossJoin(F.broadcast(n)).withColumn(
+        "drift_bp10", F.abs(F.expr("ca * 100000 div na - cb * 100000 div nb"))
+    )
+    # top-k via orderBy().limit() -> TakeOrderedAndProject (per-partition
+    # partial top-k), NOT a row_number window, which would force the whole
+    # token census through ONE partition's sort at corpus scale
+    return (
+        scored.orderBy(F.desc(F.col("ca") + F.col("cb")), F.asc("token"))
+        .limit(20)
+        .select("token", "ca", "cb", "drift_bp10")
+    )
