@@ -1335,3 +1335,92 @@ def tx_drift_report(spark: SparkSession, sf: str) -> DataFrame:
         .limit(20)
         .select("token", "ca", "cb", "drift_bp10")
     )
+
+
+# --------------------------------------------------------------------------
+# data-quality expectation suite (Great-Expectations-lite)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dq_expectations",
+    """
+    WITH li AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT)
+               AS null_orderkey,
+             CAST(count(*) FILTER (WHERE l_quantity IS NULL) AS BIGINT)
+               AS null_quantity,
+             CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1)
+               AS BIGINT) AS bad_discount,
+             CAST(count(*) FILTER (WHERE l_extendedprice <= 0) AS BIGINT)
+               AS bad_price
+      FROM lineitem),
+    o AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct_keys
+      FROM orders),
+    ri AS (
+      SELECT CAST(count(*) AS BIGINT) AS orphan_lineitems
+      FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderkey IS NULL)
+    SELECT * FROM (
+      SELECT 'lineitem.l_orderkey not_null' AS expectation,
+             null_orderkey AS violations, n_rows AS checked,
+             null_orderkey = 0 AS passed FROM li
+      UNION ALL
+      SELECT 'lineitem.l_quantity not_null', null_quantity, n_rows,
+             null_quantity = 0 FROM li
+      UNION ALL
+      SELECT 'lineitem.l_discount in [0,1]', bad_discount, n_rows,
+             bad_discount = 0 FROM li
+      UNION ALL
+      SELECT 'lineitem.l_extendedprice > 0', bad_price, n_rows,
+             bad_price = 0 FROM li
+      UNION ALL
+      SELECT 'orders.o_orderkey unique', n_orders - n_distinct_keys,
+             n_orders, n_orders = n_distinct_keys FROM o
+      UNION ALL
+      SELECT 'lineitem.l_orderkey refs orders', orphan_lineitems,
+             (SELECT n_rows FROM li), orphan_lineitems = 0 FROM ri)
+    """,
+    doc="declarative data-quality expectation suite (the pre-ingest "
+    "contract gate): null checks, value-range checks, key uniqueness, and "
+    "referential integrity, each reported as (expectation, violations, "
+    "checked, passed). All single-table checks collapse into ONE "
+    "conditional-aggregation scan per table (count FILTER — no per-check "
+    "passes); the RI check is one LEFT ANTI-shaped join. At 100 TB this "
+    "is the shape that matters: k expectations cost one scan + one join, "
+    "not k jobs",
+)
+def dq_expectations(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    li_stats = li.agg(
+        F.count("*").alias("n_rows"),
+        F.count_if(F.col("l_orderkey").isNull()).alias("null_orderkey"),
+        F.count_if(F.col("l_quantity").isNull()).alias("null_quantity"),
+        F.count_if((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias("bad_discount"),
+        F.count_if(F.col("l_extendedprice") <= 0).alias("bad_price"),
+    )
+    o_stats = o.agg(
+        F.count("*").alias("n_orders"),
+        F.count_distinct("o_orderkey").alias("n_distinct_keys"),
+    )
+    orphans = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.count("*").alias("orphan_lineitems"))
+    )
+    wide = li_stats.crossJoin(o_stats).crossJoin(orphans)
+    return wide.selectExpr(
+        """stack(6,
+             'lineitem.l_orderkey not_null', null_orderkey, n_rows, null_orderkey = 0,
+             'lineitem.l_quantity not_null', null_quantity, n_rows, null_quantity = 0,
+             'lineitem.l_discount in [0,1]', bad_discount, n_rows, bad_discount = 0,
+             'lineitem.l_extendedprice > 0', bad_price, n_rows, bad_price = 0,
+             'orders.o_orderkey unique', n_orders - n_distinct_keys, n_orders,
+               n_orders = n_distinct_keys,
+             'lineitem.l_orderkey refs orders', orphan_lineitems, n_rows,
+               orphan_lineitems = 0)
+           AS (expectation, violations, checked, passed)"""
+    )
