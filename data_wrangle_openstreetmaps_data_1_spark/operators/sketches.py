@@ -303,3 +303,31 @@ def hll_estimate_grouped(sketch: DataFrame, group_cols: list[str]) -> DataFrame:
         / ((F.lit(HLL_M) - F.col("nb")).cast("double") + F.col("s_ne"))
     ).cast("long")
     return s.select(*group_cols, est.alias("est_distinct"), F.col("nb").alias("nonempty_buckets"))
+
+
+def hll_sketch_sql(tok_cte: str, tag: str, salt: str = "hll") -> str:
+    """DuckDB CTE text for the (bucket, rho) sketch of ``tok_cte``'s ``tok``
+    column — the SQL twin of :func:`hll_build`, generated from the same
+    constants. ONE source for the bucket/rho arithmetic: every oracle that
+    sketches (sk_hll, sk_hll_intersect, streaming st_hll) composes these
+    fragments instead of re-stating the estimator by hand."""
+    mask = (1 << HLL_RHO_BITS) - 1
+    return f"""r_{tag} AS (
+      SELECT h % {HLL_M} AS bucket,
+             max(CASE WHEN rem = 0 THEN {HLL_RHO_BITS + 1}
+                      ELSE length(bin(rem & -rem)) END) AS rho
+      FROM (SELECT h, (h >> {HLL_P}) & {mask} AS rem
+            FROM (SELECT ('0x' || substr(md5(tok || ':{salt}'), 1, 15))::BIGINT AS h
+                  FROM {tok_cte}))
+      GROUP BY 1)"""
+
+
+def hll_estimate_sql(sketch_cte: str) -> str:
+    """DuckDB scalar-subquery text for the raw estimate over a (bucket,
+    rho) sketch CTE — the SQL twin of :func:`hll_estimate`'s arithmetic,
+    with the alpha*m^2 double literal folded identically."""
+    alpha_m2 = HLL_ALPHA * HLL_M * HLL_M
+    return f"""(SELECT CAST(floor(CAST('{alpha_m2!r}' AS DOUBLE)
+                    / (CAST({HLL_M} - count(*) AS DOUBLE)
+                       + sum(CAST(1 AS DOUBLE) / (1::BIGINT << rho))))
+             AS BIGINT) FROM {sketch_cte})"""

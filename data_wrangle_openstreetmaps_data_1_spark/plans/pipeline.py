@@ -1668,28 +1668,18 @@ def sk_bloom_contamination(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _hll_oracle() -> str:
-    """DuckDB twin of the portable HLL sketch — generated from the same
-    constants (operators/sketches.py) so bucket, rho, and the folded
-    alpha*m^2 double literal agree bit-for-bit."""
-    from ..operators.sketches import HLL_ALPHA, HLL_M, HLL_P, HLL_RHO_BITS
+    """DuckDB twin of the portable HLL sketch, composed from the shared
+    SQL builders in operators/sketches.py (hll_sketch_sql /
+    hll_estimate_sql — ONE copy of the bucket/rho/estimator arithmetic
+    across every sketching oracle)."""
+    from ..operators.sketches import hll_estimate_sql, hll_sketch_sql
 
-    mask = (1 << HLL_RHO_BITS) - 1
-    alpha_m2 = HLL_ALPHA * HLL_M * HLL_M
     return f"""
     WITH tok AS (SELECT doc_id::VARCHAR || ':' || unnest({_TOKS_SQL}) AS tok
                  FROM documents),
-    h AS (SELECT ('0x' || substr(md5(tok || ':hll'), 1, 15))::BIGINT AS h FROM tok),
-    br AS (SELECT h % {HLL_M} AS bucket, (h >> {HLL_P}) & {mask} AS rem FROM h),
-    r AS (SELECT bucket,
-                 max(CASE WHEN rem = 0 THEN {HLL_RHO_BITS + 1}
-                          ELSE length(bin(rem & -rem)) END) AS rho
-          FROM br GROUP BY bucket),
-    s AS (SELECT count(*) AS nb,
-                 sum(CAST(1 AS DOUBLE) / (1::BIGINT << rho)) AS s_ne FROM r),
-    est AS (SELECT CAST(floor(CAST('{alpha_m2!r}' AS DOUBLE)
-                              / (CAST({HLL_M} - nb AS DOUBLE) + s_ne)) AS BIGINT)
-                     AS est_distinct,
-                   nb AS nonempty_buckets FROM s),
+    {hll_sketch_sql('tok', 'x')},
+    est AS (SELECT {hll_estimate_sql('r_x')} AS est_distinct,
+                   (SELECT count(*) FROM r_x) AS nonempty_buckets),
     t AS (SELECT count(DISTINCT tok) AS true_distinct FROM tok)
     SELECT est_distinct, true_distinct, nonempty_buckets,
            abs(est_distinct - true_distinct) * 10000 // true_distinct AS err_bp

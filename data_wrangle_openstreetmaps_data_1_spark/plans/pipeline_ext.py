@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import MERSENNE_P, minhash_coeffs
 from ..functions.text import QUALITY_SQL_TEMPLATE
 from ..operators.linedup import LINE_TOKENS
-from ..operators.dedup import minhash_lsh_join
+from ..operators.dedup import minhash_lsh_join, minhash_lsh_pairs
 from ..operators.fuzzy import fuzzy_blocked_pairs
 from ..operators.linedup import line_dedup
 from ..operators.quality import (
@@ -30,7 +30,14 @@ from ..operators.quality import (
 )
 from ..operators.retrieval import B_FP, K1_FP, bm25_topk
 from ..sources.tables import load_table
-from .pipeline import _CORPUS_SQL, _HASH_P_SQL, _SHINGLES_SQL, _TOKS_SQL, _corpus
+from .pipeline import (
+    _CORPUS_SQL,
+    _HASH_P_SQL,
+    _SHINGLES_SQL,
+    _TOKS_SQL,
+    _corpus,
+    _minhash_oracle as _minhash_oracle_ref,
+)
 from .registry import register
 
 # --------------------------------------------------------------------------
@@ -1127,54 +1134,70 @@ def a_lis_per_user(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "g_triangle_count",
-    """
-    WITH cs AS (
-      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
-      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-    proj AS (
-      SELECT a.s AS u, b.s AS v, count(*) AS shared
-      FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
-      GROUP BY 1, 2),
-    e AS (SELECT u, v FROM proj WHERE shared >= 3)
-    SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+    rf"""
+    WITH mh AS ({_minhash_oracle_ref()}),
+    deg AS (SELECT x, count(*) AS d
+            FROM (SELECT doc_a AS x FROM mh UNION ALL SELECT doc_b FROM mh)
+            GROUP BY 1),
+    o AS (
+      SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND doc_a < doc_b)
+                  THEN doc_a ELSE doc_b END AS s,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND doc_a < doc_b)
+                  THEN doc_b ELSE doc_a END AS t
+      FROM mh JOIN deg da ON da.x = doc_a JOIN deg db ON db.x = doc_b)
+    SELECT CAST((SELECT count(*) FROM o) AS BIGINT) AS n_edges,
            CAST((SELECT count(*)
-                 FROM e e1 JOIN e e2 ON e2.u = e1.v
-                           JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+                 FROM o e1 JOIN o e2 ON e2.s = e1.t
+                           JOIN o e3 ON e3.s = e1.s AND e3.t = e2.t)
              AS BIGINT) AS n_triangles
     """,
-    doc="triangle counting over the supplier co-purchase projection "
-    "(suppliers sharing >= 3 customers), oriented-edge relational form: "
-    "every edge stored once as u < v, so each triangle is found EXACTLY "
-    "once by the two-hop join e(u,v)-e(v,w)-e(u,w) with no post-hoc "
-    "dedup or /6 correction — the standard way to keep the two-hop "
-    "candidate set linear in Σdeg² instead of counting each triangle 6x; "
-    "the bipartite projection itself is a c-keyed equi-join, never a "
-    "supplier×supplier product",
+    doc="triangle counting over the MinHash near-dup pair graph — the "
+    "dedup-QA cohesion metric (triangles = mutually-verified triples; a "
+    "candidate cluster whose pairs don't close into triangles is LSH "
+    "noise, not a duplicate group). Edges come from the LSH band join, so "
+    "the graph is SPARSE at any scale by construction — unlike a "
+    "co-purchase projection, which this query originally used and which "
+    "is near-complete on random purchasing data (measured 31s at sf0.1 "
+    "for a meaningless count). Orientation is DEGREE-ORDERED (lower "
+    "(deg, id) -> higher), the standard bound: out-degrees <= O(sqrt E), "
+    "so two-hop candidates are O(E^1.5) on ANY graph, where id-ordering "
+    "alone degrades to sum(deg^2) on skewed graphs; each triangle is "
+    "still found exactly once (the order is total)",
 )
 def g_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
-    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
-    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
-    cs = (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
+    # persist: the (tiny) pair table fans out to THREE consumers (degree
+    # census twice via the union, plus the orientation join) — without the
+    # pin each consumer re-runs the LSH band-join + verify stages
+    pairs = (
+        minhash_lsh_pairs(
+            _corpus(spark, sf), "doc_id", "text", n=3, k=16, bands=4, threshold=0.4
+        )
+        .select("doc_a", "doc_b")
+        .persist()
     )
-    a = cs.select("c", F.col("s").alias("u"))
-    b = cs.select("c", F.col("s").alias("v"))
-    proj = (
-        a.join(b, "c")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("shared"))
+    deg = (
+        pairs.select(F.col("doc_a").alias("x"))
+        .unionByName(pairs.select(F.col("doc_b").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("d"))
     )
-    e = proj.where(F.col("shared") >= 3).select("u", "v").persist()
-    n_edges = e.agg(F.count("*").alias("n_edges"))
-    e1 = e
-    e2 = e.select(F.col("u").alias("v"), F.col("v").alias("w"))
-    e3 = e.select(F.col("u").alias("u3"), F.col("v").alias("w3"))
+    keyed = (
+        pairs.join(deg.select(F.col("x").alias("doc_a"), F.col("d").alias("da")), "doc_a")
+        .join(deg.select(F.col("x").alias("doc_b"), F.col("d").alias("db")), "doc_b")
+    )
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    o = keyed.select(
+        F.when(fwd, F.col("doc_a")).otherwise(F.col("doc_b")).alias("s"),
+        F.when(fwd, F.col("doc_b")).otherwise(F.col("doc_a")).alias("t"),
+    ).persist()
+    n_edges = o.agg(F.count("*").alias("n_edges"))
+    e2 = o.select(F.col("s").alias("t"), F.col("t").alias("w"))
+    e3 = o.select(F.col("s").alias("s3"), F.col("t").alias("w3"))
     tri = (
-        e1.join(e2, "v")
-        .join(e3, (F.col("u") == F.col("u3")) & (F.col("w") == F.col("w3")))
+        o.join(e2, "t")
+        .join(e3, (F.col("s") == F.col("s3")) & (F.col("w") == F.col("w3")))
         .agg(F.count("*").alias("n_triangles"))
     )
     return n_edges.crossJoin(tri)
@@ -1186,49 +1209,30 @@ def g_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _hll_intersect_oracle(type_a: str = "click", type_b: str = "view") -> str:
-    from ..operators.sketches import HLL_ALPHA, HLL_M, HLL_P, HLL_RHO_BITS
+    from ..operators.sketches import hll_estimate_sql, hll_sketch_sql
 
-    mask = (1 << HLL_RHO_BITS) - 1
-    alpha_m2 = HLL_ALPHA * HLL_M * HLL_M
-
-    def side(tag: str, etype: str) -> str:
-        return f"""
-    tok_{tag} AS (
+    def tok_side(tag: str, etype: str) -> str:
+        return f"""tok_{tag} AS (
       SELECT DISTINCT user_id::VARCHAR || '@' ||
              strftime(date_trunc('day', ts), '%Y-%m-%d') AS tok
-      FROM events WHERE event_type = '{etype}'),
-    r_{tag} AS (
-      SELECT h % {HLL_M} AS bucket,
-             max(CASE WHEN rem = 0 THEN {HLL_RHO_BITS + 1}
-                      ELSE length(bin(rem & -rem)) END) AS rho
-      FROM (SELECT h, (h >> {HLL_P}) & {mask} AS rem
-            FROM (SELECT ('0x' || substr(md5(tok || ':hll'), 1, 15))::BIGINT AS h
-                  FROM tok_{tag}))
-      GROUP BY 1),
-    est_{tag} AS (
-      SELECT CAST(floor(CAST('{alpha_m2!r}' AS DOUBLE)
-                        / (CAST({HLL_M} - count(*) AS DOUBLE)
-                           + sum(CAST(1 AS DOUBLE) / (1::BIGINT << rho))))
-               AS BIGINT) AS est
-      FROM r_{tag})"""
+      FROM events WHERE event_type = '{etype}')"""
 
     return f"""
-    WITH {side('a', type_a)},
-    {side('b', type_b)},
+    WITH {tok_side('a', type_a)},
+    {tok_side('b', type_b)},
+    {hll_sketch_sql('tok_a', 'a')},
+    {hll_sketch_sql('tok_b', 'b')},
     r_u AS (SELECT bucket, max(rho) AS rho
             FROM (SELECT * FROM r_a UNION ALL SELECT * FROM r_b) GROUP BY 1),
-    est_u AS (
-      SELECT CAST(floor(CAST('{alpha_m2!r}' AS DOUBLE)
-                        / (CAST({HLL_M} - count(*) AS DOUBLE)
-                           + sum(CAST(1 AS DOUBLE) / (1::BIGINT << rho))))
-               AS BIGINT) AS est
-      FROM r_u),
+    e AS (SELECT {hll_estimate_sql('r_a')} AS est_a,
+                 {hll_estimate_sql('r_b')} AS est_b,
+                 {hll_estimate_sql('r_u')} AS est_union),
     t AS (SELECT count(*) AS true_inter
           FROM tok_a JOIN tok_b USING (tok))
-    SELECT est_a.est AS est_a, est_b.est AS est_b, est_u.est AS est_union,
-           est_a.est + est_b.est - est_u.est AS est_inter,
+    SELECT est_a, est_b, est_union,
+           est_a + est_b - est_union AS est_inter,
            CAST(true_inter AS BIGINT) AS true_inter
-    FROM est_a CROSS JOIN est_b CROSS JOIN est_u CROSS JOIN t
+    FROM e CROSS JOIN t
     """
 
 
@@ -1262,7 +1266,10 @@ def sk_hll_intersect(spark: SparkSession, sf: str) -> DataFrame:
             .distinct()
         )
 
-    tok_a, tok_b = side("click"), side("view")
+    # persist the TOKEN sets — each feeds two consumers (its sketch and
+    # the exact-intersection join); without the cache the events scan +
+    # distinct shuffle runs twice per side
+    tok_a, tok_b = side("click").persist(), side("view").persist()
     sk_a = hll_build(tok_a, "tok").persist()
     sk_b = hll_build(tok_b, "tok").persist()
     sk_u = (
@@ -1299,8 +1306,9 @@ def sk_hll_intersect(spark: SparkSession, sf: str) -> DataFrame:
           FROM c),
     scored AS (
       SELECT token, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
-             abs(CAST(ca AS BIGINT) * 100000 // na
-                 - CAST(cb AS BIGINT) * 100000 // nb) AS drift_bp10,
+             abs(CAST(ca AS BIGINT) * 100000 // greatest(na, 1)
+                 - CAST(cb AS BIGINT) * 100000 // greatest(nb, 1))
+               AS drift_bp10,
              row_number() OVER (ORDER BY ca + cb DESC, token ASC) AS rk
       FROM c CROSS JOIN n)
     SELECT token, ca, cb, drift_bp10 FROM scored WHERE rk <= 20
@@ -1325,7 +1333,15 @@ def tx_drift_report(spark: SparkSession, sf: str) -> DataFrame:
     )
     n = c.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
     scored = c.crossJoin(F.broadcast(n)).withColumn(
-        "drift_bp10", F.abs(F.expr("ca * 100000 div na - cb * 100000 div nb"))
+        # greatest(…, 1): an empty slice must yield share 0 in BOTH engines
+        # (Spark's div-by-zero is NULL, DuckDB's // raises — neither is a
+        # clean comparison)
+        "drift_bp10",
+        F.abs(
+            F.expr(
+                "ca * 100000 div greatest(na, 1) - cb * 100000 div greatest(nb, 1)"
+            )
+        ),
     )
     # top-k via orderBy().limit() -> TakeOrderedAndProject (per-partition
     # partial top-k), NOT a row_number window, which would force the whole
