@@ -1440,3 +1440,63 @@ def dq_expectations(spark: SparkSession, sf: str) -> DataFrame:
                orphan_lineitems = 0)
            AS (expectation, violations, checked, passed)"""
     )
+
+
+# --------------------------------------------------------------------------
+# deterministic statistical aggregates: integer-moment Pearson correlation
+# --------------------------------------------------------------------------
+
+
+@register(
+    "a_corr_pearson",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sx,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sy,
+             CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)
+                      * CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxx,
+             CAST(sum(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS syy,
+             CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxy
+      FROM lineitem GROUP BY 1)
+    SELECT l_returnflag, n, sx, sy,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                 6) AS corr
+    FROM m
+    """,
+    doc="Pearson correlation (price vs quantity per returnflag) from "
+    "INTEGER moment sums: the built-in corr() accumulates doubles, whose "
+    "sum order differs run-to-run on a distributed engine — this form "
+    "sums exact int64 moments (map-side partials, order-free), then does "
+    "the final arithmetic in a handful of IEEE double ops (sqrt is "
+    "correctly-rounded by IEEE 754, unlike ln) — bit-identical across "
+    "engines AND partitionings. The deterministic twin of corr/covar_samp",
+)
+def a_corr_pearson(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.floor("l_extendedprice").cast("long").alias("x"),
+        F.col("l_quantity").cast("long").alias("y"),
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    corr = F.round(
+        (F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+        / (
+            F.sqrt(F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+            * F.sqrt(F.col("n").cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+        ),
+        6,
+    )
+    return m.select("l_returnflag", "n", "sx", "sy", corr.alias("corr"))
