@@ -1500,3 +1500,50 @@ def a_corr_pearson(spark: SparkSession, sf: str) -> DataFrame:
         6,
     )
     return m.select("l_returnflag", "n", "sx", "sy", corr.alias("corr"))
+
+
+# --------------------------------------------------------------------------
+# incremental aggregate maintenance: rollup merge == direct rollup
+# --------------------------------------------------------------------------
+
+
+@register(
+    "t_rollup_backfill",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events GROUP BY 1, 2
+    """,
+    doc="incremental aggregate maintenance, PROVEN in the correctness "
+    "gate: the Spark side builds the rollup as TWO partial rollups (a "
+    "base load and a late-arriving backfill batch, split so every "
+    "(day, type) key overlaps both) merged by groupBy-sum; the oracle "
+    "computes the direct one-pass rollup — the value hash matching means "
+    "merge-of-partials == direct on real data across engines, which is "
+    "the property that lets a 100 TB pipeline maintain rollups "
+    "incrementally instead of recomputing. Sums are integer cents "
+    "(floor(v*100+0.5)): the sum monoid must be EXACT for the merge "
+    "equivalence to be bit-true at any split",
+)
+def t_rollup_backfill(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("day", "event_type").agg(
+            F.count("*").alias("cnt"), F.sum("cents").alias("value_cents")
+        )
+
+    base = partial(ev.where(F.col("event_id") % 2 == 0))
+    late = partial(ev.where(F.col("event_id") % 2 == 1))
+    return (
+        base.unionByName(late)
+        .groupBy("day", "event_type")
+        .agg(F.sum("cnt").alias("cnt"), F.sum("value_cents").alias("value_cents"))
+    )
