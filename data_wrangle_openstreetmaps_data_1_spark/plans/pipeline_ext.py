@@ -1547,3 +1547,85 @@ def t_rollup_backfill(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("day", "event_type")
         .agg(F.sum("cnt").alias("cnt"), F.sum("value_cents").alias("value_cents"))
     )
+
+
+# --------------------------------------------------------------------------
+# point-in-time (PIT) join against a versioned dimension
+# --------------------------------------------------------------------------
+
+
+@register(
+    "j_pit_dimension",
+    """
+    WITH dim AS (
+      SELECT o_custkey AS cust, o_orderdate AS valid_from,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate)
+               AS version,
+             CAST(sum(day_cents) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_cents
+      FROM (SELECT o_custkey, o_orderdate,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                     AS day_cents
+            FROM orders GROUP BY 1, 2)),
+    fact AS (
+      SELECT o_custkey AS cust, l_shipdate AS ts,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS item_cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    pit AS (
+      SELECT f.item_cents, d.version, d.cum_cents
+      FROM fact f ASOF JOIN dim d
+        ON f.cust = d.cust AND d.valid_from <= f.ts)
+    SELECT version, CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(item_cents) AS BIGINT) AS item_cents,
+           CAST(sum(cum_cents) AS BIGINT) AS cum_cents_sum
+    FROM pit GROUP BY version
+    """,
+    doc="point-in-time join against a VERSIONED dimension — the SCD2 "
+    "warehouse pattern: the dim is each customer's order history rolled "
+    "into (valid_from, version, cumulative spend) rows via two windows; "
+    "every shipment line then attaches the dim version valid AT ITS SHIP "
+    "DATE through the backward as-of operator (union + LOCF window: one "
+    "shuffle keyed by customer, no range-join candidate blow-up). The "
+    "oracle is DuckDB's native ASOF JOIN over the same dim — per-version "
+    "aggregates only match if every row's version assignment is exact. "
+    "Every fact row matches by construction (l_shipdate >= its own "
+    "order's valid_from)",
+)
+def j_pit_dimension(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+    from ..operators.asof import asof_join
+
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    daily = o.groupBy(
+        F.col("o_custkey").alias("cust"), F.col("o_orderdate").alias("valid_from")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("day_cents"))
+    w = Window.partitionBy("cust").orderBy("valid_from")
+    dim = daily.select(
+        "cust",
+        "valid_from",
+        F.row_number().over(w).alias("version"),
+        F.sum("day_cents").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_cents"),
+    )
+    fact = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.col("o_custkey").alias("cust"),
+        F.col("l_shipdate").alias("ts"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("item_cents"),
+    )
+    pit = asof_join(
+        fact,
+        dim.withColumnRenamed("valid_from", "ts"),
+        on=["cust"],
+        value_cols=["version", "cum_cents"],
+    )
+    # inner-ASOF semantics, matching the oracle's ASOF JOIN: the synthetic
+    # generator emits some shipments dated BEFORE their order, which have
+    # no dim version yet — DuckDB's inner ASOF drops them, the left-outer
+    # operator keeps them as NULLs; drop here so both engines agree
+    return pit.where(F.col("version").isNotNull()).groupBy("version").agg(
+        F.count("*").alias("n_items"),
+        F.sum("item_cents").alias("item_cents"),
+        F.sum("cum_cents").alias("cum_cents_sum"),
+    )
