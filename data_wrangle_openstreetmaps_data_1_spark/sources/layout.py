@@ -1,0 +1,60 @@
+"""Generic multi-column Z-order write layout.
+
+functions/geo.py:write_geo_layout localizes lat/lon specifically; this is
+the general form: interleave the bits of ANY numeric columns so each
+parquet file covers a compact cell of the N-dimensional key space, making
+min/max row-group statistics selective for predicates on EVERY layout
+column at once — the thing a single-column sort can only do for its
+leading column. The standard lakehouse layout trade: one write-time
+shuffle that every subsequent multi-dimension filter amortizes.
+
+The per-column normalization ranges come from one tiny 2N-scalar
+aggregate (driver-side, one-time); keys are pure integer expressions in
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key_expr(ranges: list[tuple[str, float, float]], bits: int = 8) -> str:
+    """SQL expression interleaving ``bits`` bits per column, given
+    (col, min, max) normalization ranges. Bit i of column j lands at
+    position i*N + j — neighbors in any dimension stay close in key order."""
+    n = len(ranges)
+    norms = []
+    for col, lo, hi in ranges:
+        span = (hi - lo) or 1.0
+        norms.append(
+            f"least({(1 << bits) - 1}, greatest(0, cast(floor(({col} - {lo!r})"
+            f" / {span!r} * {1 << bits}) as bigint)))"
+        )
+    terms = []
+    for i in range(bits):
+        for j, norm in enumerate(norms):
+            # fully parenthesized: SQL's + binds TIGHTER than <<, so an
+            # unwrapped `x << 15 + y << 14` parses as `x << (15 + y) << 14`
+            terms.append(f"((shiftright({norm}, {i}) & 1) << {i * n + j})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def write_zorder_layout(
+    df: DataFrame, path: str, cols: list[str], bits: int = 8, num_files: int = 8
+) -> None:
+    """Range-partition by the interleaved key and sort within partitions
+    before writing — each output file covers a compact N-dim cell, so
+    min/max stats prune row groups for predicates on any layout column."""
+    stats = df.agg(
+        *[f for c in cols for f in (F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}"))]
+    ).collect()[0]
+    ranges = [(c, float(stats[f"lo_{c}"]), float(stats[f"hi_{c}"])) for c in cols]
+    keyed = df.withColumn("__zkey", F.expr(zorder_key_expr(ranges, bits)))
+    (
+        keyed.repartitionByRange(num_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -61,3 +61,39 @@ def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
     out = spark.read.parquet(f"{tmp_path}/compact")
     assert out.count() == 10000
     assert out.agg(F.sum("id")).collect()[0][0] == sum(range(10000))
+
+
+def test_zorder_layout_localizes_both_columns(spark, tmp_path):
+    """Generic multi-column z-order: per-file min/max spans must shrink for
+    BOTH layout columns vs an unsorted write (a single-column sort can only
+    localize its leading column)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from data_wrangle_openstreetmaps_data_1_spark.sources.layout import (
+        write_zorder_layout,
+    )
+
+    df = spark.range(20000).select(
+        (F.col("id") % 141).alias("x"),
+        ((F.col("id") * 7919) % 139).alias("y"),
+    )
+
+    def mean_span(path, col):
+        spans = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            st = [md.row_group(rg).column(idx).statistics for rg in range(md.num_row_groups)]
+            spans.append(max(s.max for s in st) - min(s.min for s in st))
+        return sum(spans) / len(spans)
+
+    df.repartition(8).write.parquet(f"{tmp_path}/plain")
+    write_zorder_layout(df, f"{tmp_path}/zorder", ["x", "y"], bits=8, num_files=8)
+
+    for col in ("x", "y"):
+        assert mean_span(f"{tmp_path}/zorder", col) < 0.7 * mean_span(f"{tmp_path}/plain", col)
+    out = spark.read.parquet(f"{tmp_path}/zorder")
+    assert out.count() == 20000
+    assert out.agg(F.sum("x")).collect()[0][0] == df.agg(F.sum("x")).collect()[0][0]
