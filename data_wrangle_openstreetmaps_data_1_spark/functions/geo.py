@@ -110,14 +110,22 @@ def write_geo_layout(df, path: str, lat_col: str = "lat", lon_col: str = "lon", 
 
     At 100 TB this is a one-time layout cost that every subsequent radius /
     box query amortizes — the same trade as building a spatial index.
+
+    Delegates to the generic multi-column writer (sources/layout.py) with
+    the fixed geographic ranges — ONE repartition/sort/write implementation
+    and ONE bit-interleave generator to maintain; ``zorder_key_sql`` above
+    remains the standalone lat/lon key EXPRESSION (used directly by
+    queries/tests that need the key without writing).
     """
-    keyed = df.withColumn("__zkey", F.expr(zorder_key_sql(lat_col, lon_col, bits)))
-    (
-        keyed.repartitionByRange(num_files, "__zkey")
-        .sortWithinPartitions("__zkey")
-        .drop("__zkey")
-        .write.mode("overwrite")
-        .parquet(path)
+    from ..sources.layout import write_zorder_layout
+
+    write_zorder_layout(
+        df,
+        path,
+        [lat_col, lon_col],
+        bits=bits,
+        num_files=num_files,
+        ranges=[(lat_col, -90.0, 90.0), (lon_col, -180.0, 180.0)],
     )
 
 

@@ -1454,13 +1454,13 @@ def dq_expectations(spark: SparkSession, sf: str) -> DataFrame:
       SELECT l_returnflag,
              CAST(count(*) AS BIGINT) AS n,
              CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sx,
-             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sy,
+             CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sy,
              CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)
                       * CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxx,
-             CAST(sum(CAST(l_quantity AS BIGINT)
-                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS syy,
+             CAST(sum(CAST(floor(l_quantity) AS BIGINT)
+                      * CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS syy,
              CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)
-                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxy
+                      * CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sxy
       FROM lineitem GROUP BY 1)
     SELECT l_returnflag, n, sx, sy,
            round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
@@ -1475,13 +1475,20 @@ def dq_expectations(spark: SparkSession, sf: str) -> DataFrame:
     "sums exact int64 moments (map-side partials, order-free), then does "
     "the final arithmetic in a handful of IEEE double ops (sqrt is "
     "correctly-rounded by IEEE 754, unlike ln) — bit-identical across "
-    "engines AND partitionings. The deterministic twin of corr/covar_samp",
+    "engines AND partitionings. Exactness bound: sxx ~ 3e9/row at this "
+    "value range, so int64 holds to ~1e9 rows per group; beyond that, "
+    "widen the moment sums to decimal(38,0) (still a map-side-partial "
+    "monoid) before the double finish. The deterministic twin of "
+    "corr/covar_samp",
 )
 def a_corr_pearson(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem").select(
         "l_returnflag",
         F.floor("l_extendedprice").cast("long").alias("x"),
-        F.col("l_quantity").cast("long").alias("y"),
+        # floor() on BOTH engines: DuckDB CAST(double AS BIGINT) rounds to
+        # nearest while Spark cast('long') truncates — integral quantities
+        # mask the difference today, fractional ones would not
+        F.floor("l_quantity").cast("long").alias("y"),
     )
     m = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
@@ -1590,8 +1597,11 @@ def t_rollup_backfill(spark: SparkSession, sf: str) -> DataFrame:
     "shuffle keyed by customer, no range-join candidate blow-up). The "
     "oracle is DuckDB's native ASOF JOIN over the same dim — per-version "
     "aggregates only match if every row's version assignment is exact. "
-    "Every fact row matches by construction (l_shipdate >= its own "
-    "order's valid_from)",
+    "Inner-ASOF semantics: the synthetic generator dates ~half of all "
+    "shipments BEFORE their order, and rows preceding their customer's "
+    "first dim version (5,168 at sf0.01) have no point-in-time state — "
+    "both engines drop them identically (DuckDB's ASOF JOIN is inner; "
+    "the Spark side filters the left-outer operator's null versions)",
 )
 def j_pit_dimension(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window

@@ -41,15 +41,42 @@ def zorder_key_expr(ranges: list[tuple[str, float, float]], bits: int = 8) -> st
 
 
 def write_zorder_layout(
-    df: DataFrame, path: str, cols: list[str], bits: int = 8, num_files: int = 8
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    num_files: int = 8,
+    ranges: list[tuple[str, float, float]] | None = None,
 ) -> None:
     """Range-partition by the interleaved key and sort within partitions
     before writing — each output file covers a compact N-dim cell, so
-    min/max stats prune row groups for predicates on any layout column."""
-    stats = df.agg(
-        *[f for c in cols for f in (F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}"))]
-    ).collect()[0]
-    ranges = [(c, float(stats[f"lo_{c}"]), float(stats[f"hi_{c}"])) for c in cols]
+    min/max stats prune row groups for predicates on any layout column.
+
+    ``ranges``: explicit (col, lo, hi) normalization bounds; omitted, they
+    come from one 2N-scalar aggregate over the data. Callers with a known
+    domain (e.g. lat/lon) pass fixed bounds and skip the stats pass.
+    """
+    if "__zkey" in df.columns:
+        raise ValueError(
+            "write_zorder_layout uses '__zkey' as its internal key column; "
+            "rename the existing '__zkey' column first (it would be "
+            "silently overwritten and dropped)"
+        )
+    if ranges is None:
+        stats = df.agg(
+            *[
+                f
+                for c in cols
+                for f in (F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}"))
+            ]
+        ).collect()[0]
+        missing = [c for c in cols if stats[f"lo_{c}"] is None]
+        if missing:
+            raise ValueError(
+                f"cannot derive z-order ranges for {missing}: column is "
+                "all-null or the DataFrame is empty — pass explicit `ranges`"
+            )
+        ranges = [(c, float(stats[f"lo_{c}"]), float(stats[f"hi_{c}"])) for c in cols]
     keyed = df.withColumn("__zkey", F.expr(zorder_key_expr(ranges, bits)))
     (
         keyed.repartitionByRange(num_files, "__zkey")
