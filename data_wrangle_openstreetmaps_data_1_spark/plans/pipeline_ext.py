@@ -1639,3 +1639,88 @@ def j_pit_dimension(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("item_cents").alias("item_cents"),
         F.sum("cum_cents").alias("cum_cents_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# streaming deterministic sampling + z-score anomaly detection
+# --------------------------------------------------------------------------
+
+
+@register(
+    "st_hash_sample",
+    """
+    SELECT event_id, user_id, event_type FROM events
+    WHERE ('0x' || substr(md5(event_id::VARCHAR || ':st1'), 1, 15))::BIGINT
+          % 10000 < 2000
+    """,
+    doc="STREAMING content-hash sampling: the deterministic keep rule is a "
+    "stateless row filter, so it runs on a Structured Stream UNCHANGED — "
+    "no watermark, no state store, no foreachBatch; the kept set is a "
+    "pure function of each row, so stream and batch agree row-for-row "
+    "(which this shared batch oracle checks) and a re-run over re-sharded "
+    "files keeps exactly the same events. The streaming admission-control "
+    "form of tx_hash_sample",
+)
+def st_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.hashing import portable_hash64
+    from ..streaming.finite import run_available_now
+    from ..streaming.ingest import read_events_stream
+
+    stream = read_events_stream(spark, sf)
+    h = portable_hash64(F.concat(F.col("event_id").cast("string"), F.lit(":st1")))
+    kept = stream.where(F.pmod(h, F.lit(10_000)) < 2000).select(
+        "event_id", "user_id", "event_type"
+    )
+    return run_available_now(kept, "append")
+
+
+@register(
+    "a_outliers_zscore",
+    """
+    WITH q AS (SELECT event_id, event_type,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+               FROM events),
+    m AS (SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(vc) AS BIGINT) AS s,
+                 CAST(sum(vc * vc) AS BIGINT) AS sxx
+          FROM q GROUP BY 1)
+    SELECT q.event_id, q.event_type, q.vc,
+           CAST(round((CAST(m.n AS DOUBLE) * q.vc - CAST(m.s AS DOUBLE))
+                      / sqrt(CAST(m.n AS DOUBLE) * m.sxx
+                             - CAST(m.s AS DOUBLE) * m.s), 4) AS DOUBLE)
+             AS zscore
+    FROM q JOIN m USING (event_type)
+    WHERE (CAST(m.n AS DOUBLE) * q.vc - CAST(m.s AS DOUBLE))
+          * (CAST(m.n AS DOUBLE) * q.vc - CAST(m.s AS DOUBLE))
+          > 9.0 * (CAST(m.n AS DOUBLE) * m.sxx - CAST(m.s AS DOUBLE) * m.s)
+    """,
+    doc="z-score anomaly detection per event_type (|value - mean| > 3 "
+    "sigma): per-group moments are EXACT int64 sums over integer cents "
+    "(map-side partials, order-free — the corr/covar machinery), the "
+    "3-sigma comparison and reported z-score are a handful of IEEE double "
+    "ops on those identical exact inputs, so the flagged set is "
+    "bit-deterministic across engines and partitionings; the tiny "
+    "per-group moment table broadcasts onto the scan",
+)
+def a_outliers_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "event_type", F.floor(F.col("value") * 100 + 0.5).cast("long").alias("vc")
+    )
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("vc").alias("s"),
+        F.sum(F.col("vc") * F.col("vc")).alias("sxx"),
+    )
+    j = ev.join(F.broadcast(m), "event_type")
+    num = F.col("n").cast("double") * F.col("vc") - F.col("s").cast("double")
+    var_n2 = F.col("n").cast("double") * F.col("sxx") - F.col("s").cast("double") * F.col("s")
+    return (
+        j.where(num * num > 9.0 * var_n2)
+        .select(
+            "event_id",
+            "event_type",
+            "vc",
+            F.round(num / F.sqrt(var_n2), 4).cast("double").alias("zscore"),
+        )
+    )
