@@ -224,12 +224,17 @@ def minhash_lsh_pairs(
         )
     if hash_tier not in ("portable", "fast"):
         raise ValueError(f"hash_tier={hash_tier!r} must be 'portable' or 'fast'")
-    # xxhash64 is signed 64-bit; reduce into [0, p) with the same Mersenne
-    # modulus so the affine-permutation family applies unchanged. pmod keeps
-    # negative hashes in range.
-    hash_sql = (
-        HASH_P_SQL if hash_tier == "portable" else f"pmod(xxhash64({{x}}), {MERSENNE_P})"
-    )
+    # FULL-WIDTH hash per shingle (60-bit md5-derived portable / raw signed
+    # 64-bit xxhash64). The signature permutations reduce it mod p (Mersenne
+    # 2^31-1, pmod keeps signed xxhash in range) so the affine family's
+    # arithmetic stays in int64; the VERIFY joins on the full-width value,
+    # where distinct shingles collide with probability ~2^-60 per pair — so
+    # a plain count(*) is the distinct intersection size and the verify
+    # needs no dedup at all. The earlier form hashed mod p up front, which
+    # made within-doc collisions likely enough that the verify needed
+    # count_distinct — a second exchange on (doc_a, doc_b, h) that the
+    # round-6 bench measured as the dd_minhash_lsh regression.
+    hash_sql = HASH64_SQL if hash_tier == "portable" else "xxhash64({x})"
     # Fully row-relational shape — no hash ARRAYS anywhere. The earlier
     # array form computed the k permutations inside transform() lambdas,
     # which run interpreted (higher-order functions get no whole-stage
@@ -257,10 +262,14 @@ def minhash_lsh_pairs(
     ex = explode_nonempty(sh, ["doc_id"], "shingles", "shingle").select(
         "doc_id", F.expr(hash_sql.format(x="shingle")).alias("h")
     ).persist()
-    # one shuffle: per-doc signature columns + set size, all in one pass
+    # one shuffle: per-doc signature columns + set size, all in one pass.
+    # pmod(h, p) inside the min() — identical signature values to the old
+    # hash-mod-p-up-front form, so band keys (and the candidate set) are
+    # byte-identical across the verify-hash widening.
+    hp = F.pmod(F.col("h"), F.lit(MERSENNE_P))
     sig = ex.groupBy("doc_id").agg(
         *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"m{i}")
+            F.min((F.lit(a) * hp + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"m{i}")
             for i, (a, b) in enumerate(coeffs)
         ],
         F.count("*").alias("n_shingles"),
@@ -291,18 +300,18 @@ def minhash_lsh_pairs(
     ea = ex.select(F.col("doc_id").alias("doc_a"), "h")
     eb = ex.select(F.col("doc_id").alias("doc_b"), "h")
     sizes = sig.select("doc_id", "n_shingles")
-    # count_distinct, not count(*): two distinct shingles in one doc can
-    # collide mod MERSENNE_P (only 2^31-1), duplicating (doc_id, h) rows on
-    # both join sides and inflating the raw row count quadratically. The
-    # oracle's list_intersect deduplicates, so |A ∩ B| here must be the
-    # count of DISTINCT shared hash values. (n_shingles stays count(*) over
-    # the exploded distinct-shingle rows = len(shingles), matching the
-    # oracle's n_sh exactly.)
+    # count(*) is safe here BECAUSE h is full-width: distinct shingles map
+    # to distinct h (collision odds ~2^-60 per pair; a hit would surface as
+    # an oracle hash mismatch, loudly), so (doc_id, h) rows are unique and
+    # the raw join-match count IS the distinct intersection size. The
+    # mod-p-hash form needed count_distinct — a second aggregate exchange
+    # on (doc_a, doc_b, h). n_shingles stays count(*) over the exploded
+    # distinct-shingle rows = len(shingles), matching the oracle's n_sh.
     inter = (
         cand.join(ea, "doc_a")
         .join(eb, ["doc_b", "h"])
         .groupBy("doc_a", "doc_b")
-        .agg(F.count_distinct("h").alias("inter"))
+        .agg(F.count("*").alias("inter"))
     )
     verified = (
         inter.join(
@@ -461,14 +470,17 @@ def _minhash_sig_rows(
     coeffs = minhash_coeffs(k)
     rows_per_band = k // bands
     sh = _shingle_sets(df, id_col, text_col, n)
+    # full-width portable hash; permutations reduce mod p inside the min()
+    # (see minhash_lsh_pairs — same verify-needs-no-dedup argument)
     ex = explode_nonempty(sh, ["doc_id"], "shingles", "shingle").select(
-        "doc_id", F.expr(HASH_P_SQL.format(x="shingle")).alias("h")
+        "doc_id", F.expr(HASH64_SQL.format(x="shingle")).alias("h")
     )
     if persist:
         ex = ex.persist()
+    hp = F.pmod(F.col("h"), F.lit(MERSENNE_P))
     sig = ex.groupBy("doc_id").agg(
         *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"m{i}")
+            F.min((F.lit(a) * hp + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"m{i}")
             for i, (a, b) in enumerate(coeffs)
         ],
         F.count("*").alias("n_shingles"),
@@ -575,11 +587,13 @@ def minhash_lsh_join(
         .select("new_id", "index_id")
         .distinct()
     )
+    # count(*): h is the full-width collision-free hash (see
+    # minhash_lsh_pairs), so raw match count == distinct intersection size
     inter = (
         cand.join(ex_n.select(F.col("doc_id").alias("new_id"), "h"), "new_id")
         .join(ex_i.select(F.col("doc_id").alias("index_id"), "h"), ["index_id", "h"])
         .groupBy("new_id", "index_id")
-        .agg(F.count_distinct("h").alias("inter"))
+        .agg(F.count("*").alias("inter"))
     )
     return (
         inter.join(

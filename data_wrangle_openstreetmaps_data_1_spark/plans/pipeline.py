@@ -77,7 +77,10 @@ _SHINGLES_SQL = (
     r"list_distinct(list_transform(range(1, greatest(len(" + _TOKS_SQL + r") - 2, 0) + 1), "
     r"i -> array_to_string((" + _TOKS_SQL + r")[i:i+2], ' ')))"
 )
-_HASH_P_SQL = "('0x' || substr(md5(s), 1, 15))::BIGINT % " + str(MERSENNE_P)
+# DuckDB twin of functions.hashing.HASH64_SQL: full-width 60-bit portable
+# hash (verify joins), and its mod-p reduction (signature permutations).
+_HASH64_SQL = "('0x' || substr(md5(s), 1, 15))::BIGINT"
+_HASH_P_SQL = _HASH64_SQL + " % " + str(MERSENNE_P)
 
 
 def _corpus(spark: SparkSession, sf: str) -> DataFrame:
@@ -310,9 +313,14 @@ def tx_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _minhash_oracle(k: int = 16, bands: int = 4, threshold: float = 0.4) -> str:
+    # hs holds the FULL-WIDTH 60-bit hash (collision-free verify via
+    # list_intersect, matching Spark's count(*) over the h equi-join); the
+    # permutations reduce mod p inside the lambda — identical signature
+    # values (hence band keys and candidates) to the old mod-p-up-front
+    # form. Mirrors operators/dedup.py minhash_lsh_pairs exactly.
     r = k // bands
     perms = ", ".join(
-        f"coalesce(list_min(list_transform(hs, h -> ({a} * h + {b}) % {MERSENNE_P})), {MERSENNE_P})"
+        f"coalesce(list_min(list_transform(hs, h -> ({a} * (h % {MERSENNE_P}) + {b}) % {MERSENNE_P})), {MERSENNE_P})"
         for a, b in minhash_coeffs(k)
     )
     band_keys = ", ".join(
@@ -323,7 +331,7 @@ def _minhash_oracle(k: int = 16, bands: int = 4, threshold: float = 0.4) -> str:
     sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM corpus),
     hashed AS (
       SELECT doc_id, shingles, len(shingles) AS n_sh,
-             list_transform(shingles, s -> {_HASH_P_SQL}) AS hs
+             list_transform(shingles, s -> {_HASH64_SQL}) AS hs
       FROM sh WHERE len(shingles) > 0),
     sigs AS (SELECT doc_id, [{perms}] AS sig FROM hashed),
     banded AS (SELECT doc_id, unnest([{band_keys}]) AS band_key FROM sigs),
@@ -432,9 +440,10 @@ def dd_minhash_lsh_fast(spark: SparkSession, sf: str) -> DataFrame:
     "n_portable_in_truth audit the portable tier's yield and precision "
     "against that ground truth; n_fast_outside_truth pins the xxhash64 "
     "fast tier's PRECISION to exactly zero false positives. The zero is "
-    "asserted against truth at threshold MINUS 0.02 slack: fast-tier and "
-    "portable-hash Jaccard agree exactly on collision-free docs and can "
-    "differ only by a mod-p collision's worth on the rest, far below "
+    "asserted against truth at threshold MINUS 0.02 slack: both LSH tiers "
+    "now verify on full-width collision-free hashes (exact shingle "
+    "Jaccard), while the truth tier's mod-p distinct-hash Jaccard can "
+    "differ from exact only by a mod-p collision's worth, far below "
     "0.02 — so a boundary pair can never flip across the slack and the "
     "hardcoded oracle zero is a genuine invariant, not a per-dataset "
     "accident. Closes the dd_minhash_lsh_fast 'rows-only, nothing bounds "

@@ -32,7 +32,7 @@ from ..operators.retrieval import B_FP, K1_FP, bm25_topk
 from ..sources.tables import load_table
 from .pipeline import (
     _CORPUS_SQL,
-    _HASH_P_SQL,
+    _HASH64_SQL,
     _SHINGLES_SQL,
     _TOKS_SQL,
     _corpus,
@@ -180,9 +180,11 @@ def dd_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _minhash_side(tag: str, src: str, k: int = 16, bands: int = 4) -> str:
+    # full-width hs for the verify, mod-p inside the permutation lambda —
+    # mirrors _minhash_oracle / operators/dedup.py (see there for why)
     r = k // bands
     perms = ", ".join(
-        f"coalesce(list_min(list_transform(hs, h -> ({a} * h + {b}) % {MERSENNE_P})), {MERSENNE_P})"
+        f"coalesce(list_min(list_transform(hs, h -> ({a} * (h % {MERSENNE_P}) + {b}) % {MERSENNE_P})), {MERSENNE_P})"
         for a, b in minhash_coeffs(k)
     )
     band_keys = ", ".join(
@@ -192,7 +194,7 @@ def _minhash_side(tag: str, src: str, k: int = 16, bands: int = 4) -> str:
     sh_{tag} AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM {src}),
     hashed_{tag} AS (
       SELECT doc_id, len(shingles) AS n_sh,
-             list_transform(shingles, s -> {_HASH_P_SQL}) AS hs
+             list_transform(shingles, s -> {_HASH64_SQL}) AS hs
       FROM sh_{tag} WHERE len(shingles) > 0),
     sigs_{tag} AS (SELECT doc_id, [{perms}] AS sig FROM hashed_{tag}),
     banded_{tag} AS (SELECT doc_id, unnest([{band_keys}]) AS band_key FROM sigs_{tag})"""

@@ -298,3 +298,19 @@ def test_no_unexpected_products_registry_wide(spark):
         elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
             offenders[name] = "unexpected BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def test_core11_membership_pinned_against_registry():
+    """bench.py's CORE11 is THE round-over-round comparator; a registry
+    rename that drops a member would silently kill cross-round comparison
+    (bench.py exits hard at runtime, but this catches it at test time,
+    before a bench run ships a broken artifact)."""
+    import bench
+    from data_wrangle_openstreetmaps_data_1_spark.plans.registry import bench_queries
+
+    assert len(bench.CORE11) == 11
+    missing = [q for q in bench.CORE11 if q not in bench_queries()]
+    assert not missing, (
+        f"core11 queries missing from the bench registry: {missing} — "
+        "restore the name or update CORE11 + document the comparator break"
+    )
