@@ -98,3 +98,54 @@ def bm25_topk(
         .where(F.col("rnk") <= k)
         .select("term", "doc_id", "tf", "df", "score_fp", "rnk")
     )
+
+
+def rrf_fuse(
+    lex: DataFrame,
+    vec: DataFrame,
+    k_rrf: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of a lexical and a vector ranking — the
+    standard production hybrid-retrieval combiner (Cormack/Clarke/Buettcher
+    SIGIR'09): score(d) = sum over tiers of 1 / (k_rrf + rank_tier(d)).
+
+    Inputs: ``lex`` = (query_id, doc_id, lex_rank) and ``vec`` =
+    (query_id, doc_id, vec_rank), rank 1-based within each query. Docs
+    present in only one tier contribute only that tier's term (the other
+    rank reported as 0). Scoring is fixed-point integer —
+    ``1000000 div (k_rrf + rank)`` — so fused scores and the final
+    ordering hash bit-identically in the DuckDB oracle; rank-based fusion
+    needs no score normalization across tiers, which is exactly why RRF
+    is the production default.
+
+    Output: (query_id, doc_id, lex_rank, vec_rank, rrf_fp, rnk), top-k
+    per query by rrf_fp desc, ties by doc_id asc.
+
+    100 TB shape: both inputs are already per-query top-N (tiny relative
+    to the corpus — N rows per query, not corpus-sized), so the full-outer
+    join and the per-query window cost O(queries x N); the heavy lifting
+    stays in the tier operators (postings build / ANN scan), each already
+    argued at scale in its own docstring.
+    """
+    l = lex.select("query_id", "doc_id", F.col("lex_rank").cast("long").alias("lex_rank"))
+    v = vec.select("query_id", "doc_id", F.col("vec_rank").cast("long").alias("vec_rank"))
+    fused = (
+        l.join(v, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(0)).cast("long").alias("lex_rank"),
+            F.coalesce("vec_rank", F.lit(0)).cast("long").alias("vec_rank"),
+            (
+                F.coalesce(F.expr(f"1000000 div ({k_rrf} + lex_rank)"), F.lit(0))
+                + F.coalesce(F.expr(f"1000000 div ({k_rrf} + vec_rank)"), F.lit(0))
+            ).cast("long").alias("rrf_fp"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_fp"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "doc_id", "lex_rank", "vec_rank", "rrf_fp", "rnk")
+    )

@@ -547,9 +547,12 @@ _NQ = "sqrt(list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b))"
 _NT = "sqrt(list_reduce(list_transform(tv, x -> x * x), (a, b) -> a + b))"
 
 
-_KNN_BRUTE_SQL = f"""
+def _knn_brute_oracle(max_qid: int = 5, k: int = 10) -> str:
+    """Brute-force cosine top-k CTE chain, parameterized on the query-id
+    range and k (shared by sim_knn_brute and the hybrid-RRF fusion)."""
+    return f"""
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-               FROM embeddings WHERE vec_id < 5),
+               FROM embeddings WHERE vec_id < {max_qid}),
     t AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS tv FROM embeddings),
     scored AS (
       SELECT query_id, neighbor_id, {_DOT} / ({_NQ} * {_NT}) AS cs
@@ -560,8 +563,11 @@ _KNN_BRUTE_SQL = f"""
                                 ORDER BY cs DESC, neighbor_id ASC) AS rk
       FROM scored)
     SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim
-    FROM ranked WHERE rk <= 10
+    FROM ranked WHERE rk <= {k}
     """
+
+
+_KNN_BRUTE_SQL = _knn_brute_oracle()
 
 
 @register(

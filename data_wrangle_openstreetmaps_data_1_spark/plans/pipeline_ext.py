@@ -10,7 +10,7 @@ digests instead of shipping rebuilt text).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import MERSENNE_P, minhash_coeffs
@@ -36,6 +36,7 @@ from .pipeline import (
     _SHINGLES_SQL,
     _TOKS_SQL,
     _corpus,
+    _knn_brute_oracle,
     _minhash_oracle as _minhash_oracle_ref,
 )
 from .registry import register
@@ -48,9 +49,10 @@ BM25_TERMS = ["spark", "hash", "window"]
 _TERMS_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
 
 
-@register(
-    "tx_bm25_topk",
-    rf"""
+def _bm25_oracle(terms_in: str, k: int) -> str:
+    """BM25 top-k-per-term CTE chain, parameterized on the term list and k
+    (shared by tx_bm25_topk and the hybrid-RRF fusion)."""
+    return rf"""
     WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
     lens AS (SELECT doc_id, len(toks) AS dl FROM d WHERE len(toks) >= 1),
     stats AS (SELECT count(*) AS n_docs,
@@ -58,7 +60,7 @@ _TERMS_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
               FROM lens),
     tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
     post AS (SELECT term, doc_id, count(*) AS tf FROM tok
-             WHERE term IN ({_TERMS_IN}) GROUP BY 1, 2),
+             WHERE term IN ({terms_in}) GROUP BY 1, 2),
     dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
     scored AS (
       SELECT term, doc_id, tf, df,
@@ -76,8 +78,13 @@ _TERMS_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
           FROM s2)
     SELECT term, doc_id, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
            CAST(score_fp AS BIGINT) AS score_fp, rnk
-    FROM r WHERE rnk <= 5
-    """,
+    FROM r WHERE rnk <= {k}
+    """
+
+
+@register(
+    "tx_bm25_topk",
+    _bm25_oracle(_TERMS_IN, 5),
     bench=True,
     doc="BM25 top-5 per query term, fixed-point integer scoring (rational "
     "idf surrogate — no ln(), so scores hash identically across engines); "
@@ -85,6 +92,140 @@ _TERMS_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
 )
 def tx_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     return bm25_topk(load_table(spark, sf, "documents"), "doc_id", "text", BM25_TERMS, k=5)
+
+
+# --------------------------------------------------------------------------
+# hybrid retrieval: BM25 + vector, reciprocal-rank fusion
+# --------------------------------------------------------------------------
+
+# 5 hybrid queries: term i pairs with query vector vec_id = i (documents
+# and embeddings share the id space). Terms chosen from the corpus's
+# dense vocabulary so every lexical list is full.
+HYBRID_TERMS = ["spark", "hash", "window", "vector", "stream"]
+_HYBRID_TERMS_IN = ", ".join(f"'{t}'" for t in HYBRID_TERMS)
+_HYBRID_MAP_VALUES = ", ".join(f"({i}, '{t}')" for i, t in enumerate(HYBRID_TERMS))
+_HYBRID_N = 20  # per-tier candidate depth fed into the fusion
+_RRF_K = 60  # the standard RRF dampening constant (Cormack et al.)
+
+
+def _hybrid_rrf_oracle() -> str:
+    """RRF fusion of the BM25 and brute-force-cosine top-20 lists.
+
+    Both tiers re-rank on their PUBLISHED values (score_fp / rounded
+    cos_sim, ties by doc id) — the same re-ranking the Spark side applies
+    to the operators' public outputs, so rank parity never depends on
+    unpublished float intermediates."""
+    return f"""
+    WITH lex20 AS ({_bm25_oracle(_HYBRID_TERMS_IN, _HYBRID_N)}),
+    vec20 AS ({_knn_brute_oracle(len(HYBRID_TERMS), _HYBRID_N)}),
+    m(query_id, term) AS (VALUES {_HYBRID_MAP_VALUES}),
+    lexr AS (SELECT CAST(m.query_id AS BIGINT) AS query_id, l.doc_id,
+                    CAST(l.rnk AS BIGINT) AS lex_rank
+             FROM lex20 l JOIN m ON l.term = m.term),
+    vecr AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+                    neighbor_id AS doc_id,
+                    CAST(row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT)
+                      AS vec_rank
+             FROM vec20),
+    fused AS (
+      SELECT coalesce(l.query_id, v.query_id) AS query_id,
+             coalesce(l.doc_id, v.doc_id) AS doc_id,
+             coalesce(l.lex_rank, 0) AS lex_rank,
+             coalesce(v.vec_rank, 0) AS vec_rank,
+             coalesce(1000000 // ({_RRF_K} + l.lex_rank), 0)
+               + coalesce(1000000 // ({_RRF_K} + v.vec_rank), 0) AS rrf_fp
+      FROM lexr l FULL OUTER JOIN vecr v
+        ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+    r AS (SELECT query_id, doc_id, lex_rank, vec_rank, rrf_fp,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY rrf_fp DESC, doc_id ASC) AS rnk
+          FROM fused)
+    SELECT query_id, doc_id, lex_rank, vec_rank,
+           CAST(rrf_fp AS BIGINT) AS rrf_fp, rnk
+    FROM r WHERE rnk <= 10
+    """
+
+
+@register(
+    "sim_hybrid_rrf",
+    _hybrid_rrf_oracle(),
+    bench=True,
+    doc="hybrid retrieval: reciprocal-rank fusion (RRF, k=60) of the BM25 "
+    "lexical top-20 and the exact-cosine vector top-20, per query — the "
+    "production retrieval shape combining both tiers the engine already "
+    "ships. Rank-based fusion is integer-exact (1000000 div (60+rank)), "
+    "so fused scores hash identically cross-engine; no score "
+    "normalization needed across tiers (RRF's whole point). Fusion cost "
+    "is O(queries x 20) regardless of corpus size — the tiers do the "
+    "heavy lifting",
+)
+def sim_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.retrieval import rrf_fuse
+    from ..operators.similarity import knn_brute
+
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    mapping = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(HYBRID_TERMS)], "query_id long, term string"
+    )
+    lex = (
+        bm25_topk(docs, "doc_id", "text", HYBRID_TERMS, k=_HYBRID_N)
+        .join(F.broadcast(mapping), "term")
+        .select("query_id", "doc_id", F.col("rnk").alias("lex_rank"))
+    )
+    vec20 = knn_brute(
+        emb, emb.where(F.col("vec_id") < len(HYBRID_TERMS)), "vec_id", "embedding", k=_HYBRID_N
+    )
+    # re-rank on the PUBLISHED rounded cos_sim (ties by neighbor_id) so the
+    # rank is reproducible from the operator's public output on any engine
+    wv = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    vec = vec20.withColumn("vec_rank", F.row_number().over(wv)).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "vec_rank"
+    )
+    return rrf_fuse(lex, vec, k_rrf=_RRF_K, k=10)
+
+
+@register(
+    "sim_hybrid_recall",
+    f"""
+    WITH exact AS ({_knn_brute_oracle(len(HYBRID_TERMS), 10)}),
+    hyb AS ({_hybrid_rrf_oracle()}),
+    ap AS (SELECT query_id, doc_id AS neighbor_id FROM hyb),
+    hits AS (SELECT ap.query_id, count(*) AS hits
+             FROM ap JOIN exact USING (query_id, neighbor_id)
+             GROUP BY 1),
+    q AS (SELECT DISTINCT query_id FROM exact)
+    SELECT 'hybrid_rrf' AS method, q.query_id,
+           CAST(coalesce(hits.hits, 0) AS BIGINT) AS hits,
+           round(CAST(coalesce(hits.hits, 0) AS DOUBLE) / CAST(10 AS DOUBLE), 6)
+             AS recall_at_k
+    FROM q LEFT JOIN hits ON q.query_id = hits.query_id
+    """,
+    doc="recall@10 of the hybrid-RRF fused list against the exact vector "
+    "top-10 (sim_recall_at_k framework, method column for union-ability) — "
+    "quantifies how much vector recall the lexical tier's votes displace; "
+    "with a 20-deep vector list feeding the fusion, a fused top-10 "
+    "dominated by lexical-only docs would show here as a low value",
+)
+def sim_hybrid_recall(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.similarity import knn_brute, recall_at_k
+
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    exact = knn_brute(
+        emb, emb.where(F.col("vec_id") < len(HYBRID_TERMS)), "vec_id", "embedding", k=10
+    )
+    approx = sim_hybrid_rrf(spark, sf).select(
+        "query_id", F.col("doc_id").alias("neighbor_id")
+    )
+    return recall_at_k(exact, approx, 10).select(
+        F.lit("hybrid_rrf").alias("method"), "query_id", "hits", "recall_at_k"
+    )
 
 
 # --------------------------------------------------------------------------

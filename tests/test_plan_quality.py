@@ -281,6 +281,9 @@ def test_no_unexpected_products_registry_wide(spark):
         # broadcast tiny query/probe side (the deliberate theta shapes)
         "sim_knn_brute", "sim_ivf", "sim_quantized", "sim_rerank_pipeline",
         "sim_recall_at_k", "g3_near_radius", "g3_haversine_pairs",
+        # hybrid fusion: the vector tier is the same broadcast-query kNN,
+        # and BM25's corpus-stat crossJoin is a broadcast 1-row aggregate
+        "sim_hybrid_rrf", "sim_hybrid_recall",
     }
     # skipped: streaming queries EXECUTE on construction; iterative /
     # multi-action queries run real work during plan building (covered by
