@@ -26,11 +26,17 @@ from pyspark.sql.functions import pandas_udf
 @pandas_udf("long")
 def trimmed_mean_10pct(v: pd.Series) -> int:
     """Integer mean of the group's values after dropping floor(n/10) from
-    each end of the sorted multiset (10% trim)."""
+    each end of the sorted multiset (10% trim).
+
+    The final division truncates toward zero (exact integer arithmetic,
+    no float detour) — Python's ``//`` floors toward -inf, which for a
+    negative group sum diverges by 1 from the Spark/DuckDB integral-div
+    convention this module's parity contract promises."""
     s = v.sort_values(kind="stable", ignore_index=True)
     k = len(s) // 10
     kept = s.iloc[k : len(s) - k]
-    return int(kept.sum()) // len(kept)
+    total, cnt = int(kept.sum()), len(kept)
+    return total // cnt if total >= 0 else -((-total) // cnt)
 
 
 @pandas_udf("long")

@@ -659,14 +659,15 @@ def tx_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
       SELECT c_custkey AS key, c_name AS name,
              CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
       FROM customer),
+    mx AS (SELECT max(c_custkey) AS mx FROM customer),
     changes AS (
       SELECT c_custkey AS key, c_name AS name_new,
              CAST(round(c_acctbal * 100) AS BIGINT) + 10000 AS bal_new
       FROM customer WHERE c_custkey % 10 = 0
       UNION ALL
-      SELECT 900000 + s_suppkey, s_name,
+      SELECT mx + 1 + s_suppkey, s_name,
              CAST(round(s_acctbal * 100) AS BIGINT)
-      FROM supplier)
+      FROM supplier CROSS JOIN mx)
     SELECT coalesce(s.key, c.key) AS key,
            coalesce(c.name_new, s.name) AS name,
            coalesce(c.bal_new, s.bal_cents) AS bal_cents,
@@ -679,7 +680,10 @@ def tx_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     "a snapshot via ONE full-outer equi-join with coalesce resolution and a "
     "per-row op verdict — the SCD-style snapshot-maintenance pattern for "
     "stores without a MERGE primitive; integer cents avoid float-rounding "
-    "divergence",
+    "divergence. Insert keys offset by max(c_custkey) (broadcast 1-row "
+    "aggregate), so the insert range is disjoint from the update range at "
+    "ANY scale factor — a fixed offset collides once custkey outgrows it, "
+    "at which point the full-outer join fans out duplicate keys",
 )
 def u_upsert_snapshot(spark: SparkSession, sf: str) -> DataFrame:
     snap = load_table(spark, sf, "customer").select(
@@ -696,10 +700,17 @@ def u_upsert_snapshot(spark: SparkSession, sf: str) -> DataFrame:
             (F.round(F.col("c_acctbal") * 100).cast("long") + 10000).alias("bal_new"),
         )
     )
-    supp_inserts = load_table(spark, sf, "supplier").select(
-        (F.lit(900000) + F.col("s_suppkey")).alias("key"),
-        F.col("s_name").alias("name_new"),
-        F.round(F.col("s_acctbal") * 100).cast("long").alias("bal_new"),
+    mx = load_table(spark, sf, "customer").agg(F.max("c_custkey").alias("mx"))
+    supp_inserts = (
+        load_table(spark, sf, "supplier")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            # +1: s_suppkey is 0-based, so mx + s_suppkey would collide
+            # with the snapshot's max key on the first supplier
+            (F.col("mx") + 1 + F.col("s_suppkey")).alias("key"),
+            F.col("s_name").alias("name_new"),
+            F.round(F.col("s_acctbal") * 100).cast("long").alias("bal_new"),
+        )
     )
     changes = cust_updates.unionByName(supp_inserts)
     merged = snap.withColumn("in_snap", F.lit(True)).join(

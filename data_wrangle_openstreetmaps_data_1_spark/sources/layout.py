@@ -24,6 +24,15 @@ def zorder_key_expr(ranges: list[tuple[str, float, float]], bits: int = 8) -> st
     (col, min, max) normalization ranges. Bit i of column j lands at
     position i*N + j — neighbors in any dimension stay close in key order."""
     n = len(ranges)
+    if bits * n > 63:
+        # the interleaved key must fit a signed bigint: bit i*N+j set for
+        # i*N+j >= 63 would overflow into the sign bit and silently destroy
+        # the locality ordering the layout exists to provide
+        raise ValueError(
+            f"bits={bits} x {n} columns = {bits * n} interleaved bits "
+            "exceeds the 63 available in a signed bigint key; lower bits "
+            f"(max {63 // n} for {n} columns) or drop layout columns"
+        )
     norms = []
     for col, lo, hi in ranges:
         span = (hi - lo) or 1.0

@@ -114,11 +114,19 @@ def run_incremental_dedup_once(
             )
         collected.extend(rows)
 
-    q = (
-        new_stream.writeStream.foreachBatch(process_batch)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            new_stream.writeStream.foreachBatch(process_batch)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # the index artifacts are persisted + eagerly materialized; without
+        # this, repeated calls in a long-lived session (outside the
+        # registry's clearCache wrapper) would accumulate pinned corpus
+        # hash tables while the per-batch side was carefully persist-free
+        for a in (artifacts.ex, artifacts.sizes, artifacts.banded):
+            a.unpersist()
     return spark.createDataFrame(collected, out_schema)

@@ -284,6 +284,8 @@ def test_no_unexpected_products_registry_wide(spark):
         # hybrid fusion: the vector tier is the same broadcast-query kNN,
         # and BM25's corpus-stat crossJoin is a broadcast 1-row aggregate
         "sim_hybrid_rrf", "sim_hybrid_recall",
+        # broadcast 1-row max(c_custkey) offset for scale-safe insert keys
+        "u_upsert_snapshot",
     }
     # skipped: streaming queries EXECUTE on construction; iterative /
     # multi-action queries run real work during plan building (covered by

@@ -97,3 +97,57 @@ def test_zorder_layout_localizes_both_columns(spark, tmp_path):
     out = spark.read.parquet(f"{tmp_path}/zorder")
     assert out.count() == 20000
     assert out.agg(F.sum("x")).collect()[0][0] == df.agg(F.sum("x")).collect()[0][0]
+
+
+def test_zorder_layout_read_side_pruning(spark, tmp_path):
+    """The OBSERVABLE read-side win (tools/zorder_readwin.py measures the
+    sf0.1 numbers): a two-column range predicate over the z-ordered layout
+    must let parquet row-group statistics prune most of the table — the
+    scan's own numOutputRows metric, read from the executed plan, proves
+    rows were skipped at the reader, not filtered afterwards. The plain
+    layout reads everything (every row group spans the full value range)."""
+    from data_wrangle_openstreetmaps_data_1_spark.sources.layout import (
+        write_zorder_layout,
+    )
+
+    df = spark.range(40000).select(
+        "id",
+        (F.col("id") % 1000).alias("x"),
+        ((F.col("id") * 7919) % 1000).alias("y"),
+    )
+    df.repartition(16).write.parquet(f"{tmp_path}/plain")
+    write_zorder_layout(df, f"{tmp_path}/zorder", ["x", "y"], bits=8, num_files=16)
+
+    def scan_rows(path):
+        q = (
+            spark.read.parquet(path)
+            .where(F.col("x").between(100, 160) & F.col("y").between(100, 160))
+        )
+        res = q.collect()
+        leaves = q._jdf.queryExecution().executedPlan().collectLeaves()
+        scanned = 0
+        for i in range(leaves.size()):
+            m = leaves.apply(i).metrics()
+            if m.contains("numOutputRows"):
+                scanned += m.apply("numOutputRows").value()
+        return len(res), scanned
+
+    n_plain, scanned_plain = scan_rows(f"{tmp_path}/plain")
+    n_z, scanned_z = scan_rows(f"{tmp_path}/zorder")
+    assert n_plain == n_z  # same answer
+    assert scanned_plain == 40000  # unsorted: nothing prunes
+    # z-ordered: the reader must skip well over half the table
+    assert scanned_z < 0.5 * scanned_plain, (scanned_z, scanned_plain)
+
+
+def test_zorder_key_overflow_guard():
+    """bits * n_cols > 63 would overflow the bigint sign bit and silently
+    destroy the locality ordering — must refuse loudly."""
+    import pytest
+
+    from data_wrangle_openstreetmaps_data_1_spark.sources.layout import zorder_key_expr
+
+    ranges = [(f"c{i}", 0.0, 1.0) for i in range(8)]
+    with pytest.raises(ValueError, match="63"):
+        zorder_key_expr(ranges, bits=8)  # 64 bits: one too many
+    assert zorder_key_expr(ranges[:7], bits=9)  # 63: fine
