@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import MERSENNE_P, minhash_coeffs
+from ..functions.hashing import HASH64_SQL, MERSENNE_P, minhash_coeffs
 from ..functions.text import QUALITY_SQL_TEMPLATE
 from ..operators.linedup import LINE_TOKENS
 from ..operators.dedup import minhash_lsh_join, minhash_lsh_pairs
@@ -725,6 +725,215 @@ def u_upsert_snapshot(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise("update")
         .alias("op"),
     )
+
+
+@register(
+    "u_snapshot_diff",
+    r"""
+    WITH v0 AS (
+      SELECT c_custkey AS key,
+             md5(c_name || '|' || c_mktsegment || '|' ||
+                 CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR))
+               AS row_hash
+      FROM customer),
+    v1src AS (
+      SELECT c_custkey, c_name, c_mktsegment,
+             CASE WHEN c_custkey % 7 = 0
+                  THEN CAST(round(c_acctbal * 100) AS BIGINT) + 1
+                  ELSE CAST(round(c_acctbal * 100) AS BIGINT) END AS bal
+      FROM customer WHERE c_custkey % 13 <> 0),
+    v1 AS (
+      SELECT c_custkey AS key,
+             md5(c_name || '|' || c_mktsegment || '|' || CAST(bal AS VARCHAR))
+               AS row_hash
+      FROM v1src
+      UNION ALL
+      SELECT (SELECT max(c_custkey) FROM customer) + 1 + s_suppkey,
+             md5(s_name || '|' || CAST(s_nationkey AS VARCHAR) || '|' ||
+                 CAST(CAST(round(s_acctbal * 100) AS BIGINT) AS VARCHAR))
+      FROM supplier),
+    diff AS (
+      SELECT coalesce(a.key, b.key) AS key,
+             CASE WHEN a.key IS NULL THEN 'added'
+                  WHEN b.key IS NULL THEN 'removed'
+                  WHEN a.row_hash <> b.row_hash THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM v0 a FULL OUTER JOIN v1 b ON a.key = b.key)
+    SELECT status, count(*) AS n_keys,
+           CAST(sum(('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15))::BIGINT
+                    % 2147483647) AS BIGINT) AS key_checksum
+    FROM diff GROUP BY status
+    """,
+    doc="snapshot/table-version diff — the data-versioning primitive "
+    "(what changed between corpus v0 and v1): per-key row-content hashes "
+    "compared through ONE full-outer equi-join, classified "
+    "added/removed/changed/unchanged, reported as per-status counts plus "
+    "an order-free key checksum (sum of bounded per-key hashes — "
+    "mergeable-monoid state, so no collect_list and no per-status key "
+    "materialization at any scale; the 16-byte row hashes mean row "
+    "CONTENT never rides the shuffle, same argument as dd_exact). v1 is "
+    "derived deterministically: every 13th key removed, every 7th "
+    "balance bumped, suppliers appended as inserts",
+)
+def u_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    def row_hash(name, addr, bal_cents):
+        return F.md5(F.concat_ws("|", name, addr, bal_cents.cast("string")))
+
+    cust = load_table(spark, sf, "customer")
+    bal = F.round(F.col("c_acctbal") * 100).cast("long")
+    v0 = cust.select(
+        F.col("c_custkey").alias("key"),
+        row_hash(F.col("c_name"), F.col("c_mktsegment"), bal).alias("row_hash"),
+    )
+    v1_cust = cust.where(F.col("c_custkey") % 13 != 0).select(
+        F.col("c_custkey").alias("key"),
+        row_hash(
+            F.col("c_name"),
+            F.col("c_mktsegment"),
+            F.when(F.col("c_custkey") % 7 == 0, bal + 1).otherwise(bal),
+        ).alias("row_hash"),
+    )
+    mx = cust.agg(F.max("c_custkey").alias("mx"))
+    v1_supp = (
+        load_table(spark, sf, "supplier")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("mx") + 1 + F.col("s_suppkey")).alias("key"),
+            row_hash(
+                F.col("s_name"),
+                F.col("s_nationkey").cast("string"),
+                F.round(F.col("s_acctbal") * 100).cast("long"),
+            ).alias("row_hash"),
+        )
+    )
+    v1 = v1_cust.unionByName(v1_supp)
+    diff = (
+        v0.select("key", F.col("row_hash").alias("h0"))
+        .join(v1.select("key", F.col("row_hash").alias("h1")), "key", "full_outer")
+        .select(
+            "key",
+            F.when(F.col("h0").isNull(), "added")
+            .when(F.col("h1").isNull(), "removed")
+            .when(F.col("h0") != F.col("h1"), "changed")
+            .otherwise("unchanged")
+            .alias("status"),
+        )
+    )
+    key_h = F.expr(
+        f"{HASH64_SQL.format(x='cast(key as string)')} % 2147483647"
+    )
+    return diff.groupBy("status").agg(
+        F.count("*").alias("n_keys"),
+        F.sum(key_h).cast("long").alias("key_checksum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer training (merge-rule learning)
+# --------------------------------------------------------------------------
+
+_BPE_ROUNDS = 6
+
+
+def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    """Unrolled BPE merge loop as DuckDB CTEs, mirroring the Spark
+    operator round for round. Per round over s{r}(w_id, pos, sym, cnt):
+
+      p{r}    adjacent-pair counts weighted by word frequency (lead window)
+      best{r} argmax pair, ties by (a, b) string order — deterministic
+      h/i/t   EXACT greedy left-to-right merge application: hit rows mark
+              pair starts; consecutive hits form islands (gaps-and-islands
+              via pos - running hit count); within an island greedy takes
+              every ODD occurrence (1st, 3rd, ...) — precisely the
+              non-overlapping leftmost selection real BPE trainers apply
+              (a string replace() can't do this: a replace consumes the
+              shared boundary and de-syncs on odd runs like 'aaaa')
+      s{r+1}  taken rows become the merged symbol, their right halves
+              drop, positions renumber
+
+    The multiply-referenced CTEs (s{r} feeds pair counting AND merge
+    application; best{r} is read five times) are AS MATERIALIZED —
+    without it DuckDB inlines each reference and the plan grows ~10x per
+    round (measured: 4 rounds 2.2s, 6 rounds >150s; materialized, 6
+    rounds run in 0.23s). The Spark operator gets the same linearity from
+    its per-round persist + 1-row argmax collect."""
+    ctes = []
+    for r in range(rounds):
+        ctes.append(f"""
+    p{r} AS (
+      SELECT a, b, sum(cnt) AS pc FROM (
+        SELECT sym AS a,
+               lead(sym) OVER (PARTITION BY w_id ORDER BY pos) AS b, cnt
+        FROM s{r}) x
+      WHERE b IS NOT NULL GROUP BY a, b),
+    best{r} AS MATERIALIZED (
+      SELECT a, b, pc FROM p{r} ORDER BY pc DESC, a ASC, b ASC LIMIT 1),
+    h{r} AS (
+      SELECT w_id, pos, sym, cnt,
+             CASE WHEN sym = (SELECT a FROM best{r})
+                   AND lead(sym) OVER (PARTITION BY w_id ORDER BY pos)
+                       = (SELECT b FROM best{r}) THEN 1 ELSE 0 END AS hit
+      FROM s{r}),
+    i{r} AS (
+      SELECT w_id, pos, sym, cnt, hit,
+             pos - sum(hit) OVER (PARTITION BY w_id ORDER BY pos
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS island
+      FROM h{r}),
+    t{r} AS (
+      SELECT w_id, pos, sym, cnt, hit,
+             CASE WHEN hit = 1 AND (row_number() OVER (
+                    PARTITION BY w_id, island, hit ORDER BY pos)) % 2 = 1
+                  THEN 1 ELSE 0 END AS taken
+      FROM i{r}),
+    s{r + 1} AS MATERIALIZED (
+      SELECT w_id,
+             row_number() OVER (PARTITION BY w_id ORDER BY pos) AS pos,
+             CASE WHEN taken = 1
+                  THEN (SELECT a FROM best{r}) || (SELECT b FROM best{r})
+                  ELSE sym END AS sym,
+             cnt
+      FROM (SELECT w_id, pos, sym, cnt, taken,
+                   coalesce(lag(taken) OVER (PARTITION BY w_id ORDER BY pos),
+                            0) AS prev_taken
+            FROM t{r}) y
+      WHERE prev_taken = 0)""")
+    final = "\n    UNION ALL ".join(
+        f"SELECT {r + 1} AS rnd, a AS lft, b AS rgt, CAST(pc AS BIGINT) AS pair_count FROM best{r}"
+        for r in range(rounds)
+    )
+    return f"""
+    WITH words AS (
+      SELECT w, count(*) AS cnt FROM (
+        SELECT unnest({_TOKS_SQL}) AS w FROM documents) t
+      WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w),
+    s0 AS MATERIALIZED (
+      SELECT w AS w_id, CAST(i AS BIGINT) AS pos, w[i] AS sym, cnt
+      FROM words, unnest(range(1, length(w) + 1)) AS u(i)),
+    {",".join(ctes)}
+    {final}
+    """
+
+
+@register(
+    "tx_bpe_merges",
+    _bpe_oracle(),
+    doc="BPE tokenizer training — learn the first 6 merge rules from "
+    "corpus word frequencies (the Sennrich'16 algorithm): per round, "
+    "count adjacent symbol pairs weighted by word count, take the argmax "
+    "(deterministic tie-break), apply the merge with EXACT greedy "
+    "leftmost non-overlapping semantics via gaps-and-islands windows "
+    "(operators/bpe.py). 100 TB shape: only the word-count groupBy "
+    "touches the corpus (one shuffle on word, text never moves); every "
+    "merge round operates on the VOCAB table (bounded by distinct words, "
+    "~millions at web scale) with per-word windows — short partitions, "
+    "no skew; driver state = one (pair, count) row per round. Oracle = "
+    "the same rounds unrolled as materialized DuckDB CTEs",
+)
+def tx_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.bpe import bpe_merges
+
+    return bpe_merges(load_table(spark, sf, "documents"), "text", rounds=_BPE_ROUNDS)
 
 
 # --------------------------------------------------------------------------

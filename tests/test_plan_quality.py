@@ -285,14 +285,14 @@ def test_no_unexpected_products_registry_wide(spark):
         # and BM25's corpus-stat crossJoin is a broadcast 1-row aggregate
         "sim_hybrid_rrf", "sim_hybrid_recall",
         # broadcast 1-row max(c_custkey) offset for scale-safe insert keys
-        "u_upsert_snapshot",
+        "u_upsert_snapshot", "u_snapshot_diff",
     }
     # skipped: streaming queries EXECUTE on construction; iterative /
     # multi-action queries run real work during plan building (covered by
     # their own plan tests above)
     SKIP_PREFIXES = ("st_",)
     SKIP = {"dd_groups_cc", "dd_groups_cc_star", "dd_groups_minhash",
-            "ml_kmeans", "dd_semantic"}
+            "ml_kmeans", "dd_semantic", "tx_bpe_merges"}
     offenders = {}
     for name, fn in query_map().items():
         if name.startswith(SKIP_PREFIXES) or name in SKIP:

@@ -120,3 +120,25 @@ def test_canonical_url_rules(spark):
     df = spark.createDataFrame([(u,) for u in cases], "url string")
     got = {r["url"]: r["c"] for r in df.select("url", canonical_url(F.col("url")).alias("c")).collect()}
     assert got == cases
+
+
+def test_bpe_exact_greedy_merge_on_runs(spark):
+    """'aaaa' must merge to [aa][aa] (greedy leftmost non-overlapping), so
+    round 2's top pair is (aa, aa). A replace()-style application de-syncs
+    on the shared boundary and yields [aa][a][a] — this pins the windowed
+    gaps-and-islands form's exactness."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.bpe import bpe_merges
+
+    df = spark.createDataFrame([("aaaa",)], "text string")
+    rows = {r["rnd"]: r for r in bpe_merges(df, "text", rounds=2).collect()}
+    assert (rows[1]["lft"], rows[1]["rgt"], rows[1]["pair_count"]) == ("a", "a", 3)
+    assert (rows[2]["lft"], rows[2]["rgt"], rows[2]["pair_count"]) == ("aa", "aa", 1)
+
+
+def test_bpe_merge_respects_word_frequency(spark):
+    """Pair counts weight by word frequency: 3 copies of 'ab' beat one 'cd'."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.bpe import bpe_merges
+
+    df = spark.createDataFrame([("ab ab ab cd",)], "text string")
+    r1 = bpe_merges(df, "text", rounds=1).collect()[0]
+    assert (r1["lft"], r1["rgt"], r1["pair_count"]) == ("a", "b", 3)
