@@ -761,7 +761,7 @@ def u_upsert_snapshot(spark: SparkSession, sf: str) -> DataFrame:
       FROM v0 a FULL OUTER JOIN v1 b ON a.key = b.key)
     SELECT status, count(*) AS n_keys,
            CAST(sum(('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15))::BIGINT
-                    % 2147483647) AS BIGINT) AS key_checksum
+                    % 1000003) AS BIGINT) AS key_checksum
     FROM diff GROUP BY status
     """,
     doc="snapshot/table-version diff — the data-versioning primitive "
@@ -819,8 +819,10 @@ def u_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
             .alias("status"),
         )
     )
+    # per-key term reduced mod a ~1e6 prime so the int64 SUM stays in
+    # range to ~1e12 keys per status (2^31-sized terms overflow there)
     key_h = F.expr(
-        f"{HASH64_SQL.format(x='cast(key as string)')} % 2147483647"
+        f"{HASH64_SQL.format(x='cast(key as string)')} % 1000003"
     )
     return diff.groupBy("status").agg(
         F.count("*").alias("n_keys"),
