@@ -151,9 +151,11 @@ def test_upsert_snapshot_ops(spark):
     for r in rows:
         by_op.setdefault(r.op, []).append(r)
     # every customer key survives; updates are exactly the %10 keys;
-    # inserts live in the 900k range
+    # inserts live strictly ABOVE the snapshot's key range (offset derives
+    # from max(c_custkey)+1 — disjoint at any scale factor)
+    max_snap_key = max(r.key for ops in ("keep", "update") for r in by_op[ops])
     assert all(r.key % 10 == 0 for r in by_op["update"])
-    assert all(r.key >= 900000 for r in by_op["insert"])
+    assert all(r.key > max_snap_key for r in by_op["insert"])
     assert len(by_op["update"]) > 0 and len(by_op["insert"]) > 0
     keys = {r.key for r in rows}
     assert len(keys) == len(rows)  # merge is key-unique
