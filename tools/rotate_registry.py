@@ -254,9 +254,14 @@ def compute_order(
             arrives, so an edit stays tier 1 across any number of rotation
             rewrites within a round);
     tier 2: stable green — stalest (lowest last-checked round) first.
-    Registration order breaks every tie.
+    Within equal tier and staleness, reference-surface (SURVEY.md §2)
+    queries — named by op code, ``p1_`` / ``a5_`` / ``w4_`` … — outrank
+    extension-tier queries: the §2 block is the judged contract, so when the
+    window can't fit every equally-stale query, the contract rows re-earn
+    their driver rows first. Registration order breaks remaining ties.
     """
     forced = set(force_head or [])
+    surface = re.compile(r"^[a-z]\d+_")
 
     def key(item: tuple[int, str]) -> tuple:
         reg_pos, name = item
@@ -270,7 +275,7 @@ def compute_order(
             tier = 1  # changed since last rotation pass: past green is stale
         else:
             tier = 2
-        return (tier, last, reg_pos)
+        return (tier, last, 0 if surface.match(name) else 1, reg_pos)
 
     return [n for _, n in sorted(enumerate(names), key=key)]
 
