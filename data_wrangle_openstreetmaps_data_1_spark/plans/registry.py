@@ -106,7 +106,15 @@ def _load_all() -> None:
     global _loaded
     if _loaded:
         return
-    from . import analytics, cleaning_geo, core, pipeline, pipeline_ext, streaming_queries  # noqa: F401
+    from . import (  # noqa: F401
+        analytics,
+        cleaning_geo,
+        core,
+        pipeline,
+        pipeline_ext,
+        streaming_queries,
+        tpch_suite,
+    )
 
     import json
     import os

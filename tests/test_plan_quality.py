@@ -286,6 +286,10 @@ def test_no_unexpected_products_registry_wide(spark):
         "sim_hybrid_rrf", "sim_hybrid_recall",
         # broadcast 1-row max(c_custkey) offset for scale-safe insert keys
         "u_upsert_snapshot", "u_snapshot_diff",
+        # TPC-H scalar-subquery shapes: q11's global value threshold and
+        # q22's global average balance are broadcast 1-row aggregates
+        # (q15's max-revenue scalar collapses to an equi-join in the plan)
+        "tpch_q11_important_stock", "tpch_q22_idle_customers",
     }
     # skipped: streaming queries EXECUTE on construction; iterative /
     # multi-action queries run real work during plan building (covered by
