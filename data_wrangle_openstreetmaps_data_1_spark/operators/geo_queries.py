@@ -87,3 +87,67 @@ def reconstruct_rings(ways: DataFrame, nodes: DataFrame) -> DataFrame:
             ).alias("ring")
         )
     )
+
+
+def grid_spatial_join(
+    a: DataFrame,
+    b: DataFrame,
+    radius_km: float,
+    cell_deg: float,
+    max_abs_lat: float = 60.0,
+) -> DataFrame:
+    """Big×big radius join without a cross product: cell-bucketed candidates.
+
+    ``a`` carries (id_a, lat, lon), ``b`` carries (id_b, lat, lon). Both
+    sides map each point to an integer (lat, lon) grid cell of
+    ``cell_deg`` degrees; the A side additionally explodes to its 3×3
+    neighborhood, so candidate pairs come from a plain hash EQUI-join on
+    the cell key and the exact haversine refines them. Never all-pairs —
+    this is the geohash-join shape (`near` covers the broadcast-small
+    case; this operator is for two data-sized point sets).
+
+    Correctness requires the cell to dominate the radius on both axes so a
+    qualifying pair can differ by at most one cell index:
+    ``cell_deg * 111.32 * cos(max_abs_lat) >= radius_km`` (lon, worst
+    case) and ``cell_deg * 110.57 >= radius_km`` (lat) — asserted here;
+    callers with data beyond ±``max_abs_lat`` must widen the cell.
+
+    Scale: shuffle is keyed on the cell id; the A side grows 9× (ids +
+    coords only — project before calling), B stays 1×. Each (a, b) pair
+    meets exactly once because a B point lives in exactly one cell. Dense
+    hot cells are a salting candidate like any skewed join key.
+    """
+    if cell_deg * 110.57 < radius_km or cell_deg * 111.32 * __import__("math").cos(
+        __import__("math").radians(max_abs_lat)
+    ) < radius_km:
+        raise ValueError(
+            f"cell_deg={cell_deg} too small for radius_km={radius_km} at "
+            f"|lat|<={max_abs_lat}: neighbor cells would not cover the radius"
+        )
+    cell = lambda c: F.floor(c / F.lit(cell_deg)).cast("long")  # noqa: E731
+    b2 = b.select(
+        "id_b",
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        cell(F.col("lat")).alias("cell_lat"),
+        cell(F.col("lon")).alias("cell_lon"),
+    )
+    offsets = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    a2 = (
+        a.select(
+            "id_a",
+            F.col("lat").alias("lat_a"),
+            F.col("lon").alias("lon_a"),
+            cell(F.col("lat")).alias("base_lat"),
+            cell(F.col("lon")).alias("base_lon"),
+        )
+        .withColumn("cell_lat", F.explode(F.transform(offsets, lambda d: F.col("base_lat") + d)))
+        .withColumn("cell_lon", F.explode(F.transform(offsets, lambda d: F.col("base_lon") + d)))
+        .drop("base_lat", "base_lon")
+    )
+    dist = haversine_km(F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b"))
+    return (
+        a2.join(b2, ["cell_lat", "cell_lon"])
+        .where(dist <= F.lit(radius_km))
+        .select("id_a", "id_b", F.round(dist, 3).alias("dist_km"))
+    )

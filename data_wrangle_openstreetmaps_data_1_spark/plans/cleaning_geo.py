@@ -447,3 +447,65 @@ def j2_ring_reconstruct(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("ring")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# G3 extension: big x big radius join via grid cells (no cross product)
+# --------------------------------------------------------------------------
+
+_GRID_RADIUS_KM = 5.0
+_GRID_CELL_DEG = 0.1
+
+
+@register(
+    "g_spatial_join_grid",
+    f"""
+    WITH a AS (
+      SELECT c_custkey AS id_a,
+             {point_lat_sql("c_custkey")} AS lat_a,
+             {point_lon_sql("c_custkey")} AS lon_a
+      FROM customer
+    ),
+    b AS (
+      SELECT s_suppkey AS id_b,
+             {point_lat_sql("(s_suppkey * 13 + 5)")} AS lat_b,
+             {point_lon_sql("(s_suppkey * 13 + 5)")} AS lon_b
+      FROM supplier
+    )
+    SELECT id_a, id_b,
+           round(2 * {{EARTH}} * asin(sqrt(
+             pow(sin(radians(lat_b - lat_a) / 2), 2) +
+             cos(radians(lat_a)) * cos(radians(lat_b)) *
+             pow(sin(radians(lon_b - lon_a) / 2), 2)
+           )), 3) AS dist_km
+    FROM a, b
+    WHERE 2 * {{EARTH}} * asin(sqrt(
+             pow(sin(radians(lat_b - lat_a) / 2), 2) +
+             cos(radians(lat_a)) * cos(radians(lat_b)) *
+             pow(sin(radians(lon_b - lon_a) / 2), 2)
+           )) <= {_GRID_RADIUS_KM}
+    """.replace("{EARTH}", str(EARTH_RADIUS_KM)),
+    doc="G3 big x big form: radius join between two data-sized point sets "
+    "via integer grid cells (operators/geo_queries.py:grid_spatial_join) — "
+    "9-cell neighborhood equi-join + exact haversine refine, never a cross "
+    "product (the oracle IS the brute-force cross join, pinning semantic "
+    "equivalence); cell/radius coverage guard asserted in the operator",
+)
+def g_spatial_join_grid(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.geo_queries import grid_spatial_join
+
+    a = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id_a"),
+        point_lat_spark("c_custkey").alias("lat"),
+        point_lon_spark("c_custkey").alias("lon"),
+    )
+    b = (
+        load_table(spark, sf, "supplier")
+        .withColumn("k", F.col("s_suppkey") * 13 + 5)
+        .select(
+            F.col("s_suppkey").alias("id_b"),
+            point_lat_spark("k").alias("lat"),
+            point_lon_spark("k").alias("lon"),
+        )
+    )
+    return grid_spatial_join(a, b, radius_km=_GRID_RADIUS_KM, cell_deg=_GRID_CELL_DEG)

@@ -177,3 +177,35 @@ def st_hll(spark: SparkSession, sf: str) -> DataFrame:
     from ..streaming.sketch import run_hll_once
 
     return run_hll_once(spark, sf)
+
+
+@register(
+    "st_cdc_apply",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, value, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events
+    )
+    SELECT user_id,
+           event_type AS last_event_type,
+           round(value, 2) AS last_value,
+           CAST(ts AS VARCHAR) AS last_ts
+    FROM ranked
+    WHERE rk = 1 AND event_type <> 'error'
+    """,
+    doc="streaming CDC apply: the events changelog merged into a keyed "
+    "snapshot (events upsert per user_id; 'error' is the tombstone). Each "
+    "micro-batch compacts to its latest change per key then MERGEs via one "
+    "full-outer join against the copy-on-write parquet snapshot, resolving "
+    "by change order (ts, event_id) so out-of-order batches can't regress "
+    "a key and late updates can't resurrect a tombstone. Final snapshot "
+    "equals the batch window-argmax with tombstoned keys removed, which "
+    "the oracle checks; multi-batch/out-of-order replay is pinned in "
+    "tests/test_streaming_cdc.py",
+)
+def st_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
+    from ..streaming.cdc import run_cdc_apply_once
+
+    return run_cdc_apply_once(spark, sf)

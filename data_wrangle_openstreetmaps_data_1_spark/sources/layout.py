@@ -94,3 +94,41 @@ def write_zorder_layout(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Hash-bucketed (optionally bucket-sorted) external parquet table.
+
+    Z-order (above) optimizes SCAN pruning; bucketing optimizes JOIN and
+    AGGREGATION placement: rows are hash-partitioned into ``n_buckets``
+    files per write-partition AT WRITE TIME, and the catalog records the
+    bucketing spec, so every subsequent equi-join or groupBy on the bucket
+    columns between co-bucketed tables satisfies its distribution
+    requirement from the scan — NO shuffle exchange at read time.
+    ``sort_cols`` orders rows within each bucket file (scan-pruning help);
+    sort-merge joins still run their per-task sorts because Spark only
+    trusts bucket sort order when each bucket is exactly one file — the
+    elided EXCHANGE is the data-sized win, the leftover sorts are
+    bucket-local. This is the standard warehouse trade for fact-fact
+    joins repeated every run (orders x lineitem on the order key at 100 TB:
+    one write-time shuffle each, then every daily join runs exchange-free);
+    both sides must agree on bucket count and key.
+
+    Exchange-free join + aggregation plans are asserted in
+    tests/test_bucketed_join.py.
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table_name)

@@ -1,0 +1,163 @@
+"""Streaming CDC apply: a changelog stream merged into a keyed snapshot.
+
+``events`` is treated as a CDC changelog on ``user_id``: every event is an
+upsert of (event_type, value, ts), except ``event_type = 'error'`` which is
+the tombstone (retraction) for its key. Draining the stream must leave the
+snapshot equal to the batch window-argmax over the full log with
+tombstoned keys removed — the registered oracle pins exactly that.
+
+Out-of-order tolerance — the property that makes this CDC apply and not
+last-write-wins-by-arrival: micro-batches are file-discovery-ordered, NOT
+event-time-ordered, so a later batch may carry an *earlier* change for a
+key. The merge therefore resolves each key by the CHANGE ORDER
+``(ts, event_id)`` — the incoming change wins only if its (ts, event_id)
+is greater than the snapshot row's — and tombstones are RETAINED as rows
+(op='D') rather than deleted, so a late earlier-update cannot resurrect a
+deleted key. The final read filters tombstones out.
+
+Scale design (100 TB changelog):
+- each micro-batch first COMPACTS to the latest change per key within the
+  batch (one row_number over the batch — batch-sized, not corpus-sized),
+  then merges via ONE full-outer equi-join on the key against the current
+  snapshot: cost per batch is O(|batch| + |snapshot|) with both sides
+  hash-partitioned on user_id, never a rescan of the log;
+- snapshot versions are immutable parquet directories (v0, v1, ...): the
+  merge reads version N and writes version N+1, which is exactly the
+  copy-on-write table pattern (Delta/Iceberg MERGE INTO); at scale the
+  join is per-key-bucket and only changed buckets would be rewritten;
+- nothing data-sized touches the driver during the stream; the harness
+  return path collects the final snapshot under a row guard purely because
+  the oracle comparison needs a driver-side result (same trade as
+  streaming/finite.py, documented there).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from .ingest import read_events_stream
+
+TOMBSTONE_EVENT = "error"
+_MAX_DRIVER_ROWS = 200_000
+
+_SNAPSHOT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("ts", TimestampType()),
+        StructField("event_id", LongType()),
+        StructField("op", StringType()),  # 'U' upsert | 'D' tombstone
+    ]
+)
+
+
+def compact_changes(batch_df: DataFrame) -> DataFrame:
+    """Latest change per key WITHIN a batch, by change order (ts, event_id).
+
+    Runs before the snapshot merge so a key touched k times in one batch
+    costs one snapshot-join row, not k.
+    """
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        batch_df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "value",
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == TOMBSTONE_EVENT, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+    )
+
+
+def merge_snapshot(snapshot: DataFrame, changes: DataFrame) -> DataFrame:
+    """One full-outer equi-join on the key; per key the row with the
+    greater (ts, event_id) wins. Both inputs carry _SNAPSHOT_SCHEMA."""
+    s = snapshot.select([F.col(c).alias(f"s_{c}") for c in snapshot.columns])
+    c = changes.select([F.col(c_).alias(f"c_{c_}") for c_ in changes.columns])
+    joined = s.join(c, s.s_user_id == c.c_user_id, "full_outer")
+    change_wins = F.col("s_user_id").isNull() | (
+        (F.col("c_ts") > F.col("s_ts"))
+        | ((F.col("c_ts") == F.col("s_ts")) & (F.col("c_event_id") > F.col("s_event_id")))
+    )
+    take_change = F.col("c_user_id").isNotNull() & change_wins
+    pick = lambda f: F.when(take_change, F.col(f"c_{f}")).otherwise(F.col(f"s_{f}")).alias(f)  # noqa: E731
+    return joined.select(*[pick(f.name) for f in _SNAPSHOT_SCHEMA.fields])
+
+
+def run_cdc_apply_once(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Drain the events changelog into a snapshot and return the live rows.
+
+    Each micro-batch: compact → merge with snapshot version N → write
+    version N+1 (immutable parquet). The returned DataFrame is the final
+    version with tombstones filtered, shaped for the oracle comparison.
+    """
+    stream = read_events_stream(spark, sf_dir, max_files_per_trigger)
+    workdir = tempfile.mkdtemp(prefix="cdc_apply_")
+    state = {"path": None, "version": 0}
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        changes = compact_changes(batch_df)
+        if state["path"] is None:
+            snapshot = spark.createDataFrame([], _SNAPSHOT_SCHEMA)
+        else:
+            snapshot = spark.read.parquet(state["path"])
+        out = os.path.join(workdir, f"v{state['version'] + 1}")
+        merge_snapshot(snapshot, changes).write.parquet(out)
+        state["path"] = out
+        state["version"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    try:
+        if state["path"] is None:
+            return spark.createDataFrame([], "user_id long, last_event_type string, last_value double, last_ts string")
+        final = (
+            spark.read.parquet(state["path"])
+            .where(F.col("op") != "D")
+            .select(
+                "user_id",
+                F.col("event_type").alias("last_event_type"),
+                F.round("value", 2).alias("last_value"),
+                F.col("ts").cast("string").alias("last_ts"),
+            )
+        )
+        rows = final.collect()
+        if len(rows) > _MAX_DRIVER_ROWS:
+            raise ValueError(
+                f"run_cdc_apply_once snapshot has {len(rows)} rows "
+                f"(max {_MAX_DRIVER_ROWS}); keep the parquet snapshot and read "
+                "it directly instead of collecting"
+            )
+        return spark.createDataFrame(rows, final.schema)
+    finally:
+        # the returned rows are materialized, so the version chain can go
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -40,7 +40,7 @@ def _events_raw_schema(spark: SparkSession, sf_dir: str) -> StructType:
     binds by name but we keep the declared order identical to the footer's
     to stay robust across Spark versions.
     """
-    probed = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    probed = spark.read.parquet(os.path.join(sf_dir, "events*.parquet")).schema
     # The footer type passes through as-is (epoch long, timestamp_ntz, or a
     # future format) — normalize_event_ts rejects unsupported types loudly
     # downstream, so no coercion happens here.
@@ -70,8 +70,11 @@ def read_events_stream(
         spark.readStream.schema(_events_raw_schema(spark, sf_dir))
         .format("parquet")
         # the file source requires a *directory* to monitor; select just the
-        # events table out of the shared sf_dir with a glob filter
-        .option("pathGlobFilter", "events.parquet")
+        # events table out of the shared sf_dir with a glob filter (the
+        # wildcard admits multi-file landings — events0.parquet,
+        # events1.parquet, ... — which is how the multi-batch tests feed
+        # the source; the driver's testdata has exactly events.parquet)
+        .option("pathGlobFilter", "events*.parquet")
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))

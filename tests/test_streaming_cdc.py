@@ -1,0 +1,115 @@
+"""CDC apply (streaming/cdc.py): multi-batch replay and merge semantics.
+
+The registry oracle (st_cdc_apply) checks the single-batch drain; these
+tests pin what the oracle can't see — merge behavior ACROSS micro-batches
+when the changelog arrives out of event-time order, and the tombstone
+rules.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_wrangle_openstreetmaps_data_1_spark.sources.tables import load_table
+from data_wrangle_openstreetmaps_data_1_spark.streaming.cdc import (
+    _SNAPSHOT_SCHEMA,
+    compact_changes,
+    merge_snapshot,
+    run_cdc_apply_once,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def interleaved_events_dir(spark, tmp_path_factory):
+    """sf0.001 events split into 3 files by event_id % 3: every file spans
+    the WHOLE time range, so with maxFilesPerTrigger=1 each micro-batch
+    carries changes both older and newer than what the snapshot already
+    holds — the out-of-order case the (ts, event_id) merge rule exists for."""
+    import glob
+    import shutil
+
+    parent = tmp_path_factory.mktemp("cdc_src")
+    events = load_table(spark, SF, "events")
+    for i in range(3):
+        staging = str(parent / f"_staging{i}")
+        events.where(F.col("event_id") % 3 == i).coalesce(1).write.parquet(staging)
+        # the stream's pathGlobFilter matches leaf FILES named
+        # events*.parquet, so surface each chunk as a single such file
+        (part,) = glob.glob(f"{staging}/part-*.parquet")
+        shutil.move(part, str(parent / f"events{i}.parquet"))
+        shutil.rmtree(staging)
+    return str(parent)
+
+
+def test_cdc_multi_batch_out_of_order_equals_batch(spark, interleaved_events_dir):
+    streamed = run_cdc_apply_once(spark, interleaved_events_dir, max_files_per_trigger=1)
+    got = {(r["user_id"], r["last_event_type"], r["last_value"], r["last_ts"])
+           for r in streamed.collect()}
+
+    events = load_table(spark, SF, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    expected = {
+        (r["user_id"], r["last_event_type"], r["last_value"], r["last_ts"])
+        for r in (
+            events.withColumn("rk", F.row_number().over(w))
+            .where((F.col("rk") == 1) & (F.col("event_type") != "error"))
+            .select(
+                "user_id",
+                F.col("event_type").alias("last_event_type"),
+                F.round("value", 2).alias("last_value"),
+                F.col("ts").cast("string").alias("last_ts"),
+            )
+            .collect()
+        )
+    }
+    assert got == expected
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, _SNAPSHOT_SCHEMA)
+
+
+def _ts(s):
+    import datetime
+
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_late_update_cannot_resurrect_tombstone(spark):
+    snapshot = _snap(spark, [(1, "error", 0.0, _ts("2024-01-01T00:10:00"), 100, "D")])
+    late_update = _snap(spark, [(1, "click", 5.0, _ts("2024-01-01T00:05:00"), 50, "U")])
+    merged = merge_snapshot(snapshot, late_update).collect()
+    assert len(merged) == 1 and merged[0]["op"] == "D"
+
+
+def test_later_update_resurrects_deleted_key(spark):
+    snapshot = _snap(spark, [(1, "error", 0.0, _ts("2024-01-01T00:10:00"), 100, "D")])
+    re_insert = _snap(spark, [(1, "view", 7.0, _ts("2024-01-01T00:20:00"), 200, "U")])
+    merged = merge_snapshot(snapshot, re_insert).collect()
+    assert len(merged) == 1 and merged[0]["op"] == "U" and merged[0]["value"] == 7.0
+
+
+def test_equal_ts_resolved_by_event_id(spark):
+    snapshot = _snap(spark, [(1, "view", 1.0, _ts("2024-01-01T00:10:00"), 100, "U")])
+    same_ts = _snap(spark, [(1, "click", 2.0, _ts("2024-01-01T00:10:00"), 99, "U")])
+    merged = merge_snapshot(snapshot, same_ts).collect()
+    assert merged[0]["event_id"] == 100  # lower event_id loses at equal ts
+
+
+def test_compact_keeps_only_latest_change_per_key(spark):
+    batch = spark.createDataFrame(
+        [
+            (1, "click", 1.0, _ts("2024-01-01T00:01:00"), 10),
+            (1, "view", 2.0, _ts("2024-01-01T00:03:00"), 11),
+            (2, "error", 0.0, _ts("2024-01-01T00:02:00"), 12),
+        ],
+        "user_id long, event_type string, value double, ts timestamp, event_id long",
+    )
+    out = {r["user_id"]: r for r in compact_changes(batch).collect()}
+    assert out[1]["event_id"] == 11 and out[1]["op"] == "U"
+    assert out[2]["op"] == "D"
