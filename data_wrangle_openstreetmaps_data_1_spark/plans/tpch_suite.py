@@ -593,10 +593,18 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf: str) -> DataFrame:
     flagged = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
         "late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
     )
-    per_order = flagged.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
-        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("sole_late_supp"),
+    # two-level aggregation instead of two countDistinct()s: multiple
+    # distinct aggregates make Spark Expand the input 3x before the
+    # shuffle (measured 3.9x wall at 10x data in the sf1 rehearsal);
+    # collapsing to per-(order, supplier) lateness first keeps every stage
+    # a plain partial-agg groupBy (re-measured 2.5x, BENCH_sf1_local.json)
+    per_supp = flagged.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("late").cast("int")).alias("supp_late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("supp_late").alias("n_late_supp"),
+        F.max(F.when(F.col("supp_late") == 1, F.col("l_suppkey"))).alias("sole_late_supp"),
     )
     sole = per_order.where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
     return (
