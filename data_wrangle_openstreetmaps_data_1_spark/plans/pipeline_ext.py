@@ -2089,3 +2089,58 @@ def a_outliers_zscore(spark: SparkSession, sf: str) -> DataFrame:
             F.round(num / F.sqrt(var_n2), 4).cast("double").alias("zscore"),
         )
     )
+
+
+@register(
+    "u_join_ivm",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="incremental view maintenance for a JOIN: with orders split into "
+    "(base, delta-A) and lineitem into (base, delta-B), the maintained "
+    "view base-join ∪ ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB must equal the direct join "
+    "of the updated tables — the oracle computes the DIRECT join, so a "
+    "green row proves the algebraic identity the incremental pipeline "
+    "relies on (the join twin of t_rollup_backfill's merge-of-partials). "
+    "Scale: the three delta terms join a small delta against a base — "
+    "broadcast when the delta fits, keyed shuffle otherwise — so view "
+    "refresh costs O(Δ·join) instead of re-joining 100 TB; per-row "
+    "integer cents keep the aggregate exact at any parallelism",
+)
+def u_join_ivm(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    # the "existing" state: base tables and their materialized base join
+    a0 = o.where(F.col("o_orderkey") % 7 != 0)
+    da = o.where(F.col("o_orderkey") % 7 == 0)  # newly arrived orders
+    b0 = li.where(F.col("l_linenumber") != 1)
+    db = li.where(F.col("l_linenumber") == 1)  # newly arrived lineitems
+    on = F.col("o_orderkey") == F.col("l_orderkey")
+    base_view = a0.join(b0, on)
+    # the refresh: three delta terms, each O(delta x base) with the delta
+    # side broadcast (not the base — the base is the 100 TB side)
+    delta = (
+        F.broadcast(da).join(b0, on)
+        .unionByName(a0.join(F.broadcast(db), on))
+        .unionByName(F.broadcast(da).join(db, on))
+    )
+    maintained = base_view.unionByName(delta)
+    return (
+        maintained.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
