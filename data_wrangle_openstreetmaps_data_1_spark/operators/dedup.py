@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..partitioning import explode_nonempty, spread
@@ -609,4 +609,105 @@ def minhash_lsh_join(
         )
         .where(F.col("jaccard") >= threshold)
         .select("new_id", "index_id", "jaccard")
+    )
+
+
+def prefix_candidates(
+    ex: DataFrame, sizes: DataFrame, t_num: int, t_den: int
+) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs sharing an element of BOTH docs'
+    rarest-first prefixes (see :func:`jaccard_prefix_pairs` for the bound
+    and the integer-arithmetic rationale). ``ex``: distinct (doc_id, sh_h)
+    rows; ``sizes``: (doc_id, n_sh)."""
+    freq = ex.groupBy("sh_h").agg(F.count("*").alias("df_"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df_"), F.asc("sh_h"))
+    prefix_len = (
+        F.col("n_sh")
+        - ((F.lit(t_num) * F.col("n_sh") + F.lit(t_den - 1)) / F.lit(t_den)).cast("long")
+        + 1
+    )
+    pref = (
+        ex.join(freq, "sh_h")
+        .withColumn("rk", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .where(F.col("rk") <= prefix_len)
+        .select("doc_id", "sh_h")
+    )
+    a = pref.select(F.col("doc_id").alias("doc_a"), "sh_h")
+    b = pref.select(F.col("doc_id").alias("doc_b"), "sh_h")
+    return (
+        a.join(b, "sh_h")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    t_num: int = 3,
+    t_den: int = 5,
+) -> DataFrame:
+    """Prefix-filtered exact Jaccard join (the AllPairs/PPJoin candidate
+    rule; Bayardo et al. WWW'07, public literature).
+
+    ``ngram_jaccard_pairs`` above generates a candidate row per SHARED
+    SHINGLE — on a corpus with hot shingles that join emits O(df²) rows
+    per hot shingle before any threshold applies. This variant joins only
+    on each document's PREFIX: order the set by ascending document
+    frequency (rarest first, sh_h tie-break); for Jaccard >= t a
+    qualifying pair must share an element inside BOTH sides' first
+    ``|d| - ceil(t·|d|) + 1`` elements (J >= t forces inter >= t·|A| and
+    >= t·|B|, so skipping a whole prefix caps inter below t·|d| — the
+    filter is LOSSLESS, asserted against the brute-force join in
+    tests/test_prefix_jaccard.py). Hot shingles are by definition frequent,
+    so they sort to the END of each set and out of most prefixes: the
+    candidate join's fanout is bounded by prefix rows, not raw df².
+
+    Exactness: the threshold is a RATIONAL t_num/t_den applied in integer
+    arithmetic on both the prefix length (``ceil(t·n) = (t_num·n +
+    t_den - 1) div t_den``) and the final test (``t_den·inter >=
+    t_num·(na + nb - inter)``) — an IEEE ``ceil(0.6 * 5)`` evaluates to
+    ceil(3.0000000000000004) = 4 and silently SHORTENS the prefix, which
+    breaks losslessness; the integer forms can't.
+
+    Verify cost: candidates expand by the A-side set (one keyed join per
+    side), O(|cand|·avg_set), all hash equi-joins.
+    """
+    sh = _shingle_sets(df, id_col, text_col, n)
+    ex = explode_nonempty(sh, ["doc_id"], "shingles", "shingle").select(
+        "doc_id", F.xxhash64("shingle").alias("sh_h")
+    )
+    # three consumers (freq, prefix ranking, verify) on different keys:
+    # persist the exploded table once, same rationale as minhash_lsh_pairs
+    ex = ex.persist()
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    cand = prefix_candidates(ex, sizes, t_num, t_den)
+    ea = ex.select(F.col("doc_id").alias("doc_a"), "sh_h")
+    eb = ex.select(F.col("doc_id").alias("doc_b"), "sh_h")
+    inter = (
+        cand.join(ea, "doc_a")
+        .join(eb, ["doc_b", "sh_h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(
+            F.lit(t_den) * F.col("inter")
+            >= F.lit(t_num) * (F.col("na") + F.col("nb") - F.col("inter"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6).alias(
+                "jaccard"
+            ),
+        )
     )

@@ -35,6 +35,7 @@ from ..operators.sampling import hash_sample, shuffle_order, stratified_sample
 from ..operators.dedup import (
     exact_dedup,
     fingerprint_dedup,
+    jaccard_prefix_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_table,
@@ -158,6 +159,35 @@ def dd_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 )
 def dd_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return ngram_jaccard_pairs(_corpus(spark, sf), "doc_id", "text", n=3, threshold=0.5)
+
+
+@register(
+    "dd_jaccard_prefix",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM corpus),
+    sized AS (SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh),
+    ex AS (SELECT doc_id, n_sh, unnest(shingles) AS shingle FROM sized),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+             count(*) AS inter
+      FROM ex a JOIN ex b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, round(inter / (na + nb - inter), 6) AS jaccard
+    FROM pairs WHERE 5 * inter >= 3 * (na + nb - inter)
+    """,
+    doc="prefix-filtered exact Jaccard join (AllPairs/PPJoin rule): "
+    "candidates must share an element of BOTH docs' rarest-first prefixes, "
+    "bounding hot-shingle fanout by prefix rows instead of df^2; lossless "
+    "(the oracle is the BRUTE all-shared-shingle join at the same rational "
+    "3/5 threshold, so a green row proves no pair was pruned); integer "
+    "threshold arithmetic on both engines — see "
+    "operators/dedup.py:jaccard_prefix_pairs",
+)
+def dd_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    return jaccard_prefix_pairs(_corpus(spark, sf), "doc_id", "text", n=3, t_num=3, t_den=5)
 
 
 @register(

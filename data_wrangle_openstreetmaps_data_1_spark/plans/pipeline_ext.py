@@ -2144,3 +2144,68 @@ def u_join_ivm(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "ml_ols_fit",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+             CAST(sum(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+             CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+             CAST(sum(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy,
+             CAST(sum(CAST(round(l_extendedprice) AS BIGINT) * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag AS grp, n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+           round((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE), 4) AS intercept,
+           round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+    FROM m ORDER BY grp
+    """,
+    doc="distributed closed-form OLS (price ~ quantity per returnflag): "
+    "the five moment sums are exact int64 (map-side partials, order-free "
+    "at any parallelism — x is integer-valued quantity, y integer dollars; "
+    "int64 headroom to ~sf100, documented), finished by one identical IEEE "
+    "double expression on both engines — bit-deterministic regression "
+    "without MLlib, the model-fit member of the a_corr_pearson family; "
+    "k×1 result collects nothing data-sized",
+)
+def ml_ols_fit(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round("l_extendedprice").cast("long").alias("y"),
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    dn, dsx, dsy = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    dsxx, dsxy, dsyy = (F.col(c).cast("double") for c in ("sxx", "sxy", "syy"))
+    cov_n2 = dn * dsxy - dsx * dsy
+    varx_n2 = dn * dsxx - dsx * dsx
+    vary_n2 = dn * dsyy - dsy * dsy
+    slope = cov_n2 / varx_n2
+    return (
+        m.select(
+            F.col("l_returnflag").alias("grp"),
+            "n",
+            F.round(slope, 6).alias("slope"),
+            F.round((dsy - slope * dsx) / dn, 4).alias("intercept"),
+            F.round((cov_n2 * cov_n2) / (varx_n2 * vary_n2), 6).alias("r2"),
+        )
+        .orderBy("grp")
+    )
