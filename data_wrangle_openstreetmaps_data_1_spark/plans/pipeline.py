@@ -425,6 +425,61 @@ def dd_groups_minhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "dd_keep_best",
+    f"""
+    WITH RECURSIVE mh_pairs AS ({_minhash_oracle()}),
+    corpus AS ({_CORPUS_SQL}),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+              UNION SELECT doc_b, doc_a FROM mh_pairs),
+    walk(id, label) AS (
+      SELECT doc_id, doc_id FROM corpus
+      UNION
+      SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.id
+      WHERE w.label < e.b
+    ),
+    g AS (SELECT id AS doc_id, min(label) AS group_id FROM walk GROUP BY id),
+    scored AS (SELECT g.group_id, g.doc_id, length(c.text) AS len
+               FROM g JOIN corpus c ON c.doc_id = g.doc_id),
+    r AS (SELECT group_id, doc_id, len,
+                 row_number() OVER (PARTITION BY group_id
+                                    ORDER BY len DESC, doc_id ASC) AS rk,
+                 count(*) OVER (PARTITION BY group_id) AS n_members
+          FROM scored)
+    SELECT group_id, doc_id AS best_doc, CAST(len AS BIGINT) AS best_len,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM r WHERE rk = 1 AND n_members > 1
+    """,
+    doc="canonical-copy selection per near-dup group — the production "
+    "dedup keep rule upgraded from min-id to BEST-copy: groups from the "
+    "same LSH->verify->CC closure as dd_groups_minhash, then one window "
+    "argmax per group by (length DESC, doc_id ASC) picks the most complete "
+    "copy (the planted near-dups are head-trimmed, so length is the "
+    "completeness signal); only multi-member groups emit. One extra "
+    "group-keyed shuffle over the closure output",
+)
+def dd_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    corpus = _corpus(spark, sf)
+    pairs = minhash_lsh_pairs(corpus, "doc_id", "text", n=3, k=16, bands=4, threshold=0.4)
+    groups = dedup_groups(corpus, pairs, id_col="doc_id", pair_a="doc_a", pair_b="doc_b")
+    scored = groups.select("doc_id", "group_id").join(
+        corpus.select("doc_id", F.length("text").cast("long").alias("len")), "doc_id"
+    )
+    w = Window.partitionBy("group_id").orderBy(F.desc("len"), F.asc("doc_id"))
+    wc = Window.partitionBy("group_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wc))
+        .where((F.col("rk") == 1) & (F.col("n_members") > 1))
+        .select(
+            "group_id",
+            F.col("doc_id").alias("best_doc"),
+            F.col("len").alias("best_len"),
+            "n_members",
+        )
+    )
+
+
+@register(
     "dd_minhash_lsh_fast",
     None,  # xxhash64 has no DuckDB twin -> rows-only driver check; the
     # candidate-independent property (every emitted pair really has
