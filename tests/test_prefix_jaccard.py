@@ -76,3 +76,51 @@ def test_prefix_candidates_fewer_than_all_shingle_candidates(spark):
         a.join(b, "sh_h").where(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b").distinct().count()
     )
     assert n_pref < n_all, (n_pref, n_all)
+
+
+# ---- property-based losslessness vs a pure-Python reference ----------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# tiny vocab forces hot shingles (the case the prefix filter optimizes) and
+# frequent near-dups (the case it must not lose)
+_words = st.sampled_from([f"w{i}" for i in range(5)])
+_doc = st.lists(_words, min_size=0, max_size=15).map(" ".join)
+_corpus = st.lists(_doc, min_size=2, max_size=8).map(
+    lambda texts: [(i, t) for i, t in enumerate(texts)]
+)
+
+
+def _py_shingles(text: str, n: int = 3) -> set:
+    toks = text.strip().lower().split()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(corpus=_corpus)
+def test_prefix_join_lossless_vs_python_reference(spark, corpus):
+    """For every generated corpus the prefix-filtered join must emit
+    EXACTLY the pairs with Jaccard >= 3/5 — computed here by brute-force
+    set arithmetic sharing no code with the operator."""
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_prefix_pairs(df, "doc_id", "text", n=3, t_num=3, t_den=5).collect()
+    }
+    want = {}
+    for i, ta in corpus:
+        sa = _py_shingles(ta)
+        for j, tb in corpus:
+            if j <= i:
+                continue
+            sb = _py_shingles(tb)
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            if union and 5 * inter >= 3 * union:
+                want[(i, j)] = round(inter / union, 6)
+    assert got == want
