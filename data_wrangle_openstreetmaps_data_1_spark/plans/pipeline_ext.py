@@ -2209,3 +2209,98 @@ def ml_ols_fit(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+@register(
+    "a_event_pattern_match",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(regexp_extract_all(s, 'vc*p')) AS BIGINT) AS n_matches
+    FROM seq
+    WHERE len(regexp_extract_all(s, 'vc*p')) > 0
+    ORDER BY user_id
+    """,
+    doc="MATCH_RECOGNIZE-style event-sequence detection: each user's "
+    "event-type initials collapse to ONE ordered string per user (a "
+    "single user-keyed shuffle; per-user state is bounded by their event "
+    "count, the same bound any sequence automaton needs), then the "
+    "pattern 'view (clicks)* purchase' runs as a regex over that string — "
+    "non-overlapping scan semantics agree across engines; ordering is "
+    "total via the (ts, event_id) tie-break so the string is unique",
+)
+def a_event_pattern_match(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("c")
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "c"))),
+                lambda s: s["c"],
+            ),
+        ).alias("s")
+    )
+    n = F.size(F.regexp_extract_all(F.col("s"), F.lit("vc*p"), F.lit(0)))
+    return (
+        seq.where(n > 0)
+        .select("user_id", n.cast("long").alias("n_matches"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "t_ohlc_bars",
+    """
+    WITH e AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+             value, ts, event_id,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts ASC, event_id ASC) AS rk_open,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rk_close
+      FROM events
+    )
+    SELECT event_type, hour,
+           round(max(CASE WHEN rk_open = 1 THEN value END), 2) AS open,
+           round(max(value), 2) AS high,
+           round(min(value), 2) AS low,
+           round(max(CASE WHEN rk_close = 1 THEN value END), 2) AS close,
+           CAST(count(*) AS BIGINT) AS n_ticks
+    FROM e GROUP BY event_type, hour
+    ORDER BY event_type, hour
+    """,
+    doc="time-series OHLC downsampling (the financial-bars rollup): "
+    "open/close are argmin/argmax by the total (ts, event_id) order — two "
+    "window row_numbers over ONE (type, hour)-keyed sort — high/low/count "
+    "are plain partial aggs in the same pass; deterministic because the "
+    "tie-break order is total",
+)
+def t_ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    w_open = Window.partitionBy("event_type", "h").orderBy(F.asc("ts"), F.asc("event_id"))
+    w_close = Window.partitionBy("event_type", "h").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rk_open", F.row_number().over(w_open))
+        .withColumn("rk_close", F.row_number().over(w_close))
+        .groupBy("event_type", F.col("h").cast("string").alias("hour"))
+        .agg(
+            F.round(F.max(F.when(F.col("rk_open") == 1, F.col("value"))), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max(F.when(F.col("rk_close") == 1, F.col("value"))), 2).alias("close"),
+            F.count("*").alias("n_ticks"),
+        )
+        .orderBy("event_type", "hour")
+    )
