@@ -305,12 +305,15 @@ def tpch_q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT l_partkey AS partkey, round(part_value, 2) AS part_value
     FROM value_by_part
-    WHERE part_value > (SELECT 0.0015 * sum(part_value) FROM value_by_part)
+    WHERE part_value > (SELECT 1.5 * avg(part_value) FROM value_by_part)
     ORDER BY partkey
     """,
     doc="TPC-H Q11 shape: HAVING against a global scalar subquery — the "
-    "total is a broadcast 1-row aggregate cross-join (lint-allowlisted "
-    "scalar product), never a second scan per group",
+    "threshold is a broadcast 1-row aggregate cross-join (lint-allowlisted "
+    "scalar product), never a second scan per group. The literal q11 uses "
+    "a FIXED fraction of the total, which degenerates with scale (0 rows "
+    "at sf0.1); 1.5x the MEAN part value keeps the selectivity "
+    "scale-invariant while exercising the identical plan shape",
 )
 def tpch_q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
@@ -320,7 +323,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("part_value"))
     )
-    total = value.agg((F.lit(0.0015) * F.sum("part_value")).alias("threshold"))
+    total = value.agg((F.lit(1.5) * F.avg("part_value")).alias("threshold"))
     return (
         value.crossJoin(F.broadcast(total))
         .where(F.col("part_value") > F.col("threshold"))
