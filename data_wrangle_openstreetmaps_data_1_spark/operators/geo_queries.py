@@ -15,6 +15,8 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -117,8 +119,8 @@ def grid_spatial_join(
     meets exactly once because a B point lives in exactly one cell. Dense
     hot cells are a salting candidate like any skewed join key.
     """
-    if cell_deg * 110.57 < radius_km or cell_deg * 111.32 * __import__("math").cos(
-        __import__("math").radians(max_abs_lat)
+    if cell_deg * 110.57 < radius_km or cell_deg * 111.32 * math.cos(
+        math.radians(max_abs_lat)
     ) < radius_km:
         raise ValueError(
             f"cell_deg={cell_deg} too small for radius_km={radius_km} at "

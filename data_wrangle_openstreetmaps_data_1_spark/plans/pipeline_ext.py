@@ -2128,12 +2128,14 @@ def u_join_ivm(spark: SparkSession, sf: str) -> DataFrame:
     db = li.where(F.col("l_linenumber") == 1)  # newly arrived lineitems
     on = F.col("o_orderkey") == F.col("l_orderkey")
     base_view = a0.join(b0, on)
-    # the refresh: three delta terms, each O(delta x base) with the delta
-    # side broadcast (not the base — the base is the 100 TB side)
+    # the refresh: three delta terms, each O(delta x base). No broadcast
+    # HINT: the delta scales with the changelog (1/7 of orders here), so a
+    # hard hint is a forced OOM at some SF — AQE broadcasts the delta side
+    # exactly while it fits, and falls back to the keyed shuffle beyond
     delta = (
-        F.broadcast(da).join(b0, on)
-        .unionByName(a0.join(F.broadcast(db), on))
-        .unionByName(F.broadcast(da).join(db, on))
+        da.join(b0, on)
+        .unionByName(a0.join(db, on))
+        .unionByName(da.join(db, on))
     )
     maintained = base_view.unionByName(delta)
     return (

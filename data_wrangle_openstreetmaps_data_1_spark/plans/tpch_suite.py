@@ -17,12 +17,16 @@ columns:
   1-row aggregate cross-join — the only cross products, broadcast-small by
   construction;
 - outer-join aggregation distribution (q13), conditional-aggregation
-  pivots (q8, q12, q14), NOT IN as broadcast anti-join (q16), nested
-  semi-join chain (q20), multi-dim dim-broadcast joins (q2, q7, q8, q9).
+  pivots (q8, q12, q14), NOT IN as a left-anti join (q16), nested
+  semi-join chain (q20), multi-dim star joins (q2, q7, q8, q9).
 
 Scale notes (100 TB): every fact-fact join shuffles on its natural key
-(orderkey / partkey / custkey); all dimension joins are broadcast; the
-global-scalar patterns collect exactly one row. No correlated per-row
+(orderkey / partkey / custkey); the global-scalar patterns collect exactly
+one row. Broadcast HINTS appear only on tables whose size is bounded by
+the schema (nation = 25 rows, region = 5, 1-row scalar aggregates) —
+part/supplier/filtered slices all scale linearly with SF, so their joins
+carry no hint and AQE broadcasts them exactly while they fit (a hard hint
+on a scaling table is a forced OOM at some SF). No correlated per-row
 re-scans survive the rewrites — each subquery becomes one keyed shuffle.
 
 Cross-engine determinism: money sums round(2), ratios round(4) (see
@@ -57,7 +61,8 @@ _HIGH_PRIO = ("1-URGENT", "2-HIGH")
     ORDER BY p_partkey, s_name LIMIT 50
     """,
     doc="TPC-H Q2 shape: correlated scalar MIN subquery decorrelated as a "
-    "window-min over the per-(part,supplier) cost table; dims broadcast",
+    "window-min over the per-(part,supplier) cost table; AQE broadcasts "
+    "the filtered dims while they fit",
 )
 def tpch_q2_min_cost_supp(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
@@ -72,8 +77,8 @@ def tpch_q2_min_cost_supp(spark: SparkSession, sf: str) -> DataFrame:
         F.col("unit_cost") == F.col("min_cost")
     )
     return (
-        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        best.join(p, best.l_partkey == p.p_partkey)
+        .join(s, best.l_suppkey == s.s_suppkey)
         .select("p_partkey", "p_brand", "s_name", F.round("unit_cost", 4).alias("best_cost"))
         .orderBy("p_partkey", "s_name")
         .limit(50)
@@ -176,7 +181,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .where(pair)
@@ -230,12 +235,12 @@ def tpch_q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .withColumn("o_year", F.year("o_orderdate"))
         .groupBy("o_year")
@@ -279,9 +284,9 @@ def tpch_q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             F.col("n_name").alias("nation"),
@@ -319,7 +324,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
     s = load_table(spark, sf, "supplier").where(F.col("s_nationkey") == 7)
     value = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("part_value"))
     )
@@ -415,7 +420,7 @@ def tpch_q14_promo_share(spark: SparkSession, sf: str) -> DataFrame:
     p = load_table(spark, sf, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 F.lit(100.0)
@@ -461,7 +466,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(mx))
         .where(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -487,8 +492,8 @@ def tpch_q16_supplier_cnt(spark: SparkSession, sf: str) -> DataFrame:
     )
     bad = load_table(spark, sf, "supplier").where(F.col("s_acctbal") < 0.0).select("s_suppkey")
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -514,12 +519,12 @@ def tpch_q17_small_qty_rev(spark: SparkSession, sf: str) -> DataFrame:
     # the correlated avg runs over ALL lineitem rows of each part; restricting
     # to brand-filtered parts first is identical because the filter selects
     # whole partkeys
-    brand_li = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    brand_li = li.join(p, li.l_partkey == p.p_partkey)
     thresholds = brand_li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
     )
     return (
-        brand_li.join(F.broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey"))
+        brand_li.join(thresholds, F.col("l_partkey") == F.col("t_partkey"))
         .where(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"))
     )
@@ -548,7 +553,7 @@ def tpch_q20_excess_stock(spark: SparkSession, sf: str) -> DataFrame:
     p = load_table(spark, sf, "part").where(F.col("p_name").startswith("small")).select("p_partkey")
     s = load_table(spark, sf, "supplier")
     heavy = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .where(F.col("qty") > 80.0)
@@ -613,7 +618,7 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf: str) -> DataFrame:
     return (
         sole.groupBy("sole_late_supp")
         .agg(F.count("*").alias("numwait"))
-        .join(F.broadcast(s), F.col("sole_late_supp") == F.col("s_suppkey"))
+        .join(s, F.col("sole_late_supp") == F.col("s_suppkey"))
         .select("s_name", "numwait")
         .orderBy(F.desc("numwait"), "s_name")
     )

@@ -67,7 +67,6 @@ def test_q21_exists_pair_is_single_scan_aggregation(spark):
     do it in ONE lineitem scan via the per-order aggregation."""
     plan = plan_of(spark, "tpch_q21_waiting_supplier")
     assert plan.count("lineitem.parquet") == 1
-    assert "BroadcastHashJoin" in plan  # supplier name lookup stays broadcast
 
 
 def test_q16_not_in_is_broadcast_anti(spark):
