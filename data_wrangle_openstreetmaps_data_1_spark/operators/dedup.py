@@ -705,35 +705,47 @@ def jaccard_prefix_pairs(
     # recompute the CPU-bound tokenize+shingle+hash subtree (measured: the
     # un-persisted form spent ~24s of its 38s at sf0.1 re-shingling);
     # persist the COMPACT per-doc hash arrays once — the exploded rows
-    # derive from the cache with a cheap generate
+    # derive from the cache with a cheap generate. Cache lifetime is
+    # bounded to THIS call: the final (small, threshold-filtered) result
+    # is eagerly materialized via localCheckpoint below and the corpus-
+    # sized cache released before returning — a lazily returned plan
+    # would pin the shingle cache in executor memory for the session
+    # (the similarity.py leak class flagged in ADVICE r7).
     hashed = sh.select(
         "doc_id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs")
     ).persist()
-    ex = hashed.select("doc_id", F.explode_outer("hs").alias("sh_h")).where(
-        F.col("sh_h").isNotNull()
-    )
-    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    cand = prefix_candidates(ex, sizes, t_num, t_den)
-    sa = hashed.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
-    sb = hashed.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
-    verified = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("hs_a", "hs_b")).alias("inter"),
-            F.size("hs_a").alias("na"),
-            F.size("hs_b").alias("nb"),
+    try:
+        ex = hashed.select("doc_id", F.explode_outer("hs").alias("sh_h")).where(
+            F.col("sh_h").isNotNull()
         )
-    )
-    return verified.where(
-        F.lit(t_den) * F.col("inter")
-        >= F.lit(t_num) * (F.col("na") + F.col("nb") - F.col("inter"))
-    ).select(
-        "doc_a",
-        "doc_b",
-        F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6).alias(
-            "jaccard"
-        ),
-    )
+        sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        cand = prefix_candidates(ex, sizes, t_num, t_den)
+        sa = hashed.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+        sb = hashed.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+        verified = (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.size(F.array_intersect("hs_a", "hs_b")).alias("inter"),
+                F.size("hs_a").alias("na"),
+                F.size("hs_b").alias("nb"),
+            )
+        )
+        return (
+            verified.where(
+                F.lit(t_den) * F.col("inter")
+                >= F.lit(t_num) * (F.col("na") + F.col("nb") - F.col("inter"))
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(
+                    F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+                ).alias("jaccard"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        hashed.unpersist()

@@ -20,7 +20,13 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.geo import DIVIDING_LON, MILES_TO_METERS, bbox_prefilter, haversine_km
+from ..functions.geo import (
+    DIVIDING_LON,
+    EARTH_RADIUS_KM,
+    MILES_TO_METERS,
+    bbox_prefilter,
+    haversine_km,
+)
 
 
 def near(points: DataFrame, centers: DataFrame, lat_col: str = "lat", lon_col: str = "lon", radius_miles: float = 10.0) -> DataFrame:
@@ -109,17 +115,26 @@ def grid_spatial_join(
     case; this operator is for two data-sized point sets).
 
     Correctness requires the cell to dominate the radius on both axes so a
-    qualifying pair can differ by at most one cell index:
-    ``cell_deg * 111.32 * cos(max_abs_lat) >= radius_km`` (lon, worst
-    case) and ``cell_deg * 110.57 >= radius_km`` (lat) — asserted here;
-    callers with data beyond ±``max_abs_lat`` must widen the cell.
+    qualifying pair can differ by at most one cell index. The guard derives
+    km-per-degree from the SAME sphere ``haversine_km`` measures on
+    (``pi * EARTH_RADIUS_KM / 180`` ≈ 111.19 — a hardcoded WGS84-ish
+    111.32/110.57 would be ~0.1% non-conservative against the spherical
+    distance), shrunk by a 0.5% margin that also covers the chord effect
+    (haversine over Δλ is slightly LESS than linear, so one radius spans
+    slightly MORE than ``radius / (km_per_deg · cosφ)`` degrees; the
+    correction is ~2e-4 relative at Δλ = 2°, far inside the margin).
+    Callers with data beyond ±``max_abs_lat`` must widen the cell.
+    Limitation: lon cells do NOT wrap at ±180° — cells straddling the
+    antimeridian are not treated as neighbors; shift/normalize longitudes
+    first if the data crosses it.
 
     Scale: shuffle is keyed on the cell id; the A side grows 9× (ids +
     coords only — project before calling), B stays 1×. Each (a, b) pair
     meets exactly once because a B point lives in exactly one cell. Dense
     hot cells are a salting candidate like any skewed join key.
     """
-    if cell_deg * 110.57 < radius_km or cell_deg * 111.32 * math.cos(
+    km_per_deg = math.pi * EARTH_RADIUS_KM / 180.0 * 0.995  # margin: see docstring
+    if cell_deg * km_per_deg < radius_km or cell_deg * km_per_deg * math.cos(
         math.radians(max_abs_lat)
     ) < radius_km:
         raise ValueError(

@@ -303,14 +303,21 @@ def tpch_q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
     "tpch_q11_important_stock",
     """
     WITH value_by_part AS (
-      SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS part_value
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) AS BIGINT) AS pv_cents
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       WHERE s_nationkey = 7
       GROUP BY l_partkey
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pv_cents) AS BIGINT) AS total_cents
+      FROM value_by_part
     )
-    SELECT l_partkey AS partkey, round(part_value, 2) AS part_value
-    FROM value_by_part
-    WHERE part_value > (SELECT 1.5 * avg(part_value) FROM value_by_part)
+    SELECT l_partkey AS partkey, round(pv_cents / 100.0, 2) AS part_value
+    FROM value_by_part, tot
+    WHERE 2 * n * pv_cents > 3 * total_cents
     ORDER BY partkey
     """,
     doc="TPC-H Q11 shape: HAVING against a global scalar subquery — the "
@@ -318,21 +325,30 @@ def tpch_q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
     "scalar product), never a second scan per group. The literal q11 uses "
     "a FIXED fraction of the total, which degenerates with scale (0 rows "
     "at sf0.1); 1.5x the MEAN part value keeps the selectivity "
-    "scale-invariant while exercising the identical plan shape",
+    "scale-invariant while exercising the identical plan shape. The "
+    "threshold test runs in exact int64 cents (part_value > 1.5*avg "
+    "⟺ 2·n·pv_cents > 3·total_cents): double partial-sum order differs "
+    "between engines, so a float threshold can flip row MEMBERSHIP on a "
+    "boundary part — sharper than an output-rounding wobble. Headroom: "
+    "3·total_cents ~ 2e15 at sf1, int64-safe past sf1000",
 )
 def tpch_q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
     s = load_table(spark, sf, "supplier").where(F.col("s_nationkey") == 7)
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
     value = (
         li.join(s, li.l_suppkey == s.s_suppkey)
         .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("part_value"))
+        .agg(F.sum(cents).alias("pv_cents"))
     )
-    total = value.agg((F.lit(1.5) * F.avg("part_value")).alias("threshold"))
+    total = value.agg(F.count("*").alias("n"), F.sum("pv_cents").alias("total_cents"))
     return (
         value.crossJoin(F.broadcast(total))
-        .where(F.col("part_value") > F.col("threshold"))
-        .select(F.col("l_partkey").alias("partkey"), F.round("part_value", 2).alias("part_value"))
+        .where(F.lit(2) * F.col("n") * F.col("pv_cents") > F.lit(3) * F.col("total_cents"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round(F.col("pv_cents") / 100.0, 2).alias("part_value"),
+        )
         .orderBy("partkey")
     )
 
@@ -437,19 +453,23 @@ def tpch_q14_promo_share(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) AS BIGINT) AS rev_cents
       FROM lineitem
       WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
       GROUP BY l_suppkey
     )
-    SELECT s_suppkey, s_name, total_revenue
+    SELECT s_suppkey, s_name, round(rev_cents / 100.0, 2) AS total_revenue
     FROM supplier JOIN revenue ON s_suppkey = supplier_no
-    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    WHERE rev_cents = (SELECT max(rev_cents) FROM revenue)
     ORDER BY s_suppkey
     """,
     doc="TPC-H Q15 shape: top supplier via a scalar MAX subquery over a "
-    "derived view — max is a broadcast 1-row aggregate, not a global sort; "
-    "equality compares round(2) values so both engines agree bit-for-bit",
+    "derived view — max is a broadcast 1-row aggregate, not a global sort. "
+    "The row-selecting equality runs on exact int64 cents (per-row "
+    "round-to-cents, order-free integer sum): equality on round(sum(dbl),2) "
+    "can flip row MEMBERSHIP when engines' partial-sum order lands a "
+    "supplier on a half-cent boundary; the integer form cannot",
 )
 def tpch_q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem").where(
@@ -457,17 +477,20 @@ def tpch_q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
     )
     s = load_table(spark, sf, "supplier")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "total_revenue"
-        )
+        F.sum(cents).alias("rev_cents")
     )
-    mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    mx = revenue.agg(F.max("rev_cents").alias("max_cents"))
     return (
         revenue.crossJoin(F.broadcast(mx))
-        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .where(F.col("rev_cents") == F.col("max_cents"))
         .join(s, F.col("supplier_no") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev_cents") / 100.0, 2).alias("total_revenue"),
+        )
         .orderBy("s_suppkey")
     )
 
