@@ -858,7 +858,18 @@ def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
     without it DuckDB inlines each reference and the plan grows ~10x per
     round (measured: 4 rounds 2.2s, 6 rounds >150s; materialized, 6
     rounds run in 0.23s). The Spark operator gets the same linearity from
-    its per-round persist + 1-row argmax collect."""
+    its per-round localCheckpoint + 1-row argmax collect."""
+    final = "\n    UNION ALL ".join(
+        f"SELECT {r + 1} AS rnd, a AS lft, b AS rgt, CAST(pc AS BIGINT) AS pair_count FROM best{r}"
+        for r in range(rounds)
+    )
+    return _bpe_with_block(_bpe_round_ctes(rounds)) + final + "\n    "
+
+
+def _bpe_round_ctes(rounds: int) -> list[str]:
+    """Per-round CTE chain shared by the training and encode oracles:
+    p{r}/best{r} learn round r's rule, h/i/t/s{r+1} apply it (see
+    :func:`_bpe_oracle` for the semantics of each step)."""
     ctes = []
     for r in range(rounds):
         ctes.append(f"""
@@ -900,10 +911,10 @@ def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
                             0) AS prev_taken
             FROM t{r}) y
       WHERE prev_taken = 0)""")
-    final = "\n    UNION ALL ".join(
-        f"SELECT {r + 1} AS rnd, a AS lft, b AS rgt, CAST(pc AS BIGINT) AS pair_count FROM best{r}"
-        for r in range(rounds)
-    )
+    return ctes
+
+
+def _bpe_with_block(ctes: list[str]) -> str:
     return f"""
     WITH words AS (
       SELECT w, count(*) AS cnt FROM (
@@ -913,8 +924,23 @@ def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
       SELECT w AS w_id, CAST(i AS BIGINT) AS pos, w[i] AS sym, cnt
       FROM words, unnest(range(1, length(w) + 1)) AS u(i)),
     {",".join(ctes)}
-    {final}
     """
+
+
+def _bpe_encode_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    """Unrolled BPE ENCODE as DuckDB CTEs: the same training rounds as
+    :func:`_bpe_oracle` (each round's argmax rule = the rule the Spark side
+    learns from the same corpus, deterministic tie-break) but the final
+    select reads s{rounds} — the symbol table AFTER all ``rounds`` rules
+    applied (training skips the last application; the CTE chain already
+    emits it) — aggregated to corpus token frequencies."""
+    return (
+        _bpe_with_block(_bpe_round_ctes(rounds))
+        + f"""SELECT sym AS token, CAST(count(*) AS BIGINT) AS n_positions,
+           CAST(sum(cnt) AS BIGINT) AS occurrences
+    FROM s{rounds} GROUP BY sym ORDER BY token
+    """
+    )
 
 
 @register(
@@ -936,6 +962,36 @@ def tx_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.bpe import bpe_merges
 
     return bpe_merges(load_table(spark, sf, "documents"), "text", rounds=_BPE_ROUNDS)
+
+
+@register(
+    "tx_bpe_encode",
+    _bpe_encode_oracle(),
+    doc="BPE tokenizer APPLICATION — tokenize the corpus with the learned "
+    "merge rules (the half a pipeline actually runs at scale, consuming "
+    "tx_bpe_merges' output): operators/bpe.py:bpe_encode applies each "
+    "rule in rnd order with the SAME greedy leftmost non-overlapping "
+    "gaps-and-islands transform the trainer used (shared _apply_merge — "
+    "learned rules and their application can never drift), over the "
+    "DISTINCT-WORD symbol table, per round localCheckpoint-ed so plan "
+    "depth stays O(1) in rules (32-round demo: tests/test_bpe_rounds.py). "
+    "100 TB shape: one corpus word-count groupBy, then vocab-bounded "
+    "window rounds; the driver holds only the bounded rule list. Output "
+    "= corpus token frequencies (count over distinct-word positions, sum "
+    "weighted by word frequency); oracle = the training CTE chain read at "
+    "s{rounds}, the post-application symbol table",
+)
+def tx_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.bpe import bpe_encode, bpe_merges
+
+    docs = load_table(spark, sf, "documents")
+    rules = bpe_merges(docs, "text", rounds=_BPE_ROUNDS)
+    enc = bpe_encode(docs, "text", rules)
+    return (
+        enc.groupBy(F.col("sym").alias("token"))
+        .agg(F.count("*").alias("n_positions"), F.sum("cnt").alias("occurrences"))
+        .orderBy("token")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -296,7 +296,8 @@ def test_no_unexpected_products_registry_wide(spark):
     # their own plan tests above)
     SKIP_PREFIXES = ("st_",)
     SKIP = {"dd_groups_cc", "dd_groups_cc_star", "dd_groups_minhash",
-            "ml_kmeans", "dd_semantic", "tx_bpe_merges"}
+            "ml_kmeans", "dd_semantic", "tx_bpe_merges", "tx_bpe_encode",
+            "dd_jaccard_prefix"}
     offenders = {}
     for name, fn in query_map().items():
         if name.startswith(SKIP_PREFIXES) or name in SKIP:
