@@ -21,10 +21,18 @@ Scale design (100 TB changelog):
   then merges via ONE full-outer equi-join on the key against the current
   snapshot: cost per batch is O(|batch| + |snapshot|) with both sides
   hash-partitioned on user_id, never a rescan of the log;
-- snapshot versions are immutable parquet directories (v0, v1, ...): the
+- snapshot versions are immutable BUCKETED parquet tables (v1, v2, ...,
+  hash-bucketed on user_id via sources/layout.py:write_bucketed): the
   merge reads version N and writes version N+1, which is exactly the
-  copy-on-write table pattern (Delta/Iceberg MERGE INTO); at scale the
-  join is per-key-bucket and only changed buckets would be rewritten;
+  copy-on-write table pattern (Delta/Iceberg MERGE INTO). Because the
+  snapshot scan carries its bucket distribution, the per-batch full-outer
+  merge shuffles ONLY the (compacted) batch side — the snapshot is never
+  re-exchanged (round-7 review item; measured from executed-plan metrics
+  in tools/cdcbucket_win.py → CDCBUCKET_WIN.json, plan pinned in
+  tests/test_streaming_cdc.py). Per-batch cost is O(batch-shuffle +
+  snapshot-rewrite); the remaining scale step — rewriting only CHANGED
+  buckets instead of all of them — needs a transactional table format's
+  file-level commit log and is out of scope here;
 - nothing data-sized touches the driver during the stream; the harness
   return path collects the final snapshot under a row guard purely because
   the oracle comparison needs a driver-side result (same trade as
@@ -52,6 +60,9 @@ from .ingest import read_events_stream
 
 TOMBSTONE_EVENT = "error"
 _MAX_DRIVER_ROWS = 200_000
+# snapshot bucket count: fixed across versions so every merge sees the same
+# distribution; at cluster scale size it to snapshot_bytes / target_file_size
+SNAPSHOT_BUCKETS = 8
 
 _SNAPSHOT_SCHEMA = StructType(
     [
@@ -103,31 +114,71 @@ def merge_snapshot(snapshot: DataFrame, changes: DataFrame) -> DataFrame:
     return joined.select(*[pick(f.name) for f in _SNAPSHOT_SCHEMA.fields])
 
 
+def write_snapshot_version(
+    df: DataFrame, workdir: str, version: int, bucketed: bool = True
+) -> str:
+    """Persist snapshot version ``version``; returns the table name (bucketed
+    mode) or parquet path (plain mode) to hand to :func:`read_snapshot`.
+
+    Bucketed mode hash-buckets on ``user_id`` (SNAPSHOT_BUCKETS) so the NEXT
+    merge's full-outer join satisfies the snapshot side's distribution from
+    the scan — the whole point of the copy-on-write rewrite. Plain mode is
+    kept for the A/B measurement in tools/cdcbucket_win.py."""
+    path = os.path.join(workdir, f"v{version}")
+    if not bucketed:
+        df.write.parquet(path)
+        return path
+    from ..sources.layout import write_bucketed
+
+    table = f"cdc_{os.path.basename(workdir).lower()}_v{version}"
+    write_bucketed(df, table, path, ["user_id"], SNAPSHOT_BUCKETS)
+    return table
+
+
+def read_snapshot(spark: SparkSession, ref: str) -> DataFrame:
+    """Read a snapshot version written by :func:`write_snapshot_version` —
+    a catalog table name (bucketed; scan carries the bucket distribution)
+    or a parquet path (plain mode)."""
+    return spark.read.parquet(ref) if os.path.sep in ref else spark.table(ref)
+
+
 def run_cdc_apply_once(
     spark: SparkSession,
     sf_dir: str,
     max_files_per_trigger: int | None = None,
+    bucketed: bool = True,
 ) -> DataFrame:
     """Drain the events changelog into a snapshot and return the live rows.
 
     Each micro-batch: compact → merge with snapshot version N → write
-    version N+1 (immutable parquet). The returned DataFrame is the final
-    version with tombstones filtered, shaped for the oracle comparison.
+    version N+1 (immutable bucketed parquet; only the batch side shuffles —
+    module docstring). The returned DataFrame is the final version with
+    tombstones filtered, shaped for the oracle comparison.
     """
     stream = read_events_stream(spark, sf_dir, max_files_per_trigger)
     workdir = tempfile.mkdtemp(prefix="cdc_apply_")
-    state = {"path": None, "version": 0}
+    state: dict = {"ref": None, "version": 0, "tables": []}
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        changes = compact_changes(batch_df)
-        if state["path"] is None:
+        # ONE batch-side exchange serves the whole merge: repartitioning to
+        # the snapshot's bucket spec satisfies BOTH the compact window's
+        # clustering and the join's co-partitioning with the bucketed scan
+        # (an explicit numPartitions repartition is AQE-stable), so the
+        # steady-state plan has zero snapshot-side exchanges
+        changes = compact_changes(
+            batch_df.repartition(SNAPSHOT_BUCKETS, "user_id")
+        )
+        if state["ref"] is None:
             snapshot = spark.createDataFrame([], _SNAPSHOT_SCHEMA)
         else:
-            snapshot = spark.read.parquet(state["path"])
-        out = os.path.join(workdir, f"v{state['version'] + 1}")
-        merge_snapshot(snapshot, changes).write.parquet(out)
-        state["path"] = out
+            snapshot = read_snapshot(spark, state["ref"])
         state["version"] += 1
+        ref = write_snapshot_version(
+            merge_snapshot(snapshot, changes), workdir, state["version"], bucketed
+        )
+        state["ref"] = ref
+        if os.path.sep not in ref:
+            state["tables"].append(ref)
 
     q = (
         stream.writeStream.foreachBatch(process_batch)
@@ -138,10 +189,10 @@ def run_cdc_apply_once(
     q.awaitTermination()
 
     try:
-        if state["path"] is None:
+        if state["ref"] is None:
             return spark.createDataFrame([], "user_id long, last_event_type string, last_value double, last_ts string")
         final = (
-            spark.read.parquet(state["path"])
+            read_snapshot(spark, state["ref"])
             .where(F.col("op") != "D")
             .select(
                 "user_id",
@@ -160,4 +211,6 @@ def run_cdc_apply_once(
         return spark.createDataFrame(rows, final.schema)
     finally:
         # the returned rows are materialized, so the version chain can go
+        for t in state["tables"]:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(workdir, ignore_errors=True)

@@ -113,3 +113,55 @@ def test_compact_keeps_only_latest_change_per_key(spark):
     out = {r["user_id"]: r for r in compact_changes(batch).collect()}
     assert out[1]["event_id"] == 11 and out[1]["op"] == "U"
     assert out[2]["op"] == "D"
+
+
+def test_bucketed_snapshot_merge_shuffles_batch_side_only(spark, tmp_path):
+    """The steady-state merge plan over a BUCKETED snapshot has exactly ONE
+    exchange — the batch side's explicit bucket-spec repartition; the
+    snapshot scan satisfies its distribution from the bucket metadata. The
+    plain-parquet snapshot costs a second, snapshot-sized exchange every
+    micro-batch (measured at sf0.1 in CDCBUCKET_WIN.json: 26x the shuffle
+    bytes). Counted from the EXECUTED plan so AQE can't hide one."""
+    from data_wrangle_openstreetmaps_data_1_spark.streaming.cdc import (
+        SNAPSHOT_BUCKETS,
+        read_snapshot,
+        write_snapshot_version,
+    )
+
+    def n_exchanges(df):
+        total = 0
+        stack = [df._jdf.queryExecution().executedPlan()]
+        while stack:
+            node = stack.pop()
+            name = node.nodeName()
+            if name.startswith("Exchange"):
+                total += 1
+            if "QueryStage" in name:
+                stack.append(node.plan())
+                continue
+            if name.startswith("AdaptiveSparkPlan"):
+                stack.append(node.executedPlan())
+                continue
+            ch = node.children()
+            stack.extend(ch.apply(i) for i in range(ch.size()))
+        return total
+
+    base = _snap(
+        spark,
+        [(i, "view", float(i), _ts("2024-01-01T00:10:00"), i, "U") for i in range(200)],
+    )
+    for bucketed, want in ((True, 1), (False, 2)):
+        workdir = str(tmp_path / ("b" if bucketed else "p"))
+        import os as _os
+
+        _os.makedirs(workdir)
+        ref = write_snapshot_version(base, workdir, 1, bucketed=bucketed)
+        batch = _snap(
+            spark,
+            [(7, "click", 9.0, _ts("2024-01-01T01:00:00"), 1000, "U")],
+        ).repartition(SNAPSHOT_BUCKETS, "user_id")
+        merged = merge_snapshot(read_snapshot(spark, ref), batch)
+        assert merged.count() == 200
+        assert n_exchanges(merged) == want, f"bucketed={bucketed}"
+        if _os.path.sep not in ref:
+            spark.sql(f"DROP TABLE IF EXISTS {ref}")
