@@ -2269,6 +2269,38 @@ def ml_ols_fit(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_PATTERN_MAX_EVENTS_PER_USER = 10_000_000
+
+
+def _guard_max_events_per_key(
+    df: DataFrame, key: str, cap: int = _PATTERN_MAX_EVENTS_PER_USER
+) -> None:
+    """Skew guard for per-key full-history materialization: the sequence
+    string a_event_pattern_match builds is ONE row per key sized by that
+    key's event count, so a bot key with hundreds of millions of events
+    becomes a multi-GB single row on one executor inside collect_list —
+    after it's too late to fail cleanly. This pre-pass is a count-only
+    aggregation (map-side partials; only (key, count) rows shuffle, never
+    events) reduced to one driver scalar, and raises loudly with the
+    offending cardinality so the caller can switch to chunked matching
+    (overlap = pattern_length - 1) or drop/sample the key."""
+    top = (
+        df.groupBy(key)
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"))
+        .limit(1)
+        .collect()
+    )
+    if top and top[0]["n"] > cap:
+        raise ValueError(
+            f"event-pattern skew guard: key {key}={top[0][key]!r} has "
+            f"{top[0]['n']} events > cap {cap}; its sequence string would "
+            f"materialize ~{top[0]['n']} bytes in a single row on one "
+            "executor — raise the cap only with executor memory to match, "
+            "or chunk the match with overlap = pattern_length - 1"
+        )
+
+
 @register(
     "a_event_pattern_match",
     """
@@ -2289,12 +2321,18 @@ def ml_ols_fit(spark: SparkSession, sf: str) -> DataFrame:
     "count, the same bound any sequence automaton needs), then the "
     "pattern 'view (clicks)* purchase' runs as a regex over that string — "
     "non-overlapping scan semantics agree across engines; ordering is "
-    "total via the (ts, event_id) tie-break so the string is unique",
+    "total via the (ts, event_id) tie-break so the string is unique. "
+    "Skew guard: a cheap count-per-key pre-pass (map-side partials, no "
+    "data-sized rows) fails LOUDLY before collect_list can materialize a "
+    "bot user's multi-GB history on one executor — memory bound is "
+    "max_events_per_user bytes of string per key (default 10M ≈ 10 MB); "
+    "beyond it, chunked matching with overlap |pattern|-1 is the rewrite",
 )
 def a_event_pattern_match(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events").select(
         "user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("c")
     )
+    _guard_max_events_per_key(ev, "user_id")
     seq = ev.groupBy("user_id").agg(
         F.concat_ws(
             "",

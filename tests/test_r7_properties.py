@@ -166,3 +166,21 @@ def test_grid_join_raises_when_cell_cannot_cover_radius(spark):
     b = spark.createDataFrame([(2, 47.0, -117.0)], "id_b long, lat double, lon double")
     with pytest.raises(ValueError):
         grid_spatial_join(a, b, radius_km=50.0, cell_deg=0.1)
+
+
+def test_event_pattern_skew_guard(spark):
+    """The count-only pre-pass raises BEFORE any history string can
+    materialize when one key's event count exceeds the cap, and stays
+    silent otherwise (plans/pipeline_ext.py:_guard_max_events_per_key)."""
+    import pytest
+
+    from data_wrangle_openstreetmaps_data_1_spark.plans.pipeline_ext import (
+        _guard_max_events_per_key,
+    )
+
+    df = spark.createDataFrame(
+        [(1, i) for i in range(6)] + [(2, 0)], "user_id long, event_id long"
+    )
+    with pytest.raises(ValueError, match="skew guard.*user_id=1.*6 events"):
+        _guard_max_events_per_key(df, "user_id", cap=5)
+    _guard_max_events_per_key(df, "user_id", cap=6)  # at the cap: fine
