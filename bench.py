@@ -97,6 +97,11 @@ def main() -> None:
                 "queries": timings,
                 "reps": all_reps,
                 "core11_value": round(sum(timings[q] for q in core11 if q in timings), 3),
+                # pinned reference (r7, BENCH_sf1_local.json sf01_same_code):
+                # quiet-window core11 on this host is 6.32s — compare noisy
+                # round values against THIS line before calling a regression
+                # (first-rep/min spreads in `reps` show multi-second jitter)
+                "core11_quiet_window_ref": 6.32,
                 "sf": sf_val,
             }
         )

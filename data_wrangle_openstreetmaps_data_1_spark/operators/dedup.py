@@ -689,16 +689,21 @@ def jaccard_prefix_pairs(
     earlier exploded-verify (candidate × per-shingle rows) measured 19x
     slower than the plain join at sf0.1 from the |cand|·avg_set fanout.
 
-    Honest corpus note, measured at sf0.1 (6.7k docs, avg 52 shingles,
-    near-uniform shingle frequencies): prefix filtering cuts candidates
-    2.04M → 505k and the size filter to 325k (6.3x), but the plain
-    all-shared-shingle join still wins on wall time here (2.4s vs 14.4s)
-    because this synthetic corpus has NO hot shingles — its df² blowup
-    never happens, while the prefix pays its freq-join + per-doc ranking
-    up front. This operator is the insurance for adversarial/real
-    distributions (boilerplate headers, templated text) where hot
-    shingles make the plain join quadratic; on benign corpora prefer
-    ``ngram_jaccard_pairs``.
+    Corpus trade, MEASURED both ways (tools/prefixjoin_win.py →
+    PREFIXJOIN_WIN.json, r8): on the hot-shingle-FREE sf0.1 corpus the
+    plain all-shared-shingle join still wins on wall (≈3.0s vs ≈4.5s —
+    its df² blowup never happens while the prefix pays its freq-join +
+    per-doc ranking up front), but on the boilerplate fixture the
+    operator exists for (a 64-word license-header block prepended to 10%
+    of a 50k-doc corpus — the CCNet reality) the plain join's
+    pre-threshold volume hits 1.10 BILLION rows, its hot shingle keys
+    concentrate ~C(5000,2)-row join outputs on single straggler tasks,
+    and it loses 54.2s to 25.2s — while the prefix candidates stay at
+    7.9M (139x less) because frequent shingles rank out of every
+    rarest-first prefix. Outputs asserted identical in every case
+    (lossless). On benign corpora prefer ``ngram_jaccard_pairs``; on
+    anything boilerplate-contaminated, this operator is the difference
+    between linear and quadratic.
     """
     sh = _shingle_sets(df, id_col, text_col, n)
     # FOUR consumers (freq, prefix ranking, verify ×2 sides) would each
