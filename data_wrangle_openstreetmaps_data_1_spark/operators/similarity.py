@@ -357,21 +357,30 @@ def embedding_neardup_pairs(
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     # Persisted for the self-join below: the two join branches would each
     # re-evaluate the bands*n_planes dot products otherwise (ReusedExchange
-    # does not dedupe pre-shuffle compute; see minhash_lsh_pairs).
+    # does not dedupe pre-shuffle compute; see minhash_lsh_pairs). Cache
+    # lifetime is bounded to THIS call: the (small, tau-filtered) result is
+    # eagerly materialized via localCheckpoint and the band cache released
+    # before returning — a lazily returned plan would pin it in executor
+    # memory for the session (the ADVICE r7/r8 leak class, same fix as
+    # dedup.py:jaccard_prefix_pairs).
     banded = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.expr(f"array({keys})")).alias("bucket"),
     ).persist()
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), "bucket")
-        .where(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
-    )
-    return (
-        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a")
-        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b")
-        .select("id_a", "id_b", F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos_sim"))
-        .where(F.col("cos_sim") >= tau)
-    )
+    try:
+        cand = (
+            banded.alias("x")
+            .join(banded.alias("y"), "bucket")
+            .where(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .distinct()
+        )
+        return (
+            cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a")
+            .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b")
+            .select("id_a", "id_b", F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos_sim"))
+            .where(F.col("cos_sim") >= tau)
+            .localCheckpoint()
+        )
+    finally:
+        banded.unpersist()

@@ -95,20 +95,27 @@ def tpch_q2_min_cost_supp(spark: SparkSession, sf: str) -> DataFrame:
                   WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
     GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
-    doc="TPC-H Q4 shape: correlated EXISTS with a non-equi date predicate "
-    "inside — one left-semi shuffle join on the order key",
+    doc="TPC-H Q4 shape: correlated EXISTS with a non-equi date predicate, "
+    "DECORRELATED — EXISTS(l_shipdate > o_orderdate + 60) over a key group "
+    "≡ max(l_shipdate) per order > o_orderdate + 60, so lineitem reduces "
+    "FIRST to one (orderkey, max_shipdate) row via map-side partial max "
+    "(4x fewer join-input rows; the r8 sweep caught the semi-join form "
+    "feeding the RAW fact into the join, 3.75x at 10x data → ~2x after), "
+    "then one equi-join + residual date filter; the filtered orders side "
+    "broadcasts under AQE while it fits",
 )
 def tpch_q4_order_priority(spark: SparkSession, sf: str) -> DataFrame:
     o = load_table(spark, sf, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
         & (F.col("o_orderdate") < F.lit("1996-07-01").cast("date"))
     )
-    li = load_table(spark, sf, "lineitem")
-    kept = o.join(
-        li,
-        (o.o_orderkey == li.l_orderkey)
-        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
-        "left_semi",
+    li_max = (
+        load_table(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("max_shipdate"))
+    )
+    kept = o.join(li_max, o.o_orderkey == li_max.l_orderkey).where(
+        F.col("max_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     )
     return (
         kept.groupBy("o_orderpriority")

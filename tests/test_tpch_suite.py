@@ -47,10 +47,15 @@ def test_q2_decorrelates_to_one_window_no_rescan(spark):
     assert plan.count("lineitem.parquet") == 1
 
 
-def test_q4_exists_is_one_semi_join(spark):
+def test_q4_exists_decorrelated_to_preaggregated_join(spark):
+    """r8: the semi-join form fed the RAW lineitem fact into the join (AQE
+    broadcast a 6M-row projection at sf1 — 3.75x at 10x data); EXISTS over
+    a key group with a comparison decorrelates to max-per-key, so lineitem
+    must reduce through a partial-agg max BEFORE the single join."""
     plan = plan_of(spark, "tpch_q4_order_priority")
-    assert "LeftSemi" in plan
     assert plan.count("lineitem.parquet") == 1
+    assert "max(l_shipdate" in plan  # the pre-aggregation, not a raw scan
+    assert "partial_max" in plan.lower() or "partial" in plan.lower()
 
 
 def test_q17_correlated_avg_is_one_extra_scan_not_per_row(spark):
