@@ -103,6 +103,7 @@ def grid_spatial_join(
     radius_km: float,
     cell_deg: float,
     max_abs_lat: float = 60.0,
+    wrap_lon: bool = False,
 ) -> DataFrame:
     """Big×big radius join without a cross product: cell-bucketed candidates.
 
@@ -124,9 +125,14 @@ def grid_spatial_join(
     slightly MORE than ``radius / (km_per_deg · cosφ)`` degrees; the
     correction is ~2e-4 relative at Δλ = 2°, far inside the margin).
     Callers with data beyond ±``max_abs_lat`` must widen the cell.
-    Limitation: lon cells do NOT wrap at ±180° — cells straddling the
-    antimeridian are not treated as neighbors; shift/normalize longitudes
-    first if the data crosses it.
+
+    Antimeridian: by default lon cells do NOT wrap at ±180° — cells
+    straddling it are not neighbors. Pass ``wrap_lon=True`` for data that
+    crosses it: lon cells are then indexed modulo the ring size
+    360/cell_deg and the A side's neighbor explode wraps. Wrap requires
+    cell_deg to divide 360 EXACTLY (else the seam cell is thinner than
+    ``cell_deg`` and a radius could span two cell indices there — asserted
+    here rather than silently under-matching).
 
     Scale: shuffle is keyed on the cell id; the A side grows 9× (ids +
     coords only — project before calling), B stays 1×. Each (a, b) pair
@@ -142,12 +148,28 @@ def grid_spatial_join(
             f"|lat|<={max_abs_lat}: neighbor cells would not cover the radius"
         )
     cell = lambda c: F.floor(c / F.lit(cell_deg)).cast("long")  # noqa: E731
+    if wrap_lon:
+        n_lon = 360.0 / cell_deg
+        if abs(n_lon - round(n_lon)) > 1e-9 or round(n_lon) < 3:
+            raise ValueError(
+                f"wrap_lon requires cell_deg to divide 360 exactly into >= 3 "
+                f"cells (got 360/{cell_deg} = {n_lon}): a thinner seam cell "
+                "could let a radius span two cell indices"
+            )
+        n_lon = int(round(n_lon))
+        # lon ∈ [-180, 180] → ring index 0..n-1 (lon = +180 wraps to 0)
+        lon_cell = lambda c: (  # noqa: E731
+            F.floor((c + F.lit(180.0)) / F.lit(cell_deg)).cast("long") % n_lon
+        )
+        wrap = lambda c: ((c % n_lon) + n_lon) % n_lon  # noqa: E731
+    else:
+        lon_cell, wrap = cell, lambda c: c
     b2 = b.select(
         "id_b",
         F.col("lat").alias("lat_b"),
         F.col("lon").alias("lon_b"),
         cell(F.col("lat")).alias("cell_lat"),
-        cell(F.col("lon")).alias("cell_lon"),
+        lon_cell(F.col("lon")).alias("cell_lon"),
     )
     offsets = F.array(F.lit(-1), F.lit(0), F.lit(1))
     a2 = (
@@ -156,10 +178,10 @@ def grid_spatial_join(
             F.col("lat").alias("lat_a"),
             F.col("lon").alias("lon_a"),
             cell(F.col("lat")).alias("base_lat"),
-            cell(F.col("lon")).alias("base_lon"),
+            lon_cell(F.col("lon")).alias("base_lon"),
         )
         .withColumn("cell_lat", F.explode(F.transform(offsets, lambda d: F.col("base_lat") + d)))
-        .withColumn("cell_lon", F.explode(F.transform(offsets, lambda d: F.col("base_lon") + d)))
+        .withColumn("cell_lon", F.explode(F.transform(offsets, lambda d: wrap(F.col("base_lon") + d))))
         .drop("base_lat", "base_lon")
     )
     dist = haversine_km(F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b"))

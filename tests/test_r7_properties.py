@@ -184,3 +184,25 @@ def test_event_pattern_skew_guard(spark):
     with pytest.raises(ValueError, match="skew guard.*user_id=1.*6 events"):
         _guard_max_events_per_key(df, "user_id", cap=5)
     _guard_max_events_per_key(df, "user_id", cap=6)  # at the cap: fine
+
+
+def test_grid_join_antimeridian_wrap(spark):
+    """Points 0.04° apart across ±180°: missed without wrap_lon (cells
+    -1800 and 1799 are not neighbors), found with it (ring indices n-1 and
+    0 are); wrap with a non-dividing cell_deg must raise, not under-match."""
+    import pytest
+
+    from data_wrangle_openstreetmaps_data_1_spark.operators.geo_queries import (
+        grid_spatial_join,
+    )
+
+    a = spark.createDataFrame([(1, 10.0, 179.98)], "id_a long, lat double, lon double")
+    b = spark.createDataFrame([(2, 10.0, -179.98)], "id_b long, lat double, lon double")
+    assert grid_spatial_join(a, b, radius_km=5.0, cell_deg=0.1).count() == 0
+    got = grid_spatial_join(a, b, radius_km=5.0, cell_deg=0.1, wrap_lon=True).collect()
+    assert len(got) == 1 and got[0]["dist_km"] < 5.0
+    # same-side pairs unaffected by wrap mode
+    b2 = spark.createDataFrame([(3, 10.0, 179.95)], "id_b long, lat double, lon double")
+    assert grid_spatial_join(a, b2, radius_km=5.0, cell_deg=0.1, wrap_lon=True).count() == 1
+    with pytest.raises(ValueError, match="divide 360 exactly"):
+        grid_spatial_join(a, b, radius_km=5.0, cell_deg=0.13, wrap_lon=True)
