@@ -97,11 +97,13 @@ def main() -> None:
                 "queries": timings,
                 "reps": all_reps,
                 "core11_value": round(sum(timings[q] for q in core11 if q in timings), 3),
-                # pinned reference (r7, BENCH_sf1_local.json sf01_same_code):
-                # quiet-window core11 on this host is 6.32s — compare noisy
-                # round values against THIS line before calling a regression
-                # (first-rep/min spreads in `reps` show multi-second jitter)
-                "core11_quiet_window_ref": 6.32,
+                # Quiet-window reference for core11 lives in
+                # BENCH_sf1_local.json (sf01_same_code, r7: 6.32s on the
+                # round-7 host) — compare noisy round values against THAT
+                # artifact before calling a regression (first-rep/min
+                # spreads in `reps` show multi-second jitter). Not emitted
+                # as a field: a hardcoded host-specific constant in every
+                # result row is misleading data anywhere else (ADVICE r8).
                 "sf": sf_val,
             }
         )

@@ -19,7 +19,10 @@ the argmax merge pair (same bounded-scalar pattern as the k-means centroid
 collect, operators/clustering.py) — and the (bounded, vocab-scale) merge
 rule list during encode.
 
-Lineage discipline: each round's symbol table is ``localCheckpoint()``-ed
+Lineage discipline: each round's symbol table is eagerly lineage-
+truncated (``partitioning.truncate_lineage``: localCheckpoint by default;
+reliable HDFS-backed checkpoint under ``spark.datawrangle.
+reliableCheckpoint`` for clusters with dynamic allocation)
 (eager — materialize to executor blocks AND truncate the logical plan).
 Plain persist caches data but keeps the full lineage, whose plan TEXT
 doubles per round; past ~10 rounds AQE's explainString alone OOMs the
@@ -34,6 +37,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..partitioning import truncate_lineage
 
 def _w_word():
     # built lazily: Window.partitionBy needs an active SparkContext,
@@ -124,7 +129,7 @@ def bpe_merges(df: DataFrame, text_col: str, rounds: int = 6) -> DataFrame:
     merges: list[tuple[int, str, str, int]] = []
     # eager localCheckpoint per round: see module docstring (lineage
     # doubles per round otherwise — the components.py driver-OOM class)
-    cur = _word_symbols(df, text_col).localCheckpoint()
+    cur = truncate_lineage(_word_symbols(df, text_col))
     for r in range(rounds):
         best = (
             cur.withColumn("nxt", F.lead("sym").over(_w_word()))
@@ -141,7 +146,7 @@ def bpe_merges(df: DataFrame, text_col: str, rounds: int = 6) -> DataFrame:
         merges.append((r + 1, a, b, int(pc)))
         if r == rounds - 1:
             break  # the last rule needs no application
-        cur = _apply_merge(cur, a, b).localCheckpoint()
+        cur = truncate_lineage(_apply_merge(cur, a, b))
     return spark.createDataFrame(
         merges, "rnd int, lft string, rgt string, pair_count long"
     )
@@ -163,7 +168,7 @@ def bpe_encode(df: DataFrame, text_col: str, merges: DataFrame) -> DataFrame:
 
     The rule list is driver-collected (bounded: real tokenizers learn
     10k-100k rules — scalar-class, like the k-means centroid collect) and
-    each round's table is ``localCheckpoint``-ed so the plan stays O(1) in
+    each round's table is lineage-truncated so the plan stays O(1) in
     rounds (module docstring; at very large rule counts the checkpoint
     cadence — every round vs every few — trades materialization cost
     against plan depth, both O(vocab) per round).
@@ -172,7 +177,7 @@ def bpe_encode(df: DataFrame, text_col: str, merges: DataFrame) -> DataFrame:
         (r["lft"], r["rgt"])
         for r in merges.select("rnd", "lft", "rgt").orderBy("rnd").collect()
     ]
-    cur = _word_symbols(df, text_col).localCheckpoint()
+    cur = truncate_lineage(_word_symbols(df, text_col))
     for a, b in rules:
-        cur = _apply_merge(cur, a, b).localCheckpoint()
+        cur = truncate_lineage(_apply_merge(cur, a, b))
     return cur

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..partitioning import truncate_lineage
+
 
 def connected_components(
     nodes: DataFrame,
@@ -60,7 +62,8 @@ def connected_components(
                 .groupBy(F.col("b").alias("id"))
                 .agg(F.min("label").alias("nbr_label"))
             )
-            # localCheckpoint (eager): materializes THIS round's labels to
+            # truncate_lineage (eager; localCheckpoint or reliable checkpoint
+            # per the package flag): materializes THIS round's labels to
             # executor blocks AND truncates the logical plan. Plain persist
             # caches data but keeps the full logical lineage, whose plan
             # TEXT doubles per round — past ~10 rounds AQE's explainString
@@ -76,7 +79,7 @@ def connected_components(
                     ).alias("new_label"),
                     F.col("label"),
                 )
-            ).localCheckpoint()
+            ).transform(truncate_lineage)
             changed = (
                 merged.agg(
                     F.sum((F.col("new_label") < F.col("label")).cast("long"))
@@ -195,7 +198,7 @@ def connected_components_star(
             .select(F.col("b").alias("u"), F.col("m").alias("v"))
             .unionByName(mins2.select(F.col("a").alias("u"), F.col("m").alias("v")))
             .distinct()
-            .localCheckpoint()
+            .transform(truncate_lineage)
         )
         digest = _edge_digest(nxt)
         if prev is not None:

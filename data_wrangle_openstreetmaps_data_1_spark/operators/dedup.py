@@ -37,7 +37,7 @@ from typing import NamedTuple
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..partitioning import explode_nonempty, spread
+from ..partitioning import explode_nonempty, spread, truncate_lineage
 from ..functions.hashing import (
     HASH64_SQL,
     HASH_P_SQL,
@@ -617,11 +617,31 @@ def prefix_candidates(
 ) -> DataFrame:
     """Candidate (doc_a, doc_b) pairs sharing an element of BOTH docs'
     rarest-first prefixes (see :func:`jaccard_prefix_pairs` for the bound
-    and the integer-arithmetic rationale), with the AllPairs SIZE filter
-    applied in the same join: J >= t forces inter >= t·max(|A|,|B|) and
-    inter <= min(|A|,|B|), so t·max <= min — size-incompatible pairs never
-    reach the verify. ``ex``: distinct (doc_id, sh_h) rows; ``sizes``:
-    (doc_id, n_sh)."""
+    and the integer-arithmetic rationale), with two lossless pre-verify
+    filters applied in the same pass:
+
+    - AllPairs SIZE filter, inside the join: J >= t forces
+      inter >= t·max(|A|,|B|) and inter <= min(|A|,|B|), so t·max <= min —
+      size-incompatible pairs never join.
+    - PPJoin POSITIONAL filter (Xiao et al. WWW'08, public literature), on
+      the per-pair aggregate that replaces the old ``.distinct()`` (same
+      shuffle, two extra int columns): every doc's shingle list is ranked
+      by ONE global total order (ascending df, sh_h tie-break), so rank
+      within a doc is monotone in that order. Let t₀ be the prefix-matched
+      shared token with the minimum ranks (i in A, j in B) — minima over
+      matches are achieved simultaneously because of the shared order.
+      EVERY shared token is globally >= t₀: a prefix-prefix shared token
+      by t₀'s minimality, and any token in either side's SUFFIX is
+      globally larger than that side's last prefix token, hence > t₀
+      (which sits inside the prefix). So all shared tokens have rank >= i
+      in A and >= j in B, giving inter <= 1 + min(|A| - i, |B| - j); pairs
+      whose bound cannot reach the threshold (J >= t ⇔
+      inter·(t_num + t_den) >= t_num·(|A| + |B|)) are dropped before the
+      expensive array verify. Measured on the r9 sf1 rehearsal fixture:
+      45.6M -> 23.1M candidates (49% pruned; 65% at sf0.1), zero output
+      change (the verify would reject every pruned pair anyway).
+
+    ``ex``: distinct (doc_id, sh_h) rows; ``sizes``: (doc_id, n_sh)."""
     freq = ex.groupBy("sh_h").agg(F.count("*").alias("df_"))
     w = Window.partitionBy("doc_id").orderBy(F.asc("df_"), F.asc("sh_h"))
     prefix_len = (
@@ -634,11 +654,21 @@ def prefix_candidates(
         .withColumn("rk", F.row_number().over(w))
         .join(sizes, "doc_id")
         .where(F.col("rk") <= prefix_len)
-        .select("doc_id", "sh_h", "n_sh")
+        .select("doc_id", "sh_h", "rk", "n_sh")
     )
-    a = pref.select(F.col("doc_id").alias("doc_a"), "sh_h", F.col("n_sh").alias("na"))
-    b = pref.select(F.col("doc_id").alias("doc_b"), "sh_h", F.col("n_sh").alias("nb"))
-    return (
+    a = pref.select(
+        F.col("doc_id").alias("doc_a"),
+        "sh_h",
+        F.col("rk").alias("rk_a"),
+        F.col("n_sh").alias("na"),
+    )
+    b = pref.select(
+        F.col("doc_id").alias("doc_b"),
+        "sh_h",
+        F.col("rk").alias("rk_b"),
+        F.col("n_sh").alias("nb"),
+    )
+    pairs = (
         a.join(b, "sh_h")
         .where(
             (F.col("doc_a") < F.col("doc_b"))
@@ -647,9 +677,18 @@ def prefix_candidates(
                 <= F.lit(t_den) * F.least("na", "nb")
             )
         )
-        .select("doc_a", "doc_b")
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.min("rk_a").alias("i"),
+            F.min("rk_b").alias("j"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
     )
+    ub = F.lit(1) + F.least(F.col("na") - F.col("i"), F.col("nb") - F.col("j"))
+    return pairs.where(
+        ub * F.lit(t_num + t_den) >= F.lit(t_num) * (F.col("na") + F.col("nb"))
+    ).select("doc_a", "doc_b")
 
 
 def jaccard_prefix_pairs(
@@ -706,27 +745,38 @@ def jaccard_prefix_pairs(
     between linear and quadratic.
     """
     sh = _shingle_sets(df, id_col, text_col, n)
-    # FOUR consumers (freq, prefix ranking, verify ×2 sides) would each
-    # recompute the CPU-bound tokenize+shingle+hash subtree (measured: the
-    # un-persisted form spent ~24s of its 38s at sf0.1 re-shingling);
-    # persist the COMPACT per-doc hash arrays once — the exploded rows
-    # derive from the cache with a cheap generate. Cache lifetime is
-    # bounded to THIS call: the final (small, threshold-filtered) result
-    # is eagerly materialized via localCheckpoint below and the corpus-
-    # sized cache released before returning — a lazily returned plan
-    # would pin the shingle cache in executor memory for the session
-    # (the similarity.py leak class flagged in ADVICE r7).
-    hashed = sh.select(
-        "doc_id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs")
-    ).persist()
+    # Persist the EXPLODED (doc_id, sh_h) rows, hashed in the row pipeline:
+    # xxhash64 on a row column runs inside whole-stage codegen, where the
+    # old per-doc `F.transform(shingles, xxhash64)` array build ran the
+    # lambda INTERPRETED (higher-order functions get no codegen — the same
+    # trap the MinHash path measured 2.5x slower and rewrote, see
+    # minhash_lsh_pairs above; r9 probe: 4.5s -> 1.2s for the sf0.1 build).
+    # Five consumers (freq, prefix ranking, sizes, verify ×2 sides) all
+    # derive from this one cache, so tokenize+shingle+hash — the CPU-bound
+    # stage (measured: the un-persisted form spent ~24s of its 38s at
+    # sf0.1 re-shingling) — runs once; the verify's per-doc hash ARRAYS
+    # come back via one collect_list groupBy whose identical exchange
+    # subtree Spark's ReuseExchange collapses across the three array
+    # consumers. persist() is MEMORY_AND_DISK: skinny (long, long) rows
+    # spill rather than OOM at corpus scale. Cache lifetime is bounded to
+    # THIS call: the final (small, threshold-filtered) result is eagerly
+    # materialized via truncate_lineage below and the corpus-sized cache
+    # released before returning — a lazily returned plan would pin the
+    # cache in executor memory for the session (the similarity.py leak
+    # class flagged in ADVICE r7).
+    ex = (
+        explode_nonempty(sh, ["doc_id"], "shingles", "shingle")
+        .select("doc_id", F.xxhash64("shingle").alias("sh_h"))
+        .persist()
+    )
     try:
-        ex = hashed.select("doc_id", F.explode_outer("hs").alias("sh_h")).where(
-            F.col("sh_h").isNotNull()
+        docs = ex.groupBy("doc_id").agg(
+            F.collect_list("sh_h").alias("hs"), F.count("*").alias("n_sh")
         )
-        sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        sizes = docs.select("doc_id", "n_sh")
         cand = prefix_candidates(ex, sizes, t_num, t_den)
-        sa = hashed.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
-        sb = hashed.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+        sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+        sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
         verified = (
             cand.join(sa, "doc_a")
             .join(sb, "doc_b")
@@ -750,7 +800,129 @@ def jaccard_prefix_pairs(
                     F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
                 ).alias("jaccard"),
             )
-            .localCheckpoint()
+            .transform(truncate_lineage)
         )
     finally:
-        hashed.unpersist()
+        ex.unpersist()
+
+
+def jaccard_pairs_auto(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    t_num: int = 3,
+    t_den: int = 5,
+    hot_key_rows_cutoff: int = 4_000_000,
+    per_core_rows_cutoff: int = 10_000_000,
+    decision_out: dict | None = None,
+) -> DataFrame:
+    """Adaptive exact-Jaccard join: pick the PLAIN all-shared-shingle
+    candidate rule or the PREFIX (AllPairs/PPJoin) rule per corpus, from a
+    one-row frequency pre-pass — the CCNet reality is you don't know
+    whether a corpus is boilerplate-contaminated until you look.
+
+    Decision signals, both read off the shingle document-frequency table
+    the prefix path needs anyway (one extra scalar aggregate, one driver
+    row):
+
+    - ``hot = C(max_df, 2)``: the plain join's output for its single
+      hottest shingle key. A hash equi-join sends one key to ONE task, so
+      this many rows land on a single straggler no matter how many
+      executors exist — skew does not parallelize. Cutoff 4M sits between
+      the measured fine case (PREFIXJOIN_WIN.json, 30%-boilerplate sf0.1:
+      C(1667,2) ≈ 1.4M, plain still won 2.96s vs 3.55s) and the measured
+      death case (10%-boilerplate 50k docs: C(5000,2) ≈ 12.5M per hot
+      shingle drove 54.2s vs prefix 25.2s).
+    - ``vol = Σ C(df, 2)``: the plain join's total pre-threshold candidate
+      volume, compared against ``per_core_rows_cutoff ×
+      defaultParallelism`` — shuffle/join throughput scales with cores, so
+      the budget is per-core (local[32] ⇒ 3.2e8, between the measured
+      9.6e7 plain-win and 1.1e9 plain-loss volumes), while the ``hot``
+      cutoff above stays absolute.
+
+    Either trip ⇒ prefix. Both paths share the one persisted exploded
+    (doc_id, sh_h) build and apply the SAME integer rational threshold, so
+    the choice is invisible in the output (asserted both ways in
+    tests/test_prefix_jaccard.py); it only moves the candidate bound. The
+    decision and its inputs are returned via ``decision_out`` (a dict the
+    caller passes in) for pipeline logging.
+    """
+    spark = df.sparkSession
+    sh = _shingle_sets(df, id_col, text_col, n)
+    ex = (
+        explode_nonempty(sh, ["doc_id"], "shingles", "shingle")
+        .select("doc_id", F.xxhash64("shingle").alias("sh_h"))
+        .persist()
+    )
+    try:
+        freq = ex.groupBy("sh_h").agg(F.count("*").alias("df_"))
+        stats = freq.agg(
+            F.max("df_").alias("max_df"),
+            (F.sum(F.col("df_") * (F.col("df_") - 1)) / 2).cast("long").alias("vol"),
+        ).collect()[0]  # ONE driver row: two scalars
+        max_df = stats["max_df"] or 0
+        vol = stats["vol"] or 0
+        hot = max_df * (max_df - 1) // 2
+        vol_cutoff = per_core_rows_cutoff * spark.sparkContext.defaultParallelism
+        use_prefix = hot > hot_key_rows_cutoff or vol > vol_cutoff
+        if decision_out is not None:
+            decision_out.update(
+                rule="prefix" if use_prefix else "plain",
+                hottest_shingle_df=int(max_df),
+                hot_key_join_rows=int(hot),
+                plain_join_rows=int(vol),
+                hot_key_rows_cutoff=hot_key_rows_cutoff,
+                total_rows_cutoff=int(vol_cutoff),
+            )
+        sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        if use_prefix:
+            docs = ex.groupBy("doc_id").agg(
+                F.collect_list("sh_h").alias("hs"), F.count("*").alias("n_sh")
+            )
+            cand = prefix_candidates(ex, sizes, t_num, t_den)
+            sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+            sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+            verified = (
+                cand.join(sa, "doc_a")
+                .join(sb, "doc_b")
+                .select(
+                    "doc_a",
+                    "doc_b",
+                    F.size(F.array_intersect("hs_a", "hs_b")).alias("inter"),
+                    F.size("hs_a").alias("na"),
+                    F.size("hs_b").alias("nb"),
+                )
+            )
+        else:
+            a = ex.select(F.col("doc_id").alias("doc_a"), "sh_h")
+            b = ex.select(F.col("doc_id").alias("doc_b"), "sh_h")
+            inter = (
+                a.join(b, "sh_h")
+                .where(F.col("doc_a") < F.col("doc_b"))
+                .groupBy("doc_a", "doc_b")
+                .agg(F.count("*").alias("inter"))
+            )
+            verified = inter.join(
+                sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
+                "doc_a",
+            ).join(
+                sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
+                "doc_b",
+            )
+        return (
+            verified.where(
+                F.lit(t_den) * F.col("inter")
+                >= F.lit(t_num) * (F.col("na") + F.col("nb") - F.col("inter"))
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(
+                    F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+                ).alias("jaccard"),
+            )
+            .transform(truncate_lineage)
+        )
+    finally:
+        ex.unpersist()

@@ -116,14 +116,22 @@ def grid_spatial_join(
     case; this operator is for two data-sized point sets).
 
     Correctness requires the cell to dominate the radius on both axes so a
-    qualifying pair can differ by at most one cell index. The guard derives
-    km-per-degree from the SAME sphere ``haversine_km`` measures on
-    (``pi * EARTH_RADIUS_KM / 180`` ≈ 111.19 — a hardcoded WGS84-ish
-    111.32/110.57 would be ~0.1% non-conservative against the spherical
-    distance), shrunk by a 0.5% margin that also covers the chord effect
-    (haversine over Δλ is slightly LESS than linear, so one radius spans
-    slightly MORE than ``radius / (km_per_deg · cosφ)`` degrees; the
-    correction is ~2e-4 relative at Δλ = 2°, far inside the margin).
+    qualifying pair can differ by at most one cell index. Guards, both
+    EXACT scalar math on the same sphere ``haversine_km`` measures on:
+
+    - lat axis: the central angle between two points always satisfies
+      θ >= |Δφ| (cosθ = sinφ₁sinφ₂ + cosφ₁cosφ₂cosΔλ <= cos(φ₁-φ₂)), so
+      the linear meridian form ``cell_deg · π·R/180`` is the exact minimum
+      distance across one skipped lat cell — no margin needed.
+    - lon axis: for fixed Δλ the minimum distance over φ₁,φ₂ ∈ [-L, L] is
+      attained at φ₁ = φ₂ = ±L (f(φ₂) = sinL·sinφ₂ + cosL·cosφ₂·cosΔλ is
+      increasing on [-L, L]: its stationary point tanφ₂ = tanL/cosΔλ lies
+      beyond L), so the guard requires
+      ``haversine(L, 0, L, cell_deg) >= radius_km`` — exact, replacing the
+      earlier linear·cos(L)·0.995 form whose fixed margin stopped covering
+      the ~Δλ²-growing chord deficit for wide cells (ADVICE r8: cell 30°
+      at lat 60° passed the old guard with a ~0.8% deficit).
+
     Callers with data beyond ±``max_abs_lat`` must widen the cell.
 
     Antimeridian: by default lon cells do NOT wrap at ±180° — cells
@@ -139,13 +147,18 @@ def grid_spatial_join(
     meets exactly once because a B point lives in exactly one cell. Dense
     hot cells are a salting candidate like any skewed join key.
     """
-    km_per_deg = math.pi * EARTH_RADIUS_KM / 180.0 * 0.995  # margin: see docstring
-    if cell_deg * km_per_deg < radius_km or cell_deg * km_per_deg * math.cos(
-        math.radians(max_abs_lat)
-    ) < radius_km:
+    km_per_deg = math.pi * EARTH_RADIUS_KM / 180.0  # exact meridian arc
+    # min distance across one lon cell at the worst latitude (docstring):
+    # scalar haversine at φ₁=φ₂=max_abs_lat, Δλ=cell_deg.
+    _phi = math.radians(max_abs_lat)
+    _a = math.cos(_phi) ** 2 * math.sin(math.radians(cell_deg) / 2.0) ** 2
+    min_lon_km = 2.0 * EARTH_RADIUS_KM * math.asin(math.sqrt(_a))
+    if cell_deg * km_per_deg < radius_km or min_lon_km < radius_km:
         raise ValueError(
             f"cell_deg={cell_deg} too small for radius_km={radius_km} at "
-            f"|lat|<={max_abs_lat}: neighbor cells would not cover the radius"
+            f"|lat|<={max_abs_lat}: neighbor cells would not cover the radius "
+            f"(lat span {cell_deg * km_per_deg:.1f} km, min lon span "
+            f"{min_lon_km:.1f} km)"
         )
     cell = lambda c: F.floor(c / F.lit(cell_deg)).cast("long")  # noqa: E731
     if wrap_lon:
@@ -157,11 +170,19 @@ def grid_spatial_join(
                 "could let a radius span two cell indices"
             )
         n_lon = int(round(n_lon))
-        # lon ∈ [-180, 180] → ring index 0..n-1 (lon = +180 wraps to 0)
-        lon_cell = lambda c: (  # noqa: E731
-            F.floor((c + F.lit(180.0)) / F.lit(cell_deg)).cast("long") % n_lon
-        )
         wrap = lambda c: ((c % n_lon) + n_lon) % n_lon  # noqa: E731
+        # lon ∈ [-180, 180] → ring index 0..n-1 (lon = +180 wraps to 0).
+        # The raw index goes through the SAME sign-normalizing wrap as the
+        # A-side neighbor explode: Spark's bare `% n` keeps the dividend's
+        # sign, so a dirty lon outside [-180, 180] (e.g. 360-based data,
+        # lon = -190) would otherwise yield a NEGATIVE b-side index that
+        # can never equal a normalized 0..n-1 a-side key — the row would
+        # silently never match instead of wrapping (ADVICE r8). With the
+        # wrap, any finite lon lands on its correct ring cell (lon ≡
+        # lon ± 360 maps to the same index).
+        lon_cell = lambda c: wrap(  # noqa: E731
+            F.floor((c + F.lit(180.0)) / F.lit(cell_deg)).cast("long")
+        )
     else:
         lon_cell, wrap = cell, lambda c: c
     b2 = b.select(

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine, literal_fold_sql
-from ..partitioning import spread
+from ..partitioning import spread, truncate_lineage
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 11) -> list[list[float]]:
@@ -380,7 +380,7 @@ def embedding_neardup_pairs(
             .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b")
             .select("id_a", "id_b", F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos_sim"))
             .where(F.col("cos_sim") >= tau)
-            .localCheckpoint()
+            .transform(truncate_lineage)
         )
     finally:
         banded.unpersist()

@@ -17,6 +17,47 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+#: Session conf switching every lineage-truncation site in this package
+#: from executor-local ``localCheckpoint()`` to reliable, checkpoint-dir-
+#: backed ``checkpoint()``. See :func:`truncate_lineage`.
+RELIABLE_CHECKPOINT_CONF = "spark.datawrangle.reliableCheckpoint"
+
+
+def truncate_lineage(df: DataFrame) -> DataFrame:
+    """Eagerly materialize ``df`` and cut its lineage — the shared helper
+    behind every iterative-plan / cache-lifecycle site in this package
+    (BPE rounds, connected-components rounds, the prefix-Jaccard and
+    near-dup result materializations).
+
+    Default mode is ``localCheckpoint(eager=True)``: blocks live on
+    executors, no external I/O — fast, and safe in local mode / bench
+    runs and on clusters with STATIC executors. It is NOT fault-tolerant:
+    lineage is gone, so on a cluster an executor loss (failure or
+    dynamic-allocation decommission) makes the frame unrecomputable and
+    later actions fail (ADVICE r8). For such clusters set
+
+        spark.conf.set("spark.datawrangle.reliableCheckpoint", "true")
+        spark.sparkContext.setCheckpointDir("hdfs://.../checkpoints")
+
+    and every call site switches to reliable ``checkpoint(eager=True)``
+    writing to the durable dir. The flag is read per call, so a session
+    can flip modes between jobs. Raises up front if reliable mode is on
+    without a checkpoint dir — the JVM error for that is late and cryptic.
+
+    Both modes are EAGER by design: callers rely on the materialization
+    barrier (bounded plan depth, cache-release correctness), and the
+    cost is the same one pass a lazy first action would pay later.
+    """
+    spark = df.sparkSession
+    if str(spark.conf.get(RELIABLE_CHECKPOINT_CONF, "false")).lower() == "true":
+        if spark.sparkContext.getCheckpointDir() is None:
+            raise ValueError(
+                f"{RELIABLE_CHECKPOINT_CONF}=true requires "
+                "spark.sparkContext.setCheckpointDir(<durable shared path>)"
+            )
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
 
 def salted_join(
     left: DataFrame,

@@ -36,6 +36,7 @@ from ..operators.dedup import (
     exact_dedup,
     fingerprint_dedup,
     jaccard_prefix_pairs,
+    jaccard_pairs_auto,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_table,
@@ -188,6 +189,37 @@ def dd_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 )
 def dd_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
     return jaccard_prefix_pairs(_corpus(spark, sf), "doc_id", "text", n=3, t_num=3, t_den=5)
+
+
+@register(
+    "dd_jaccard_auto",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM corpus),
+    sized AS (SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh),
+    ex AS (SELECT doc_id, n_sh, unnest(shingles) AS shingle FROM sized),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+             count(*) AS inter
+      FROM ex a JOIN ex b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, round(inter / (na + nb - inter), 6) AS jaccard
+    FROM pairs WHERE 5 * inter >= 3 * (na + nb - inter)
+    """,
+    doc="ADAPTIVE exact-Jaccard join: a one-row scalar pre-pass over the "
+    "shingle df table picks the plain all-shared-shingle candidate rule or "
+    "the AllPairs/PPJoin prefix rule per corpus (hot-key join output "
+    "C(max_df,2) > 4M, or total volume over the per-core budget, => "
+    "prefix) — the crossover constants come from the measured "
+    "PREFIXJOIN_WIN.json cases; both paths share one persisted exploded "
+    "build and the same integer threshold, so the oracle (the brute join) "
+    "proves the choice is output-invisible — see "
+    "operators/dedup.py:jaccard_pairs_auto",
+)
+def dd_jaccard_auto(spark: SparkSession, sf: str) -> DataFrame:
+    return jaccard_pairs_auto(_corpus(spark, sf), "doc_id", "text", n=3, t_num=3, t_den=5)
 
 
 @register(

@@ -2351,6 +2351,47 @@ def a_event_pattern_match(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "a_pattern_chunked",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    ),
+    pos AS (SELECT user_id, s, unnest(generate_series(1, len(s))) AS i FROM seq),
+    starts AS (
+      SELECT user_id FROM pos
+      WHERE regexp_matches(substr(s, CAST(i AS INT), 5), '^vc{0,3}p')
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches
+    FROM starts GROUP BY user_id ORDER BY user_id
+    """,
+    doc="CHUNKED event-pattern matching — the graceful-degradation path "
+    "the a_event_pattern_match skew guard's error message promises: each "
+    "key's ordered events split into fixed-size chunk strings (per-ROW "
+    "memory bounded by chunk_size, independent of key skew) with a "
+    "|pattern|-1-character overlap from the next chunk, and the bounded "
+    "pattern vc{0,3}p is counted as ANCHORED MATCH STARTS via a zero-width "
+    "lookahead regex — counts in the overlap region cancel exactly "
+    "(identical suffixes), so per-chunk counts sum to the unchunked "
+    "anchored count (equivalence vs the one-string form asserted in "
+    "tests/test_patterns_chunked.py). chunk_size=64 here so sf0.01 "
+    "actually exercises chunk boundaries against the oracle (the DuckDB "
+    "twin is the position-enumerating form; RE2 has no lookahead) — see "
+    "operators/patterns.py",
+)
+def a_pattern_chunked(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.patterns import anchored_pattern_counts_chunked
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("c")
+    )
+    return anchored_pattern_counts_chunked(
+        ev, "user_id", ["ts", "event_id"], "c", "vc{0,3}p", 5, chunk_size=64
+    ).orderBy("user_id")
+
+
+@register(
     "t_ohlc_bars",
     """
     WITH e AS (

@@ -30,9 +30,11 @@ Scale design (100 TB changelog):
   re-exchanged (round-7 review item; measured from executed-plan metrics
   in tools/cdcbucket_win.py → CDCBUCKET_WIN.json, plan pinned in
   tests/test_streaming_cdc.py). Per-batch cost is O(batch-shuffle +
-  snapshot-rewrite); the remaining scale step — rewriting only CHANGED
-  buckets instead of all of them — needs a transactional table format's
-  file-level commit log and is out of scope here;
+  snapshot-rewrite); the remaining O(snapshot) write term — rewriting
+  only CHANGED buckets instead of all of them — is closed by the
+  MANIFEST mode (:func:`run_cdc_apply_manifest`, round 9): a per-version
+  bucket→files manifest stands in for a table format's commit log and
+  the copy-on-write step touches only buckets containing batch keys;
 - nothing data-sized touches the driver during the stream; the harness
   return path collects the final snapshot under a row guard purely because
   the oracle comparison needs a driver-side result (same trade as
@@ -180,15 +182,19 @@ def run_cdc_apply_once(
         if os.path.sep not in ref:
             state["tables"].append(ref)
 
-    q = (
-        stream.writeStream.foreachBatch(process_batch)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-
+    # start/awaitTermination INSIDE the try: a stream failure (or an
+    # exception raised in process_batch) must still reach the finally's
+    # DROP TABLE loop + rmtree, else the uniquely-named saveAsTable
+    # entries and the tempfile workdir accumulate across failed runs
+    # (ADVICE r8).
     try:
+        q = (
+            stream.writeStream.foreachBatch(process_batch)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
         if state["ref"] is None:
             return spark.createDataFrame([], "user_id long, last_event_type string, last_value double, last_ts string")
         final = (
@@ -214,3 +220,130 @@ def run_cdc_apply_once(
         for t in state["tables"]:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _bucket_of(col, n_buckets: int = SNAPSHOT_BUCKETS):
+    """Manifest-mode bucket id: pmod(xxhash64(key), n) computed by US (not
+    Spark's table bucketing), so it is stable across versions and
+    recomputable from any row without file metadata."""
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets))
+
+
+def run_cdc_apply_manifest(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    stats_out: dict | None = None,
+    n_buckets: int = SNAPSHOT_BUCKETS,
+) -> DataFrame:
+    """CDC apply with a per-version BUCKET MANIFEST: copy-on-write rewrites
+    only buckets containing batch keys — the last O(snapshot) per-trigger
+    term of :func:`run_cdc_apply_once` removed.
+
+    The snapshot is a driver-side dict ``bucket_id -> parquet dir`` (at
+    most SNAPSHOT_BUCKETS entries — scalars, never data). Per micro-batch:
+
+    1. compact the batch (one batch-sized window);
+    2. ``changed`` = distinct bucket ids of batch keys — a <=
+       SNAPSHOT_BUCKETS-row collect;
+    3. read ONLY the changed buckets' current files, merge with the batch
+       (same full-outer (ts, event_id)-ordered merge as the bucketed-table
+       mode — tombstones retained, out-of-order safe);
+    4. write the merged rows partitioned by bucket id under ``v{N}/`` and
+       repoint ONLY the changed manifest entries; unchanged buckets keep
+       their existing files untouched — no read, no rewrite.
+
+    Every output row hashes to a changed bucket (old rows were read only
+    from changed buckets; batch rows define them), so unchanged entries
+    stay exact.
+
+    Scale: per-trigger cost is O(|batch| + |changed buckets| ×
+    bucket_size); with bucket count sized to snapshot_bytes /
+    target_file_size (the same rule the bucketed mode documents), bucket
+    size is a constant and the trigger is O(batch) — the Iceberg/Delta
+    MERGE file-pruning pattern, with the manifest standing in for the
+    commit log. Honest trade vs the bucketed-table mode: raw parquet
+    scans carry no bucket metadata, so the merge join exchanges BOTH
+    sides of the CHANGED SUBSET (O(changed) — still strictly less than
+    the full-snapshot rewrite it replaces at steady state); a
+    transactional table format recovers the exchange-free snapshot side
+    on top of this same manifest idea. Measured: tools/cdc_manifest_win.py
+    -> CDCMANIFEST_WIN.json (bytes/files rewritten per trigger vs the
+    full-rewrite mode).
+
+    ``stats_out``: optional dict; filled with per-batch
+    ``[(n_changed_buckets, n_manifest_buckets)]`` for the win artifact.
+    """
+    stream = read_events_stream(spark, sf_dir, max_files_per_trigger)
+    workdir = tempfile.mkdtemp(prefix="cdc_manifest_")
+    state: dict = {"manifest": {}, "version": 0}
+    if stats_out is not None:
+        stats_out["batches"] = []
+        stats_out["workdir"] = workdir
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        changes = compact_changes(
+            batch_df.repartition(n_buckets, "user_id")
+        ).withColumn("__b", _bucket_of(F.col("user_id"), n_buckets))
+        changed = sorted(
+            r["__b"] for r in changes.select("__b").distinct().collect()
+        )  # bounded: <= n_buckets scalar rows
+        if not changed:
+            return
+        old_paths = [
+            state["manifest"][b] for b in changed if b in state["manifest"]
+        ]
+        snapshot_part = (
+            spark.read.schema(_SNAPSHOT_SCHEMA).parquet(*old_paths)
+            if old_paths
+            else spark.createDataFrame([], _SNAPSHOT_SCHEMA)
+        )
+        merged = merge_snapshot(snapshot_part, changes.drop("__b"))
+        state["version"] += 1
+        outdir = os.path.join(workdir, f"v{state['version']}")
+        (
+            merged.withColumn("__b", _bucket_of(F.col("user_id"), n_buckets))
+            .repartition(len(changed), "__b")
+            .write.partitionBy("__b")
+            .parquet(outdir)
+        )
+        for b in changed:
+            state["manifest"][b] = os.path.join(outdir, f"__b={b}")
+        if stats_out is not None:
+            stats_out["batches"].append((len(changed), len(state["manifest"])))
+
+    try:
+        q = (
+            stream.writeStream.foreachBatch(process_batch)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if not state["manifest"]:
+            return spark.createDataFrame(
+                [], "user_id long, last_event_type string, last_value double, last_ts string"
+            )
+        final = (
+            spark.read.schema(_SNAPSHOT_SCHEMA)
+            .parquet(*state["manifest"].values())
+            .where(F.col("op") != "D")
+            .select(
+                "user_id",
+                F.col("event_type").alias("last_event_type"),
+                F.round("value", 2).alias("last_value"),
+                F.col("ts").cast("string").alias("last_ts"),
+            )
+        )
+        rows = final.collect()
+        if len(rows) > _MAX_DRIVER_ROWS:
+            raise ValueError(
+                f"run_cdc_apply_manifest snapshot has {len(rows)} rows "
+                f"(max {_MAX_DRIVER_ROWS}); keep the parquet snapshot and "
+                "read it directly instead of collecting"
+            )
+        return spark.createDataFrame(rows, final.schema)
+    finally:
+        if stats_out is None:
+            shutil.rmtree(workdir, ignore_errors=True)
+        # stats mode: caller measures file sizes in workdir, then removes it

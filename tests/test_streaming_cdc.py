@@ -165,3 +165,95 @@ def test_bucketed_snapshot_merge_shuffles_batch_side_only(spark, tmp_path):
         assert n_exchanges(merged) == want, f"bucketed={bucketed}"
         if _os.path.sep not in ref:
             spark.sql(f"DROP TABLE IF EXISTS {ref}")
+
+
+def test_cdc_manifest_multi_batch_equals_batch(spark, interleaved_events_dir):
+    """Manifest mode (changed-bucket-only rewrite) under the same
+    out-of-order 3-batch replay: result must equal the batch window-argmax
+    — a green run proves the file-pruned path loses no key and the
+    (ts, event_id) merge rule survives bucket pruning."""
+    from data_wrangle_openstreetmaps_data_1_spark.streaming.cdc import (
+        run_cdc_apply_manifest,
+    )
+
+    stats: dict = {}
+    streamed = run_cdc_apply_manifest(
+        spark, interleaved_events_dir, max_files_per_trigger=1, stats_out=stats
+    )
+    got = {
+        (r["user_id"], r["last_event_type"], r["last_value"], r["last_ts"])
+        for r in streamed.collect()
+    }
+    events = load_table(spark, SF, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    expected = {
+        (r["user_id"], r["last_event_type"], r["last_value"], r["last_ts"])
+        for r in (
+            events.withColumn("rk", F.row_number().over(w))
+            .where((F.col("rk") == 1) & (F.col("event_type") != "error"))
+            .select(
+                "user_id",
+                F.col("event_type").alias("last_event_type"),
+                F.round("value", 2).alias("last_value"),
+                F.col("ts").cast("string").alias("last_ts"),
+            )
+            .collect()
+        )
+    }
+    assert got == expected
+    assert len(stats["batches"]) == 3  # one entry per micro-batch
+    import shutil
+
+    shutil.rmtree(stats["workdir"], ignore_errors=True)
+
+
+def test_cdc_manifest_rewrites_only_changed_buckets(spark, tmp_path):
+    """A second batch touching ONE key must rewrite only that key's bucket:
+    the other manifest entries keep pointing at version-1 files (no read,
+    no rewrite), and the untouched keys' rows still come back exact."""
+    import glob
+    import os
+    import shutil
+
+    from data_wrangle_openstreetmaps_data_1_spark.streaming.cdc import (
+        run_cdc_apply_manifest,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 1: 40 keys spread over the bucket space; batch 2: key 7 only
+    b1 = spark.createDataFrame(
+        [(k, 100 + k, "view", float(k)) for k in range(40)],
+        "user_id long, event_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    b2 = spark.createDataFrame(
+        [(7, 1000, "purchase", 99.0)],
+        "user_id long, event_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp(F.lit("2024-01-02 00:00:00")))
+    for i, b in enumerate((b1, b2)):
+        staging = str(tmp_path / f"_st{i}")
+        b.select("user_id", "event_type", "value", "ts", "event_id").coalesce(
+            1
+        ).write.parquet(staging)
+        (part,) = glob.glob(f"{staging}/part-*.parquet")
+        shutil.move(part, str(src / f"events{i}.parquet"))
+        shutil.rmtree(staging)
+
+    stats: dict = {}
+    got = {
+        (r["user_id"], r["last_event_type"], r["last_value"])
+        for r in run_cdc_apply_manifest(
+            spark, str(src), max_files_per_trigger=1, stats_out=stats
+        ).collect()
+    }
+    want = {(k, "view", float(k)) for k in range(40) if k != 7} | {(7, "purchase", 99.0)}
+    assert got == want
+    # batch 2 changed exactly one bucket, out of the buckets batch 1 filled
+    (n1, total1), (n2, total2) = stats["batches"]
+    assert n2 == 1 and total2 == total1 and n1 >= 4
+    # and version 2 on disk holds ONLY that bucket's directory
+    v2_dirs = [d for d in os.listdir(os.path.join(stats["workdir"], "v2")) if d.startswith("__b=")]
+    assert len(v2_dirs) == 1
+    shutil.rmtree(stats["workdir"], ignore_errors=True)
