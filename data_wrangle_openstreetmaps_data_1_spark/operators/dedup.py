@@ -613,7 +613,11 @@ def minhash_lsh_join(
 
 
 def prefix_candidates(
-    ex: DataFrame, sizes: DataFrame, t_num: int, t_den: int
+    ex: DataFrame,
+    sizes: DataFrame,
+    t_num: int,
+    t_den: int,
+    freq: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate (doc_a, doc_b) pairs sharing an element of BOTH docs'
     rarest-first prefixes (see :func:`jaccard_prefix_pairs` for the bound
@@ -641,8 +645,12 @@ def prefix_candidates(
       45.6M -> 23.1M candidates (49% pruned; 65% at sf0.1), zero output
       change (the verify would reject every pruned pair anyway).
 
-    ``ex``: distinct (doc_id, sh_h) rows; ``sizes``: (doc_id, n_sh)."""
-    freq = ex.groupBy("sh_h").agg(F.count("*").alias("df_"))
+    ``ex``: distinct (doc_id, sh_h) rows; ``sizes``: (doc_id, n_sh);
+    ``freq``: optional precomputed (sh_h, df_) table — jaccard_pairs_auto
+    already materialized it for the decision pre-pass and passes it in so
+    the ranking join reuses that cache instead of re-aggregating ex."""
+    if freq is None:
+        freq = ex.groupBy("sh_h").agg(F.count("*").alias("df_"))
     w = Window.partitionBy("doc_id").orderBy(F.asc("df_"), F.asc("sh_h"))
     prefix_len = (
         F.col("n_sh")
@@ -856,7 +864,7 @@ def jaccard_pairs_auto(
         .persist()
     )
     try:
-        freq = ex.groupBy("sh_h").agg(F.count("*").alias("df_"))
+        freq = ex.groupBy("sh_h").agg(F.count("*").alias("df_")).persist()
         stats = freq.agg(
             F.max("df_").alias("max_df"),
             (F.sum(F.col("df_") * (F.col("df_") - 1)) / 2).cast("long").alias("vol"),
@@ -875,12 +883,15 @@ def jaccard_pairs_auto(
                 hot_key_rows_cutoff=hot_key_rows_cutoff,
                 total_rows_cutoff=int(vol_cutoff),
             )
-        sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
         if use_prefix:
+            # identical subtree for sizes and the verify arrays, exactly as
+            # in jaccard_prefix_pairs: ReuseExchange then computes the
+            # (doc_id) aggregation once for all three consumers
             docs = ex.groupBy("doc_id").agg(
                 F.collect_list("sh_h").alias("hs"), F.count("*").alias("n_sh")
             )
-            cand = prefix_candidates(ex, sizes, t_num, t_den)
+            sizes = docs.select("doc_id", "n_sh")
+            cand = prefix_candidates(ex, sizes, t_num, t_den, freq=freq)
             sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
             sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
             verified = (
@@ -895,6 +906,7 @@ def jaccard_pairs_auto(
                 )
             )
         else:
+            sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
             a = ex.select(F.col("doc_id").alias("doc_a"), "sh_h")
             b = ex.select(F.col("doc_id").alias("doc_b"), "sh_h")
             inter = (
@@ -926,3 +938,4 @@ def jaccard_pairs_auto(
         )
     finally:
         ex.unpersist()
+        freq.unpersist()
