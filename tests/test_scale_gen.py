@@ -120,3 +120,86 @@ def test_within_shard_near_dup_structure_preserved(gen_dir):
         """
     ).fetchone()[0]
     assert j > 0.5
+
+
+@pytest.fixture(scope="module")
+def gen_dir_suffix(tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("scale2_suffix"))
+    subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "gen_scale_rehearsal.py"),
+            SRC,
+            dst,
+            "2",
+            "suffix",
+        ],
+        check=True,
+        capture_output=True,
+    )
+    return dst
+
+
+def test_suffix_scheme_cross_shard_disjoint(gen_dir_suffix):
+    # every WORD of a non-zero shard carries that shard's suffix, so every
+    # 3-gram does too — shard shingle sets are pairwise disjoint
+    con = duckdb.connect()
+    stride = con.execute(
+        f"SELECT max(doc_id) + 1 + 20000 FROM read_parquet('{SRC}/documents.parquet')"
+    ).fetchone()[0]
+    shared = con.execute(
+        f"""
+        WITH d AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                   FROM read_parquet('{gen_dir_suffix}/documents.parquet')),
+        sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(t) - 2, 0) + 1),
+                 i -> array_to_string(t[i:i+2], ' ')))) AS s
+               FROM d),
+        x AS (SELECT doc_id // {stride} AS shard, s FROM sh)
+        SELECT count(*) FROM (SELECT s FROM x GROUP BY s HAVING count(DISTINCT shard) > 1)
+        """
+    ).fetchone()[0]
+    assert shared == 0
+
+
+def test_suffix_scheme_match_structure_exact(gen_dir_suffix):
+    """The faithful property the suffix scheme exists for: within a shard,
+    shingle-match structure is BIT-IDENTICAL to the source corpus — the
+    word→word_sN map is a bijection on 3-grams, so every same-shard pair's
+    Jaccard equals the source pair's Jaccard exactly (the insert scheme
+    breaks this: it creates 2-word-order matches the source never had)."""
+    con = duckdb.connect()
+    stride = con.execute(
+        f"SELECT max(doc_id) + 1 + 20000 FROM read_parquet('{SRC}/documents.parquet')"
+    ).fetchone()[0]
+
+    def pair_jaccards(table_expr: str, a_off: int) -> list:
+        # Jaccard of (doc, first-word-dropped doc) for 20 sample docs —
+        # the corpus CTE's planted near-dup construction
+        return con.execute(
+            f"""
+            WITH pair AS (
+              SELECT doc_id, text AS ta, regexp_replace(text, '^\\S+\\s+', '') AS tb
+              FROM {table_expr}
+              WHERE doc_id BETWEEN {a_off} AND {a_off} + 19),
+            toks AS (SELECT doc_id,
+                            regexp_split_to_array(lower(trim(ta)), '\\s+') AS x,
+                            regexp_split_to_array(lower(trim(tb)), '\\s+') AS y FROM pair),
+            sh AS (SELECT doc_id,
+                          list_distinct(list_transform(range(1, greatest(len(x)-2,0)+1),
+                            i -> array_to_string(x[i:i+2], ' '))) AS sa,
+                          list_distinct(list_transform(range(1, greatest(len(y)-2,0)+1),
+                            i -> array_to_string(y[i:i+2], ' '))) AS sb FROM toks)
+            SELECT len(list_intersect(sa, sb)) * 1.0 /
+                   greatest(len(sa) + len(sb) - len(list_intersect(sa, sb)), 1)
+            FROM sh ORDER BY doc_id
+            """
+        ).fetchall()
+
+    src_j = pair_jaccards(f"read_parquet('{SRC}/documents.parquet')", 40)
+    shard_j = pair_jaccards(
+        f"read_parquet('{gen_dir_suffix}/documents.parquet')", stride + 40
+    )
+    assert len(src_j) == len(shard_j) == 20
+    for (a,), (b,) in zip(src_j, shard_j):
+        assert abs(a - b) < 1e-12

@@ -11,23 +11,36 @@ downloaded), so sf1 is produced by replicating the driver's sf0.1 tables
 - events: event_id/user_id shift (10x users, same per-user distribution).
 - documents: doc_id shifts by max(doc_id)+20_001 per shard — clear of the
   corpus CTE's +10_000/+20_000 planted-duplicate ranges — and non-zero
-  shards get a per-shard marker injected after EVERY 2 WORDS. Verbatim
-  replication would plant 10-way exact-duplicate groups (measured: 17x
-  dd_groups_cc at 10x data from 45-pair cliques); markers every 3 words
-  still left cross-shard Jaccard ~0.18, and even BELOW-threshold overlap
-  is quadratic in shards at the shingle JOIN (the join emits a row per
-  shared shingle before the threshold filter — measured 11.6x). With a
-  marker inside EVERY 3-gram window, cross-shard shingle sets are fully
-  disjoint — like a real 10x corpus — while each shard keeps the
-  original's internal near-dup structure (both members of a planted pair
-  receive the same injection pattern).
+  shards get per-shard text rewritten by one of two SCHEMES:
+
+  * ``suffix`` (default since round 9 — the FAITHFUL fixture): every word
+    gains a shard suffix (``word`` -> ``word_s3``; tokens() is whitespace
+    split, so each stays one token). 3-grams map bijectively per shard:
+    two same-shard docs share a rewritten shingle iff they shared the
+    original shingle, so WITHIN-shard match structure (planted near-dups,
+    Jaccard values, candidate counts) is byte-equivalent to sf0.1 while
+    cross-shard sets are fully disjoint — a true linear 10x corpus.
+  * ``insert`` (the pre-r9 scheme, kept as the STRESS fixture): a marker
+    token injected after every 2 words. Round-9 root-causing
+    (BENCH_sf1_local.json r9_prefix_rootcause) showed this COLLAPSES the
+    effective shingle order from 3 words to 2 — every 3-gram window
+    contains the marker, so any two same-shard docs sharing a word
+    BIGRAM share a shingle — densifying pairwise candidates ~190x at 10x
+    data. Useful as an adversarial densification stress (kept so the
+    historical /tmp/sf1 ledger rows stay reproducible), WRONG for
+    drawing linear-scaling conclusions.
+
+  (Verbatim replication is worse than either: 10-way exact-duplicate
+  cliques, measured 17x dd_groups_cc at 10x data.)
 - embeddings: vec_id shifts; non-zero shards get a small deterministic
   nonlinear perturbation (cosine is scale-invariant, so a multiplicative
   tweak would leave 10-way exact-duplicate vectors; the additive term
   actually moves directions).
 
-Usage: python tools/gen_scale_rehearsal.py [src_dir] [dst_dir] [shards]
-Defaults: /root/testdata/sf0.1 -> /tmp/sf1, 10 shards.
+Usage: python tools/gen_scale_rehearsal.py [src_dir] [dst_dir] [shards] [scheme]
+Defaults: /root/testdata/sf0.1 -> /tmp/sf1, 10 shards, scheme=insert
+(the historical default so existing ledger rows stay reproducible; pass
+``suffix`` for the faithful fixture, conventionally written to /tmp/sf1v2).
 """
 
 from __future__ import annotations
@@ -40,6 +53,9 @@ import duckdb
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
 SHARDS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+SCHEME = sys.argv[4] if len(sys.argv) > 4 else "insert"
+if SCHEME not in ("insert", "suffix"):
+    raise SystemExit(f"unknown scheme {SCHEME!r}: use 'insert' or 'suffix'")
 
 
 def main() -> int:
@@ -67,6 +83,14 @@ def main() -> int:
     # the shard stride must clear the planted range too
     o_doc = off("documents", "doc_id", extra=20000)
     o_vec = off("embeddings", "vec_id")
+
+    doc_rewrite = (
+        # insert: marker token after every 2 words (stress scheme)
+        "regexp_replace(text, '(\\S+ \\S+) ', '\\1 s' || s || 'x ', 'g')"
+        if SCHEME == "insert"
+        # suffix: every word tagged in place (faithful scheme)
+        else "regexp_replace(text, '(\\S+)', '\\1_s' || s, 'g')"
+    )
 
     copies = {
         # dimension tables don't scale in TPC-H; keep them verbatim
@@ -102,8 +126,7 @@ def main() -> int:
         "documents": f"""
             SELECT doc_id + s * {o_doc} AS doc_id,
                    CASE WHEN s = 0 THEN text
-                        ELSE regexp_replace(text, '(\\S+ \\S+) ',
-                                            '\\1 s' || s || 'x ', 'g')
+                        ELSE {doc_rewrite}
                    END AS text,
                    lang, source, n_chars
             FROM {src('documents')} CROSS JOIN range({SHARDS}) t(s)""",
