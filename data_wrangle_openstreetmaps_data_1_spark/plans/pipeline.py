@@ -222,6 +222,77 @@ def dd_jaccard_auto(spark: SparkSession, sf: str) -> DataFrame:
     return jaccard_pairs_auto(_corpus(spark, sf), "doc_id", "text", n=3, t_num=3, t_den=5)
 
 
+_PASSAGE_SCRUB_SQL = """
+    WITH corpus AS ({_CORPUS_SQL}),
+    d AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM corpus),
+    b AS (SELECT doc_id, t, len(t) AS n FROM d),
+    pos AS (SELECT doc_id, t, CAST(unnest(range(1, greatest(n - 3, 1))) AS INT) AS i FROM b),
+    occ AS (SELECT doc_id, i,
+                   ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15))::BIGINT AS gh
+            FROM pos),
+    freq AS (SELECT gh, count(*) AS cnt, min(struct_pack(d := doc_id, i := i)) AS first_occ
+             FROM occ GROUP BY gh),
+    flagged AS (SELECT o.doc_id, o.i FROM occ o JOIN freq f USING (gh)
+                WHERE f.cnt >= 2{keepfirst}),
+    covered AS (SELECT DISTINCT doc_id, CAST(unnest(range(i, i + 5)) AS INT) AS p FROM flagged),
+    tpos AS (SELECT doc_id, t[CAST(p AS INT)] AS tok, p FROM
+             (SELECT doc_id, t, CAST(unnest(range(1, n + 1)) AS INT) AS p FROM b)),
+    kept AS (SELECT x.doc_id, x.p, x.tok FROM tpos x
+             WHERE NOT EXISTS (SELECT 1 FROM covered c
+                               WHERE c.doc_id = x.doc_id AND c.p = x.p)),
+    cleaned AS (SELECT doc_id, array_to_string(list(tok ORDER BY p), ' ') AS cl,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id)
+    SELECT b.doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(n - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+           md5(coalesce(cl, '')) AS cleaned_hash
+    FROM b LEFT JOIN cleaned USING (doc_id) ORDER BY doc_id
+    """
+
+
+@register(
+    "tx_passage_scrub",
+    _PASSAGE_SCRUB_SQL.replace("{_CORPUS_SQL}", _CORPUS_SQL).replace("{keepfirst}", ""),
+    doc="repeated-passage scrubbing (Lee et al. 2022, substring-level "
+    "dedup): any 5-token gram occurring more than once in the corpus "
+    "marks the positions it covers; covered tokens are cut and the doc "
+    "re-joined. Interval union is DISTINCT covered positions - per "
+    "position, not per span, so overlapping/adjacent repeats merge with "
+    "no gaps-and-islands pass. Portable 60-bit gram hash (md5 tier) makes "
+    "the DuckDB twin bit-identical; output carries md5(cleaned_text) so "
+    "the value compare sees fixed-width rows - see "
+    "operators/passages.py:repeated_passage_scrub",
+)
+def tx_passage_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.passages import repeated_passage_scrub
+
+    return repeated_passage_scrub(_corpus(spark, sf), "doc_id", "text", k=5).orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "tx_passage_keepfirst",
+    _PASSAGE_SCRUB_SQL.replace("{_CORPUS_SQL}", _CORPUS_SQL).replace(
+        "{keepfirst}",
+        " AND struct_pack(d := o.doc_id, i := o.i) != f.first_occ",
+    ),
+    doc="Lee-et-al dedup mode of tx_passage_scrub: the globally-first "
+    "occurrence ((doc_id, i)-minimal) of each repeated 5-gram survives, "
+    "every other occurrence is cut - information kept exactly once. "
+    "First-occurrence selection is a min(struct) running aggregate inside "
+    "the same gram groupBy (no per-gram window sort: a million-occurrence "
+    "boilerplate gram costs one running min, not a skewed sort); struct "
+    "min/inequality is lexicographic on both engines",
+)
+def tx_passage_keepfirst(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.passages import repeated_passage_scrub
+
+    return repeated_passage_scrub(
+        _corpus(spark, sf), "doc_id", "text", k=5, keep_first=True
+    ).orderBy("doc_id")
+
+
 @register(
     "dd_contamination",
     f"""
