@@ -263,6 +263,40 @@ def histogram_quantiles(
     return hit.select("q", F.round(est, 2).alias("est")).orderBy("q")
 
 
+def histogram_quantiles_adaptive(
+    items: DataFrame, value_col: str, qs: list[float], nb: int = 256
+) -> DataFrame:
+    """Unbounded-domain quantiles: two passes, no prior range knowledge.
+
+    ``histogram_build`` needs (lo, width) up front — fine for domains with
+    a schema-known range, wrong for arbitrary metrics. Pass 1 computes
+    min/max (ONE scalar driver row — the bounded-collect precedent of
+    clustering.py); pass 2 runs the same fixed-width sketch with
+    lo = min, width = (max − min)/nb. Error bound: one bucket width =
+    (max − min)/nb — rank-exact at the bucket level like the fixed-range
+    form, with the range discovered instead of assumed. Still a mergeable
+    sum-monoid GIVEN the range: re-using pass 1's (lo, width) across
+    per-day/per-partition sketches keeps them combinable; a fresh range
+    discovery re-buckets.
+
+    Cross-engine exactness: lo/width are IEEE doubles from min/max (both
+    engines compute the identical values), and the interpolation mirrors
+    ``histogram_quantiles``'s expression order, so the DuckDB twin is
+    bit-reproducible. NULLs are filtered before both passes (Spark sorts
+    NULL buckets first, DuckDB last — excluding them is the only portable
+    choice, and a NULL metric has no quantile anyway).
+    """
+    vals = items.where(F.col(value_col).isNotNull())
+    row = vals.agg(
+        F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
+    ).collect()[0]  # ONE row: two scalars
+    lo = float(row["lo"]) if row["lo"] is not None else 0.0
+    hi = float(row["hi"]) if row["hi"] is not None else 0.0
+    width = (hi - lo) / nb if hi > lo else 1.0
+    sketch = histogram_build(vals, value_col, lo=lo, width=width, nb=nb)
+    return histogram_quantiles(sketch, qs, lo=lo, width=width)
+
+
 def hll_build_grouped(
     items: DataFrame, item_col: str, group_cols: list[str], salt: str = "hll"
 ) -> DataFrame:

@@ -1959,6 +1959,43 @@ def sk_histogram_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     return histogram_quantiles(sketch, [0.5, 0.9, 0.99], lo=0.0, width=512.0)
 
 
+@register(
+    "sk_quantiles_adaptive",
+    """
+    WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+    mm AS (SELECT min(value) AS lo, max(value) AS hi FROM v),
+    p AS (SELECT lo, CASE WHEN hi > lo THEN (hi - lo) / 256.0 ELSE 1.0 END AS w
+          FROM mm),
+    s AS (SELECT least(255, greatest(0,
+                   CAST(floor((value - p.lo) / p.w) AS INT))) AS bucket,
+                 count(*) AS c
+          FROM v, p GROUP BY 1),
+    cum AS (SELECT bucket, c,
+                   sum(c) OVER (ORDER BY bucket) AS cum,
+                   sum(c) OVER () AS n FROM s),
+    qs(q) AS (VALUES (0.25), (0.5), (0.95))
+    SELECT q, round((SELECT lo FROM p) + (SELECT w FROM p)
+                    * (bucket + (q * n - (cum - c)) / c), 2) AS est
+    FROM cum, qs
+    WHERE cum >= q * n AND (cum - c) < q * n
+    ORDER BY q
+    """,
+    doc="unbounded-domain quantile sketch: pass 1 discovers the range "
+    "(min/max, one scalar row), pass 2 is the fixed-width 256-bucket "
+    "histogram with lo=min, width=(max-min)/256 and linear interpolation "
+    "in the crossing bucket - rank error <= one bucket width with no "
+    "prior range knowledge, vs sk_histogram_quantiles' schema-assumed "
+    "range; identical IEEE expression order on both engines makes the "
+    "estimate bit-reproducible - see "
+    "operators/sketches.py:histogram_quantiles_adaptive",
+)
+def sk_quantiles_adaptive(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.sketches import histogram_quantiles_adaptive
+
+    ev = load_table(spark, sf, "events")
+    return histogram_quantiles_adaptive(ev, "value", [0.25, 0.5, 0.95])
+
+
 def _hll_grouped_oracle() -> str:
     """DuckDB twin of the GROUPED portable HLL sketch (same constants as
     _hll_oracle; grouped by event_type over user-day incidence items)."""

@@ -277,6 +277,8 @@ def test_no_unexpected_products_registry_wide(spark):
         # broadcast 1-row corpus-stat / constant aggregates
         "tx_bm25_topk", "tx_domain_mix", "tx_tfidf_top_terms", "ml_pagerank",
         "t_gap_fill", "sk_hll", "sk_histogram_quantiles", "dd_lsh_tier_audit",
+        # adaptive form: same <=256-row sketch x 3-quantile broadcast cross
+        "sk_quantiles_adaptive",
         "g_triangle_count", "sk_hll_intersect", "tx_drift_report", "dq_expectations",
         # broadcast tiny query/probe side (the deliberate theta shapes)
         "sim_knn_brute", "sim_ivf", "sim_quantized", "sim_rerank_pipeline",

@@ -184,3 +184,40 @@ def test_hll_grouped_merge_is_groupby_max(spark):
     }
     for g in true:
         assert abs(est[g] - true[g]) / true[g] < 0.15, (g, est[g], true[g])
+
+
+def test_adaptive_quantiles_unbounded_domain(spark):
+    """Range discovered, not assumed: negative values land correctly, and a
+    degenerate (constant) column yields the constant at every quantile."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.sketches import (
+        histogram_quantiles_adaptive,
+    )
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(-500, 501)], "value double"
+    )
+    got = {
+        r["q"]: r["est"]
+        for r in histogram_quantiles_adaptive(df, "value", [0.5, 0.95]).collect()
+    }
+    # uniform on [-500, 500]: median ~0, p95 ~450; bucket width ~3.9
+    assert abs(got[0.5]) < 4.0 and abs(got[0.95] - 450.0) < 4.0
+
+    # degenerate (constant) column: width falls back to 1.0 and the
+    # documented error bound (<= one bucket width) is the guarantee —
+    # est = lo + q·width, within 1.0 of the true constant
+    const = spark.createDataFrame([(7.5,)] * 100, "value double")
+    got_c = {
+        r["q"]: r["est"]
+        for r in histogram_quantiles_adaptive(const, "value", [0.25, 0.9]).collect()
+    }
+    assert all(7.5 <= v <= 8.5 for v in got_c.values())
+
+    with_nulls = spark.createDataFrame(
+        [(None,), (1.0,), (2.0,), (3.0,), (None,)], "value double"
+    )
+    got_n = {
+        r["q"]: r["est"]
+        for r in histogram_quantiles_adaptive(with_nulls, "value", [0.5]).collect()
+    }
+    assert abs(got_n[0.5] - 2.0) < 0.02  # nulls excluded: median of {1,2,3}
