@@ -8,10 +8,11 @@ above the data growth means a super-linear plan (the q21 Expand class);
 ratios are expected <= ~2.5 on local[32] because sf0.1 walls are mostly
 fixed overhead (session + planning) that does not scale with data.
 
-Merges the table into BENCH_sf1_local.json under 'tpch_sf1_sweep_r8' and
-prints it as one JSON line.
+Merges the table into BENCH_sf1_local.json under 'tpch_sf1_sweep_<label>'
+(label defaults to r8 so historical keys stay stable) and prints it as one
+JSON line.
 
-Usage: python tools/tpch_sf1_sweep.py [sf1_dir]
+Usage: python tools/tpch_sf1_sweep.py [sf1_dir] [label]
 """
 
 from __future__ import annotations
@@ -29,6 +30,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def main() -> int:
     sf01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf1 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    label = sys.argv[2] if len(sys.argv) > 2 else "r8"
     if not os.path.exists(os.path.join(sf1, "lineitem.parquet")):
         print(f"sf1 dir {sf1} missing; run tools/gen_scale_rehearsal.py first")
         return 1
@@ -46,14 +48,14 @@ def main() -> int:
     for name in names:
         fn = registry.QUERIES[name].spark
         walls = {}
-        for label, d in (("sf01", sf01), ("sf1", sf1)):
+        for point, d in (("sf01", sf01), ("sf1", sf1)):
             best = float("inf")
             for _ in range(2):
                 t0 = time.time()
                 n_rows = len(fn(spark, d).collect())
                 best = min(best, time.time() - t0)
-            walls[label] = round(best, 2)
-            walls[f"{label}_rows"] = n_rows
+            walls[point] = round(best, 2)
+            walls[f"{point}_rows"] = n_rows
         walls["ratio"] = round(walls["sf1"] / max(walls["sf01"], 1e-9), 2)
         table[name] = walls
         print(f"{name}: sf0.1 {walls['sf01']}s  sf1 {walls['sf1']}s  x{walls['ratio']}")
@@ -68,11 +70,11 @@ def main() -> int:
     }
     bench_path = os.path.join(REPO, "BENCH_sf1_local.json")
     doc = json.load(open(bench_path))
-    doc["tpch_sf1_sweep_r8"] = payload
+    doc[f"tpch_sf1_sweep_{label}"] = payload
     with open(bench_path, "w") as f:
         json.dump(doc, f, indent=1)
         f.write("\n")
-    print(json.dumps({"tpch_sf1_sweep_r8": payload}))
+    print(json.dumps({f"tpch_sf1_sweep_{label}": payload}))
     return 0
 
 
