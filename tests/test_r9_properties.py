@@ -65,3 +65,53 @@ def test_grid_join_wrap_mode_normalizes_dirty_lons(spark):
         ).collect()
     }
     assert got == {(1, 10), (2, 20)}
+
+
+def test_truncate_lineage_reliable_mode(spark, tmp_path):
+    """The ADVICE-r8 fix: with the reliable flag set, every lineage-
+    truncation site uses HDFS-style checkpoint() against the configured
+    dir (here: a local tmp dir standing in for durable shared storage);
+    without a checkpoint dir the error is immediate and named, not the
+    JVM's late one. Results must be identical in both modes."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.components import (
+        connected_components,
+    )
+    from data_wrangle_openstreetmaps_data_1_spark.partitioning import (
+        RELIABLE_CHECKPOINT_CONF,
+        truncate_lineage,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (6, 6)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "id long")
+    want = {
+        (r["id"], r["component"])
+        for r in connected_components(nodes, edges).collect()
+    }
+
+    spark.conf.set(RELIABLE_CHECKPOINT_CONF, "true")
+    try:
+        import pytest
+
+        # no checkpoint dir: loud, immediate, named error
+        if spark.sparkContext.getCheckpointDir() is None:
+            with pytest.raises(ValueError, match="setCheckpointDir"):
+                truncate_lineage(edges)
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        got = {
+            (r["id"], r["component"])
+            for r in connected_components(nodes, edges).collect()
+        }
+        assert got == want
+        # the reliable checkpoint actually wrote to the durable dir
+        import os
+
+        ckpt_files = [
+            os.path.join(r, f)
+            for r, _, fs in os.walk(str(tmp_path / "ckpt"))
+            for f in fs
+        ]
+        assert ckpt_files, "reliable mode did not write checkpoint files"
+    finally:
+        spark.conf.set(RELIABLE_CHECKPOINT_CONF, "false")
