@@ -851,8 +851,9 @@ def jaccard_pairs_auto(
 
     Either trip ⇒ prefix. Both paths share the one persisted exploded
     (doc_id, sh_h) build and apply the SAME integer rational threshold, so
-    the choice is invisible in the output (asserted both ways in
-    tests/test_prefix_jaccard.py); it only moves the candidate bound. The
+    the choice is invisible in the output (decision flip + equality with
+    the brute join asserted both ways in tests/test_patterns_chunked.py);
+    it only moves the candidate bound. The
     decision and its inputs are returned via ``decision_out`` (a dict the
     caller passes in) for pipeline logging.
     """

@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import HASH64_SQL
 from ..functions.text import tokens
-from ..partitioning import spread
+from ..partitioning import spread, truncate_lineage
 
 
 def _occurrences(base: DataFrame, k: int) -> DataFrame:
@@ -79,78 +79,31 @@ def _occurrences(base: DataFrame, k: int) -> DataFrame:
     )
 
 
-def repeated_passage_scrub(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    k: int = 5,
-    keep_first: bool = False,
-) -> DataFrame:
-    """Cut every token covered by a corpus-repeated k-gram (module doc).
+def _scrub_parts(
+    df: DataFrame, id_col: str, text_col: str, k: int, keep_first: bool
+):
+    """Shared scrub core: returns (base, cleaned) where ``base`` is the
+    PERSISTED (doc_id, t, n) token table and ``cleaned`` the per-doc kept
+    groups. ONE implementation for both public projections (review r9: the
+    hash form and the text form previously duplicated this ~40-line plan
+    and could drift apart silently).
 
-    Returns (doc_id, n_tokens, n_removed, cleaned_hash), one row per input
-    document (fully-scrubbed docs report md5('') — they remain visible so
-    a downstream filter can decide their fate explicitly).
+    ``base`` persist rationale (the dedup.py precedent): the tokenize
+    subtree feeds FOUR consumers (gram build, both sides' shapes of the
+    flagged join resolve through occ, the position explode, and the final
+    per-doc join) whose downstream exchanges differ, so ReuseExchange
+    cannot collapse them — un-persisted, the CPU-bound tokenize+gram+md5
+    pipeline runs ~4x per action (the exact failure class dedup.py
+    measured at ~24s of a 38s sf0.1 run). MEMORY_AND_DISK: token arrays
+    spill rather than OOM at corpus scale. Callers MUST eagerly
+    materialize their projection (truncate_lineage) and then unpersist —
+    both public functions do.
     """
     base = (
         spread(df)
         .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t"))
         .withColumn("n", F.size("t"))
-    )
-    occ = _occurrences(base, k)
-    freq = occ.groupBy("gh").agg(
-        F.count("*").alias("cnt"),
-        F.min(F.struct("doc_id", "i")).alias("first_occ"),
-    )
-    flagged = occ.join(freq.where(F.col("cnt") >= 2), "gh")
-    if keep_first:
-        flagged = flagged.where(
-            F.struct("doc_id", "i") != F.col("first_occ")
-        )
-    covered = flagged.select(
-        "doc_id",
-        F.explode(F.sequence(F.col("i"), F.col("i") + F.lit(k - 1))).alias("p"),
-    ).distinct()
-    tpos = base.select(
-        "doc_id", F.posexplode_outer("t").alias("p0", "tok")
-    ).where(F.col("tok").isNotNull()).select(
-        "doc_id", (F.col("p0") + 1).cast("int").alias("p"), "tok"
-    )
-    kept = tpos.join(covered, ["doc_id", "p"], "left_anti")
-    cleaned = kept.groupBy("doc_id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "tok"))),
-                lambda s: s["tok"],
-            ),
-        ).alias("cleaned"),
-        F.count("*").alias("n_kept"),
-    )
-    return (
-        base.select("doc_id", "n")
-        .join(cleaned, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("n").cast("long").alias("n_tokens"),
-            (F.col("n") - F.coalesce(F.col("n_kept"), F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
-            F.md5(F.coalesce("cleaned", F.lit(""))).alias("cleaned_hash"),
-        )
-    )
-
-
-def scrubbed_text(
-    df: DataFrame, id_col: str, text_col: str, k: int = 5, keep_first: bool = False
-) -> DataFrame:
-    """Pipeline form: (doc_id, text) with repeated passages removed —
-    the same plan as :func:`repeated_passage_scrub` but returning the
-    cleaned text itself for downstream stages."""
-    base = (
-        spread(df)
-        .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t"))
-        .withColumn("n", F.size("t"))
+        .persist()
     )
     occ = _occurrences(base, k)
     freq = occ.groupBy("gh").agg(
@@ -164,10 +117,10 @@ def scrubbed_text(
         "doc_id",
         F.explode(F.sequence(F.col("i"), F.col("i") + F.lit(k - 1))).alias("p"),
     ).distinct()
-    tpos = base.select(
-        "doc_id", F.posexplode_outer("t").alias("p0", "tok")
-    ).where(F.col("tok").isNotNull()).select(
-        "doc_id", (F.col("p0") + 1).cast("int").alias("p"), "tok"
+    tpos = (
+        base.select("doc_id", F.posexplode_outer("t").alias("p0", "tok"))
+        .where(F.col("tok").isNotNull())
+        .select("doc_id", (F.col("p0") + 1).cast("int").alias("p"), "tok")
     )
     kept = tpos.join(covered, ["doc_id", "p"], "left_anti")
     cleaned = kept.groupBy("doc_id").agg(
@@ -177,8 +130,62 @@ def scrubbed_text(
                 F.array_sort(F.collect_list(F.struct("p", "tok"))),
                 lambda s: s["tok"],
             ),
-        ).alias("text")
+        ).alias("cleaned"),
+        F.count("*").alias("n_kept"),
     )
-    return base.select("doc_id").join(cleaned, "doc_id", "left").select(
-        "doc_id", F.coalesce("text", F.lit("")).alias("text")
-    )
+    return base, cleaned
+
+
+def repeated_passage_scrub(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    keep_first: bool = False,
+) -> DataFrame:
+    """Cut every token covered by a corpus-repeated k-gram (module doc).
+
+    Returns (doc_id, n_tokens, n_removed, cleaned_hash), one row per input
+    document (fully-scrubbed docs report md5('') — they remain visible so
+    a downstream filter can decide their fate explicitly). Eagerly
+    materialized (truncate_lineage) so the corpus-sized token cache is
+    released before returning — the output is one fixed-width row per doc.
+    """
+    base, cleaned = _scrub_parts(df, id_col, text_col, k, keep_first)
+    try:
+        return (
+            base.select("doc_id", "n")
+            .join(cleaned, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("n").cast("long").alias("n_tokens"),
+                (F.col("n") - F.coalesce(F.col("n_kept"), F.lit(0)))
+                .cast("long")
+                .alias("n_removed"),
+                F.md5(F.coalesce("cleaned", F.lit(""))).alias("cleaned_hash"),
+            )
+            .transform(truncate_lineage)
+        )
+    finally:
+        base.unpersist()
+
+
+def scrubbed_text(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, keep_first: bool = False
+) -> DataFrame:
+    """Pipeline form: (doc_id, text) with repeated passages removed — the
+    SAME shared plan as :func:`repeated_passage_scrub` (one core, two
+    projections), returning the cleaned text itself for downstream stages.
+    Eager like the hash form; the output is the cleaned corpus, which is
+    what the caller was about to materialize anyway.
+    """
+    base, cleaned = _scrub_parts(df, id_col, text_col, k, keep_first)
+    try:
+        return (
+            base.select("doc_id")
+            .join(cleaned, "doc_id", "left")
+            .select("doc_id", F.coalesce("cleaned", F.lit("")).alias("text"))
+            .transform(truncate_lineage)
+        )
+    finally:
+        base.unpersist()

@@ -57,12 +57,29 @@ def anchored_pattern_counts_chunked(
     """Per-key count of positions where ``pattern`` matches starting there.
 
     ``pattern`` must never match more than ``max_match_len`` characters
-    (caller contract — e.g. ``vc{0,3}p`` ⇒ 5); ``max_match_len - 1`` must
-    fit inside one chunk so a straddling match spans at most two chunks.
-    Returns (key_col, n_matches) for keys with ≥ 1 match.
+    (caller contract — e.g. ``vc{0,3}p`` ⇒ 5) and must NOT match the
+    empty string: a zero-width-matchable pattern (``c{0,2}``) makes every
+    position a match INCLUDING the end-of-string position, which the
+    per-chunk telescoping count cannot see (``starts(body+tail) −
+    starts(tail)`` cancels interior end positions but each key's final
+    end-of-string start would be lost — one-off divergence from the
+    unchunked reference, caught in review r9). Rejected up front by a
+    driver-side ``re`` probe rather than silently miscounting.
+    ``max_match_len - 1`` must fit inside one chunk so a straddling match
+    spans at most two chunks. Returns (key_col, n_matches) for keys with
+    ≥ 1 match.
     """
+    import re as _re
+
     if max_match_len < 1:
         raise ValueError(f"max_match_len must be >= 1, got {max_match_len}")
+    if _re.compile(f"(?:{pattern})").match("") is not None:
+        raise ValueError(
+            f"pattern {pattern!r} can match the empty string; zero-width "
+            "matches make the end-of-string position countable, which "
+            "chunked telescoping cannot preserve — require min match "
+            "length >= 1 (e.g. anchor with a mandatory first literal)"
+        )
     if max_match_len - 1 > chunk_size:
         raise ValueError(
             f"overlap {max_match_len - 1} exceeds chunk_size {chunk_size}: "

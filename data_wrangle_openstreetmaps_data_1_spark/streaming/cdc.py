@@ -282,13 +282,21 @@ def run_cdc_apply_manifest(
         stats_out["workdir"] = workdir
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        changes = compact_changes(
-            batch_df.repartition(n_buckets, "user_id")
-        ).withColumn("__b", _bucket_of(F.col("user_id"), n_buckets))
+        # persist: TWO actions consume the compacted batch (the changed-
+        # bucket distinct collect below, then the merge+write) — without a
+        # cache the batch re-reads its source files and re-runs the compact
+        # window per trigger, doubling the O(batch) work this mode exists
+        # to minimize (review r9). Unpersisted in the finally below.
+        changes = (
+            compact_changes(batch_df.repartition(n_buckets, "user_id"))
+            .withColumn("__b", _bucket_of(F.col("user_id"), n_buckets))
+            .persist()
+        )
         changed = sorted(
             r["__b"] for r in changes.select("__b").distinct().collect()
         )  # bounded: <= n_buckets scalar rows
         if not changed:
+            changes.unpersist()
             return
         old_paths = [
             state["manifest"][b] for b in changed if b in state["manifest"]
@@ -307,6 +315,7 @@ def run_cdc_apply_manifest(
             .write.partitionBy("__b")
             .parquet(outdir)
         )
+        changes.unpersist()
         for b in changed:
             state["manifest"][b] = os.path.join(outdir, f"__b={b}")
         if stats_out is not None:

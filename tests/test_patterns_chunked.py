@@ -113,3 +113,14 @@ def test_jaccard_auto_picks_plain_on_clean_and_prefix_on_hot(spark):
     assert d2["rule"] == "prefix" and got_prefix == brute
     assert d2["hottest_shingle_df"] >= 60  # the boilerplate shingles are hot
     assert brute  # non-empty fixture
+
+
+def test_chunked_rejects_empty_matchable_pattern(spark):
+    """Review-r9 finding: a zero-width-matchable pattern diverges from the
+    unchunked reference by one end-of-string count per key — must be
+    rejected up front, not silently miscounted."""
+    ev = _events(spark, n_users=1, max_events=5)
+    with pytest.raises(ValueError, match="empty string"):
+        anchored_pattern_counts_chunked(
+            ev, "user_id", ["seq"], "c", "c{0,2}", 3, chunk_size=8
+        )

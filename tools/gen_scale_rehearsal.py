@@ -38,9 +38,11 @@ downloaded), so sf1 is produced by replicating the driver's sf0.1 tables
   actually moves directions).
 
 Usage: python tools/gen_scale_rehearsal.py [src_dir] [dst_dir] [shards] [scheme]
-Defaults: /root/testdata/sf0.1 -> /tmp/sf1, 10 shards, scheme=insert
-(the historical default so existing ledger rows stay reproducible; pass
-``suffix`` for the faithful fixture, conventionally written to /tmp/sf1v2).
+Defaults: /root/testdata/sf0.1 -> /tmp/sf1, 10 shards, scheme=suffix
+(the FAITHFUL scheme — review r9: defaulting to the known-misleading
+insert stress scheme sent every "run gen_scale_rehearsal first" pointer
+to a fixture the same round declared wrong for scaling conclusions; pass
+``insert`` explicitly to reproduce the historical /tmp/sf1 ledger rows).
 """
 
 from __future__ import annotations
@@ -53,7 +55,7 @@ import duckdb
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
 SHARDS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-SCHEME = sys.argv[4] if len(sys.argv) > 4 else "insert"
+SCHEME = sys.argv[4] if len(sys.argv) > 4 else "suffix"
 if SCHEME not in ("insert", "suffix"):
     raise SystemExit(f"unknown scheme {SCHEME!r}: use 'insert' or 'suffix'")
 
