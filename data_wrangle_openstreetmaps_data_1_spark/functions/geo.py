@@ -44,16 +44,28 @@ def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colu
 def bbox_prefilter(lat: Column, lon: Column, center_lat: Column, center_lon: Column, radius_km: float) -> Column:
     """Conservative bounding-box predicate implied by ``dist <= radius_km``.
 
-    1 deg latitude ~ 111.32 km; longitude shrinks by cos(lat) — use the
-    worst case cos at +-60 deg unless callers know better. This predicate is
-    sargable: it reaches parquet min/max pruning, playing the role of the
-    reference's 2dsphere index (readme.md:381-384).
+    1 deg latitude ~ 111.32 km; longitude shrinks by cos(lat). The lon
+    half-width is computed PER CENTER from the worst (smallest) cos over
+    the center's latitude band — |center_lat| + dlat — so the box stays
+    strictly conservative at ANY latitude (review r9: the earlier fixed
+    cos(60°) divisor silently dropped in-radius points for centers above
+    60°; grid_spatial_join raises for the analogous violation, and a
+    prefilter must never be the thing that loses rows). Near the poles
+    cos → 0 and the clamped divisor widens the box toward all longitudes —
+    still correct, the exact haversine refines. With literal centers the
+    predicate folds to constants and reaches parquet min/max pruning,
+    playing the role of the reference's 2dsphere index
+    (readme.md:381-384); with column centers (the broadcast-join shape)
+    it filters pairs before the haversine.
     """
     # 110.5 km/deg is BELOW the minimum true km-per-degree-latitude
-    # (110.57 at the equator), so the box is strictly conservative; the
-    # lon divisor assumes |lat| < 60 deg (cos >= 0.5) with the same margin.
+    # (110.57 at the equator), so dlat is strictly conservative; the lon
+    # divisor uses the band's minimum cos with the same margin.
     dlat = radius_km / 110.5
-    dlon = radius_km / (110.5 * 0.5)
+    min_cos = F.greatest(
+        F.cos(F.radians(F.abs(center_lat) + F.lit(dlat))), F.lit(1e-6)
+    )
+    dlon = F.lit(radius_km / 110.5) / min_cos
     return (
         (lat >= center_lat - dlat)
         & (lat <= center_lat + dlat)

@@ -431,6 +431,17 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3, bits: i
             f"bound ({n_bands - 1}); pairs at larger distances would be "
             "silently missed"
         )
+    if bits % n_bands != 0 or bits < n_bands:
+        # review r9: bits=30 would leave bits 28-29 UNBANDED (30//4 = 7-bit
+        # bands cover only bits 0-27), so a pair differing only in the top
+        # bits shares no band key and the pigeonhole recall guarantee the
+        # ValueError above exists to protect silently breaks; bits < 4
+        # degenerates to band_bits=0 (one bucket = full cross product).
+        raise ValueError(
+            f"bits={bits} must be a positive multiple of n_bands={n_bands}: "
+            "the band split must cover every bit or the <= max_hamming "
+            "recall guarantee does not hold"
+        )
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
     bandkeys = t.select(

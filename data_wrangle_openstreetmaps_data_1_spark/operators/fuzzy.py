@@ -26,19 +26,26 @@ def fuzzy_blocked_pairs(
 ) -> DataFrame:
     """Distinct near-identical value pairs under Levenshtein <= max_dist.
 
-    Blocking: a candidate pair must share the token at ANY of the first
-    ``n_block_tokens`` whitespace positions (multi-pass blocking union —
-    single-key blocking misses pairs whose difference IS that key).
+    Blocking: a candidate pair must share a token drawn from the first
+    ``n_block_tokens`` whitespace positions of EACH side — joined on the
+    token VALUE alone, not its position (review r9: the earlier
+    (position, token) join silently required the shared token to sit at
+    the SAME index on both sides, so a leading-token insert/delete —
+    'a corp' vs 'corp', distance 2 — never became a candidate even though
+    it is within max_dist; position-free blocking recovers exactly those
+    shifted-token pairs at the cost of a modest candidate increase, and
+    single-key blocking is still avoided because EITHER of the first
+    ``n_block_tokens`` tokens can anchor the pair).
     Output: (name_a, name_b, dist) with name_a < name_b, dist >= 1.
     """
     names = df.select(F.col(name_col).alias("name")).distinct()
     keyed = names.select(
-        "name", F.posexplode(F.slice(F.split("name", r"\s+"), 1, n_block_tokens)).alias("kpos", "key")
-    ).where(F.length("key") > 0)
-    a = keyed.select(F.col("name").alias("name_a"), "kpos", "key")
-    b = keyed.select(F.col("name").alias("name_b"), "kpos", "key")
+        "name", F.explode(F.slice(F.split("name", r"\s+"), 1, n_block_tokens)).alias("key")
+    ).where(F.length("key") > 0).distinct()
+    a = keyed.select(F.col("name").alias("name_a"), "key")
+    b = keyed.select(F.col("name").alias("name_b"), "key")
     cand = (
-        a.join(b, ["kpos", "key"])
+        a.join(b, ["key"])
         .where(F.col("name_a") < F.col("name_b"))
         .select("name_a", "name_b")
         .distinct()

@@ -189,6 +189,11 @@ def sample_frames(media: DataFrame, stride: int = 2) -> DataFrame:
             out: list[tuple[int, int, str]] = []
             for doc_id, payload, meta in zip(pdf["doc_id"], pdf["media"], pdf["meta"]):
                 raw = bytes(payload) if payload is not None else b""
+                # no metadata -> no frames (the chunk_audio convention;
+                # review r9: this path previously crashed the task on a
+                # NULL meta struct instead of emitting zero rows)
+                if meta is None or meta["n_frames"] is None:
+                    continue
                 n_frames = int(meta["n_frames"])
                 for idx in range(0, n_frames, stride):
                     fp = hashlib.md5(raw + str(idx).encode()).hexdigest()

@@ -35,6 +35,17 @@ once). first-occurrence selection is a min(struct) aggregate in the same
 groupBy — no per-gram window sort, so a million-occurrence boilerplate
 gram costs a single running min, not a skewed sort.
 
+keep_first and SELF-OVERLAPPING grams (review r9, behavior pinned in
+tests): byte-exact preservation of the first occurrence holds whenever
+the repeated gram does not overlap itself. For periodic text ('a a a a
+a a', k=5: the gram recurs at i=1 AND i=2) the later overlapping
+occurrences are still flagged and their covered positions still cut, so
+only the first occurrence's non-overlapped PREFIX survives — periodic
+spam collapses toward its fundamental period, which is the desired
+outcome for that class (it is precisely the 'repeated many times'
+content substring dedup exists to shrink); exactly-once preservation of
+an aperiodic passage is unaffected.
+
 Output: (doc_id, n_tokens, n_removed, cleaned_hash) — the cleaned text is
 md5-hashed so the driver's value compare works on fixed-width rows; the
 full cleaned text is one ``concat_ws`` away for pipeline use

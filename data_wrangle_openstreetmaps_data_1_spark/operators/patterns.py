@@ -73,7 +73,19 @@ def anchored_pattern_counts_chunked(
 
     if max_match_len < 1:
         raise ValueError(f"max_match_len must be >= 1, got {max_match_len}")
-    if _re.compile(f"(?:{pattern})").match("") is not None:
+    # Best-effort driver-side probe: Python's re is a close-enough dialect
+    # for the simple bounded patterns this operator targets. Java-only
+    # syntax (\p{Alpha}, \Q..\E, possessive quantifiers) that Python
+    # cannot parse skips the probe rather than crashing — the JVM regex is
+    # still the executor of record. Context-dependent zero-width patterns
+    # (lookbehind like (?<=a)b?) can pass the empty-string probe yet still
+    # match zero-width mid-data; such patterns are outside the supported
+    # class (the docstring requires min match length >= 1 unconditionally).
+    try:
+        empty_matchable = _re.compile(f"(?:{pattern})").match("") is not None
+    except _re.error:
+        empty_matchable = False  # Java-dialect pattern: probe not possible
+    if empty_matchable:
         raise ValueError(
             f"pattern {pattern!r} can match the empty string; zero-width "
             "matches make the end-of-string position countable, which "
@@ -93,7 +105,11 @@ def anchored_pattern_counts_chunked(
         .select(
             key_col,
             "c",
-            (F.col("rn") / F.lit(chunk_size)).cast("long").alias("chunk"),
+            # exact integer div, not float-divide-then-truncate: the
+            # package convention (packing.py, dedup.py prefix lengths) for
+            # boundary arithmetic — a misplaced chunk boundary would
+            # silently corrupt that key's telescoped count (review r9)
+            F.expr(f"rn div {chunk_size}").alias("chunk"),
             F.pmod(F.col("rn"), F.lit(chunk_size)).alias("pos"),
         )
     )

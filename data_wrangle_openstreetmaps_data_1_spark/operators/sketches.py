@@ -24,10 +24,15 @@ from pyspark.sql import functions as F
 from ..functions.hashing import portable_hash64
 
 
-def _bucket(item_col, i: int, w: int, salt: str):
-    # salt layout shared verbatim with the oracle SQL: item || ':<salt>' || i
+def _bucket(item_col, i_col, w: int, salt: str):
+    """Shared hash-bucket expression for count-min and bloom (review r9:
+    this was previously dead code while four call sites inlined the same
+    expression — a salt-layout change had to be edited in four places).
+    Salt layout shared verbatim with the oracle SQL:
+    ``item || ':<salt>' || i``."""
     return F.pmod(
-        portable_hash64(F.concat(item_col, F.lit(f":{salt}"), F.lit(str(i)))), F.lit(w)
+        portable_hash64(F.concat(item_col, F.lit(f":{salt}"), i_col.cast("string"))),
+        F.lit(w),
     )
 
 
@@ -44,13 +49,7 @@ def countmin_build(
         F.col(item_col).alias("item"),
         F.col(count_col).alias("c"),
     )
-    bucketed = rows.withColumn(
-        "bucket",
-        F.pmod(
-            portable_hash64(F.concat(F.col("item"), F.lit(f":{salt}"), F.col("i").cast("string"))),
-            F.lit(w),
-        ),
-    )
+    bucketed = rows.withColumn("bucket", _bucket(F.col("item"), F.col("i"), w, salt))
     return bucketed.groupBy("i", "bucket").agg(F.sum("c").alias("bc"))
 
 
@@ -67,15 +66,7 @@ def countmin_estimate(
     the probe entirely when all d buckets are empty)."""
     expanded = probes.select(
         "*", F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("i")
-    ).withColumn(
-        "bucket",
-        F.pmod(
-            portable_hash64(
-                F.concat(F.col(item_col), F.lit(f":{salt}"), F.col("i").cast("string"))
-            ),
-            F.lit(w),
-        ),
-    )
+    ).withColumn("bucket", _bucket(F.col(item_col), F.col("i"), w, salt))
     joined = expanded.join(F.broadcast(sketch), ["i", "bucket"], "left")
     group_cols = [c for c in probes.columns]
     return joined.groupBy(*group_cols).agg(
@@ -101,10 +92,7 @@ def bloom_build(items: DataFrame, item_col: str, k: int = 3, m: int = 1024, salt
         F.col(item_col).alias("item"),
     )
     return rows.select(
-        F.pmod(
-            portable_hash64(F.concat(F.col("item"), F.lit(f":{salt}"), F.col("i").cast("string"))),
-            F.lit(m),
-        ).alias("bit")
+        _bucket(F.col("item"), F.col("i"), m, salt).alias("bit")
     ).distinct()
 
 
@@ -185,15 +173,7 @@ def bloom_member(
     calling); every registered caller probes distinct keys."""
     expanded = probes.select(
         "*", F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("i")
-    ).withColumn(
-        "bit",
-        F.pmod(
-            portable_hash64(
-                F.concat(F.col(item_col), F.lit(f":{salt}"), F.col("i").cast("string"))
-            ),
-            F.lit(m),
-        ),
-    )
+    ).withColumn("bit", _bucket(F.col(item_col), F.col("i"), m, salt))
     marked = F.broadcast(bloom.withColumn("_bit_set", F.lit(1)))
     joined = expanded.join(marked, "bit", "left")
     group_cols = list(probes.columns)
@@ -220,14 +200,24 @@ def histogram_build(
     Mergeable monoid like count-min/HLL: per-partition / per-day sketches
     combine with the same groupBy-sum, so incremental maintenance at
     100 TB is one tiny shuffle. Out-of-range values clamp to the edge
-    buckets, so mass is never lost. Use a power-of-two ``width`` so the
+    buckets, so non-null mass is never lost (NULL metric rows are excluded
+    — see the inline note). Use a power-of-two ``width`` so the
     bucket arithmetic is float-exact across engines.
     """
     b = F.least(
         F.lit(nb - 1),
         F.greatest(F.lit(0), F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int")),
     )
-    return items.select(b.alias("bucket")).groupBy("bucket").agg(F.count("*").alias("c"))
+    # NULL metric rows are EXCLUDED, not clamped: Spark's greatest() skips
+    # nulls, so without this filter floor(NULL) -> greatest(0, NULL) = 0
+    # and every null row silently inflated bucket 0, dragging all
+    # quantiles low (review r9). A null metric has no quantile.
+    return (
+        items.where(F.col(value_col).isNotNull())
+        .select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("c"))
+    )
 
 
 def histogram_quantiles(
@@ -238,7 +228,18 @@ def histogram_quantiles(
 
     All work happens on the <= nb-row sketch (broadcast-sized); the
     original data is never touched again. Error bound: one bucket width.
+
+    ``qs`` must lie in (0, 1]: q = 0 has no crossing bucket (the condition
+    ``cum_before < q·N`` is unsatisfiable at 0) and previously vanished
+    SILENTLY from the output, misaligning any caller zipping qs against
+    rows (review r9) — now rejected loudly; q = 1 hits the last bucket.
     """
+    bad = [q for q in qs if not (0.0 < q <= 1.0)]
+    if bad:
+        raise ValueError(
+            f"quantiles must be in (0, 1], got {bad}: q=0 has no crossing "
+            "bucket (use lo, the discovered minimum, directly)"
+        )
     from pyspark.sql import Window
 
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)

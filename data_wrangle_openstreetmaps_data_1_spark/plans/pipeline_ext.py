@@ -427,23 +427,24 @@ def st_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     r"""
     WITH names AS (SELECT DISTINCT p_name AS name FROM part),
     keyed AS (
-      SELECT name, u.kpos AS kpos, u.key AS key
+      SELECT DISTINCT name, u.key AS key
       FROM (SELECT name,
                    unnest(list_transform(
                      range(0, least(len(regexp_split_to_array(name, '\s+')), 2)),
-                     j -> {'kpos': j,
-                           'key': regexp_split_to_array(name, '\s+')[j+1]})) AS u
+                     j -> {'key': regexp_split_to_array(name, '\s+')[j+1]})) AS u
             FROM names)
       WHERE length(u.key) > 0),
     cand AS (
       SELECT DISTINCT a.name AS name_a, b.name AS name_b
-      FROM keyed a JOIN keyed b ON a.kpos = b.kpos AND a.key = b.key
+      FROM keyed a JOIN keyed b ON a.key = b.key
       WHERE a.name < b.name)
     SELECT name_a, name_b, levenshtein(name_a, name_b) AS dist
     FROM cand WHERE levenshtein(name_a, name_b) <= 2
     """,
-    doc="blocked fuzzy entity matching: distinct names -> multi-pass token "
-    "blocking (equi-join per token position) -> Levenshtein <= 2 verify; "
+    doc="blocked fuzzy entity matching: distinct names -> token blocking "
+    "(position-free equi-join on any of the first two tokens; r9: the "
+    "positional join missed leading-token insert/delete pairs) -> "
+    "Levenshtein <= 2 verify; "
     "never an all-pairs product, edit distance runs once per deduped "
     "candidate pair",
 )

@@ -18,8 +18,14 @@ Environment note: transformWithStateInPandas talks to the JVM state server
 over a protobuf protocol, so it requires the ``protobuf`` package at
 RUNTIME (Spark raises ``ImportError: cannot import name 'descriptor' from
 'google.protobuf'`` inside the streaming driver worker otherwise). This
-container does not ship protobuf, so the operator is exercised by
-tests/test_streaming.py only where protobuf is importable; the
+container does not ship protobuf, so the end-to-end wiring runs in
+tests/test_streaming.py only where protobuf is importable. Everything
+this module WROTE is still green-tested here: the sessionization core is
+the shared ``gap_walk`` (oracle-checked via sessions.py), and the
+processor's own logic — input handling, timer re-arm, idle expiry, the
+stale-timer guard — is driven through a fake StatefulProcessorHandle in
+tests/test_sessions_tws_logic.py, leaving ONLY Spark's protobuf
+transport (not our code) unexercised in this container. The
 applyInPandasWithState sessionizer (sessions.py) is the
 no-extra-dependency path and stays the registered-query operator.
 """

@@ -85,3 +85,23 @@ def test_scrubbed_text_pipeline_form(spark):
         for r in repeated_passage_scrub(df, "doc_id", "text", k=5).collect()
     }
     assert all(_md5(got[d]) == hashes[d] for d in got)
+
+
+def test_keep_first_self_overlapping_periodic(spark):
+    """Pinned behavior (module doc): a self-overlapping periodic repeat
+    keeps only the first occurrence's non-overlapped prefix — periodic
+    spam collapses toward its period; aperiodic first occurrences are
+    preserved byte-exact (the other keep_first tests)."""
+    df = spark.createDataFrame(
+        [(1, "a a a a a a"), (2, "b c d e f g")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"])
+        for r in repeated_passage_scrub(
+            df, "doc_id", "text", k=5, keep_first=True
+        ).collect()
+    }
+    # doc 1: gram 'a a a a a' occurs at i=1 (first, exempt) and i=2
+    # (flagged, covers positions 2-6) -> only position 1 survives
+    assert got[1] == (6, 5)
+    assert got[2] == (6, 0)  # unique text untouched

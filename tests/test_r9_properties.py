@@ -115,3 +115,22 @@ def test_truncate_lineage_reliable_mode(spark, tmp_path):
         assert ckpt_files, "reliable mode did not write checkpoint files"
     finally:
         spark.conf.set(RELIABLE_CHECKPOINT_CONF, "false")
+
+
+def test_near_bbox_correct_at_high_latitude(spark):
+    """Review-r9 fix: bbox_prefilter's lon half-width is per-center exact
+    (band-min cos), so a high-latitude center no longer silently drops
+    in-radius points the old fixed cos(60°) divisor excluded."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.geo_queries import near
+
+    # center at lat 70; point ~12.5 km due east: lon offset 0.33° is inside
+    # the 10-mile radius but OUTSIDE the old fixed-divisor box (0.29°)
+    centers = spark.createDataFrame(
+        [("arctic", 70.0, 20.0)], "name string, lat double, lon double"
+    )
+    points = spark.createDataFrame(
+        [(1, 70.0, 20.33), (2, 70.0, 21.0)], "id long, lat double, lon double"
+    )
+    got = {r["id"]: r["dist_km"] for r in near(points, centers, radius_miles=10.0).collect()}
+    assert 1 in got and got[1] < 16.1  # recovered point
+    assert 2 not in got  # ~38 km away: still excluded by the exact check

@@ -221,3 +221,36 @@ def test_adaptive_quantiles_unbounded_domain(spark):
         for r in histogram_quantiles_adaptive(with_nulls, "value", [0.5]).collect()
     }
     assert abs(got_n[0.5] - 2.0) < 0.02  # nulls excluded: median of {1,2,3}
+
+
+def test_histogram_null_and_q_validation(spark):
+    """Review-r9 fixes: NULL metric rows are excluded (previously clamped
+    into bucket 0, dragging every quantile low) and q outside (0, 1] is
+    rejected loudly (q=0 previously vanished silently from the output)."""
+    import pytest
+
+    from data_wrangle_openstreetmaps_data_1_spark.operators.sketches import (
+        histogram_build,
+        histogram_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(None,)] * 50 + [(float(v),) for v in range(100)], "value double"
+    )
+    sketch = histogram_build(df, "value", lo=0.0, width=1.0, nb=128)
+    # 100 non-null rows only: bucket 0 holds exactly one value
+    assert {r["bucket"]: r["c"] for r in sketch.collect()}[0] == 1
+    med = {r["q"]: r["est"] for r in histogram_quantiles(sketch, [0.5], 0.0, 1.0).collect()}
+    assert abs(med[0.5] - 50.0) < 1.01  # nulls no longer drag the median low
+    with pytest.raises(ValueError, match="quantiles must be in"):
+        histogram_quantiles(sketch, [0.0, 0.5], 0.0, 1.0)
+
+
+def test_simhash_rejects_unbanded_bits(spark):
+    import pytest
+
+    from data_wrangle_openstreetmaps_data_1_spark.operators.dedup import simhash_pairs
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="multiple of n_bands"):
+        simhash_pairs(df, "doc_id", "text", bits=30)
