@@ -1452,6 +1452,131 @@ def tx_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     return stratified_sample(d, "lang", "doc_id", 20).select("lang", "doc_id", "sample_rank")
 
 
+# leakage-safe splitting tier (operators/splits.py): split by DUP-GROUP key
+# so duplicate clusters never straddle train/eval. Both queries run on the
+# planted-duplicate corpus, grouped by the exact-dup fingerprint md5(text)
+# (any group key dedup computed works the same way — MinHash component
+# root, canonical URL domain).
+
+_SPLITS = [("train", 9000), ("val", 500), ("test", 500)]
+_SPLIT_CASE = (
+    "CASE WHEN {r} < 9000 THEN 'train' WHEN {r} < 9500 THEN 'val' "
+    "ELSE 'test' END"
+)
+_SPLIT_R = "(('0x' || substr(md5({k} || ':split1'), 1, 15))::BIGINT % 10000)"
+
+
+@register(
+    "tx_split_assign",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    g AS (SELECT doc_id, md5(text) AS g FROM corpus),
+    a AS (SELECT doc_id, g,
+                 {_SPLIT_CASE.format(r=_SPLIT_R.format(k="g"))} AS split
+          FROM g),
+    pg AS (SELECT split, g, count(*) AS n FROM a GROUP BY 1, 2)
+    SELECT split, sum(n)::BIGINT AS n_docs, count(*)::BIGINT AS n_groups
+    FROM pg GROUP BY 1
+    """,
+    doc="group-aware train/val/test split census: the split is a pure "
+    "function of the exact-dup group key (portable md5 tier), so every "
+    "duplicate lands with its keeper — assignment is a stateless map-only "
+    "projection (no shuffle, no join); this census is one small-key "
+    "groupBy",
+)
+def tx_split_assign(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.splits import split_summary
+
+    c = _corpus(spark, sf).withColumn("g", F.md5("text"))
+    return split_summary(c, "doc_id", "g", _SPLITS)
+
+
+@register(
+    "tx_split_leakage_audit",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    g AS (SELECT doc_id, md5(text) AS g FROM corpus),
+    a AS (SELECT doc_id, g,
+                 {_SPLIT_CASE.format(r=_SPLIT_R.format(k="doc_id::VARCHAR"))}
+                   AS split_naive,
+                 {_SPLIT_CASE.format(r=_SPLIT_R.format(k="g"))} AS split_group
+          FROM g),
+    n1 AS (SELECT g, split_naive AS split, count(*) AS c FROM a GROUP BY 1, 2),
+    g1 AS (SELECT g, sum(c) AS n, sum(c * c) AS sq FROM n1 GROUP BY 1),
+    n2 AS (SELECT g, split_group AS split, count(*) AS c FROM a GROUP BY 1, 2),
+    g2 AS (SELECT g, sum(c) AS n, sum(c * c) AS sq FROM n2 GROUP BY 1)
+    SELECT 'naive_by_doc' AS strategy,
+           sum(n * (n - 1) // 2)::BIGINT AS dup_pairs,
+           sum((n * n - sq) // 2)::BIGINT AS straddling_pairs,
+           sum(CASE WHEN sq < n * n THEN 1 ELSE 0 END)::BIGINT
+             AS groups_straddling
+    FROM g1
+    UNION ALL
+    SELECT 'group_aware' AS strategy,
+           sum(n * (n - 1) // 2)::BIGINT AS dup_pairs,
+           sum((n * n - sq) // 2)::BIGINT AS straddling_pairs,
+           sum(CASE WHEN sq < n * n THEN 1 ELSE 0 END)::BIGINT
+             AS groups_straddling
+    FROM g2
+    """,
+    doc="train/eval contamination audit, naive doc-hash split vs "
+    "group-aware split on the same corpus: straddling intra-group pairs "
+    "are counted per group as (n^2 - sum c_s^2)/2 from (group, split) "
+    "counts — exact int64 combinatorics, NO pairwise join (quadratic in "
+    "the hottest group at scale). group_aware straddling is proven 0 from "
+    "the data, not asserted",
+)
+def tx_split_leakage_audit(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.splits import leakage_audit
+
+    c = _corpus(spark, sf).withColumn("g", F.md5("text"))
+    return leakage_audit(c, "doc_id", "g", _SPLITS)
+
+
+@register(
+    "tx_vocab_coverage",
+    r"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+      FROM documents),
+    tc AS (SELECT token, count(*) AS freq FROM tok
+           WHERE length(token) > 0 GROUP BY 1),
+    hist AS (SELECT freq, count(*) AS n_tokens, freq * count(*) AS mass
+             FROM tc GROUP BY 1),
+    cum AS (SELECT freq, n_tokens,
+                   sum(mass) OVER (ORDER BY freq DESC) AS cum_mass,
+                   sum(n_tokens) OVER (ORDER BY freq DESC) AS cum_tokens
+            FROM hist),
+    tot AS (SELECT max(cum_mass) AS total FROM cum),
+    bps AS (SELECT unnest([5000, 9000, 9900]) AS coverage_bp),
+    sel AS (SELECT coverage_bp, freq, n_tokens, cum_tokens, cum_mass,
+                   cum_mass - freq * n_tokens AS cum_before,
+                   coverage_bp * total AS target
+            FROM cum, tot, bps),
+    hit AS (SELECT *,
+                   (target - 10000 * cum_before + 10000 * freq - 1)
+                     // (10000 * freq) AS k
+            FROM sel
+            WHERE 10000 * cum_mass >= target AND 10000 * cum_before < target)
+    SELECT coverage_bp,
+           (cum_tokens - n_tokens + k)::BIGINT AS vocab_size,
+           (cum_before + k * freq)::BIGINT AS covered_tokens
+    FROM hit
+    """,
+    doc="tokenizer-sizing coverage curve: smallest greedy-by-count vocab "
+    "covering 50/90/99% of token occurrences. Scale design: coverage "
+    "depends only on the FREQUENCY-OF-FREQUENCIES histogram "
+    "(O(sqrt(corpus)) rows by the harmonic bound), so the vocab is never "
+    "globally sorted — one token-key shuffle, one tiny-histogram window, "
+    "boundary class resolved in exact int64 (operators/vocab.py)",
+)
+def tx_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.vocab import vocab_coverage
+
+    d = load_table(spark, sf, "documents").select("text")
+    return vocab_coverage(d, "text", [5000, 9000, 9900])
+
+
 @register(
     "tx_pack_chunks",
     r"""
