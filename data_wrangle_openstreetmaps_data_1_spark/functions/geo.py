@@ -66,11 +66,20 @@ def bbox_prefilter(lat: Column, lon: Column, center_lat: Column, center_lon: Col
         F.cos(F.radians(F.abs(center_lat) + F.lit(dlat))), F.lit(1e-6)
     )
     dlon = F.lit(radius_km / 110.5) / min_cos
+    # Antimeridian: when the lon interval sticks out past ±180 the box
+    # wraps, and a plain range test would drop in-radius points on the far
+    # side (advice r9). Widen to ALL longitudes in that case — still
+    # strictly conservative, the exact haversine refines; for literal
+    # centers away from ±180 the wrap term folds to false and the range
+    # predicate still reaches parquet min/max pruning.
+    lon_wraps = (center_lon + dlon > 180.0) | (center_lon - dlon < -180.0)
     return (
         (lat >= center_lat - dlat)
         & (lat <= center_lat + dlat)
-        & (lon >= center_lon - dlon)
-        & (lon <= center_lon + dlon)
+        & (
+            lon_wraps
+            | ((lon >= center_lon - dlon) & (lon <= center_lon + dlon))
+        )
     )
 
 

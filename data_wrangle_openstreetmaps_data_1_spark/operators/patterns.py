@@ -98,7 +98,11 @@ def anchored_pattern_counts_chunked(
             "a match could span 3+ chunks; raise chunk_size or bound the "
             "pattern tighter"
         )
-    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    # char column as the FINAL order tie-break, matching the unchunked
+    # form's array_sort over struct(*order_cols, c): with duplicate
+    # order values both forms now resolve ties identically (advice r9 —
+    # row_number over order_cols alone was nondeterministic there).
+    w = Window.partitionBy(key_col).orderBy(*order_cols, F.col("c"))
     ev = (
         df.select(key_col, F.col(char_col).alias("c"), *order_cols)
         .withColumn("rn", F.row_number().over(w) - 1)

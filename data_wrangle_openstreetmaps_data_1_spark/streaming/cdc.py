@@ -292,35 +292,39 @@ def run_cdc_apply_manifest(
             .withColumn("__b", _bucket_of(F.col("user_id"), n_buckets))
             .persist()
         )
-        changed = sorted(
-            r["__b"] for r in changes.select("__b").distinct().collect()
-        )  # bounded: <= n_buckets scalar rows
-        if not changed:
+        try:
+            changed = sorted(
+                r["__b"] for r in changes.select("__b").distinct().collect()
+            )  # bounded: <= n_buckets scalar rows
+            if not changed:
+                return
+            old_paths = [
+                state["manifest"][b] for b in changed if b in state["manifest"]
+            ]
+            snapshot_part = (
+                spark.read.schema(_SNAPSHOT_SCHEMA).parquet(*old_paths)
+                if old_paths
+                else spark.createDataFrame([], _SNAPSHOT_SCHEMA)
+            )
+            merged = merge_snapshot(snapshot_part, changes.drop("__b"))
+            state["version"] += 1
+            outdir = os.path.join(workdir, f"v{state['version']}")
+            (
+                merged.withColumn("__b", _bucket_of(F.col("user_id"), n_buckets))
+                .repartition(len(changed), "__b")
+                .write.partitionBy("__b")
+                .parquet(outdir)
+            )
+        finally:
+            # advice r9: a merge/write failure must not leak the cached
+            # batch — unpersist on every exit path, not just success
             changes.unpersist()
-            return
-        old_paths = [
-            state["manifest"][b] for b in changed if b in state["manifest"]
-        ]
-        snapshot_part = (
-            spark.read.schema(_SNAPSHOT_SCHEMA).parquet(*old_paths)
-            if old_paths
-            else spark.createDataFrame([], _SNAPSHOT_SCHEMA)
-        )
-        merged = merge_snapshot(snapshot_part, changes.drop("__b"))
-        state["version"] += 1
-        outdir = os.path.join(workdir, f"v{state['version']}")
-        (
-            merged.withColumn("__b", _bucket_of(F.col("user_id"), n_buckets))
-            .repartition(len(changed), "__b")
-            .write.partitionBy("__b")
-            .parquet(outdir)
-        )
-        changes.unpersist()
         for b in changed:
             state["manifest"][b] = os.path.join(outdir, f"__b={b}")
         if stats_out is not None:
             stats_out["batches"].append((len(changed), len(state["manifest"])))
 
+    ok = False
     try:
         q = (
             stream.writeStream.foreachBatch(process_batch)
@@ -330,6 +334,7 @@ def run_cdc_apply_manifest(
         )
         q.awaitTermination()
         if not state["manifest"]:
+            ok = True
             return spark.createDataFrame(
                 [], "user_id long, last_event_type string, last_value double, last_ts string"
             )
@@ -351,8 +356,11 @@ def run_cdc_apply_manifest(
                 f"(max {_MAX_DRIVER_ROWS}); keep the parquet snapshot and "
                 "read it directly instead of collecting"
             )
+        ok = True
         return spark.createDataFrame(rows, final.schema)
     finally:
-        if stats_out is None:
+        # stats mode keeps the workdir ONLY on success (caller measures
+        # file sizes, then removes it); on failure remove it regardless so
+        # an exception never strands temp parquet (advice r9)
+        if stats_out is None or not ok:
             shutil.rmtree(workdir, ignore_errors=True)
-        # stats mode: caller measures file sizes in workdir, then removes it

@@ -279,6 +279,9 @@ def test_no_unexpected_products_registry_wide(spark):
         "t_gap_fill", "sk_hll", "sk_histogram_quantiles", "dd_lsh_tier_audit",
         # adaptive form: same <=256-row sketch x 3-quantile broadcast cross
         "sk_quantiles_adaptive",
+        # O(sqrt(corpus))-row freq histogram x broadcast 1-row total x
+        # broadcast tiny coverage-target table (see vocab.py docstring)
+        "tx_vocab_coverage",
         "g_triangle_count", "sk_hll_intersect", "tx_drift_report", "dq_expectations",
         # broadcast tiny query/probe side (the deliberate theta shapes)
         "sim_knn_brute", "sim_ivf", "sim_quantized", "sim_rerank_pipeline",
