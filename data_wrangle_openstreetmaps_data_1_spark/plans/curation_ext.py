@@ -1,0 +1,302 @@
+"""Round-10 curation/analytics extensions: generic column profiling,
+event-transition analytics, token-balanced output sharding, HTML
+main-content extraction, and product-quantized similarity search.
+
+Registered like every other plans module — Spark callable + DuckDB oracle
+twin per query (see registry.py for the cross-engine determinism rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import token_count
+from ..operators.htmltext import (
+    extract_main_text,
+    extract_main_text_sql,
+    link_count,
+    link_count_sql,
+    synth_page,
+    synth_page_sql,
+)
+from ..operators.profiling import profile_columns, profile_columns_sql
+from ..sources.tables import load_table
+from .registry import register
+
+# --------------------------------------------------------------------------
+# generic column profiler
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+@register(
+    "dq_profile",
+    profile_columns_sql("documents", _PROFILE_COLS),
+    doc="generic one-scan column profiler (the discovery pass before "
+    "dq_expectations' contract gate): nulls, exact distincts, min/max "
+    "renders, integer mean-length per column, ALL from one aggregation "
+    "over one scan (multi-distinct compiles to the Expand form — the "
+    "standard exact single-pass shape in both engines). At 100 TB flip "
+    "profile_columns(approximate=True): distincts become mergeable HLL "
+    "sketches, Expand disappears (unit-tested, not oracle-checked — "
+    "sketch estimates are engine-specific)",
+)
+def dq_profile(spark: SparkSession, sf: str) -> DataFrame:
+    return profile_columns(load_table(spark, sf, "documents"), _PROFILE_COLS)
+
+
+# --------------------------------------------------------------------------
+# event-transition matrix (user-journey Markov counts)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "a_transition_matrix",
+    """
+    SELECT coalesce(prev_type, 'START') AS prev_type, event_type AS next_type,
+           count(*) AS n
+    FROM (SELECT event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_type
+          FROM events)
+    GROUP BY 1, 2
+    """,
+    doc="user-journey transition matrix (first-order Markov counts): per "
+    "user, order events by (ts, event_id) — event_id breaks timestamp "
+    "ties deterministically — lag() the event type, count (prev, next) "
+    "pairs with a synthetic START state for each user's first event. ONE "
+    "keyed shuffle for the window, then a tiny (|types|+1)^2 rollup that "
+    "partial-aggregates map-side. The product-analytics complement to "
+    "a_funnel_stages: funnel checks ONE prescribed path, this measures "
+    "ALL observed paths",
+)
+def a_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            F.coalesce(F.lag("event_type").over(w), F.lit("START")).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# token-balanced output sharding
+# --------------------------------------------------------------------------
+
+_N_SHARDS = 8
+_DUCK_HASH64 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+@register(
+    "tx_shard_manifest",
+    f"""
+    SELECT {_DUCK_HASH64.format(x="CAST(doc_id AS VARCHAR) || ':shard'")}
+             % {_N_SHARDS} AS shard,
+           count(*) AS n_docs,
+           CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\\s+')))
+                AS BIGINT) AS tokens_total
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="token-balanced output sharding manifest: shard = "
+    "portable_hash64(doc_id)%N — content-independent hash sharding, the "
+    "shape production pipelines use to write N training shards, because "
+    "by LLN the per-shard token totals concentrate tightly around "
+    "total/N with ZERO coordination (no global sort, no running-sum "
+    "window — a row_number-balanced assignment would serialize the whole "
+    "corpus through one sort). The manifest reports achieved balance "
+    "per shard (the test asserts the spread); one groupBy on a 3-bit "
+    "key, fully map-side-partial. Hash is the portable md5 family so "
+    "shard membership is reproducible across engines AND runs",
+)
+def tx_shard_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.hashing import portable_hash64
+
+    d = load_table(spark, sf, "documents")
+    return (
+        d.select(
+            (
+                portable_hash64(F.concat(F.col("doc_id").cast("string"), F.lit(":shard")))
+                % _N_SHARDS
+            ).alias("shard"),
+            token_count(F.col("text")).alias("toks"),
+        )
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_docs"), F.sum("toks").alias("tokens_total"))
+    )
+
+
+# --------------------------------------------------------------------------
+# HTML main-content extraction
+# --------------------------------------------------------------------------
+
+_PAGE_SQL = synth_page_sql("text", "source", "doc_id")
+
+
+@register(
+    "tx_html_extract",
+    f"""
+    WITH pages AS (SELECT doc_id, {_PAGE_SQL} AS page FROM documents)
+    SELECT doc_id,
+           {link_count_sql("page")} AS n_links,
+           CAST(length({extract_main_text_sql("page")}) AS BIGINT) AS clean_len,
+           md5({extract_main_text_sql("page")}) AS clean_md5
+    FROM pages
+    """,
+    doc="HTML main-content extraction (the CCNet/trafilatura stage of a "
+    "web-scale curation pipeline): strip script/style, drop boilerplate "
+    "blocks (nav/footer/banner), flatten tags, collapse whitespace; keep "
+    "the page's link count for link-density quality gates. Page bodies "
+    "are deterministic template fakes (no HTML corpus in the container — "
+    "same honesty contract as the multimodal tier) but the extraction "
+    "cascade is real: RE2-subset regexes (no backreferences/lookaround) "
+    "shared verbatim between engines, and the round-trip test asserts "
+    "extraction recovers exactly the original text. Map-only regex "
+    "cascade — codegen'd, zero shuffle, scan-speed at 100 TB",
+)
+def tx_html_extract(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    page = synth_page(F.col("text"), F.col("source"), F.col("doc_id"))
+    clean = extract_main_text(page)
+    return d.select(
+        "doc_id",
+        link_count(page).cast("long").alias("n_links"),
+        F.length(clean).cast("long").alias("clean_len"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# product-quantized similarity search (ADC)
+# --------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces
+_PQ_DSUB = 8  # dims per subspace (8 x 8 = the 64-dim embedding)
+_PQ_K = 16  # codes per subspace
+_PQ_ITERS = 1  # Lloyd iterations per codebook
+_PQ_R = 6  # centroid quantization decimals
+_PQ_NQ = 3  # query vectors: vec_id < _PQ_NQ
+_PQ_TOPK = 5
+
+
+def _pq_oracle() -> str:
+    """Unrolled PQ in DuckDB: per subspace, the same seeded/quantized
+    Lloyd iteration as ml_kmeans' oracle, then code assignment, per-query
+    lookup tables, and the ADC sum — trajectory-identical to the Spark
+    operator by the clustering determinism contract."""
+    m, d, k, r = _PQ_M, _PQ_DSUB, _PQ_K, _PQ_R
+    ctes = ["e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+
+    def d2(vec: str, cent: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {d + 1}), "
+            f"i -> ({vec}[i] - {cent}[i]) * ({vec}[i] - {cent}[i])), (a, b) -> a + b)"
+        )
+
+    for mi in range(m):
+        lo, hi = mi * d + 1, (mi + 1) * d
+        ctes.append(f"s{mi} AS (SELECT vec_id, v[{lo}:{hi}] AS s FROM e)")
+        ctes.append(
+            f"cent{mi}_0 AS (SELECT CAST(vec_id + 1 AS INT) AS code, "
+            f"list_transform(s, x -> round(x, {r})) AS c FROM s{mi} WHERE vec_id < {k})"
+        )
+        for it in range(_PQ_ITERS):
+            ctes.append(
+                f"asg{mi}_{it} AS (SELECT vec_id, s, code FROM ("
+                f"SELECT t.vec_id, t.s, c.code, row_number() OVER (PARTITION BY t.vec_id "
+                f"ORDER BY {d2('t.s', 'c.c')} ASC, c.code ASC) AS rk "
+                f"FROM s{mi} t, cent{mi}_{it} c) WHERE rk = 1)"
+            )
+            ctes.append(
+                f"dims{mi}_{it} AS (SELECT a.code, u.i AS dim, round(avg(a.s[u.i]), {r}) AS cv "
+                f"FROM asg{mi}_{it} a, (SELECT unnest(range(1, {d + 1})) AS i) u "
+                f"GROUP BY a.code, u.i)"
+            )
+            ctes.append(
+                f"cent{mi}_{it + 1} AS (SELECT p.code, coalesce(n.c, p.c) AS c "
+                f"FROM cent{mi}_{it} p LEFT JOIN (SELECT code, array_agg(cv ORDER BY dim) AS c "
+                f"FROM dims{mi}_{it} GROUP BY code) n USING (code))"
+            )
+        fin = f"cent{mi}_{_PQ_ITERS}"
+        ctes.append(
+            f"code{mi} AS (SELECT vec_id, code FROM ("
+            f"SELECT t.vec_id, c.code, row_number() OVER (PARTITION BY t.vec_id "
+            f"ORDER BY {d2('t.s', 'c.c')} ASC, c.code ASC) AS rk "
+            f"FROM s{mi} t, {fin} c) WHERE rk = 1)"
+        )
+        ctes.append(
+            f"lut{mi} AS (SELECT q.vec_id AS qid, c.code, {d2('q.s', 'c.c')} AS dd "
+            f"FROM s{mi} q, {fin} c WHERE q.vec_id < {_PQ_NQ})"
+        )
+    # linear accumulation chain, one MATERIALIZED step per subspace: (a) the
+    # left-fold addition order is explicit (((d0+d1)+d2)+... — matching the
+    # Spark side's element_at sum, which is what keeps float parity), and
+    # (b) the optimizer cannot flatten the codes/luts into one 2M-way star
+    # join, whose misestimated bushy order cross-joins the lut tables
+    # (16^M rows) before any code key connects them
+    ctes.append(
+        "acc0 AS MATERIALIZED (SELECT c.vec_id, l.qid, l.dd AS acc "
+        "FROM code0 c JOIN lut0 l ON l.code = c.code)"
+    )
+    for mi in range(1, m):
+        ctes.append(
+            f"acc{mi} AS MATERIALIZED (SELECT a.vec_id, a.qid, a.acc + l.dd AS acc "
+            f"FROM acc{mi - 1} a JOIN code{mi} c ON c.vec_id = a.vec_id "
+            f"JOIN lut{mi} l ON l.code = c.code AND l.qid = a.qid)"
+        )
+    ctes.append(
+        f"adc AS (SELECT qid, vec_id, round(acc, {r}) AS adc_d2 "
+        f"FROM acc{m - 1} WHERE vec_id != qid)"
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT qid AS query_id, vec_id, adc_d2 FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY qid "
+        "ORDER BY adc_d2 ASC, vec_id ASC) AS rk FROM adc) "
+        f"WHERE rk <= {_PQ_TOPK}"
+    )
+
+
+@register(
+    "sim_pq",
+    _pq_oracle(),
+    doc="product-quantized ANN (Jegou et al. 2011): train per-subspace "
+    "k-means codebooks (8 subspaces x 8 dims, 16 codes, the deterministic "
+    "quantized one-pass-per-iteration Lloyd trainer), encode every vector "
+    "as 8 small int codes — 32x memory compression vs float32, the difference "
+    "between an embedding corpus that fits executor RAM and one that "
+    "doesn't — then answer queries by asymmetric distance: per-query "
+    "16-entry lookup tables (driver-built, tiny) summed via element_at "
+    "over the code columns, all codegen'd column math. Per-query top-k is "
+    "orderBy+limit = TakeOrderedAndProject (partial top-k per partition, "
+    "no global sort). Compose with sim_ivf's cluster bucketing to bound "
+    "candidates at 100 TB; here the scan is exhaustive so the measured "
+    "recall (tests) isolates pure quantization loss. Fully value-checked: "
+    "the oracle unrolls training+encoding+ADC relationally",
+)
+def sim_pq(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.pq import adc_topk, encode_pq, train_pq_codebooks
+
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    codebooks = train_pq_codebooks(
+        emb, "vec_id", "v", m=_PQ_M, dsub=_PQ_DSUB, ksub=_PQ_K, iters=_PQ_ITERS, round_to=_PQ_R
+    )
+    encoded = encode_pq(emb, "v", codebooks, _PQ_DSUB).select(
+        "vec_id", *[f"code{mi}" for mi in range(_PQ_M)]
+    )
+    queries = [
+        (r["vec_id"], list(r["v"]))
+        for r in emb.where(F.col("vec_id") < _PQ_NQ).orderBy("vec_id").collect()
+    ]
+    return adc_topk(
+        encoded, "vec_id", queries, codebooks, _PQ_DSUB, k=_PQ_TOPK, round_to=_PQ_R
+    )

@@ -110,6 +110,7 @@ def _load_all() -> None:
         analytics,
         cleaning_geo,
         core,
+        curation_ext,
         pipeline,
         pipeline_ext,
         streaming_queries,
