@@ -300,3 +300,187 @@ def sim_pq(spark: SparkSession, sf: str) -> DataFrame:
     return adc_topk(
         encoded, "vec_id", queries, codebooks, _PQ_DSUB, k=_PQ_TOPK, round_to=_PQ_R
     )
+
+
+# --------------------------------------------------------------------------
+# unigram (SentencePiece-flavored) tokenizer tier: vocab + segmentation
+# --------------------------------------------------------------------------
+
+_UNI_V = 48  # segmentation vocabulary size (bounded scalar class)
+
+#: shared DuckDB CTEs: distinct weighted words -> candidate piece masses.
+#: positions via end-exclusive range(1, len - l + 2) (empty when len < l,
+#: matching the Spark side's if()-guarded sequence)
+_UNI_WORDS_SQL = r"""
+    words AS (
+      SELECT word, count(*) AS wc FROM (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+        FROM documents)
+      WHERE length(word) > 0 GROUP BY word),
+    subs AS (
+      SELECT piece, CAST(sum(wc) AS BIGINT) AS mass FROM (
+        SELECT substr(word, CAST(i AS INT), 2) AS piece, wc
+        FROM (SELECT word, wc, unnest(range(1, length(word))) AS i FROM words)
+        UNION ALL
+        SELECT substr(word, CAST(i AS INT), 3), wc
+        FROM (SELECT word, wc, unnest(range(1, length(word) - 1)) AS i FROM words)
+        UNION ALL
+        SELECT substr(word, CAST(i AS INT), 4), wc
+        FROM (SELECT word, wc, unnest(range(1, length(word) - 2)) AS i FROM words))
+      GROUP BY piece)
+"""
+
+
+@register(
+    "tx_unigram_vocab",
+    f"""
+    WITH {_UNI_WORDS_SQL}
+    SELECT piece, mass FROM subs ORDER BY mass DESC, piece ASC LIMIT 20
+    """,
+    doc="unigram-tokenizer candidate vocabulary (Kudo 2018's selection "
+    "shape): every 2-4-char substring at every position of every DISTINCT "
+    "word, weighted by word count — candidate generation runs over the "
+    "word vocabulary (Heaps-law-sized), never the corpus, then one "
+    "groupBy sums exact integer masses. Top-k by (mass desc, piece asc) "
+    "via TakeOrderedAndProject. The second tokenizer family next to BPE: "
+    "BPE grows pieces bottom-up from pair stats, this scores all bounded "
+    "substrings at once",
+)
+def tx_unigram_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.unigram import piece_masses, word_counts
+
+    words = word_counts(load_table(spark, sf, "documents"), "text")
+    return (
+        piece_masses(words)
+        .orderBy(F.desc("mass"), F.asc("piece"))
+        .limit(20)
+        .select("piece", "mass")
+    )
+
+
+def _unigram_segment_oracle() -> str:
+    from ..operators.unigram import segment_recursive_sql
+
+    return f"""
+    WITH RECURSIVE {_UNI_WORDS_SQL},
+    vocab AS (SELECT piece FROM subs ORDER BY mass DESC, piece ASC LIMIT {_UNI_V}),
+    {segment_recursive_sql("words", "vocab")}
+    SELECT piece, CAST(sum(wc) AS BIGINT) AS n_uses FROM (
+      SELECT unnest(string_split(substr(seg, 2), '|')) AS piece, wc FROM segd)
+    GROUP BY piece ORDER BY n_uses DESC, piece ASC LIMIT 30
+    """
+
+
+@register(
+    "tx_unigram_segment",
+    _unigram_segment_oracle(),
+    doc="greedy longest-match subword segmentation against the top-48 "
+    "unigram vocabulary, with single-char fallback (byte-fallback "
+    "semantics: unknown chars become their own pieces, guaranteeing "
+    "progress). Each DISTINCT word segments once via ONE bounded "
+    "aggregate() fold (depth = measured max word length, a scalar agg — "
+    "no iteration loop, no lineage growth), pieces re-weighted by word "
+    "count; the vocabulary is a bounded driver-side scalar class like "
+    "BPE's rules, embedded as codegen'd IN-lists. Oracle re-derives the "
+    "same vocab relationally and walks the same greedy states with a "
+    "recursive CTE — fully value-checked. Output: top-30 pieces by usage",
+)
+def tx_unigram_segment(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.unigram import segment_words, select_vocab, word_counts
+
+    words = word_counts(load_table(spark, sf, "documents"), "text")
+    vocab = [p for p, _ in select_vocab(words, _UNI_V)]
+    max_len = words.agg(F.max(F.length("word"))).collect()[0][0] or 1
+    segd = segment_words(words, vocab, max_len)
+    pieces = segd.select(
+        "wc", F.split(F.expr("substring(seg, 2)"), r"\|").alias("ps")
+    ).select("wc", F.explode("ps").alias("piece"))
+    return (
+        pieces.groupBy("piece")
+        .agg(F.sum("wc").alias("n_uses"))
+        .orderBy(F.desc("n_uses"), F.asc("piece"))
+        .limit(30)
+    )
+
+
+# --------------------------------------------------------------------------
+# collocation mining (PMI-family lift score, exact integer-derived ranking)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tx_collocations",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, t, CAST(len(t) AS BIGINT) AS nt FROM (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents)),
+    uni AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT unnest(t) AS word FROM toks) GROUP BY word),
+    bi AS (
+      SELECT w1 || ' ' || w2 AS bigram, w1, w2, CAST(count(*) AS BIGINT) AS cab
+      FROM (SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+            FROM (SELECT t, unnest(range(1, nt)) AS i FROM toks))
+      GROUP BY 1, 2, 3),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             (SELECT CAST(sum(cab) AS BIGINT) FROM bi) AS b FROM uni)
+    SELECT bigram, cab,
+           round(CAST(cab AS DOUBLE) * n * n / (CAST(b AS DOUBLE) * ca.c * cb.c), 6)
+             AS lift
+    FROM bi JOIN uni ca ON bi.w1 = ca.word JOIN uni cb ON bi.w2 = cb.word, tot
+    WHERE cab >= 5
+    ORDER BY lift DESC, bigram ASC LIMIT 20
+    """,
+    doc="collocation / phrase mining: adjacent-bigram lift score "
+    "p(ab)/(p(a)p(b)) — the PMI exponent, which ranks identically to PMI "
+    "without a log() call (ln is not correctly-rounded IEEE, so engines "
+    "drift; the ratio is a handful of exact-order double ops over exact "
+    "int64 counts and hashes identically). min-support 5 kills the "
+    "singleton-noise tail, top-k via TakeOrderedAndProject. One token "
+    "scan feeds both the unigram and bigram counts; the two count joins "
+    "are on word keys (the unigram table broadcasts at any realistic "
+    "vocabulary size). The standard phrase-detection stage (Mikolov "
+    "word2vec phrases, public) for multi-word-expression vocabularies",
+)
+def tx_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.text import tokens as _tokens
+    from ..partitioning import explode_nonempty, spread
+
+    d = spread(load_table(spark, sf, "documents").select("text"))
+    toks = d.select(_tokens(F.col("text")).alias("t"))
+    uni = (
+        explode_nonempty(toks, [], "t", "word")
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    bi_arr = "if(size(t) >= 2, transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) as w1, element_at(t, i + 1) as w2)), array())"
+    bi = (
+        explode_nonempty(toks.select(F.expr(bi_arr).alias("bs")), [], "bs", "p")
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cab"))
+        .withColumn("bigram", F.concat_ws(" ", "w1", "w2"))
+    )
+    tot = uni.agg(F.sum("c").alias("n")).crossJoin(
+        bi.agg(F.sum("cab").alias("b"))
+    )
+    ca = uni.select(F.col("word").alias("w1"), F.col("c").alias("c_a"))
+    cb = uni.select(F.col("word").alias("w2"), F.col("c").alias("c_b"))
+    return (
+        bi.where(F.col("cab") >= 5)
+        .join(F.broadcast(ca), "w1")
+        .join(F.broadcast(cb), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bigram",
+            "cab",
+            F.round(
+                F.expr("cast(cab as double) * n * n / (cast(b as double) * c_a * c_b)"), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("bigram"))
+        .limit(20)
+    )

@@ -282,6 +282,8 @@ def test_no_unexpected_products_registry_wide(spark):
         # O(sqrt(corpus))-row freq histogram x broadcast 1-row total x
         # broadcast tiny coverage-target table (see vocab.py docstring)
         "tx_vocab_coverage",
+        # bigram stats x broadcast 1-row (N, B) corpus totals
+        "tx_collocations",
         "g_triangle_count", "sk_hll_intersect", "tx_drift_report", "dq_expectations",
         # broadcast tiny query/probe side (the deliberate theta shapes)
         "sim_knn_brute", "sim_ivf", "sim_quantized", "sim_rerank_pipeline",

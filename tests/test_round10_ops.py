@@ -203,3 +203,86 @@ def test_pq_seed_contract_raises(spark):
     )
     with pytest.raises(ValueError, match="seed contract"):
         train_pq_codebooks(df, "vec_id", "v", m=2, dsub=8, ksub=4, iters=1)
+
+
+# --------------------------------------------------------------------------
+# unigram tokenizer tier
+# --------------------------------------------------------------------------
+
+
+def test_unigram_segment_roundtrip_and_vocab_membership(spark):
+    from data_wrangle_openstreetmaps_data_1_spark.operators.unigram import (
+        segment_words,
+        select_vocab,
+        word_counts,
+    )
+
+    words = word_counts(load_table(spark, SF, "documents"), "text")
+    vocab = [p for p, _ in select_vocab(words, 48)]
+    assert len(vocab) == 48 and all(2 <= len(p) <= 4 for p in vocab)
+    max_len = words.agg(F.max(F.length("word"))).collect()[0][0]
+    segd = segment_words(words, vocab, max_len).collect()
+    vset = set(vocab)
+    for r in segd:
+        pieces = r["seg"][1:].split("|")
+        # lossless: pieces concatenate back to the word
+        assert "".join(pieces) == r["word"]
+        # every piece is a vocab entry or a single-char fallback
+        for p in pieces:
+            assert p in vset or len(p) == 1
+        # greedy: a multi-char vocab piece is never split when it could
+        # have been taken — spot-check position 1
+        for plen in (4, 3, 2):
+            if r["word"][:plen] in vset:
+                assert pieces[0] == r["word"][:plen]
+                break
+
+
+def test_unigram_segment_raises_on_overlong_word(spark):
+    from data_wrangle_openstreetmaps_data_1_spark.operators.unigram import segment_words
+
+    df = spark.createDataFrame([("abcdefghij", 1)], "word string, wc long")
+    with pytest.raises(ValueError, match="max_len"):
+        segment_words(df, ["ab"], max_len=4)
+
+
+def test_unigram_registered_mass_conservation(spark):
+    """Sum over ALL segmented pieces of len(piece)*uses equals the total
+    character mass of the corpus' words (computed over the full piece set,
+    not the top-30 the registered query returns)."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.unigram import (
+        segment_words,
+        select_vocab,
+        word_counts,
+    )
+
+    words = word_counts(load_table(spark, SF, "documents"), "text")
+    vocab = [p for p, _ in select_vocab(words, 48)]
+    max_len = words.agg(F.max(F.length("word"))).collect()[0][0]
+    segd = segment_words(words, vocab, max_len)
+    piece_mass = (
+        segd.select("wc", F.explode(F.split(F.expr("substring(seg, 2)"), r"\|")).alias("p"))
+        .agg(F.sum(F.length("p") * F.col("wc")))
+        .collect()[0][0]
+    )
+    char_mass = words.agg(F.sum(F.length("word") * F.col("wc"))).collect()[0][0]
+    assert piece_mass == char_mass
+
+
+# --------------------------------------------------------------------------
+# collocations
+# --------------------------------------------------------------------------
+
+
+def test_collocations_support_and_lift(spark):
+    from data_wrangle_openstreetmaps_data_1_spark.plans.registry import query_map
+
+    rows = query_map()["tx_collocations"](spark, "/root/testdata/sf0.01").collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert r["cab"] >= 5
+        assert r["lift"] > 0
+        assert len(r["bigram"].split(" ")) == 2
+    # ranked descending by lift
+    lifts = [r["lift"] for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
