@@ -37,6 +37,9 @@ NAMES = [
     "tx_shard_manifest",
     "tx_html_extract",
     "sim_pq",
+    "tx_unigram_vocab",
+    "tx_unigram_segment",
+    "tx_collocations",
 ]
 
 
