@@ -484,3 +484,106 @@ def tx_collocations(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("lift"), F.asc("bigram"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# exact heavy hitters (two-pass local-threshold; operators/heavy.py)
+# --------------------------------------------------------------------------
+
+_HH_K = 29  # phi = 1/29: discriminating on this corpus' near-uniform vocab
+
+
+@register(
+    "a_heavy_hitters",
+    rf"""
+    WITH t AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                 AS token FROM documents),
+    tt AS (SELECT token FROM t WHERE length(token) > 0)
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt
+    FROM tt GROUP BY token
+    HAVING count(*) * {_HH_K} > (SELECT count(*) FROM tt)
+    """,
+    doc="exact phi-frequent tokens WITHOUT a full token census: pass 1 "
+    "counts inside Arrow batches (mapInPandas, shuffle-free) and emits "
+    "only batch-local threshold beaters — by strict pigeonhole a "
+    "guaranteed superset of the true heavy hitters under ANY batching — "
+    "pass 2 recounts just those candidates (broadcast semi-join below "
+    "the agg) and applies the exact global cut. The answer is exact and "
+    "batching-independent, which is what makes it oracle-checkable; the "
+    "naive census shuffles every distinct token (billions of keys of "
+    "singleton tail at web scale), this shuffles candidates only. See "
+    "operators/heavy.py for the proof sketch and the tokenizer-parity "
+    "boundary",
+)
+def a_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.heavy import heavy_hitters
+
+    return heavy_hitters(load_table(spark, sf, "documents"), "text", k=_HH_K)
+
+
+# --------------------------------------------------------------------------
+# SCD type-2 dimension maintenance (operators/scd.py)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "u_scd2_apply",
+    """
+    WITH dim AS (
+      SELECT c_custkey AS key,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+             c_mktsegment AS seg
+      FROM customer),
+    ch AS (
+      SELECT key,
+             bal_cents + CASE WHEN key % 3 = 0 THEN 0 ELSE 5000 END AS nb,
+             seg AS ns
+      FROM dim WHERE key % 7 = 0),
+    j AS (
+      SELECT d.key, d.bal_cents, d.seg, ch.nb, ch.ns,
+             ch.key IS NOT NULL
+               AND (d.bal_cents IS DISTINCT FROM ch.nb
+                    OR d.seg IS DISTINCT FROM ch.ns) AS material
+      FROM dim d LEFT JOIN ch ON d.key = ch.key)
+    SELECT key, bal_cents, seg, CAST(0 AS BIGINT) AS valid_from,
+           CAST(NULL AS BIGINT) AS valid_to, true AS is_current
+    FROM j WHERE NOT material
+    UNION ALL
+    SELECT key, bal_cents, seg, 0, 1, false FROM j WHERE material
+    UNION ALL
+    SELECT key, nb, ns, 1, NULL, true FROM j WHERE material
+    """,
+    doc="slowly-changing-dimension TYPE-2 maintenance (history-preserving "
+    "merge — u_upsert_snapshot's type-1 overwrites in place): one "
+    "left join dim-current x broadcast change batch does null-safe change "
+    "detection, then closed/new/kept branches project from that single "
+    "joined frame. Every 7th customer arrives in the batch but every "
+    "21st is a NO-OP update (same values) that must not mint a version — "
+    "the classic SCD2 bug, pinned by the oracle and tests. The dimension "
+    "side never shuffles (batch broadcasts); bucketed dim storage keeps "
+    "it that way for big batches (same discipline as the CDC snapshot "
+    "merge)",
+)
+def u_scd2_apply(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.scd import scd2_apply
+
+    base = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changes = (
+        base.where(F.col("key") % 7 == 0)
+        .select(
+            "key",
+            (
+                F.col("bal_cents")
+                + F.when(F.col("key") % 3 == 0, F.lit(0)).otherwise(F.lit(5000))
+            ).alias("bal_cents"),
+            F.col("seg"),
+        )
+    )
+    return scd2_apply(base, changes, "key", ["bal_cents", "seg"], batch_id=1)

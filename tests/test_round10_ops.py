@@ -286,3 +286,101 @@ def test_collocations_support_and_lift(spark):
     # ranked descending by lift
     lifts = [r["lift"] for r in rows]
     assert lifts == sorted(lifts, reverse=True)
+
+
+# --------------------------------------------------------------------------
+# heavy hitters
+# --------------------------------------------------------------------------
+
+
+def test_heavy_hitters_matches_census_and_partitioning_invariant(spark):
+    from data_wrangle_openstreetmaps_data_1_spark.functions.text import tokens as _tokens
+    from data_wrangle_openstreetmaps_data_1_spark.operators.heavy import heavy_hitters
+
+    d = load_table(spark, SF, "documents")
+    toks = d.select(F.explode(_tokens(F.col("text"))).alias("t")).where(F.length("t") > 0)
+    n = toks.count()
+    for k in (10, 29, 100):
+        got = {(r["token"], r["cnt"]) for r in heavy_hitters(d, "text", k).collect()}
+        want = {
+            (r["t"], r["c"])
+            for r in toks.groupBy("t").agg(F.count("*").alias("c")).collect()
+            if r["c"] * k > n
+        }
+        assert got == want, f"k={k}"
+    # batching/partitioning must not change the answer
+    re4 = heavy_hitters(d.repartition(4), "text", 29).collect()
+    re1 = heavy_hitters(d.coalesce(1), "text", 29).collect()
+    assert {(r["token"], r["cnt"]) for r in re4} == {(r["token"], r["cnt"]) for r in re1}
+
+
+# --------------------------------------------------------------------------
+# SCD2
+# --------------------------------------------------------------------------
+
+
+def _scd_base(spark):
+    return spark.createDataFrame(
+        [
+            (1, 100, "A", 0, None, True),
+            (2, 200, "B", 0, None, True),
+            (3, 300, "C", 0, None, True),
+            # pre-existing history row: must pass through untouched
+            (1, 90, "A", -1, 0, False),
+        ],
+        "key long, bal long, seg string, valid_from long, valid_to long, is_current boolean",
+    )
+
+
+def test_scd2_versions_changes_and_ignores_noops(spark):
+    from data_wrangle_openstreetmaps_data_1_spark.operators.scd import scd2_apply
+
+    changes = spark.createDataFrame(
+        [(1, 150, "A"), (2, 200, "B"), (9, 900, "Z")],  # 2 = no-op, 9 = unknown key
+        "key long, bal long, seg string",
+    )
+    out = scd2_apply(_scd_base(spark), changes, "key", ["bal", "seg"], batch_id=1)
+    rows = {(r["key"], r["valid_from"]): r for r in out.collect()}
+    assert len(rows) == 5  # 4 input rows + exactly ONE new version (key 1)
+    closed = rows[(1, 0)]
+    assert closed["valid_to"] == 1 and not closed["is_current"] and closed["bal"] == 100
+    newv = rows[(1, 1)]
+    assert newv["is_current"] and newv["valid_to"] is None and newv["bal"] == 150
+    # no-op update: key 2 untouched and still current
+    assert rows[(2, 0)]["is_current"] and rows[(2, 0)]["valid_to"] is None
+    # history row untouched
+    assert rows[(1, -1)]["valid_to"] == 0
+    # unknown key in batch: ignored (dim drives SCD2; inserts are type-1's job)
+    assert (9, 1) not in rows
+
+
+def test_scd2_null_transitions_are_material(spark):
+    from data_wrangle_openstreetmaps_data_1_spark.operators.scd import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, None, "A", 0, None, True), (2, 5, None, 0, None, True)],
+        "key long, bal long, seg string, valid_from long, valid_to long, is_current boolean",
+    )
+    changes = spark.createDataFrame(
+        [(1, 10, "A"), (2, 5, None)],  # 1: NULL->10 material; 2: NULL==NULL no-op
+        "key long, bal long, seg string",
+    )
+    out = scd2_apply(dim, changes, "key", ["bal", "seg"], batch_id=1).collect()
+    by = {(r["key"], r["valid_from"]): r for r in out}
+    assert (1, 1) in by and by[(1, 1)]["bal"] == 10
+    assert (2, 1) not in by  # NULL-to-NULL is not a change
+
+
+def test_scd2_chained_batches(spark):
+    from data_wrangle_openstreetmaps_data_1_spark.operators.scd import scd2_apply
+
+    changes1 = spark.createDataFrame([(1, 150, "A")], "key long, bal long, seg string")
+    changes2 = spark.createDataFrame([(1, 175, "B")], "key long, bal long, seg string")
+    v1 = scd2_apply(_scd_base(spark), changes1, "key", ["bal", "seg"], batch_id=1)
+    v2 = scd2_apply(v1, changes2, "key", ["bal", "seg"], batch_id=2)
+    k1 = sorted(
+        [r for r in v2.collect() if r["key"] == 1],
+        key=lambda r: (r["valid_from"]),
+    )
+    spans = [(r["valid_from"], r["valid_to"], r["is_current"], r["bal"]) for r in k1]
+    assert spans == [(-1, 0, False, 90), (0, 1, False, 100), (1, 2, False, 150), (2, None, True, 175)]

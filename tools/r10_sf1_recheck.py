@@ -40,6 +40,8 @@ NAMES = [
     "tx_unigram_vocab",
     "tx_unigram_segment",
     "tx_collocations",
+    "a_heavy_hitters",
+    "u_scd2_apply",
 ]
 
 
