@@ -55,3 +55,64 @@ def range_join_bucketed(
         .where(F.col(time_col).between(F.col(start_col), F.col(end_col)))
         .drop("__b")
     )
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    on: str,
+    a_start: str = "s",
+    a_end: str = "e",
+    b_start: str = "s",
+    b_end: str = "e",
+    bin_width: int = 14,
+) -> DataFrame:
+    """Interval x interval OVERLAP join (the two-sided sibling of
+    range_join_bucketed's point-in-interval): pairs of rows sharing ``on``
+    whose [start, end] spans intersect.
+
+    Both sides explode to the integer bins their span covers and the join
+    is a keyed equi-join on (on, bin) + the exact overlap predicate. A
+    pair whose spans share k bins would surface k times; instead of a
+    DISTINCT exchange over the whole candidate set, each surviving pair is
+    kept ONLY in the bin containing its overlap's start
+    (bin == floor(max(s_a, s_b) / width)) — that bin is covered by both
+    spans by construction, so every true pair appears exactly once and
+    the dedup costs one codegen'd comparison, not a shuffle.
+
+    Inverted spans (end < start) are dropped up front, same rationale as
+    range_join_bucketed. Bin width tunes replication vs residual work;
+    ~the median span length is a good default. At 100 TB both sides
+    shuffle once on (on, bin) — AQE splits hot entities, and the
+    replication factor is span/width + 1, bounded and known up front.
+    """
+    an = a.where(F.col(a_end) >= F.col(a_start)).select(
+        F.col(on).alias("__k"),
+        *[F.col(c).alias(f"a_{c}") for c in a.columns if c != on],
+        F.explode(
+            F.sequence(
+                F.floor(F.col(a_start) / bin_width), F.floor(F.col(a_end) / bin_width)
+            )
+        ).alias("__bin"),
+    )
+    bn = b.where(F.col(b_end) >= F.col(b_start)).select(
+        F.col(on).alias("__k"),
+        *[F.col(c).alias(f"b_{c}") for c in b.columns if c != on],
+        F.explode(
+            F.sequence(
+                F.floor(F.col(b_start) / bin_width), F.floor(F.col(b_end) / bin_width)
+            )
+        ).alias("__bin"),
+    )
+    sa, ea = f"a_{a_start}", f"a_{a_end}"
+    sb, eb = f"b_{b_start}", f"b_{b_end}"
+    return (
+        an.join(bn, ["__k", "__bin"])
+        .where(
+            (F.col(sa) <= F.col(eb))
+            & (F.col(sb) <= F.col(ea))
+            & (F.col("__bin") == F.floor(F.greatest(F.col(sa), F.col(sb)) / bin_width))
+        )
+        .drop("__bin")
+        .withColumnRenamed("__k", on)
+    )

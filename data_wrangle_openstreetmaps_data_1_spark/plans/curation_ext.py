@@ -186,11 +186,14 @@ _PQ_NQ = 3  # query vectors: vec_id < _PQ_NQ
 _PQ_TOPK = 5
 
 
-def _pq_oracle() -> str:
-    """Unrolled PQ in DuckDB: per subspace, the same seeded/quantized
-    Lloyd iteration as ml_kmeans' oracle, then code assignment, per-query
-    lookup tables, and the ADC sum — trajectory-identical to the Spark
-    operator by the clustering determinism contract."""
+def _pq_cte_list() -> list[str]:
+    """Shared CTE builder: unrolled PQ in DuckDB — per subspace, the same
+    seeded/quantized Lloyd iteration as ml_kmeans' oracle, then code
+    assignment, per-query lookup tables, and the MATERIALIZED linear ADC
+    accumulation ending at ``adc(qid, vec_id, adc_d2)``. Trajectory-
+    identical to operators/pq.py by the clustering determinism contract.
+    Consumed by the sim_pq oracle (exhaustive) and the sim_ivf_pq oracle
+    (cluster-pruned)."""
     m, d, k, r = _PQ_M, _PQ_DSUB, _PQ_K, _PQ_R
     ctes = ["e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
 
@@ -255,8 +258,12 @@ def _pq_oracle() -> str:
         f"adc AS (SELECT qid, vec_id, round(acc, {r}) AS adc_d2 "
         f"FROM acc{m - 1} WHERE vec_id != qid)"
     )
+    return ctes
+
+
+def _pq_oracle() -> str:
     return (
-        "WITH " + ", ".join(ctes) + " "
+        "WITH " + ", ".join(_pq_cte_list()) + " "
         "SELECT qid AS query_id, vec_id, adc_d2 FROM ("
         "SELECT *, row_number() OVER (PARTITION BY qid "
         "ORDER BY adc_d2 ASC, vec_id ASC) AS rk FROM adc) "
@@ -587,3 +594,140 @@ def u_scd2_apply(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return scd2_apply(base, changes, "key", ["bal_cents", "seg"], batch_id=1)
+
+
+# --------------------------------------------------------------------------
+# interval-overlap join (operators/range_join.py:interval_overlap_join)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "j_interval_overlap",
+    """
+    WITH iv AS (
+      SELECT o_orderkey AS k, o_custkey AS cust,
+             date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS s
+      FROM orders),
+    a AS (SELECT k, cust, s, s + 6 AS e FROM iv WHERE k % 2 = 0),
+    b AS (SELECT k, cust, s, s + 13 AS e FROM iv WHERE k % 2 = 1)
+    SELECT a.cust, a.k AS a_key, b.k AS b_key,
+           least(a.e, b.e) - greatest(a.s, b.s) + 1 AS overlap_days
+    FROM a JOIN b ON a.cust = b.cust AND a.s <= b.e AND b.s <= a.e
+    """,
+    doc="interval x interval OVERLAP join (meeting-conflict / "
+    "exposure-window shape): per-customer 7-day vs 14-day order windows "
+    "that intersect, with overlap length. The two-sided sibling of "
+    "j_range_join's point-in-interval: both spans explode to 14-day bins, "
+    "keyed equi-join on (customer, bin) + exact overlap predicate; a "
+    "k-bin-shared pair is kept ONLY in the bin containing its overlap "
+    "start, so dedup is one codegen'd comparison instead of a DISTINCT "
+    "exchange over the candidate set. Oracle = the brute per-customer "
+    "theta join (semantic pin); the Spark side never plans a product",
+)
+def j_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.range_join import interval_overlap_join
+
+    iv = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("cust"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias("s"),
+    )
+    a = iv.where(F.col("k") % 2 == 0).select("k", "cust", "s", (F.col("s") + 6).alias("e"))
+    b = iv.where(F.col("k") % 2 == 1).select("k", "cust", "s", (F.col("s") + 13).alias("e"))
+    out = interval_overlap_join(a, b, on="cust", bin_width=14)
+    return out.select(
+        "cust",
+        F.col("a_k").alias("a_key"),
+        F.col("b_k").alias("b_key"),
+        (F.least("a_e", "b_e") - F.greatest("a_s", "b_s") + 1).alias("overlap_days"),
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF + PQ composed: the full 100 TB ANN serving path
+# --------------------------------------------------------------------------
+
+_IVFPQ_NCENT = 16  # coarse centroids = seed vectors (sim_ivf's convention)
+_IVFPQ_NPROBE = 2
+
+
+def _ivf_pq_oracle() -> str:
+    """Coarse-cluster pruning composed onto the shared PQ CTEs: targets sit
+    in their single nearest seed centroid (full-64-dim L2, same fold order
+    as similarity._l2sq), queries probe their 2 nearest, and the ADC
+    ranking runs over cluster-matched candidates only."""
+    d2full = (
+        "list_reduce(list_transform(range(1, 65), "
+        "i -> (e.v[i] - c.c_vec[i]) * (e.v[i] - c.c_vec[i])), (a, b) -> a + b)"
+    )
+    ctes = _pq_cte_list() + [
+        f"cent AS (SELECT vec_id AS c_id, v AS c_vec FROM e WHERE vec_id < {_IVFPQ_NCENT})",
+        "cassign AS (SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id "
+        f"ORDER BY d2full ASC, c_id ASC) AS crk FROM (SELECT e.vec_id, c.c_id, {d2full} "
+        "AS d2full FROM e, cent c))",
+        "tclu AS (SELECT vec_id, c_id AS cluster FROM cassign WHERE crk = 1)",
+        f"qclu AS (SELECT vec_id AS qid, c_id AS cluster FROM cassign "
+        f"WHERE crk <= {_IVFPQ_NPROBE} AND vec_id < {_PQ_NQ})",
+        # target has exactly ONE cluster, so a (qid, target) pair matches at
+        # most once — no DISTINCT needed
+        "cand AS (SELECT a.qid, a.vec_id, a.adc_d2 FROM adc a "
+        "JOIN tclu t USING (vec_id) "
+        "JOIN qclu q ON q.cluster = t.cluster AND q.qid = a.qid)",
+    ]
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT qid AS query_id, vec_id, adc_d2 FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY qid "
+        "ORDER BY adc_d2 ASC, vec_id ASC) AS rk FROM cand) "
+        f"WHERE rk <= {_PQ_TOPK}"
+    )
+
+
+@register(
+    "sim_ivf_pq",
+    _ivf_pq_oracle(),
+    doc="IVF-PQ — the composition production ANN systems actually serve "
+    "(FAISS IVFPQ shape, public): coarse clusters bound WHICH vectors a "
+    "query scores (sim_ivf's cluster equi-join — at 100 TB the target "
+    "table partitions by cluster and probes prune partitions) while PQ "
+    "codes bound the BYTES each scored vector costs (sim_pq's 32x "
+    "compression + ADC lookup sums). Both halves reuse their standalone "
+    "operators; the oracle composes the shared unrolled-PQ CTEs with the "
+    "cluster-pruning CTEs, fully value-checked. Recall loss = cluster "
+    "pruning x quantization, measured against both parents in tests",
+)
+def sim_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.pq import adc_topk, encode_pq, train_pq_codebooks
+    from ..operators.similarity import ivf_assign
+
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cb = train_pq_codebooks(
+        emb, "vec_id", "v", m=_PQ_M, dsub=_PQ_DSUB, ksub=_PQ_K, iters=_PQ_ITERS, round_to=_PQ_R
+    )
+    enc = encode_pq(emb, "v", cb, _PQ_DSUB)
+    cent = emb.where(F.col("vec_id") < _IVFPQ_NCENT)
+    targets = ivf_assign(enc, cent.select("vec_id", "v"), "vec_id", "v", nprobe=1).select(
+        "vec_id", "cluster"
+    ).join(enc.drop("v"), "vec_id")
+    probes = ivf_assign(
+        emb.where(F.col("vec_id") < _PQ_NQ), cent, "vec_id", "v", nprobe=_IVFPQ_NPROBE
+    ).select("vec_id", "cluster")
+    probe_map: dict[int, list[int]] = {}
+    for r in probes.collect():  # bounded: nq x nprobe scalar rows
+        probe_map.setdefault(r["vec_id"], []).append(r["cluster"])
+    queries = [
+        (r["vec_id"], list(r["v"]))
+        for r in emb.where(F.col("vec_id") < _PQ_NQ).orderBy("vec_id").collect()
+    ]
+    parts = []
+    for qid, qvec in queries:
+        cand = targets.where(F.col("cluster").isin(probe_map[qid]))
+        parts.append(
+            adc_topk(cand, "vec_id", [(qid, qvec)], cb, _PQ_DSUB, k=_PQ_TOPK, round_to=_PQ_R)
+        )
+    out = parts[0]
+    for pq_part in parts[1:]:
+        out = out.unionByName(pq_part)
+    return out

@@ -287,6 +287,8 @@ def test_no_unexpected_products_registry_wide(spark):
         "g_triangle_count", "sk_hll_intersect", "tx_drift_report", "dq_expectations",
         # broadcast tiny query/probe side (the deliberate theta shapes)
         "sim_knn_brute", "sim_ivf", "sim_quantized", "sim_rerank_pipeline",
+        # same ivf_assign broadcast-centroid shape as sim_ivf
+        "sim_ivf_pq",
         "sim_recall_at_k", "g3_near_radius", "g3_haversine_pairs",
         # hybrid fusion: the vector tier is the same broadcast-query kNN,
         # and BM25's corpus-stat crossJoin is a broadcast 1-row aggregate

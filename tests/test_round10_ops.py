@@ -384,3 +384,85 @@ def test_scd2_chained_batches(spark):
     )
     spans = [(r["valid_from"], r["valid_to"], r["is_current"], r["bal"]) for r in k1]
     assert spans == [(-1, 0, False, 90), (0, 1, False, 100), (1, 2, False, 150), (2, None, True, 175)]
+
+
+# --------------------------------------------------------------------------
+# interval-overlap join
+# --------------------------------------------------------------------------
+
+
+def test_interval_overlap_matches_brute_and_dedups(spark):
+    from data_wrangle_openstreetmaps_data_1_spark.operators.range_join import (
+        interval_overlap_join,
+    )
+
+    a = spark.createDataFrame(
+        [
+            (1, 10, 0, 6),     # overlaps b10 (touching at 6) and b11
+            (2, 10, 100, 130), # spans 3 bins shared with b12 -> must count ONCE
+            (3, 10, 50, 40),   # inverted: dropped
+            (4, 20, 0, 6),     # other entity: no cross-entity pairs
+        ],
+        "k long, ent long, s long, e long",
+    )
+    b = spark.createDataFrame(
+        [
+            (10, 10, 6, 9),      # touches a1 at exactly 6
+            (11, 10, 3, 4),      # inside a1
+            (12, 10, 95, 135),   # long overlap with a2 across bins
+            (13, 10, 7, 9),      # misses a1 (starts after its end)
+            (14, 20, 100, 101),  # other entity, no overlap with a4
+        ],
+        "k long, ent long, s long, e long",
+    )
+    out = interval_overlap_join(a, b, on="ent", bin_width=14).collect()
+    pairs = sorted((r["a_k"], r["b_k"]) for r in out)
+    assert pairs == [(1, 10), (1, 11), (2, 12)]  # each exactly once
+    # brute-force equivalence on the same frames
+    brute = (
+        a.where(F.col("e") >= F.col("s"))
+        .alias("x")
+        .join(b.alias("y"), (F.col("x.ent") == F.col("y.ent")))
+        .where((F.col("x.s") <= F.col("y.e")) & (F.col("y.s") <= F.col("x.e")))
+        .select(F.col("x.k").alias("ak"), F.col("y.k").alias("bk"))
+        .collect()
+    )
+    assert sorted((r["ak"], r["bk"]) for r in brute) == pairs
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ composition
+# --------------------------------------------------------------------------
+
+
+def test_ivf_pq_prunes_by_cluster_and_tracks_pq(spark):
+    from data_wrangle_openstreetmaps_data_1_spark.operators.similarity import ivf_assign
+    from data_wrangle_openstreetmaps_data_1_spark.plans.registry import query_map
+
+    sf = "/root/testdata/sf0.01"
+    ivfpq = query_map()["sim_ivf_pq"](spark, sf).collect()
+    assert len(ivfpq) == 15  # 3 queries x top-5
+    # every returned neighbor's cluster must be among its query's probes
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = emb.where(F.col("vec_id") < 16)
+    tclu = {
+        r["vec_id"]: r["cluster"]
+        for r in ivf_assign(emb, cent, "vec_id", "v", nprobe=1).collect()
+    }
+    qclu = {}
+    for r in ivf_assign(
+        emb.where(F.col("vec_id") < 3), cent, "vec_id", "v", nprobe=2
+    ).collect():
+        qclu.setdefault(r["vec_id"], set()).add(r["cluster"])
+    for r in ivfpq:
+        assert tclu[r["vec_id"]] in qclu[r["query_id"]]
+    # composition sanity: IVF-PQ ranks a SUBSET of sim_pq's candidate pool,
+    # so per query its ADC distances are >= the exhaustive PQ top-5's floor
+    pq = query_map()["sim_pq"](spark, sf).collect()
+    best = {}
+    for r in pq:
+        best[r["query_id"]] = min(best.get(r["query_id"], float("inf")), r["adc_d2"])
+    for r in ivfpq:
+        assert r["adc_d2"] >= best[r["query_id"]] - 1e-9

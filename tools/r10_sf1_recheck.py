@@ -42,6 +42,8 @@ NAMES = [
     "tx_collocations",
     "a_heavy_hitters",
     "u_scd2_apply",
+    "j_interval_overlap",
+    "sim_ivf_pq",
 ]
 
 
