@@ -240,3 +240,30 @@ def st_cdc_manifest(spark: SparkSession, sf: str) -> DataFrame:
     from ..streaming.cdc import run_cdc_apply_manifest
 
     return run_cdc_apply_manifest(spark, sf)
+
+
+@register(
+    "st_transition_matrix",
+    """
+    SELECT coalesce(prev_type, 'START') AS prev_type, event_type AS next_type,
+           count(*) AS n
+    FROM (SELECT event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_type
+          FROM events)
+    GROUP BY 1, 2
+    """,
+    doc="STREAMING journey transition matrix (applyInPandasWithState, "
+    "streaming/transitions.py) — the stateful twin of a_transition_matrix: "
+    "per-user frontier event in the state store (O(users) state), each "
+    "micro-batch emits pre-aggregated pair counts chained from the "
+    "frontier with a START state for first-ever events; final rollup sums "
+    "the per-batch rows. Over the single-file AvailableNow input the "
+    "stream equals the batch matrix exactly (the shared oracle); "
+    "time-split multi-batch equivalence and the out-of-order frontier "
+    "approximation are pinned in tests/test_round10_ops.py",
+)
+def st_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    from ..streaming.transitions import run_transitions_once
+
+    return run_transitions_once(spark, sf)

@@ -466,3 +466,82 @@ def test_ivf_pq_prunes_by_cluster_and_tracks_pq(spark):
         best[r["query_id"]] = min(best.get(r["query_id"], float("inf")), r["adc_d2"])
     for r in ivfpq:
         assert r["adc_d2"] >= best[r["query_id"]] - 1e-9
+
+
+# --------------------------------------------------------------------------
+# streaming transition matrix
+# --------------------------------------------------------------------------
+
+
+def test_transition_stream_multi_batch_equals_batch(spark, tmp_path):
+    """Time-split multi-batch stream must chain transitions across batch
+    boundaries through the frontier state and equal the batch matrix."""
+    import uuid
+
+    from data_wrangle_openstreetmaps_data_1_spark.plans.registry import query_map
+    from data_wrangle_openstreetmaps_data_1_spark.streaming.transitions import transition_stream
+
+    out = str(tmp_path / "events_multi")
+    events = load_table(spark, SF, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    bounds = events.select(
+        F.expr("percentile(ts_us, array(0.25, 0.5, 0.75))").alias("p")
+    ).collect()[0]["p"]
+    lo = float("-inf")
+    for hi in [*bounds, float("inf")]:
+        chunk = events.where((F.col("ts_us") > lo) & (F.col("ts_us") <= hi))
+        chunk.coalesce(1).write.mode("append").parquet(out)
+        lo = hi
+    raw = (
+        spark.readStream.schema("event_id long, user_id long, event_type string, ts_us long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(out)
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+    )
+    sink = f"st_trans_{uuid.uuid4().hex[:10]}"
+    q = (
+        transition_stream(raw)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in spark.table(sink)
+        .groupBy("prev_type", "next_type")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    batch = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in query_map()["a_transition_matrix"](spark, SF).collect()
+    }
+    assert streamed == batch
+
+
+def test_transition_walk_frontier_semantics():
+    import pandas as pd
+
+    from data_wrangle_openstreetmaps_data_1_spark.streaming.transitions import transition_walk
+
+    b1 = pd.DataFrame({"ts_us": [10, 20], "event_id": [1, 2], "event_type": ["v", "c"]})
+    rows, frontier = transition_walk(iter([b1]), None)
+    assert sorted(rows) == [("START", "v", 1), ("v", "c", 1)]
+    assert frontier == (20, 2, "c")
+    # next batch chains from the frontier, not from START
+    b2 = pd.DataFrame({"ts_us": [30], "event_id": [3], "event_type": ["p"]})
+    rows2, frontier2 = transition_walk(iter([b2]), frontier)
+    assert rows2 == [("c", "p", 1)]
+    assert frontier2 == (30, 3, "p")
+    # timestamp tie broken by event_id; multi-chunk concat before sort
+    c1 = pd.DataFrame({"ts_us": [40], "event_id": [5], "event_type": ["b"]})
+    c2 = pd.DataFrame({"ts_us": [40], "event_id": [4], "event_type": ["a"]})
+    rows3, _ = transition_walk(iter([c1, c2]), frontier2)
+    assert ("p", "a", 1) in rows3 and ("a", "b", 1) in rows3
+    # empty batch: state passes through untouched
+    rows4, frontier4 = transition_walk(iter([]), frontier2)
+    assert rows4 == [] and frontier4 == frontier2
