@@ -167,7 +167,11 @@ def adc_topk(
     TakeOrderedAndProject, a per-partition partial top-k with no global
     sort — and the branches union. Queries are few (the broadcast-side
     contract shared with operators/similarity.py); the corpus side streams
-    through codegen'd lookups.
+    through codegen'd lookups. NOTE each branch re-scans ``encoded``: when
+    nq x scan cost dominates (a big corpus and more than a handful of
+    queries), persist the encoded frame or serve from a written codes
+    table (tools/pqwin.py measures that artifact) instead of re-deriving
+    it per branch.
     """
     m = len(codebooks)
     per_q = []

@@ -708,9 +708,19 @@ def sim_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
     )
     enc = encode_pq(emb, "v", cb, _PQ_DSUB)
     cent = emb.where(F.col("vec_id") < _IVFPQ_NCENT)
-    targets = ivf_assign(enc, cent.select("vec_id", "v"), "vec_id", "v", nprobe=1).select(
-        "vec_id", "cluster"
-    ).join(enc.drop("v"), "vec_id")
+    # materialize the assigned+encoded index ONCE: the per-query branches
+    # below each re-read it, and without the barrier every branch would
+    # re-run the centroid window + encode over the corpus (x nq scans). In
+    # production this frame IS the stored index (write codes+cluster to a
+    # cluster-partitioned table; see PQWIN.json) — the materialization here
+    # is the in-session stand-in for that artifact.
+    from ..partitioning import truncate_lineage
+
+    targets = truncate_lineage(
+        ivf_assign(enc, cent.select("vec_id", "v"), "vec_id", "v", nprobe=1)
+        .select("vec_id", "cluster")
+        .join(enc.drop("v"), "vec_id")
+    )
     probes = ivf_assign(
         emb.where(F.col("vec_id") < _PQ_NQ), cent, "vec_id", "v", nprobe=_IVFPQ_NPROBE
     ).select("vec_id", "cluster")
