@@ -44,6 +44,7 @@ NAMES = [
     "u_scd2_apply",
     "j_interval_overlap",
     "sim_ivf_pq",
+    "st_transition_matrix",
 ]
 
 
