@@ -509,3 +509,65 @@ def g_spatial_join_grid(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return grid_spatial_join(a, b, radius_km=_GRID_RADIUS_KM, cell_deg=_GRID_CELL_DEG)
+
+
+@register(
+    "g_knn_join",
+    f"""
+    WITH a AS (
+      SELECT c_custkey AS id_a,
+             {point_lat_sql("c_custkey")} AS lat_a,
+             {point_lon_sql("c_custkey")} AS lon_a
+      FROM customer
+    ),
+    b AS (
+      SELECT s_suppkey AS id_b,
+             {point_lat_sql("(s_suppkey * 13 + 5)")} AS lat_b,
+             {point_lon_sql("(s_suppkey * 13 + 5)")} AS lon_b
+      FROM supplier
+    ),
+    d AS (
+      SELECT id_a, id_b,
+             2 * {EARTH_RADIUS_KM} * asin(sqrt(
+               pow(sin(radians(lat_b - lat_a) / 2), 2) +
+               cos(radians(lat_a)) * cos(radians(lat_b)) *
+               pow(sin(radians(lon_b - lon_a) / 2), 2)
+             )) AS dist
+      FROM a, b
+    )
+    SELECT id_a, id_b, round(dist, 3) AS dist_km, rk FROM (
+      SELECT id_a, id_b, dist,
+             row_number() OVER (PARTITION BY id_a
+                                ORDER BY dist ASC, id_b ASC) AS rk
+      FROM d)
+    WHERE rk <= 3
+    """,
+    doc="kNN JOIN between two data-sized point sets (every customer "
+    "point's 3 nearest supplier points): grid-cell candidates + per-point "
+    "top-k with EXACT ring escalation "
+    "(operators/geo_queries.py:grid_knn_join) — a point's 3x3 answer is "
+    "final only when its kth distance beats the exact ring guarantee; "
+    "sparse stragglers alone pay the 5x5 re-join, gated by one driver "
+    "scalar, and an unsatisfiable point raises loudly. The oracle is the "
+    "brute per-point ranked cross join (semantic pin); the Spark side "
+    "never plans a product. The kNN sibling of g_spatial_join_grid's "
+    "fixed-radius form",
+)
+def g_knn_join(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.geo_queries import grid_knn_join
+
+    a = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id_a"),
+        point_lat_spark("c_custkey").alias("lat"),
+        point_lon_spark("c_custkey").alias("lon"),
+    )
+    b = (
+        load_table(spark, sf, "supplier")
+        .withColumn("k", F.col("s_suppkey") * 13 + 5)
+        .select(
+            F.col("s_suppkey").alias("id_b"),
+            point_lat_spark("k").alias("lat"),
+            point_lon_spark("k").alias("lon"),
+        )
+    )
+    return grid_knn_join(a, b, k=3, cell_deg=0.1)

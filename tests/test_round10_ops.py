@@ -545,3 +545,87 @@ def test_transition_walk_frontier_semantics():
     # empty batch: state passes through untouched
     rows4, frontier4 = transition_walk(iter([]), frontier2)
     assert rows4 == [] and frontier4 == frontier2
+
+
+# --------------------------------------------------------------------------
+# grid kNN join
+# --------------------------------------------------------------------------
+
+
+def _brute_knn(a_rows, b_rows, k):
+    import math
+
+    def hav(p, q):
+        la1, lo1, la2, lo2 = map(math.radians, (p[1], p[2], q[1], q[2]))
+        x = (
+            math.sin((la2 - la1) / 2) ** 2
+            + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2
+        )
+        return 2 * 6371.0088 * math.asin(math.sqrt(x))
+
+    out = set()
+    for p in a_rows:
+        ranked = sorted(((hav(p, q), q[0]) for q in b_rows))[:k]
+        for rk, (_, bid) in enumerate(ranked, 1):
+            out.add((p[0], bid, rk))
+    return out
+
+
+def test_grid_knn_ring1_and_escalation_match_brute(spark):
+    from data_wrangle_openstreetmaps_data_1_spark.operators.geo_queries import grid_knn_join
+
+    # dense cluster (ring-1 final) + one COUNT-DEFICIENT point: its 3x3
+    # block holds only 2 of k=3 neighbors, the third sits 2 cell indices
+    # below but only ~1.35 km away — inside the ring-2 guarantee
+    # (2 spans at max_abs_lat=48: ~1.49 km), so phase 2 must fire AND
+    # certify, returning the exact brute answer. (A point whose kth
+    # neighbor is FARTHER than the guarantee is correctly uncertifiable —
+    # that case is the raise test below.)
+    b_rows = [(i, 47.60 + 0.0002 * i, -117.50 + 0.0002 * i) for i in range(8)] + [
+        (20, 47.6002, -117.4601),  # for the deficient point's cell area
+        (21, 47.6003, -117.4602),
+        (22, 47.5880, -117.4601),  # 2 cell indices below, ~1.35 km
+    ]
+    a_rows = [
+        (100, 47.6001, -117.5001),  # dense: ring-1 final
+        (101, 47.6005, -117.5003),  # dense: ring-1 final
+        (102, 47.6001, -117.4601),  # count-deficient: escalates + certifies
+    ]
+    a = spark.createDataFrame(a_rows, "id_a long, lat double, lon double")
+    b = spark.createDataFrame(b_rows, "id_b long, lat double, lon double")
+    got = {
+        (r["id_a"], r["id_b"], r["rk"])
+        for r in grid_knn_join(a, b, k=3, cell_deg=0.01, max_abs_lat=48.0).collect()
+    }
+    assert got == _brute_knn(a_rows, b_rows, 3)
+
+
+def test_grid_knn_raises_on_unsatisfiable_point(spark):
+    from data_wrangle_openstreetmaps_data_1_spark.operators.geo_queries import grid_knn_join
+
+    # only 2 b-points exist in the straggler's 5x5 ring and k=3 -> must
+    # raise loudly, not silently return 2 neighbors
+    a = spark.createDataFrame([(1, 47.60, -117.50)], "id_a long, lat double, lon double")
+    b = spark.createDataFrame(
+        [(10, 47.601, -117.501), (11, 47.602, -117.502)],
+        "id_b long, lat double, lon double",
+    )
+    with pytest.raises(ValueError, match="cannot certify"):
+        grid_knn_join(a, b, k=3, cell_deg=0.01)
+
+
+def test_grid_knn_empty_neighborhood_point_is_picked_up(spark):
+    from data_wrangle_openstreetmaps_data_1_spark.operators.geo_queries import grid_knn_join
+
+    # a-point whose 3x3 block holds NO b at all (it never enters the ring-1
+    # candidate frame) must still get its answer from the 5x5 ring: the b
+    # cluster is 2 cell indices up but only ~1.35 km away, inside the
+    # ring-2 guarantee
+    a = spark.createDataFrame([(1, 47.6001, -117.500)], "id_a long, lat double, lon double")
+    b_rows = [(i, 47.6001 + 0.0121, -117.500 + 0.0001 * i) for i in range(3)]
+    b = spark.createDataFrame(b_rows, "id_b long, lat double, lon double")
+    got = {
+        (r["id_a"], r["id_b"], r["rk"])
+        for r in grid_knn_join(a, b, k=3, cell_deg=0.01, max_abs_lat=48.0).collect()
+    }
+    assert got == _brute_knn([(1, 47.6001, -117.500)], b_rows, 3)

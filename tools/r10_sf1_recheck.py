@@ -45,6 +45,7 @@ NAMES = [
     "j_interval_overlap",
     "sim_ivf_pq",
     "st_transition_matrix",
+    "g_knn_join",
 ]
 
 
