@@ -21,6 +21,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..partitioning import truncate_lineage
+
 from ..functions.geo import (
     DIVIDING_LON,
     EARTH_RADIUS_KM,
@@ -263,6 +265,21 @@ def grid_knn_join(
         min_lon = 2.0 * EARTH_RADIUS_KM * math.asin(math.sqrt(_aa))
         return min(r * cell_deg * km_per_deg, min_lon)
 
+    # DATA guard, not just a parameter contract: the lon-axis guarantee is
+    # computed at cos(max_abs_lat), and a point beyond that latitude makes
+    # the true outside-ring minimum SMALLER than the guarantee — a top-k
+    # could falsely certify and silently exclude a closer neighbor. Two
+    # one-scalar aggs fail loudly instead (the radius join documents the
+    # same obligation; a kNN join must enforce it because its error mode
+    # is wrong answers, not missing pairs).
+    for side, df_side in (("a", a), ("b", b)):
+        mx = df_side.agg(F.max(F.abs(F.col("lat")))).collect()[0][0]
+        if mx is not None and mx > max_abs_lat:
+            raise ValueError(
+                f"grid_knn_join: {side}-side |lat| {mx:.3f} exceeds "
+                f"max_abs_lat={max_abs_lat}; raise max_abs_lat (widening "
+                "the guarantee math) or filter the data"
+            )
     cell = lambda c: F.floor(c / F.lit(cell_deg)).cast("long")  # noqa: E731
     b2 = b.select(
         "id_b",
@@ -330,13 +347,22 @@ def grid_knn_join(
     while True:
         t = ring_topk(remaining, r)
         g = guarantee_km(r)
-        certified = t.where((F.col("n_cand") >= k) & (F.col("dk") <= g))
-        part = certified.select("id_a", "id_b", F.round("dist", 3).alias("dist_km"), "rk")
+        # STRICT dk < g: an outside-ring point at exactly the guarantee
+        # distance could win the (dist, id_b) tie-break; a kth distance
+        # equal to the guarantee escalates one more ring instead
+        certified = t.where((F.col("n_cand") >= k) & (F.col("dk") < g))
+        # per-round lineage truncation: without it the final action and
+        # every later round's gating count would re-execute ALL previous
+        # rounds' exploded ring joins (the iterative-plan class
+        # truncate_lineage exists for); certified rows are <= k x |remaining|
+        part = truncate_lineage(
+            certified.select("id_a", "id_b", F.round("dist", 3).alias("dist_km"), "rk")
+        )
         out = part if out is None else out.unionByName(part)
         # uncertified = short/far points in t, plus points whose ring held
         # no b at all (absent from t entirely)
         uncert_ids = (
-            t.where((F.col("n_cand") < k) | (F.col("dk") > g))
+            t.where((F.col("n_cand") < k) | (F.col("dk") >= g))
             .select("id_a")
             .unionByName(
                 remaining.select("id_a").join(
@@ -345,7 +371,7 @@ def grid_knn_join(
             )
             .distinct()
         )
-        remaining = remaining.join(uncert_ids, "id_a")
+        remaining = truncate_lineage(remaining.join(uncert_ids, "id_a"))
         if remaining.limit(1).count() == 0:  # one scalar gates each round
             return (
                 out.join(a_ids, "id_a")

@@ -173,6 +173,8 @@ def adc_topk(
     table (tools/pqwin.py measures that artifact) instead of re-deriving
     it per branch.
     """
+    if not queries:
+        raise ValueError("adc_topk: queries must be non-empty")
     m = len(codebooks)
     per_q = []
     for qid, qvec in queries:

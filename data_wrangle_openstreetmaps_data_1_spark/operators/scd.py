@@ -42,8 +42,13 @@ def scd2_apply(
     ch = changes.select(
         F.col(key_col), *[F.col(c).alias(f"__new_{c}") for c in tracked_cols]
     )
-    cur = dim.where(F.col("is_current"))
-    hist = dim.where(~F.col("is_current"))
+    # null-safe branch split: every dim row lands in EXACTLY one branch.
+    # Plain where(is_current)/where(~is_current) would silently drop rows
+    # with NULL is_current from both (NULL is not true; NOT NULL is NULL)
+    # — a merge operator must never lose rows. NULL-flagged rows pass
+    # through untouched as history.
+    cur = dim.where(F.col("is_current").eqNullSafe(F.lit(True)))
+    hist = dim.where(~F.col("is_current").eqNullSafe(F.lit(True)))
     # __hit marks key presence in the batch even when every new value is
     # NULL (checking a __new_ column for null would misread those rows)
     joined = cur.join(

@@ -424,7 +424,8 @@ def tx_unigram_segment(spark: SparkSession, sf: str) -> DataFrame:
         FROM documents)),
     uni AS (
       SELECT word, CAST(count(*) AS BIGINT) AS c FROM (
-        SELECT unnest(t) AS word FROM toks) GROUP BY word),
+        SELECT unnest(t) AS word FROM toks)
+      WHERE length(word) > 0 GROUP BY word),
     bi AS (
       SELECT w1 || ' ' || w2 AS bigram, w1, w2, CAST(count(*) AS BIGINT) AS cab
       FROM (SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
@@ -731,6 +732,10 @@ def sim_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
         (r["vec_id"], list(r["v"]))
         for r in emb.where(F.col("vec_id") < _PQ_NQ).orderBy("vec_id").collect()
     ]
+    if not queries:
+        raise ValueError(
+            f"sim_ivf_pq: no query vectors (vec_id < {_PQ_NQ}) in this corpus"
+        )
     parts = []
     for qid, qvec in queries:
         cand = targets.where(F.col("cluster").isin(probe_map[qid]))

@@ -629,3 +629,40 @@ def test_grid_knn_empty_neighborhood_point_is_picked_up(spark):
         for r in grid_knn_join(a, b, k=3, cell_deg=0.01, max_abs_lat=48.0).collect()
     }
     assert got == _brute_knn([(1, 47.6001, -117.500)], b_rows, 3)
+
+
+# --------------------------------------------------------------------------
+# review fixes (round-10 self-review)
+# --------------------------------------------------------------------------
+
+
+def test_scd2_null_is_current_rows_pass_through(spark):
+    from data_wrangle_openstreetmaps_data_1_spark.operators.scd import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, 100, 0, None, True), (2, 50, 0, None, None)],  # NULL flag row
+        "key long, bal long, valid_from long, valid_to long, is_current boolean",
+    )
+    ch = spark.createDataFrame([(1, 150), (2, 999)], "key long, bal long")
+    out = scd2_apply(dim, ch, "key", ["bal"], batch_id=1).collect()
+    # the NULL-flagged row must survive untouched (history passthrough),
+    # not vanish, and must NOT be versioned by the batch
+    null_rows = [r for r in out if r["key"] == 2]
+    assert len(null_rows) == 1 and null_rows[0]["bal"] == 50
+    assert len(out) == 3  # 2 originals + 1 new version for key 1
+
+
+def test_grid_knn_raises_beyond_max_abs_lat(spark):
+    from data_wrangle_openstreetmaps_data_1_spark.operators.geo_queries import grid_knn_join
+
+    a = spark.createDataFrame([(1, 70.0, 10.0)], "id_a long, lat double, lon double")
+    b = spark.createDataFrame([(2, 70.1, 10.1)], "id_b long, lat double, lon double")
+    with pytest.raises(ValueError, match="exceeds"):
+        grid_knn_join(a, b, k=1, cell_deg=1.0, max_abs_lat=60.0)
+
+
+def test_adc_topk_empty_queries_raises(spark, pq_parts):
+    emb, cb = pq_parts
+    enc = encode_pq(emb, "v", cb, 8)
+    with pytest.raises(ValueError, match="non-empty"):
+        adc_topk(enc, "vec_id", [], cb, 8)
