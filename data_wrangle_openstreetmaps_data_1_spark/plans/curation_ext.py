@@ -498,7 +498,8 @@ def tx_collocations(spark: SparkSession, sf: str) -> DataFrame:
 # exact heavy hitters (two-pass local-threshold; operators/heavy.py)
 # --------------------------------------------------------------------------
 
-_HH_K = 29  # phi = 1/29: discriminating on this corpus' near-uniform vocab
+_HH_K = 31  # phi = 1/31: discriminating at the sf0.01 gate (25 of ~31 pass)
+# AND non-empty at sf0.1/sf1, where the flatter census left 1/29 with zero rows
 
 
 @register(
