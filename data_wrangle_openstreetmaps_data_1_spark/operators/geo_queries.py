@@ -293,7 +293,6 @@ def grid_knn_join(
         offs = F.array(*[F.lit(i) for i in range(-r, r + 1)])
         a2 = (
             a_pts.select(
-                "id_a",
                 F.col("lat").alias("lat_a"),
                 F.col("lon").alias("lon_a"),
                 cell(F.col("lat")).alias("c_lat"),
@@ -302,7 +301,6 @@ def grid_knn_join(
             .withColumn("dlat", F.explode(offs))
             .withColumn("dlon", F.explode(offs))
             .select(
-                "id_a",
                 "lat_a",
                 "lon_a",
                 (F.col("c_lat") + F.col("dlat")).alias("cell_lat"),
@@ -310,14 +308,15 @@ def grid_knn_join(
             )
         )
         cand = a2.join(b2, ["cell_lat", "cell_lon"]).select(
-            "id_a",
+            "lat_a",
+            "lon_a",
             "id_b",
             haversine_km(
                 F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")
             ).alias("dist"),
         )
-        w = Window.partitionBy("id_a").orderBy(F.asc("dist"), F.asc("id_b"))
-        wp = Window.partitionBy("id_a")
+        w = Window.partitionBy("lat_a", "lon_a").orderBy(F.asc("dist"), F.asc("id_b"))
+        wp = Window.partitionBy("lat_a", "lon_a")
         return (
             cand.withColumn("rk", F.row_number().over(w))
             .withColumn("n_cand", F.count("*").over(wp))
@@ -332,14 +331,11 @@ def grid_knn_join(
     # otherwise re-pay its whole candidate neighborhood — the 10x
     # rehearsal measured 72x superlinear wall before this dedup (150k
     # rows on 1k distinct positions), 1.7x after. Unique-position data
-    # pays one extra tiny shuffle.
-    positions = a.select(F.col("lat"), F.col("lon")).distinct().withColumn(
-        "id_a", F.xxhash64("lat", "lon")  # internal key, never surfaced
-    )
-    a_ids = a.select(
-        F.col("id_a").alias("orig_id_a"),
-        F.xxhash64("lat", "lon").alias("id_a"),
-    )
+    # pays one extra tiny shuffle. The (lat, lon) pair IS the working
+    # key throughout (16-byte shuffle key, positions are distinct on it
+    # by construction) — no hash surrogate, so a 64-bit collision can
+    # never silently merge two positions' neighbor lists.
+    positions = a.select(F.col("lat"), F.col("lon")).distinct()
 
     remaining = positions
     out = None
@@ -356,29 +352,33 @@ def grid_knn_join(
         # rounds' exploded ring joins (the iterative-plan class
         # truncate_lineage exists for); certified rows are <= k x |remaining|
         part = truncate_lineage(
-            certified.select("id_a", "id_b", F.round("dist", 3).alias("dist_km"), "rk")
+            certified.select(
+                "lat_a", "lon_a", "id_b", F.round("dist", 3).alias("dist_km"), "rk"
+            )
         )
         out = part if out is None else out.unionByName(part)
         # uncertified = short/far points in t, plus points whose ring held
         # no b at all (absent from t entirely)
-        uncert_ids = (
+        uncert_pos = (
             t.where((F.col("n_cand") < k) | (F.col("dk") >= g))
-            .select("id_a")
+            .select(F.col("lat_a").alias("lat"), F.col("lon_a").alias("lon"))
             .unionByName(
-                remaining.select("id_a").join(
-                    t.select("id_a").distinct(), "id_a", "left_anti"
+                remaining.join(
+                    t.select(
+                        F.col("lat_a").alias("lat"), F.col("lon_a").alias("lon")
+                    ).distinct(),
+                    ["lat", "lon"],
+                    "left_anti",
                 )
             )
             .distinct()
         )
-        remaining = truncate_lineage(remaining.join(uncert_ids, "id_a"))
+        remaining = truncate_lineage(remaining.join(uncert_pos, ["lat", "lon"]))
         if remaining.limit(1).count() == 0:  # one scalar gates each round
-            return (
-                out.join(a_ids, "id_a")
-                .select(
-                    F.col("orig_id_a").alias("id_a"), "id_b", "dist_km", "rk"
-                )
-            )
+            return out.join(
+                a.select("id_a", F.col("lat").alias("lat_a"), F.col("lon").alias("lon_a")),
+                ["lat_a", "lon_a"],
+            ).select("id_a", "id_b", "dist_km", "rk")
         r *= 2
         if r > max_ring:
             c = remaining.limit(1).collect()[0]

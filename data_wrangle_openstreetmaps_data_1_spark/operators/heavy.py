@@ -23,10 +23,14 @@ of keys dominated by the useless singleton tail. Here the shuffle moves
 (a) per-batch survivors and (b) candidate recounts only; the tail dies
 executor-side in a Python dict that never exceeds the batch.
 
-Tokenization in pass 1 (Python re) matches functions/text.tokens'
-``split(lower(trim(text)), '\\s+')`` exactly on this ASCII corpus; the
-Java/RE2/Python ``\\s`` classes diverge only on exotic unicode spaces
-(documented boundary, same contract as the quality tier).
+Tokenization in pass 1 matches functions/text.tokens'
+``split(lower(trim(text)), '\\s+')`` UNCONDITIONALLY: the pattern is
+compiled with ``re.ASCII`` so Python ``\\s`` == Java ``\\s``
+(``[ \\t\\n\\x0B\\f\\r]``; Python spells \\x0B as \\v) and the strip uses
+the same explicit ASCII set rather than unicode str.strip(). Without
+this, a heavy hitter adjacent to a unicode space (e.g. U+00A0) could be
+split by pass 1 but not pass 2, silently dropping it from the candidate
+superset.
 """
 
 from __future__ import annotations
@@ -41,7 +45,10 @@ from pyspark.sql import functions as F
 from ..functions.text import tokens
 from ..partitioning import explode_nonempty, spread, truncate_lineage
 
-_WS = re.compile(r"\s+")
+# re.ASCII pins \s to [ \t\n\v\f\r] — exactly Java's \s — so the pass-1
+# candidate superset guarantee holds on any corpus, not just ASCII text.
+_WS = re.compile(r"\s+", re.ASCII)
+_ASCII_WS = " \t\n\r\f\v"
 
 _CAND_SCHEMA = "token string, cnt long, batch_n long"
 
@@ -54,7 +61,7 @@ def _candidate_batches(k: int):
             for text in pdf["text"]:
                 if text is None:
                     continue
-                for tok in _WS.split(text.strip().lower()):
+                for tok in _WS.split(text.strip(_ASCII_WS).lower()):
                     if tok:
                         counts[tok] = counts.get(tok, 0) + 1
                         n_b += 1

@@ -31,6 +31,8 @@ per-query lookup tables.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -182,6 +184,16 @@ def adc_topk(
         for mi in range(m):
             qs = qvec[mi * dsub : (mi + 1) * dsub]
             luts.append([_fold_l2sq(qs, c) for c in codebooks[mi]])
+            # a NaN/inf LUT value (corrupt embeddings) would otherwise embed
+            # an unparseable float literal ("inf D") in the SQL below and
+            # surface as a cryptic parser error far from the cause
+            bad = next((v for v in luts[-1] if not math.isfinite(v)), None)
+            if bad is not None:
+                raise ValueError(
+                    f"adc_topk: non-finite distance {bad!r} in LUT for "
+                    f"query {qid!r} subspace {mi} — the query vector or "
+                    "codebook contains NaN/inf; clean the embeddings first"
+                )
         # fixed summand order (m = 0..M-1): matches the oracle's l0+l1+...
         approx = " + ".join(
             "element_at(array("

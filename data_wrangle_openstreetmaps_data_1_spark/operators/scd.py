@@ -42,6 +42,17 @@ def scd2_apply(
     ch = changes.select(
         F.col(key_col), *[F.col(c).alias(f"__new_{c}") for c in tracked_cols]
     )
+    # the one-row-per-key contract is load-bearing: a duplicate key would
+    # fan out the join below, minting duplicate closed/new dimension rows
+    # silently. Fail loudly instead (same guard style as grid_knn_join /
+    # segment_words); the check aggregates only the small batch side.
+    dup = ch.groupBy(key_col).count().where(F.col("count") > 1).limit(1).collect()
+    if dup:
+        raise ValueError(
+            f"scd2_apply: changes batch has multiple rows for key "
+            f"{key_col}={dup[0][key_col]!r}; SCD2 requires one row per key "
+            "per batch — pre-aggregate (e.g. keep the latest) before applying"
+        )
     # null-safe branch split: every dim row lands in EXACTLY one branch.
     # Plain where(is_current)/where(~is_current) would silently drop rows
     # with NULL is_current from both (NULL is not true; NOT NULL is NULL)
