@@ -1,0 +1,205 @@
+"""Persisted IVF-PQ index: the serving lifecycle around operators/pq.py.
+
+``sim_ivf_pq`` (plans/curation_ext.py) composes the IVF + PQ math in one
+session; this module is the part a 100 TB deployment actually operates:
+
+- **write**: the assigned+encoded corpus lands as a parquet table
+  PARTITIONED BY the coarse cluster id, with the trained codebooks and
+  centroid vectors in a sidecar meta dataset next to the codes. At scale
+  the cluster id is the ONLY layout decision that matters — a probe that
+  touches ``nprobe`` of ``ncent`` clusters must read ``nprobe/ncent`` of
+  the files, and partition-by-cluster is how Spark's reader gets that for
+  free (PartitionFilters, no file content touched for pruned clusters).
+- **add**: new vectors are assigned + encoded against the STORED meta
+  (codebooks are corpus statistics — production systems train once on a
+  sample and add batches forever, the FAISS ``IndexIVFPQ.add`` contract)
+  and appended into their cluster partitions. The batch never joins the
+  existing index (the ``dd_incremental`` batch×index-only discipline;
+  here even cheaper: assignment needs only the broadcast centroids, so
+  the add path touches ZERO existing index bytes — the optional
+  duplicate-id guard reads just the pruned ``vec_id`` column).
+- **probe**: per-query nearest-``nprobe`` centroids are computed
+  driver-side from the sidecar meta (ncent×d doubles — tiny), then the
+  ADC ranking (operators/pq.py:adc_topk) runs over ONLY the probed
+  cluster partitions via an ``isin`` on the partition column.
+
+Determinism matches the pq.py contract exactly: the driver-side centroid
+distance is the same left fold (0.0 + t0 + t1 + ...) as Spark's
+``aggregate`` and DuckDB's ``list_reduce``, ties break by centroid id, so
+the stored-index probe is value-identical to the in-session
+``sim_ivf_pq`` and its oracle.
+
+The read-side win is measured by tools/ivfindexwin.py (IVFINDEX_WIN.json):
+rows materialized by the pruned probe scan vs the unpartitioned layout.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .pq import _fold_l2sq, encode_pq, train_pq_codebooks
+
+_CODES = "codes"
+_META = "meta"
+
+
+def train_ivf_pq_meta(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    ncent: int,
+    m: int,
+    dsub: int,
+    ksub: int,
+    iters: int = 1,
+    round_to: int = 6,
+) -> dict:
+    """Train the index meta (PQ codebooks + coarse centroids) from a
+    training frame. Centroids follow the seed convention shared with
+    operators/similarity.py ivf tiers: the vectors with ``id < ncent``
+    (deterministic, oracle-reproducible). Train on a hash-sample at scale
+    — meta is statistics, it does not need the corpus.
+    """
+    codebooks = train_pq_codebooks(
+        emb, id_col, vec_col, m=m, dsub=dsub, ksub=ksub, iters=iters, round_to=round_to
+    )
+    cent_rows = (
+        emb.where(F.col(id_col) < ncent).select(id_col, vec_col).orderBy(id_col).collect()
+    )  # bounded: ncent rows
+    if len(cent_rows) != ncent:
+        raise ValueError(
+            f"centroid seed contract violated: need ids 0..{ncent - 1} present, "
+            f"got {len(cent_rows)} rows"
+        )
+    return {
+        "m": m,
+        "dsub": dsub,
+        "ksub": ksub,
+        "ncent": ncent,
+        "round_to": round_to,
+        "codebooks": codebooks,
+        "centroids": [[int(r[id_col]), [float(x) for x in r[vec_col]]] for r in cent_rows],
+    }
+
+
+def _assign_clusters_driver(vec: list[float], meta: dict, nprobe: int) -> list[int]:
+    """Nearest-``nprobe`` centroid ids for one vector, driver-side. Same
+    fold order and (d2, c_id) tie-break as similarity.ivf_assign — bit
+    identical, so stored-index probes match the in-session plan."""
+    scored = sorted(
+        ((_fold_l2sq(vec, cvec), cid) for cid, cvec in meta["centroids"]),
+        key=lambda t: (t[0], t[1]),
+    )
+    return [cid for _, cid in scored[:nprobe]]
+
+
+def _assign_encode(emb: DataFrame, id_col: str, vec_col: str, meta: dict) -> DataFrame:
+    """(id, code0..codeM-1, cluster) for a batch of vectors, purely from
+    meta: cluster via a literal-folded distance array over the broadcast-
+    free centroid LITERALS (ncent is small by contract), codes via
+    encode_pq. One scan, whole-stage codegen, no join, no shuffle."""
+    from ..functions.vectors import literal_fold_sql
+
+    dists = "array(" + ", ".join(
+        literal_fold_sql(vec_col, cvec, term="l2sq") for _, cvec in meta["centroids"]
+    ) + ")"
+    ids = "array(" + ", ".join(str(int(cid)) for cid, _ in meta["centroids"]) + ")"
+    # first-minimum position == (d2 asc, c_id asc) tie-break because the
+    # centroid literals are ordered by id
+    assigned = emb.withColumn(
+        "cluster", F.expr(f"element_at({ids}, cast(array_position({dists}, array_min({dists})) as int))")
+    )
+    enc = encode_pq(assigned, vec_col, meta["codebooks"], meta["dsub"])
+    return enc.select(
+        id_col, *[f"code{mi}" for mi in range(meta["m"])], "cluster"
+    )
+
+
+def write_ivf_pq_index(
+    spark: SparkSession, emb: DataFrame, path: str, meta: dict, id_col: str, vec_col: str
+) -> None:
+    """Materialize the index: codes partitioned by cluster + sidecar meta.
+
+    The meta sidecar is written through Spark (text dataset) so the index
+    is one self-contained directory on whatever filesystem the codes use
+    (HDFS/S3/local) — no driver-local files."""
+    _assign_encode(emb, id_col, vec_col, meta).write.partitionBy("cluster").mode(
+        "overwrite"
+    ).parquet(f"{path}/{_CODES}")
+    spark.createDataFrame([(json.dumps(meta),)], "value string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(f"{path}/{_META}")
+
+
+def read_ivf_pq_meta(spark: SparkSession, path: str) -> dict:
+    return json.loads(spark.read.text(f"{path}/{_META}").head()["value"])
+
+
+def ivf_pq_index_add(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    *,
+    check_duplicates: bool = True,
+) -> None:
+    """Incremental add: assign + encode ``batch`` with the STORED meta and
+    append into the cluster partitions. Touches no existing index data
+    (assignment is meta-only); the optional duplicate guard is the one
+    batch×index contact and reads only the column-pruned ``vec_id``s.
+    """
+    meta = read_ivf_pq_meta(spark, path)
+    if check_duplicates:
+        existing = spark.read.parquet(f"{path}/{_CODES}").select(id_col)
+        dup = batch.select(id_col).join(existing, id_col).limit(1).collect()
+        if dup:
+            raise ValueError(
+                f"ivf_pq_index_add: id {dup[0][id_col]!r} already present in the "
+                f"index at {path} — adds must be new vectors (use overwrite to "
+                "rebuild, or dedupe the batch first)"
+            )
+    _assign_encode(batch, id_col, vec_col, meta).write.partitionBy("cluster").mode(
+        "append"
+    ).parquet(f"{path}/{_CODES}")
+
+
+def ivf_pq_probe(
+    spark: SparkSession,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    *,
+    k: int,
+    nprobe: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k per query over ONLY the probed cluster partitions.
+
+    The ``cluster isin(...)`` predicate lands on the partition column, so
+    the executed plan prunes non-probed clusters at file-listing time
+    (PartitionFilters) — at 100 TB each query reads nprobe/ncent of the
+    index and no more. Output schema matches adc_topk
+    (query_id, vec_id, adc_d2), value-identical to sim_ivf_pq.
+    """
+    from .pq import adc_topk
+
+    meta = read_ivf_pq_meta(spark, path)
+    codes = spark.read.parquet(f"{path}/{_CODES}")
+    parts = []
+    for qid, qvec in queries:
+        clusters = _assign_clusters_driver(qvec, meta, nprobe)
+        cand = codes.where(F.col("cluster").isin(clusters))
+        parts.append(
+            adc_topk(
+                cand, id_col, [(qid, qvec)], meta["codebooks"], meta["dsub"],
+                k=k, round_to=meta["round_to"],
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -113,6 +113,7 @@ def _load_all() -> None:
         curation_ext,
         pipeline,
         pipeline_ext,
+        serving_ext,
         streaming_queries,
         tpch_suite,
     )

@@ -1,0 +1,81 @@
+"""Round-11 serving extensions: the persisted IVF-PQ index lifecycle.
+
+``sim_ivf_pq`` proves the math; this module proves the ARTIFACT — the
+index written as a cluster-partitioned parquet table, grown by
+incremental adds, probed through partition-pruned reads — and keeps the
+whole lifecycle value-checked against the SAME DuckDB oracle as the
+in-session composition (the stored path must change the bytes touched,
+never the answer).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.ivf_index import (
+    ivf_pq_index_add,
+    ivf_pq_probe,
+    train_ivf_pq_meta,
+    write_ivf_pq_index,
+)
+from ..sources.tables import load_table
+from .curation_ext import (
+    _IVFPQ_NCENT,
+    _IVFPQ_NPROBE,
+    _PQ_DSUB,
+    _PQ_ITERS,
+    _PQ_K,
+    _PQ_M,
+    _PQ_NQ,
+    _PQ_R,
+    _PQ_TOPK,
+    _ivf_pq_oracle,
+)
+from .registry import register
+
+
+@register(
+    "sim_ivf_pq_stored",
+    _ivf_pq_oracle(),
+    doc="the persisted-index twin of sim_ivf_pq: trains meta (codebooks + "
+    "centroids) on the corpus, WRITES the assigned+encoded index as a "
+    "cluster-PARTITIONED parquet table (base split), grows it with an "
+    "incremental add of the remaining vectors (assign+encode from stored "
+    "meta only — the batch touches zero existing index bytes, the "
+    "dd_incremental discipline applied to vectors), then serves the "
+    "probe from partition-pruned reads (cluster isin -> PartitionFilters; "
+    "IVFINDEX_WIN.json measures the rows never materialized). Same "
+    "oracle as sim_ivf_pq: the lifecycle must be value-invisible",
+)
+def sim_ivf_pq_stored(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    meta = train_ivf_pq_meta(
+        emb, "vec_id", "v",
+        ncent=_IVFPQ_NCENT, m=_PQ_M, dsub=_PQ_DSUB, ksub=_PQ_K,
+        iters=_PQ_ITERS, round_to=_PQ_R,
+    )
+    path = tempfile.mkdtemp(prefix="ivfpq_index_")
+    shutil.rmtree(path, ignore_errors=True)
+    # base/delta split exercises the add path inside the value-checked
+    # query: meta is trained once on the full corpus (codebooks are
+    # statistics — the FAISS train-once-add-forever contract), so
+    # base-write + delta-add is bit-identical to a one-shot full write
+    write_ivf_pq_index(
+        spark, emb.where(F.col("vec_id") % 5 != 3), path, meta, "vec_id", "v"
+    )
+    ivf_pq_index_add(spark, emb.where(F.col("vec_id") % 5 == 3), path, "vec_id", "v")
+    queries = [
+        (r["vec_id"], list(r["v"]))
+        for r in emb.where(F.col("vec_id") < _PQ_NQ).orderBy("vec_id").collect()
+    ]
+    if not queries:
+        raise ValueError(
+            f"sim_ivf_pq_stored: no query vectors (vec_id < {_PQ_NQ}) in this corpus"
+        )
+    return ivf_pq_probe(spark, path, queries, k=_PQ_TOPK, nprobe=_IVFPQ_NPROBE)

@@ -1,0 +1,145 @@
+"""Persisted IVF-PQ index lifecycle (operators/ivf_index.py).
+
+What must hold for the stored index to be a drop-in for the in-session
+composition:
+- probe reads PRUNE: the executed parquet scan lists only the probed
+  cluster partitions (PartitionFilters on the partition column) — the
+  100 TB serving claim;
+- incremental adds are value-invisible: base-write + delta-add answers
+  bit-identically to a one-shot full write (meta trained once);
+- duplicate adds fail loudly (the dd_incremental discipline);
+- the stored probe matches the in-session sim_ivf_pq exactly.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_wrangle_openstreetmaps_data_1_spark.operators.ivf_index import (
+    ivf_pq_index_add,
+    ivf_pq_probe,
+    read_ivf_pq_meta,
+    train_ivf_pq_meta,
+    write_ivf_pq_index,
+)
+from data_wrangle_openstreetmaps_data_1_spark.sources.tables import load_table
+
+NCENT, M, DSUB, KSUB, R = 16, 8, 8, 16, 6
+NQ, TOPK, NPROBE = 3, 5, 2
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_small):
+    return (
+        load_table(spark, sf_small, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def meta(emb):
+    return train_ivf_pq_meta(
+        emb, "vec_id", "v", ncent=NCENT, m=M, dsub=DSUB, ksub=KSUB, iters=1, round_to=R
+    )
+
+
+@pytest.fixture(scope="module")
+def full_index(spark, emb, meta):
+    path = tempfile.mkdtemp(prefix="ivfidx_full_")
+    write_ivf_pq_index(spark, emb, path, meta, "vec_id", "v")
+    yield path
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def _queries(emb):
+    return [
+        (r["vec_id"], list(r["v"]))
+        for r in emb.where(F.col("vec_id") < NQ).orderBy("vec_id").collect()
+    ]
+
+
+def test_index_layout_partitioned_by_cluster(spark, full_index):
+    codes = spark.read.parquet(f"{full_index}/codes")
+    assert "cluster" in codes.columns
+    # every cluster dir exists as a real partition directory
+    import os
+
+    dirs = [d for d in os.listdir(f"{full_index}/codes") if d.startswith("cluster=")]
+    n_clusters = codes.select("cluster").distinct().count()
+    assert len(dirs) == n_clusters > 1
+
+
+def test_probe_plan_prunes_partitions(spark, emb, full_index, meta):
+    """The probe's scan must carry the cluster predicate as a PARTITION
+    filter (file-listing-time pruning), not a data filter."""
+    qid, qvec = _queries(emb)[0]
+    from data_wrangle_openstreetmaps_data_1_spark.operators.ivf_index import (
+        _assign_clusters_driver,
+    )
+
+    clusters = _assign_clusters_driver(qvec, meta, NPROBE)
+    scan = spark.read.parquet(f"{full_index}/codes").where(F.col("cluster").isin(clusters))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan.split("PartitionFilters", 1)[1][:200]
+    # and the pruned scan materializes only the probed clusters' rows
+    total = spark.read.parquet(f"{full_index}/codes").count()
+    pruned = scan.count()
+    per_cluster = (
+        spark.read.parquet(f"{full_index}/codes")
+        .groupBy("cluster").count().where(F.col("cluster").isin(clusters))
+        .agg(F.sum("count")).collect()[0][0]
+    )
+    assert pruned == per_cluster < total
+
+
+def test_incremental_add_value_invisible(spark, emb, meta, full_index):
+    """base-write + delta-add == one-shot full write, bit for bit."""
+    path = tempfile.mkdtemp(prefix="ivfidx_incr_")
+    try:
+        write_ivf_pq_index(
+            spark, emb.where(F.col("vec_id") % 5 != 3), path, meta, "vec_id", "v"
+        )
+        ivf_pq_index_add(spark, emb.where(F.col("vec_id") % 5 == 3), path, "vec_id", "v")
+        a = sorted(
+            tuple(r) for r in spark.read.parquet(f"{path}/codes").collect()
+        )
+        b = sorted(
+            tuple(r) for r in spark.read.parquet(f"{full_index}/codes").collect()
+        )
+        assert a == b
+        qs = _queries(emb)
+        pa = ivf_pq_probe(spark, path, qs, k=TOPK, nprobe=NPROBE).collect()
+        pb = ivf_pq_probe(spark, full_index, qs, k=TOPK, nprobe=NPROBE).collect()
+        assert sorted(map(tuple, pa)) == sorted(map(tuple, pb))
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_duplicate_add_raises(spark, emb, full_index):
+    dup_batch = emb.where(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="already present"):
+        ivf_pq_index_add(spark, dup_batch, full_index, "vec_id", "v")
+
+
+def test_meta_roundtrip(spark, full_index, meta):
+    got = read_ivf_pq_meta(spark, full_index)
+    assert got["m"] == M and got["dsub"] == DSUB and got["ncent"] == NCENT
+    assert got["codebooks"] == meta["codebooks"]
+    assert got["centroids"] == [[cid, vec] for cid, vec in meta["centroids"]]
+
+
+def test_stored_probe_matches_in_session(spark, sf_small):
+    """The full registered lifecycle equals sim_ivf_pq on the same corpus."""
+    from data_wrangle_openstreetmaps_data_1_spark.plans.curation_ext import sim_ivf_pq
+    from data_wrangle_openstreetmaps_data_1_spark.plans.serving_ext import (
+        sim_ivf_pq_stored,
+    )
+
+    a = sorted(tuple(r) for r in sim_ivf_pq_stored(spark, sf_small).collect())
+    b = sorted(tuple(r) for r in sim_ivf_pq(spark, sf_small).collect())
+    assert a == b and len(a) == NQ * TOPK

