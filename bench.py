@@ -31,6 +31,36 @@ CORE11 = [
 ]
 
 
+def _calibration(spark) -> dict:
+    """Fixed-work load probe, run before and after the battery so the
+    artifact itself says how contended the host was (the r9->r10 +9%
+    'regression' was pure host load, only diagnosable from a side ledger).
+
+    Two timers: a single-thread pure-Python spin (fixed 2e6 iterations —
+    driver-core contention) and a fixed all-core JVM job (64M-row codegen
+    sum — executor-core contention, the one that moves query walls).
+    Comparator rule (README "Bench comparator"): divide the two rounds'
+    calib_jvm_sec before reading their totals against each other; a ratio
+    outside ~0.8-1.25 means the hosts' quiet levels differ and the
+    quiet-window ledger (BENCH_sf1_local.json) is the comparator instead.
+    No hardcoded quiet reference is emitted (ADVICE r8: a host-specific
+    constant in every row is misleading anywhere else)."""
+    la = os.getloadavg()
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(2_000_000):
+        acc += i ^ (i >> 3)
+    py_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    spark.range(64_000_000).selectExpr("sum(id % 7)").collect()
+    jvm_sec = time.perf_counter() - t0
+    return {
+        "loadavg_1m": round(la[0], 2),
+        "calib_py_sec": round(py_sec, 3),
+        "calib_jvm_sec": round(jvm_sec, 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
@@ -43,6 +73,8 @@ def main() -> None:
 
     # warm-up: JVM + parquet footer reads, not billed to any query
     spark.range(1000).selectExpr("sum(id)").collect()
+
+    calib_pre = _calibration(spark)
 
     # best-of-N: this host (a shared VM) shows multi-second wall-clock noise
     # (identical plans measured 4s one minute and 14s the next); the min of
@@ -75,6 +107,8 @@ def main() -> None:
         timings[name] = round(min(reps), 3)
         all_reps[name] = [round(r, 3) for r in reps]
 
+    calib_post = _calibration(spark)
+
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     try:
         sf_val: float | str = float(sf)
@@ -97,6 +131,10 @@ def main() -> None:
                 "queries": timings,
                 "reps": all_reps,
                 "core11_value": round(sum(timings[q] for q in core11 if q in timings), 3),
+                # fixed-work load probes bracketing the battery — the
+                # round-over-round comparator divides calib_jvm_sec first
+                # (see README "Bench comparator" and _calibration's doc)
+                "calibration": {"pre": calib_pre, "post": calib_post},
                 # Quiet-window reference for core11 lives in
                 # BENCH_sf1_local.json (sf01_same_code, r7: 6.32s on the
                 # round-7 host) — compare noisy round values against THAT

@@ -1,0 +1,132 @@
+"""OSM-surface 10x scale rehearsal (VERDICT r10 task #5).
+
+The TPC-H-ish tables have a standing 10x rehearsal program; the OSM
+reference surface itself (XML -> reshape -> clean -> partitioned store ->
+readme query battery) only ever ran at reference scale (266,875
+elements, tools/bench_osm.py). This replays the same deterministic
+workload at 1x AND 10x (~2.67M elements, ~570 MB single XML document)
+and ledgers:
+
+- ETL (scan+reshape+clean+store) and query-battery walls + 10x ratios;
+- the XML-source SPLIT evidence: sources/osm_xml.py:12-15 claims the
+  native source splits a single huge XML document by scanning for rowTag
+  boundaries — the one untested scale claim. We record the partition
+  count of the 10x node scan (must be > 1 for a ~0.5 GB document at the
+  default 128 MB maxPartitionBytes) and that the parallel parse loses no
+  rows (docs == 1x docs x 10 exactly, since gen is deterministic);
+- the conservation invariant (wa_nodes + id_nodes == all_nodes,
+  reference readme.md:519-522) at BOTH scales.
+
+Merges into BENCH_sf1_local.json under 'r11_osm_scale'.
+
+Usage: python tools/r11_osm_scale.py [base_n]   (default 266875)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_scale(spark, n: int, tmp: str) -> dict:
+    from tools.bench_osm import gen_xml
+
+    from data_wrangle_openstreetmaps_data_1_spark.pipeline_osm import (
+        ingest_osm,
+        query_battery,
+    )
+    from data_wrangle_openstreetmaps_data_1_spark.sources.osm_xml import read_elements
+
+    xml = os.path.join(tmp, f"synthetic_{n}.osm")
+    t0 = time.perf_counter()
+    size = gen_xml(xml, n)
+    gen_s = time.perf_counter() - t0
+
+    # split evidence on the raw scan itself (before any shuffle)
+    raw_nodes = read_elements(spark, xml, "node")
+    scan_partitions = raw_nodes.rdd.getNumPartitions()
+
+    t0 = time.perf_counter()
+    osm = ingest_osm(spark, xml, os.path.join(tmp, f"store_{n}"))
+    docs = osm.count()
+    ingest_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    battery = query_battery(osm)
+    rows = {k: df.count() for k, df in battery.items()}
+    state = battery["state_boxes"].collect()[0]
+    battery_s = time.perf_counter() - t0
+    assert state["wa_nodes"] + state["id_nodes"] == state["all_nodes"], (
+        f"conservation invariant broken at n={n}: "
+        f"{state['wa_nodes']} + {state['id_nodes']} != {state['all_nodes']}"
+    )
+    return {
+        "n_elements": n,
+        "xml_mb": round(size / 1e6, 2),
+        "docs": docs,
+        "node_scan_partitions": scan_partitions,
+        "gen_sec": round(gen_s, 2),
+        "ingest_clean_store_sec": round(ingest_s, 2),
+        "query_battery_sec": round(battery_s, 2),
+        "battery_result_rows": rows,
+        "conservation": {
+            "wa_nodes": state["wa_nodes"],
+            "id_nodes": state["id_nodes"],
+            "all_nodes": state["all_nodes"],
+        },
+    }
+
+
+def main() -> int:
+    base_n = int(sys.argv[1]) if len(sys.argv) > 1 else 266_875
+
+    from data_wrangle_openstreetmaps_data_1_spark.session import get_spark
+
+    spark = get_spark("r11_osm_scale")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    with tempfile.TemporaryDirectory() as tmp:
+        one = run_scale(spark, base_n, tmp)
+        ten = run_scale(spark, base_n * 10, tmp)
+
+    assert ten["docs"] == one["docs"] * 10, (
+        "parallel XML parse must lose no rows under splitting: "
+        f"{ten['docs']} != {one['docs']} * 10"
+    )
+    payload = {
+        "comment": "OSM reference-surface 10x rehearsal: same deterministic "
+        "workload as tools/bench_osm.py at 1x and 10x (~0.57 GB single XML "
+        "document). node_scan_partitions > 1 at 10x is the split-claim "
+        "evidence (sources/osm_xml.py:12-15); docs at 10x == 10 x docs at 1x "
+        "proves the boundary-scanning parallel parse drops/duplicates "
+        "nothing; conservation (wa+id==all) asserted at both scales.",
+        "1x": one,
+        "10x": ten,
+        "ratios": {
+            "ingest": round(
+                ten["ingest_clean_store_sec"] / max(one["ingest_clean_store_sec"], 1e-9), 2
+            ),
+            "battery": round(
+                ten["query_battery_sec"] / max(one["query_battery_sec"], 1e-9), 2
+            ),
+        },
+    }
+    bench_path = os.path.join(REPO, "BENCH_sf1_local.json")
+    doc = json.load(open(bench_path))
+    doc["r11_osm_scale"] = payload
+    with open(bench_path, "w") as f:
+        json.dump(doc, f, indent=1)
+        f.write("\n")
+    print(json.dumps(payload))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

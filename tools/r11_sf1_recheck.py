@@ -11,7 +11,16 @@ Queries:
   at the pre-fix 1/29 support threshold (sf01_rows: 0) while the
   registry ships 1/31 (commit 4840bcb); this re-measures at the
   registered threshold so the ledger demonstrates non-empty answers at
-  every scale (VERDICT r10 task #3).
+  every scale (VERDICT r10 task #3). NOTE the suffix fixture is the
+  WRONG scaling model for a frequency operator: it suffixes every token
+  per copy, so every token count stays at sf0.1 levels while the total
+  grows 10x — no constant phi can fire there (top token ~1/295 of the
+  corpus), which is a fixture property, not an operator bug. Real
+  corpora keep their Zipf head as they grow; the faithful 10x for
+  frequency semantics is plain replication (the answer SET is invariant
+  and counts scale exactly 10x — asserted here, not just timed). The
+  tool builds /tmp/sf1_freq (documents 10x-replicated, re-keyed doc_ids)
+  and records a_heavy_hitters against it as sf1_freq_*.
 - the four advice-fix-touched queries (u_scd2_apply, g_knn_join, sim_pq,
   sim_ivf_pq) — guards are O(1)/column-pruned by design; the rehearsal
   confirms no wall regression from commit 5d76c98.
@@ -73,6 +82,45 @@ def main() -> int:
         row["ratio"] = round(row["sf1"] / max(row["sf01"], 1e-9), 2)
         table[name] = row
         print(f"{name}: sf0.1 {row['sf01']}s  sf1 {row['sf1']}s  x{row['ratio']}")
+
+    # frequency-preserving 10x for the frequency operator (see module doc)
+    import duckdb
+
+    freq_dir = "/tmp/sf1_freq"
+    os.makedirs(freq_dir, exist_ok=True)
+    duckdb.sql(
+        f"""
+        COPY (
+          SELECT d.doc_id + r.i * 1000000 AS doc_id, d.text, d.lang, d.source, d.n_chars
+          FROM read_parquet('{sf01}/documents.parquet') d,
+               (SELECT unnest(range(10)) AS i) r
+        ) TO '{freq_dir}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    fn = registry.QUERIES["a_heavy_hitters"].spark
+    base = sorted((r["token"], r["cnt"]) for r in fn(spark, sf01).collect())
+    best = float("inf")
+    got = []
+    for _ in range(2):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        got = fn(spark, freq_dir).collect()
+        best = min(best, time.time() - t0)
+    scaled = sorted((r["token"], r["cnt"]) for r in got)
+    assert scaled == [(t, c * 10) for t, c in base], (
+        "heavy-hitter answer must be invariant under 10x replication "
+        f"(got {len(scaled)} rows vs base {len(base)})"
+    )
+    hh = table["a_heavy_hitters"]
+    hh["sf1_freq"] = round(best, 2)
+    hh["sf1_freq_rows"] = len(scaled)
+    hh["freq_ratio"] = round(hh["sf1_freq"] / max(hh["sf01"], 1e-9), 2)
+    hh["note"] = (
+        "sf1 (suffix fixture) flattens token frequencies by design -> 0 rows "
+        "there is a fixture property; sf1_freq = frequency-preserving 10x "
+        "replication, answer set asserted identical with counts x10"
+    )
+    print(f"a_heavy_hitters sf1_freq: {hh['sf1_freq']}s rows {hh['sf1_freq_rows']} x{hh['freq_ratio']}")
 
     payload = {
         "comment": "round-11 rehearsal, best of 2 reps, local[32], "
