@@ -589,7 +589,13 @@ def dd_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     # Jaccard >= threshold) is asserted in tests/test_vector_hash_utils.py
     doc="MinHash-LSH on the xxhash64 fast tier — the 100 TB hot path "
     "(identical plan shape to dd_minhash_lsh, Spark-native hashing; "
-    "verified Jaccard values are hash-independent)",
+    "verified Jaccard values are hash-independent). Rows-only at the "
+    "driver but value-checked-by-PROXY: tests/test_lsh_tier_proxy.py "
+    "pins its values exactly equal to the oracle-checked portable tier "
+    "on their pair-set intersection, any tier disagreement to be "
+    "true-pairs-only (banding recall, never precision) and bounded "
+    "<= 2% of the union; dd_lsh_tier_audit pins precision == 0 false "
+    "positives in-oracle",
 )
 def dd_minhash_lsh_fast(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_lsh_pairs(

@@ -1,0 +1,171 @@
+"""Splittable scan for a SINGLE huge XML document (S1 at planet scale).
+
+Spark 4's built-in XML source is NOT splittable: one file = one task,
+whatever ``maxPartitionBytes`` says (measured in BENCH_sf1_local.json
+``r11_osm_scale``: a 468 MB document scanned as 1 partition). For many
+small files that's fine — but the reference's domain ships planet-scale
+datasets as ONE multi-GB XML document, where an unsplittable scan
+serializes the entire ingest onto a single core.
+
+This module restores within-file parallelism with the classic Hadoop
+``XmlInputFormat`` contract, re-expressed in PySpark:
+
+1. the driver plans fixed-size byte ranges over the file (cheap: no I/O,
+   just arithmetic on the file length);
+2. each task opens the file at its range start and extracts every
+   element that STARTS inside its range (reading past the range end for
+   the tail element — the overshoot bound is explicit and violations
+   raise, never truncate);
+3. fragments parse JVM-side via ``from_xml`` with an explicit schema —
+   the same raw shape the native source produces (attribute columns
+   ``_id``/``_lat``/..., ``tag``/``nd``/``member`` child arrays, all
+   strings), so ``operators/reshape.shape_elements`` consumes either
+   reader unchanged. Parity is pinned by tests/test_osm_split.py.
+
+Why token scanning is safe here (and where it isn't): in well-formed
+XML, ``<`` in attribute values MUST be escaped (``&lt;``), so the byte
+tokens ``<node`` and ``</node>`` can only occur as real markup — but a
+bare ``>`` is LEGAL inside a quoted attribute value, so the tag-end
+scan must be quote-aware (the regex below skips quoted spans; Hadoop's
+XmlInputFormat gets this wrong and truncates at the first ``>``).
+Same-name nesting (a ``<node>`` inside a ``<node>``) would break the
+first-close-token rule; OSM's schema has no such nesting, and the
+parse-time FAILFAST would surface it loudly if an input did.
+
+Scale notes: the per-task Python work is one buffered read + token
+scanning (no XML DOM); the actual field parsing happens in the JVM via
+``from_xml`` under whole-stage codegen. The file opener is Python's —
+local paths here; on HDFS/S3 swap ``_open_range`` for the matching
+client (the planning/extraction contract is byte-offset based and
+carries over unchanged).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# raw-string schemas matching the native source with inferSchema=false +
+# attributePrefix="_" (every attribute a string; children as struct arrays)
+_ATTRS = (
+    "_id string, _version string, _changeset string, _timestamp string, "
+    "_user string, _uid string, _visible string"
+)
+RAW_SCHEMAS = {
+    "node": f"struct<{_ATTRS}, _lat string, _lon string, "
+    "tag array<struct<_k string, _v string>>>",
+    "way": f"struct<{_ATTRS}, nd array<struct<_ref string>>, "
+    "tag array<struct<_k string, _v string>>>",
+    "relation": f"struct<{_ATTRS}, "
+    "member array<struct<_type string, _ref string, _role string>>, "
+    "tag array<struct<_k string, _v string>>>",
+}
+
+
+def plan_ranges(size: int, chunk_bytes: int) -> list[tuple[int, int]]:
+    """[start, end) byte ranges covering the file; a record belongs to the
+    range its start tag BEGINS in (the XmlInputFormat split contract)."""
+    if chunk_bytes <= 0:
+        raise ValueError(f"chunk_bytes must be positive, got {chunk_bytes}")
+    return [(s, min(s + chunk_bytes, size)) for s in range(0, max(size, 1), chunk_bytes)]
+
+
+def element_fragments(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    chunk_mb: int = 64,
+    max_element_bytes: int = 1 << 20,
+    _chunk_bytes: int | None = None,
+) -> DataFrame:
+    """One row per complete ``<row_tag ...>`` element fragment, extracted in
+    parallel across byte ranges of a single document. ``_chunk_bytes``
+    overrides ``chunk_mb`` for tests that sweep boundary positions at
+    byte granularity (the extraction code under test stays THIS code)."""
+    size = os.path.getsize(path)
+    ranges = plan_ranges(size, _chunk_bytes or chunk_mb * 1024 * 1024)
+    open_tok = f"<{row_tag}".encode()
+    close_tok = f"</{row_tag}>".encode()
+    # start token followed by a name-boundary char, so row_tag "node" never
+    # matches a hypothetical <nodeset>
+    start_pat = re.compile(re.escape(open_tok) + rb"[\s/>]")
+    # quote-aware scan from just after the tag name to the tag-closing '>':
+    # bare '>' is legal inside quoted attribute values, so skip quoted spans
+    tag_end_pat = re.compile(rb'(?:[^>"\']|"[^"]*"|\'[^\']*\')*?(/?)>')
+
+    def scan(ranges_iter):
+        for start, end in ranges_iter:
+            with open(path, "rb") as f:
+                f.seek(start)
+                buf = f.read((end - start) + max_element_bytes)
+            limit = end - start
+            pos = 0
+            while True:
+                m = start_pat.search(buf, pos)
+                if m is None or m.start() >= limit:
+                    break
+                s0 = m.start()
+                tm = tag_end_pat.match(buf, s0 + len(open_tok))
+                if tm is None:
+                    raise ValueError(
+                        f"osm_split: unterminated start tag at byte {start + s0} "
+                        f"of {path} (element larger than max_element_bytes="
+                        f"{max_element_bytes}? raise it)"
+                    )
+                if tm.group(1) == b"/":
+                    e0 = tm.end()
+                else:
+                    c = buf.find(close_tok, tm.end())
+                    if c == -1:
+                        raise ValueError(
+                            f"osm_split: no {close_tok.decode()} within "
+                            f"max_element_bytes={max_element_bytes} of the "
+                            f"element at byte {start + s0} of {path} — raise "
+                            "max_element_bytes (loud by design, never truncate)"
+                        )
+                    e0 = c + len(close_tok)
+                yield (buf[s0:e0].decode("utf-8"),)
+                pos = e0
+
+    rdd = spark.sparkContext.parallelize(ranges, len(ranges)).mapPartitions(scan)
+    return spark.createDataFrame(rdd, "value string")
+
+
+def read_elements_split(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    chunk_mb: int = 64,
+    max_element_bytes: int = 1 << 20,
+) -> DataFrame:
+    """Drop-in for ``osm_xml.read_elements`` on single huge documents:
+    same raw column shape, N = ceil(filesize / chunk_mb) parallel tasks
+    instead of 1. FAILFAST parse: a fragment the extractor got wrong is a
+    bug to surface, not a row to null out."""
+    if row_tag not in RAW_SCHEMAS:
+        raise ValueError(f"no raw schema for rowTag {row_tag!r} (have {sorted(RAW_SCHEMAS)})")
+    frags = element_fragments(spark, path, row_tag, chunk_mb, max_element_bytes)
+    parsed = frags.select(
+        F.from_xml(
+            "value",
+            RAW_SCHEMAS[row_tag],
+            {"attributePrefix": "_", "mode": "FAILFAST"},
+        ).alias("x")
+    )
+    return parsed.select("x.*")
+
+
+def read_shaped_split(
+    spark: SparkSession, path: str, fix_streets: bool = True, chunk_mb: int = 64
+) -> DataFrame:
+    """``osm_xml.read_shaped`` twin over the splittable scan — the planet-
+    scale ingest path. Output schema and values are identical (pinned by
+    tests/test_osm_split.py); only the scan parallelism differs."""
+    from ..operators.reshape import shape_elements
+
+    nodes = shape_elements(read_elements_split(spark, path, "node", chunk_mb), "node", fix_streets)
+    ways = shape_elements(read_elements_split(spark, path, "way", chunk_mb), "way", fix_streets)
+    return nodes.unionByName(ways)

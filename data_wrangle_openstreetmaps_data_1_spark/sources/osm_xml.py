@@ -9,9 +9,14 @@ splits the file and parses per-partition on executors; the reference's
 hidden "one big loop" becomes embarrassingly parallel (SURVEY §3.1).
 Attributes surface as ``_attr`` columns, child elements as arrays.
 
-Scale notes: one pass per rowTag. OSM planet files are single huge XML
-documents; the native source handles splits by scanning for rowTag
-boundaries, so a 100 TB ingest parallelizes without a custom reader.
+Scale notes: one pass per rowTag. The native source parallelizes across
+FILES but is NOT splittable within a file (one file = one task,
+whatever maxPartitionBytes says — measured at 468 MB/1 partition in
+BENCH_sf1_local.json r11_osm_scale). OSM planet files are single huge
+XML documents, so the planet-scale ingest path is
+``sources/osm_split.py:read_shaped_split`` — byte-range planning plus a
+boundary-scanning extractor (the Hadoop XmlInputFormat contract) with
+JVM-side ``from_xml`` parsing; identical output, N parallel tasks.
 """
 
 from __future__ import annotations

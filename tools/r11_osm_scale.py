@@ -8,12 +8,16 @@ workload at 1x AND 10x (~2.67M elements, ~570 MB single XML document)
 and ledgers:
 
 - ETL (scan+reshape+clean+store) and query-battery walls + 10x ratios;
-- the XML-source SPLIT evidence: sources/osm_xml.py:12-15 claims the
-  native source splits a single huge XML document by scanning for rowTag
-  boundaries — the one untested scale claim. We record the partition
-  count of the 10x node scan (must be > 1 for a ~0.5 GB document at the
-  default 128 MB maxPartitionBytes) and that the parallel parse loses no
-  rows (docs == 1x docs x 10 exactly, since gen is deterministic);
+- the XML-source SPLIT evidence: the module docstring originally claimed
+  the native source splits a single huge XML document by scanning for
+  rowTag boundaries — the one untested scale claim. MEASURING IT
+  FALSIFIED IT: the native source reads one file as ONE task whatever
+  maxPartitionBytes says (node_scan_partitions_native == 1 at 468 MB).
+  The claim is now fixed in sources/osm_xml.py and the real planet-scale
+  path is sources/osm_split.py (byte-range planning + boundary-scanning
+  extraction + JVM from_xml) — measured here side by side: partition
+  count > 1, identical docs count, and the ingest wall ratio vs the
+  single-task native scan;
 - the conservation invariant (wa_nodes + id_nodes == all_nodes,
   reference readme.md:519-522) at BOTH scales.
 
@@ -44,19 +48,36 @@ def run_scale(spark, n: int, tmp: str) -> dict:
     )
     from data_wrangle_openstreetmaps_data_1_spark.sources.osm_xml import read_elements
 
+    from data_wrangle_openstreetmaps_data_1_spark.sources.osm_split import (
+        read_elements_split,
+        read_shaped_split,
+    )
+    from data_wrangle_openstreetmaps_data_1_spark.operators.clean import clean_osm
+    from data_wrangle_openstreetmaps_data_1_spark.sources.jsonl import write_table
+
     xml = os.path.join(tmp, f"synthetic_{n}.osm")
     t0 = time.perf_counter()
     size = gen_xml(xml, n)
     gen_s = time.perf_counter() - t0
 
-    # split evidence on the raw scan itself (before any shuffle)
-    raw_nodes = read_elements(spark, xml, "node")
-    scan_partitions = raw_nodes.rdd.getNumPartitions()
+    # split evidence on the raw scans themselves (before any shuffle):
+    # native = 1 task per file always; split reader = size/chunk tasks
+    native_partitions = read_elements(spark, xml, "node").rdd.getNumPartitions()
+    split_partitions = read_elements_split(spark, xml, "node", chunk_mb=64).rdd.getNumPartitions()
 
     t0 = time.perf_counter()
     osm = ingest_osm(spark, xml, os.path.join(tmp, f"store_{n}"))
     docs = osm.count()
     ingest_s = time.perf_counter() - t0
+
+    # same ETL through the splittable scan (the planet-scale path)
+    t0 = time.perf_counter()
+    cleaned = clean_osm(read_shaped_split(spark, xml, chunk_mb=64))
+    write_table(cleaned, os.path.join(tmp, f"store_split_{n}"), partition_by=["type"])
+    osm_split_df = spark.read.parquet(os.path.join(tmp, f"store_split_{n}"))
+    docs_split = osm_split_df.count()
+    ingest_split_s = time.perf_counter() - t0
+    assert docs_split == docs, f"split ingest row parity broken: {docs_split} != {docs}"
 
     t0 = time.perf_counter()
     battery = query_battery(osm)
@@ -71,9 +92,11 @@ def run_scale(spark, n: int, tmp: str) -> dict:
         "n_elements": n,
         "xml_mb": round(size / 1e6, 2),
         "docs": docs,
-        "node_scan_partitions": scan_partitions,
+        "node_scan_partitions_native": native_partitions,
+        "node_scan_partitions_split": split_partitions,
         "gen_sec": round(gen_s, 2),
         "ingest_clean_store_sec": round(ingest_s, 2),
+        "ingest_split_reader_sec": round(ingest_split_s, 2),
         "query_battery_sec": round(battery_s, 2),
         "battery_result_rows": rows,
         "conservation": {
@@ -100,21 +123,33 @@ def main() -> int:
         "parallel XML parse must lose no rows under splitting: "
         f"{ten['docs']} != {one['docs']} * 10"
     )
+    assert ten["node_scan_partitions_native"] == 1, "native XML source became splittable?"
+    assert ten["node_scan_partitions_split"] > 1, "split reader must parallelize a 0.5 GB doc"
     payload = {
         "comment": "OSM reference-surface 10x rehearsal: same deterministic "
-        "workload as tools/bench_osm.py at 1x and 10x (~0.57 GB single XML "
-        "document). node_scan_partitions > 1 at 10x is the split-claim "
-        "evidence (sources/osm_xml.py:12-15); docs at 10x == 10 x docs at 1x "
-        "proves the boundary-scanning parallel parse drops/duplicates "
-        "nothing; conservation (wa+id==all) asserted at both scales.",
+        "workload as tools/bench_osm.py at 1x and 10x (~0.47 GB single XML "
+        "document). Measuring FALSIFIED the old osm_xml.py split claim: the "
+        "native source reads one file as ONE task (partitions_native == 1 "
+        "at both scales); sources/osm_split.py is the real planet-scale "
+        "path (partitions_split = size/64MB tasks, identical docs count, "
+        "ingest_split_reader_sec vs the single-task ingest). docs at 10x == "
+        "10 x docs at 1x (deterministic gen) proves the boundary-scanning "
+        "extraction drops/duplicates nothing; conservation (wa+id==all) "
+        "asserted at both scales.",
         "1x": one,
         "10x": ten,
         "ratios": {
             "ingest": round(
                 ten["ingest_clean_store_sec"] / max(one["ingest_clean_store_sec"], 1e-9), 2
             ),
+            "ingest_split_reader": round(
+                ten["ingest_split_reader_sec"] / max(one["ingest_split_reader_sec"], 1e-9), 2
+            ),
             "battery": round(
                 ten["query_battery_sec"] / max(one["query_battery_sec"], 1e-9), 2
+            ),
+            "split_vs_native_ingest_10x": round(
+                ten["ingest_clean_store_sec"] / max(ten["ingest_split_reader_sec"], 1e-9), 2
             ),
         },
     }
