@@ -18,6 +18,12 @@ session; this module is the part a 100 TB deployment actually operates:
   here even cheaper: assignment needs only the broadcast centroids, so
   the add path touches ZERO existing index bytes — the optional
   duplicate-id guard reads just the pruned ``vec_id`` column).
+- **delete / compact**: deletes are O(batch) tombstone appends (the
+  FAISS ``remove_ids`` contract); probes anti-join the broadcast
+  tombstone set until ``ivf_pq_index_compact`` folds them in by
+  rewriting ONLY the cluster partitions that contain a tombstoned
+  vector (dynamic partition overwrite — clean clusters' files are
+  bit-untouched, asserted in tests).
 - **probe**: per-query nearest-``nprobe`` centroids are computed
   driver-side from the sidecar meta (ncent×d doubles — tiny), then the
   ADC ranking (operators/pq.py:adc_topk) runs over ONLY the probed
@@ -44,6 +50,7 @@ from .pq import _fold_l2sq, encode_pq, train_pq_codebooks
 
 _CODES = "codes"
 _META = "meta"
+_TOMBSTONES = "tombstones"
 
 
 def train_ivf_pq_meta(
@@ -168,6 +175,76 @@ def ivf_pq_index_add(
     ).parquet(f"{path}/{_CODES}")
 
 
+def ivf_pq_index_delete(spark: SparkSession, path: str, ids: list[int]) -> None:
+    """Logical delete (the FAISS ``remove_ids`` analog, public API): append
+    the ids to a tombstone sidecar. O(batch) — touches no index data; the
+    probe anti-joins tombstones (broadcast: they stay small between
+    compactions) and ``ivf_pq_index_compact`` folds them in, rewriting
+    ONLY the cluster partitions that contain a tombstoned vector."""
+    if not ids:
+        raise ValueError("ivf_pq_index_delete: empty id batch")
+    spark.createDataFrame([(int(i),) for i in ids], "vec_id long").write.mode(
+        "append"
+    ).parquet(f"{path}/{_TOMBSTONES}")
+
+
+def _tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    import os
+
+    if not os.path.isdir(f"{path}/{_TOMBSTONES}"):
+        return None
+    return spark.read.parquet(f"{path}/{_TOMBSTONES}")
+
+
+def ivf_pq_index_compact(spark: SparkSession, path: str, id_col: str = "vec_id") -> int:
+    """Fold tombstones into the codes table, partition-selectively: only
+    cluster partitions containing a tombstoned id are rewritten (dynamic
+    partition overwrite); clean clusters' files are untouched — at 100 TB
+    a delete batch touching 3 of 10k clusters rewrites 3. Returns the
+    number of partitions rewritten.
+
+    Loud guard: a cluster whose vectors are ALL tombstoned cannot be
+    expressed as a dynamic overwrite (nothing to write leaves the stale
+    files in place) — that needs a full rebuild, so it raises."""
+    ts = _tombstones(spark, path)
+    if ts is None or ts.head(1) == []:
+        return 0
+    ts = ts.withColumnRenamed("vec_id", id_col)  # tombstones store vec_id
+    codes = spark.read.parquet(f"{path}/{_CODES}")
+    dead = codes.join(F.broadcast(ts), id_col)
+    dirty = [r["cluster"] for r in dead.select("cluster").distinct().collect()]
+    if not dirty:  # tombstones for ids never in the index: just clear them
+        _clear_tombstones(spark, path)
+        return 0
+    survivors = codes.where(F.col("cluster").isin(dirty)).join(
+        F.broadcast(ts), id_col, "left_anti"
+    )
+    alive = {r["cluster"] for r in survivors.select("cluster").distinct().collect()}
+    emptied = sorted(set(dirty) - alive)
+    if emptied:
+        raise ValueError(
+            f"ivf_pq_index_compact: clusters {emptied} would become empty — "
+            "dynamic partition overwrite cannot express an empty partition; "
+            "rebuild the index (write_ivf_pq_index) for full-cluster deletes"
+        )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        survivors.write.partitionBy("cluster").mode("overwrite").parquet(
+            f"{path}/{_CODES}"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    _clear_tombstones(spark, path)
+    return len(dirty)
+
+
+def _clear_tombstones(spark: SparkSession, path: str) -> None:
+    import shutil
+
+    shutil.rmtree(f"{path}/{_TOMBSTONES}", ignore_errors=True)
+
+
 def ivf_pq_probe(
     spark: SparkSession,
     path: str,
@@ -189,6 +266,16 @@ def ivf_pq_probe(
 
     meta = read_ivf_pq_meta(spark, path)
     codes = spark.read.parquet(f"{path}/{_CODES}")
+    ts = _tombstones(spark, path)
+    if ts is not None:
+        # logical deletes not yet compacted: anti-join the (small,
+        # broadcast) tombstone set — partition pruning still applies to
+        # the codes side underneath
+        codes = codes.join(
+            F.broadcast(ts.withColumnRenamed("vec_id", id_col).select(id_col)),
+            id_col,
+            "left_anti",
+        )
     parts = []
     for qid, qvec in queries:
         clusters = _assign_clusters_driver(qvec, meta, nprobe)

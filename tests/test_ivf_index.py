@@ -133,6 +133,93 @@ def test_meta_roundtrip(spark, full_index, meta):
     assert got["centroids"] == [[cid, vec] for cid, vec in meta["centroids"]]
 
 
+def test_delete_compact_lifecycle(spark, emb, meta):
+    """Tombstone deletes take effect immediately in probes; compaction
+    rewrites ONLY dirty cluster partitions (clean clusters bit-untouched)
+    and preserves probe answers exactly."""
+    import os
+
+    from data_wrangle_openstreetmaps_data_1_spark.operators.ivf_index import (
+        ivf_pq_index_compact,
+        ivf_pq_index_delete,
+    )
+
+    path = tempfile.mkdtemp(prefix="ivfidx_del_")
+    try:
+        write_ivf_pq_index(spark, emb, path, meta, "vec_id", "v")
+        qs = _queries(emb)
+        before = ivf_pq_probe(spark, path, qs, k=TOPK, nprobe=NPROBE).collect()
+        # delete the top neighbor of the first query: it must vanish and
+        # the rank backfill must come from the same pruned candidate set
+        victim = sorted(
+            (r for r in before if r["query_id"] == qs[0][0]),
+            key=lambda r: (r["adc_d2"], r["vec_id"]),
+        )[0]["vec_id"]
+        ivf_pq_index_delete(spark, path, [int(victim)])
+        after_ts = ivf_pq_probe(spark, path, qs, k=TOPK, nprobe=NPROBE).collect()
+        assert victim not in {r["vec_id"] for r in after_ts}
+        assert all(len([r for r in after_ts if r["query_id"] == q]) == TOPK for q, _ in qs)
+
+        # snapshot file listing per cluster dir, then compact
+        def listing():
+            out = {}
+            for d in os.listdir(f"{path}/codes"):
+                if d.startswith("cluster="):
+                    full = f"{path}/codes/{d}"
+                    out[d] = sorted(
+                        (f, os.path.getmtime(f"{full}/{f}"))
+                        for f in os.listdir(full)
+                        if f.endswith(".parquet")
+                    )
+            return out
+
+        pre = listing()
+        codes = spark.read.parquet(f"{path}/codes")
+        dirty = {
+            r["cluster"]
+            for r in codes.where(F.col("vec_id") == victim).select("cluster").collect()
+        }
+        n_rewritten = ivf_pq_index_compact(spark, path)
+        assert n_rewritten == len(dirty) == 1
+        post = listing()
+        for d in pre:
+            if d == f"cluster={next(iter(dirty))}":
+                assert pre[d] != post[d]  # the dirty partition was rewritten
+            else:
+                assert pre[d] == post[d], f"clean partition {d} was touched"
+        assert not os.path.isdir(f"{path}/tombstones")
+        after_compact = ivf_pq_probe(spark, path, qs, k=TOPK, nprobe=NPROBE).collect()
+        assert sorted(map(tuple, after_compact)) == sorted(map(tuple, after_ts))
+        # idempotent: nothing left to fold
+        assert ivf_pq_index_compact(spark, path) == 0
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_compact_refuses_emptying_a_cluster(spark, emb, meta):
+    from data_wrangle_openstreetmaps_data_1_spark.operators.ivf_index import (
+        ivf_pq_index_compact,
+        ivf_pq_index_delete,
+    )
+
+    path = tempfile.mkdtemp(prefix="ivfidx_empty_")
+    try:
+        write_ivf_pq_index(spark, emb, path, meta, "vec_id", "v")
+        codes = spark.read.parquet(f"{path}/codes")
+        smallest = (
+            codes.groupBy("cluster").count().orderBy("count", "cluster").first()
+        )
+        members = [
+            int(r["vec_id"])
+            for r in codes.where(F.col("cluster") == smallest["cluster"]).collect()
+        ]
+        ivf_pq_index_delete(spark, path, members)
+        with pytest.raises(ValueError, match="would become empty"):
+            ivf_pq_index_compact(spark, path)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def test_stored_probe_matches_in_session(spark, sf_small):
     """The full registered lifecycle equals sim_ivf_pq on the same corpus."""
     from data_wrangle_openstreetmaps_data_1_spark.plans.curation_ext import sim_ivf_pq
