@@ -71,8 +71,12 @@ def main() -> None:
     spark = get_spark("bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: JVM + parquet footer reads, not billed to any query
+    # warm-up: JVM + parquet footer reads, not billed to any query — and
+    # one throwaway run of the calibration shape itself, so calib_jvm_sec
+    # measures steady-state capacity, not first-run JIT (measured: the
+    # cold first run is ~3x the warm one on an idle host)
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.range(64_000_000).selectExpr("sum(id % 7)").collect()
 
     calib_pre = _calibration(spark)
 
