@@ -73,6 +73,60 @@ def plan_ranges(size: int, chunk_bytes: int) -> list[tuple[int, int]]:
     return [(s, min(s + chunk_bytes, size)) for s in range(0, max(size, 1), chunk_bytes)]
 
 
+# quote-aware scan from just after the tag name to the tag-closing '>':
+# bare '>' is legal inside quoted attribute values, so skip quoted spans
+_TAG_END_PAT = re.compile(rb'(?:[^>"\']|"[^"]*"|\'[^\']*\')*?(/?)>')
+
+
+def extract_fragments_in_range(
+    buf: bytes,
+    limit: int,
+    row_tag: str,
+    range_origin: int = 0,
+    max_element_bytes: int = 1 << 20,
+    path: str = "<buffer>",
+):
+    """Yield every complete ``<row_tag ...>`` fragment whose start tag
+    begins before ``limit`` in ``buf`` (which must extend up to
+    ``max_element_bytes`` past ``limit`` for the tail element). Pure
+    function — the task-side core of :func:`element_fragments`, factored
+    out so property tests can sweep boundary placements without Spark."""
+    open_tok = f"<{row_tag}".encode()
+    close_tok = f"</{row_tag}>".encode()
+    # start token followed by a name-boundary char, so row_tag "node" never
+    # matches a hypothetical <nodeset>
+    start_pat = re.compile(re.escape(open_tok) + rb"[\s/>]")
+    pos = 0
+    while True:
+        m = start_pat.search(buf, pos)
+        if m is None or m.start() >= limit:
+            return
+        s0 = m.start()
+        tm = _TAG_END_PAT.match(buf, s0 + len(open_tok))
+        if tm is None:
+            raise ValueError(
+                f"osm_split: unterminated start tag at byte {range_origin + s0} "
+                f"of {path} (element larger than max_element_bytes="
+                f"{max_element_bytes}? raise it)"
+            )
+        if tm.group(1) == b"/":
+            e0 = tm.end()
+        else:
+            c = buf.find(close_tok, tm.end())
+            if c == -1:
+                raise ValueError(
+                    f"osm_split: no {close_tok.decode()} within "
+                    f"max_element_bytes={max_element_bytes} of the "
+                    f"element at byte {range_origin + s0} of {path} — raise "
+                    "max_element_bytes (loud by design, never truncate)"
+                )
+            e0 = c + len(close_tok)
+        # fragment boundaries sit on ASCII markup bytes, so a complete
+        # element is always valid UTF-8 when the document is
+        yield buf[s0:e0].decode("utf-8")
+        pos = e0
+
+
 def element_fragments(
     spark: SparkSession,
     path: str,
@@ -87,48 +141,16 @@ def element_fragments(
     byte granularity (the extraction code under test stays THIS code)."""
     size = os.path.getsize(path)
     ranges = plan_ranges(size, _chunk_bytes or chunk_mb * 1024 * 1024)
-    open_tok = f"<{row_tag}".encode()
-    close_tok = f"</{row_tag}>".encode()
-    # start token followed by a name-boundary char, so row_tag "node" never
-    # matches a hypothetical <nodeset>
-    start_pat = re.compile(re.escape(open_tok) + rb"[\s/>]")
-    # quote-aware scan from just after the tag name to the tag-closing '>':
-    # bare '>' is legal inside quoted attribute values, so skip quoted spans
-    tag_end_pat = re.compile(rb'(?:[^>"\']|"[^"]*"|\'[^\']*\')*?(/?)>')
 
     def scan(ranges_iter):
         for start, end in ranges_iter:
             with open(path, "rb") as f:
                 f.seek(start)
                 buf = f.read((end - start) + max_element_bytes)
-            limit = end - start
-            pos = 0
-            while True:
-                m = start_pat.search(buf, pos)
-                if m is None or m.start() >= limit:
-                    break
-                s0 = m.start()
-                tm = tag_end_pat.match(buf, s0 + len(open_tok))
-                if tm is None:
-                    raise ValueError(
-                        f"osm_split: unterminated start tag at byte {start + s0} "
-                        f"of {path} (element larger than max_element_bytes="
-                        f"{max_element_bytes}? raise it)"
-                    )
-                if tm.group(1) == b"/":
-                    e0 = tm.end()
-                else:
-                    c = buf.find(close_tok, tm.end())
-                    if c == -1:
-                        raise ValueError(
-                            f"osm_split: no {close_tok.decode()} within "
-                            f"max_element_bytes={max_element_bytes} of the "
-                            f"element at byte {start + s0} of {path} — raise "
-                            "max_element_bytes (loud by design, never truncate)"
-                        )
-                    e0 = c + len(close_tok)
-                yield (buf[s0:e0].decode("utf-8"),)
-                pos = e0
+            for frag in extract_fragments_in_range(
+                buf, end - start, row_tag, start, max_element_bytes, path
+            ):
+                yield (frag,)
 
     rdd = spark.sparkContext.parallelize(ranges, len(ranges)).mapPartitions(scan)
     return spark.createDataFrame(rdd, "value string")
