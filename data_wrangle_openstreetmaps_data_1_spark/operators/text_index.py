@@ -1,0 +1,237 @@
+"""Persisted inverted (BM25) index: the serving lifecycle for lexical
+retrieval — the text-side twin of operators/ivf_index.py.
+
+``tx_bm25_topk`` (operators/retrieval.py) re-scans and re-tokenizes the
+corpus per query batch; a serving deployment builds the postings ONCE
+and answers term lookups from the index. Layout on disk:
+
+- ``postings/`` — (term, doc_id, tf, dl) PARTITIONED BY a portable hash
+  bucket of the term (``functions/hashing.hash64 % n_buckets``, the md5
+  tier so the DRIVER can compute a term's bucket with hashlib and prune
+  partitions before any I/O). ``dl`` (doc length) is DENORMALIZED onto
+  each posting — the impact-file trick from the IR literature: the probe
+  never joins a corpus-sized doc-length table, it reads scoring-complete
+  rows from exactly the probed term buckets.
+- ``terms/`` — (term, df), same bucketing (the term dictionary).
+- ``stats/`` — one row (n_docs, avgdl_fp).
+
+**build cost, honestly**: the full-vocab postings build shuffles every
+distinct (term, doc_id) pair once — the standard inverted-index build
+(what Lucene/ES do batchwise), amortized over every query served after.
+The per-query path this replaces scans + tokenizes the whole corpus per
+term batch; the crossover is immediate for any serving workload.
+
+**probe**: term buckets computed driver-side → ``bucket isin`` prunes
+partitions (PartitionFilters) and ``term isin`` pushes into the pruned
+scan; scoring is the same fixed-point BM25 as operators/retrieval.py, so
+the stored probe is value-identical to ``tx_bm25_topk`` and shares its
+DuckDB oracle.
+
+**add**: new docs' postings append into their term-bucket partitions
+(batch-only work); ``terms/`` is df-MERGED partition-selectively
+(dynamic overwrite of only the buckets the batch touches — the
+ivf_pq_index_compact discipline); ``stats/`` is rewritten from its own
+tiny aggregate. Train-once-add-forever holds trivially: there is no
+trained state, so base-write + delta-add is bit-identical to a one-shot
+full build (asserted in tests).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash64
+from ..functions.text import tokens
+
+_POSTINGS = "postings"
+_TERMS = "terms"
+_STATS = "stats"
+
+
+def term_bucket_py(term: str, n_buckets: int) -> int:
+    """Driver-side twin of the JVM bucket expression: first 15 hex chars
+    of md5 as int, mod n_buckets (same md5, same slice — bit-identical)."""
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:15], 16) % n_buckets
+
+
+def _bucket_col(col, n_buckets: int):
+    return F.pmod(portable_hash64(col), F.lit(n_buckets)).cast("int")
+
+
+def _tokenized(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
+
+
+def _postings_with_dl(docs: DataFrame, id_col: str, text_col: str, n_buckets: int) -> DataFrame:
+    toked = _tokenized(docs, id_col, text_col)
+    lens = toked.select("doc_id", F.size("toks").alias("dl")).where(F.col("dl") >= 1)
+    post = (
+        toked.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    return post.join(lens, "doc_id").select(
+        "term", "doc_id", "tf", "dl", _bucket_col(F.col("term"), n_buckets).alias("bucket")
+    )
+
+
+def write_bm25_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 64,
+) -> None:
+    """Materialize the index (overwrite): bucketed postings + term
+    dictionary + corpus stats. One corpus scan (persisted at the postings
+    stage) feeds all three — the derived artifacts come from the SAME
+    materialized frame the write consumed, so they can never disagree."""
+    post = _postings_with_dl(docs, id_col, text_col, n_buckets).persist()
+    try:
+        # co-locate each bucket in one shuffle partition before the write:
+        # without this every post-shuffle partition writes a file into every
+        # bucket dir (shuffle_partitions x n_buckets small files)
+        post.repartition("bucket").write.partitionBy("bucket").mode("overwrite").parquet(
+            f"{path}/{_POSTINGS}"
+        )
+        post.groupBy("term").agg(F.count("*").alias("df")).select(
+            "term", "df", _bucket_col(F.col("term"), n_buckets).alias("bucket")
+        ).repartition("bucket").write.partitionBy("bucket").mode("overwrite").parquet(
+            f"{path}/{_TERMS}"
+        )
+        _write_stats(spark, path, post)
+    finally:
+        post.unpersist()
+    spark.createDataFrame([(int(n_buckets),)], "n_buckets int").coalesce(1).write.mode(
+        "overwrite"
+    ).json(f"{path}/meta")
+
+
+def _write_stats(spark: SparkSession, path: str, post: DataFrame | None = None) -> None:
+    """(n_docs, avgdl_fp) from the doc-level view of the postings: each
+    doc's dl appears on every one of its postings, so distinct (doc, dl)
+    is exact. Same integer forms as operators/retrieval.bm25_topk.
+    ``post`` reuses an already-persisted postings frame; without it the
+    stored table is read (the incremental-add path, where stats must
+    cover old + new docs)."""
+    src = post if post is not None else spark.read.parquet(f"{path}/{_POSTINGS}")
+    src.select("doc_id", "dl").distinct().agg(
+        F.count("*").alias("n_docs"),
+        F.expr("sum(dl) * 1000 div count(*)").alias("avgdl_fp"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{_STATS}")
+
+
+def read_index_meta(spark: SparkSession, path: str) -> dict:
+    r = spark.read.json(f"{path}/meta").head()
+    return {"n_buckets": int(r["n_buckets"])}
+
+
+def bm25_index_add(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    *,
+    check_duplicates: bool = True,
+) -> None:
+    """Incremental add: append the batch's postings into their bucket
+    partitions, df-merge the term dictionary partition-selectively, and
+    rewrite the (tiny) stats row. Existing postings bytes are never
+    rewritten; only the terms/ buckets the batch touches are."""
+    n_buckets = read_index_meta(spark, path)["n_buckets"]
+    new_post = _postings_with_dl(batch, id_col, text_col, n_buckets)
+    if check_duplicates:
+        existing = spark.read.parquet(f"{path}/{_POSTINGS}").select("doc_id").distinct()
+        dup = (
+            new_post.select("doc_id").distinct().join(existing, "doc_id").limit(1).collect()
+        )
+        if dup:
+            raise ValueError(
+                f"bm25_index_add: doc_id {dup[0]['doc_id']!r} already indexed at "
+                f"{path} — adds must be new documents"
+            )
+    new_post = new_post.persist()
+    try:
+        new_post.repartition("bucket").write.partitionBy("bucket").mode("append").parquet(
+            f"{path}/{_POSTINGS}"
+        )
+        # df-merge only the touched buckets (dynamic partition overwrite)
+        delta_df = new_post.groupBy("term").agg(F.count("*").alias("df")).select(
+            "term", "df", _bucket_col(F.col("term"), n_buckets).alias("bucket")
+        )
+        touched = [r["bucket"] for r in delta_df.select("bucket").distinct().collect()]
+        old_terms = spark.read.parquet(f"{path}/{_TERMS}").where(
+            F.col("bucket").isin(touched)
+        )
+        merged = (
+            old_terms.select("term", "df", "bucket")
+            .unionByName(delta_df)
+            .groupBy("term", "bucket")
+            .agg(F.sum("df").cast("long").alias("df"))
+            .select("term", "df", "bucket")
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.repartition("bucket").write.partitionBy("bucket").mode("overwrite").parquet(
+                f"{path}/{_TERMS}"
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        _write_stats(spark, path)
+    finally:
+        new_post.unpersist()
+
+
+def bm25_probe(
+    spark: SparkSession, path: str, terms: list[str], k: int = 5
+) -> DataFrame:
+    """BM25 top-k per query term from the stored index. Bucket ids are
+    computed driver-side (hashlib md5 — the portable twin of the JVM
+    bucket column), so the postings/terms scans list only the probed
+    partitions; the term equality predicate pushes into those scans.
+    Output schema and values match operators/retrieval.bm25_topk exactly
+    (same fixed-point formula, same tie-breaks)."""
+    from .retrieval import B_FP, K1_FP
+
+    if not terms:
+        raise ValueError("bm25_probe: terms must be non-empty")
+    n_buckets = read_index_meta(spark, path)["n_buckets"]
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in terms})
+    post = (
+        spark.read.parquet(f"{path}/{_POSTINGS}")
+        .where(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+    )
+    dfreq = (
+        spark.read.parquet(f"{path}/{_TERMS}")
+        .where(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+        .select("term", "df")
+    )
+    stats = spark.read.parquet(f"{path}/{_STATS}")
+    from pyspark.sql import Window
+
+    scored = (
+        post.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("idf_fp", F.expr("(n_docs - df) * 1000 div (df + 1) + 1000"))
+        .withColumn(
+            "norm_fp", F.expr(f"(1000 - {B_FP}) + ({B_FP} * dl * 1000) div avgdl_fp")
+        )
+        .withColumn(
+            "score_fp",
+            F.expr(
+                f"(tf * {K1_FP + 1000} * idf_fp) div (tf * 1000 + ({K1_FP} * norm_fp) div 1000)"
+            ),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("score_fp"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("term", "doc_id", "tf", "df", "score_fp", "rnk")
+    )

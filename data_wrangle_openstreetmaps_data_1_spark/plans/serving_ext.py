@@ -22,6 +22,7 @@ from ..operators.ivf_index import (
     train_ivf_pq_meta,
     write_ivf_pq_index,
 )
+from ..operators.text_index import bm25_index_add, bm25_probe, write_bm25_index
 from ..sources.tables import load_table
 from .curation_ext import (
     _IVFPQ_NCENT,
@@ -79,3 +80,45 @@ def sim_ivf_pq_stored(spark: SparkSession, sf: str) -> DataFrame:
             f"sim_ivf_pq_stored: no query vectors (vec_id < {_PQ_NQ}) in this corpus"
         )
     return ivf_pq_probe(spark, path, queries, k=_PQ_TOPK, nprobe=_IVFPQ_NPROBE)
+
+
+def _bm25_stored_oracle() -> str:
+    from .pipeline_ext import _TERMS_IN, _bm25_oracle
+
+    return _bm25_oracle(_TERMS_IN, 5)
+
+
+@register(
+    "tx_bm25_stored",
+    _bm25_stored_oracle(),
+    doc="the persisted-index twin of tx_bm25_topk: builds the inverted "
+    "index ONCE as a term-bucketed parquet layout (postings with doc "
+    "length DENORMALIZED per row — the impact-file trick, so probes "
+    "never join a corpus-sized doc-length table; term dictionary; corpus "
+    "stats), grows it with an incremental document add (postings append "
+    "into bucket partitions; df-merge rewrites ONLY touched term-"
+    "dictionary buckets via dynamic partition overwrite), then serves "
+    "the query from partition-pruned bucket reads (driver-side md5 "
+    "bucket twin -> bucket isin -> PartitionFilters; BM25INDEX_WIN.json "
+    "measures rows never read). tx_bm25_topk re-scans and re-tokenizes "
+    "the corpus per query batch — the build shuffles every (term, doc) "
+    "pair once instead, amortized over all queries served. Same oracle: "
+    "the lifecycle must be value-invisible",
+)
+def tx_bm25_stored(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    from .pipeline_ext import BM25_TERMS
+
+    docs = load_table(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="bm25_index_")
+    shutil.rmtree(path, ignore_errors=True)
+    # base/delta split exercises the add path inside the value-checked
+    # query: doc-level adds must be bit-identical to a one-shot build
+    # 16 buckets at this corpus scale (n_buckets is a layout knob: more
+    # buckets = finer pruning but more partition dirs to list; probes
+    # touch <=|terms| buckets either way)
+    write_bm25_index(
+        spark, docs.where(F.col("doc_id") % 5 != 3), path, "doc_id", "text", n_buckets=16
+    )
+    bm25_index_add(spark, docs.where(F.col("doc_id") % 5 == 3), path, "doc_id", "text")
+    return bm25_probe(spark, path, BM25_TERMS, k=5)

@@ -276,6 +276,8 @@ def test_no_unexpected_products_registry_wide(spark):
     BNLJ_ALLOWED = {
         # broadcast 1-row corpus-stat / constant aggregates
         "tx_bm25_topk", "tx_domain_mix", "tx_tfidf_top_terms", "ml_pagerank",
+        # the stored-index probe inherits tx_bm25_topk's 1-row stats cross
+        "tx_bm25_stored",
         "t_gap_fill", "sk_hll", "sk_histogram_quantiles", "dd_lsh_tier_audit",
         # adaptive form: same <=256-row sketch x 3-quantile broadcast cross
         "sk_quantiles_adaptive",

@@ -1,0 +1,143 @@
+"""Persisted BM25 index lifecycle (operators/text_index.py).
+
+Mirrors tests/test_ivf_index.py for the text side: pruned probe reads,
+add-invisibility (base + delta == one-shot build), loud duplicate guard,
+driver/JVM bucket-hash parity, and value-parity with the per-query
+operator (bm25_topk) it replaces at serving time.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_wrangle_openstreetmaps_data_1_spark.operators.retrieval import bm25_topk
+from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+    _bucket_col,
+    bm25_index_add,
+    bm25_probe,
+    term_bucket_py,
+    write_bm25_index,
+)
+from data_wrangle_openstreetmaps_data_1_spark.sources.tables import load_table
+
+TERMS = ["spark", "hash", "window"]
+NB = 16
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_small):
+    return load_table(spark, sf_small, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def full_index(spark, docs):
+    path = tempfile.mkdtemp(prefix="bm25idx_full_")
+    write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=NB)
+    yield path
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_bucket_hash_parity(spark, docs):
+    """Driver-side hashlib bucket == JVM portable_hash64 bucket, term by
+    term — the contract pruning correctness rests on."""
+    sample = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("term"))
+        .where(F.length("term") > 0)
+        .distinct()
+        .limit(200)
+        .select("term", _bucket_col(F.col("term"), NB).alias("b"))
+        .collect()
+    )
+    assert len(sample) > 20  # sf0.001's synthetic vocab is ~31 terms
+    for r in sample:
+        assert term_bucket_py(r["term"], NB) == r["b"], r["term"]
+
+
+def test_probe_plan_prunes_buckets(spark, full_index):
+    buckets = sorted({term_bucket_py(t, NB) for t in TERMS})
+    scan = spark.read.parquet(f"{full_index}/postings").where(
+        F.col("bucket").isin(buckets) & F.col("term").isin(TERMS)
+    )
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters", 1)[1][:200]
+    assert "PushedFilters" in plan  # the term predicate reaches the scan
+    total = spark.read.parquet(f"{full_index}/postings").count()
+    assert scan.count() < total
+
+
+def test_probe_matches_per_query_operator(spark, docs, full_index):
+    a = sorted(map(tuple, bm25_probe(spark, full_index, TERMS, k=5).collect()))
+    b = sorted(map(tuple, bm25_topk(docs, "doc_id", "text", TERMS, k=5).collect()))
+    assert a == b and len(a) == 15
+
+
+def test_incremental_add_value_invisible(spark, docs, full_index):
+    path = tempfile.mkdtemp(prefix="bm25idx_incr_")
+    try:
+        write_bm25_index(
+            spark, docs.where(F.col("doc_id") % 5 != 3), path, "doc_id", "text", n_buckets=NB
+        )
+        bm25_index_add(spark, docs.where(F.col("doc_id") % 5 == 3), path, "doc_id", "text")
+        for sub in ("postings", "terms", "stats"):
+            a = sorted(tuple(r) for r in spark.read.parquet(f"{path}/{sub}").collect())
+            b = sorted(tuple(r) for r in spark.read.parquet(f"{full_index}/{sub}").collect())
+            assert a == b, f"{sub} diverged between add path and one-shot build"
+        pa = sorted(map(tuple, bm25_probe(spark, path, TERMS, k=5).collect()))
+        pb = sorted(map(tuple, bm25_probe(spark, full_index, TERMS, k=5).collect()))
+        assert pa == pb
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_add_rewrites_only_touched_term_buckets(spark, docs):
+    """The df-merge must leave untouched term-dictionary buckets'files
+    bit-identical (dynamic partition overwrite discipline)."""
+    import os
+
+    path = tempfile.mkdtemp(prefix="bm25idx_sel_")
+    try:
+        write_bm25_index(
+            spark, docs.where(F.col("doc_id") % 7 != 0), path, "doc_id", "text", n_buckets=NB
+        )
+
+        def listing(sub):
+            out = {}
+            for d in os.listdir(f"{path}/{sub}"):
+                if d.startswith("bucket="):
+                    full = f"{path}/{sub}/{d}"
+                    out[d] = sorted(f for f in os.listdir(full) if f.endswith(".parquet"))
+            return out
+
+        pre = listing("terms")
+        batch = docs.where(F.col("doc_id") % 7 == 0)
+        from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+            _postings_with_dl,
+        )
+
+        touched = {
+            r["bucket"]
+            for r in _postings_with_dl(batch, "doc_id", "text", NB)
+            .select("bucket")
+            .distinct()
+            .collect()
+        }
+        bm25_index_add(spark, batch, path, "doc_id", "text")
+        post = listing("terms")
+        for d in pre:
+            b = int(d.split("=", 1)[1])
+            if b not in touched:
+                assert pre[d] == post[d], f"untouched bucket {d} was rewritten"
+        assert any(pre[d] != post[d] for d in pre), "no bucket rewritten?"
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_duplicate_add_raises(spark, docs, full_index):
+    with pytest.raises(ValueError, match="already indexed"):
+        bm25_index_add(
+            spark, docs.where(F.col("doc_id") < 3), full_index, "doc_id", "text"
+        )

@@ -44,6 +44,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 NAMES = [
     "sim_ivf_pq_stored",
+    "tx_bm25_stored",
     "a_heavy_hitters",
     "u_scd2_apply",
     "g_knn_join",
