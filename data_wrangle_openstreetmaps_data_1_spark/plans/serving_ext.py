@@ -122,3 +122,39 @@ def tx_bm25_stored(spark: SparkSession, sf: str) -> DataFrame:
     )
     bm25_index_add(spark, docs.where(F.col("doc_id") % 5 == 3), path, "doc_id", "text")
     return bm25_probe(spark, path, BM25_TERMS, k=5)
+
+
+@register(
+    "st_bm25_index",
+    _bm25_stored_oracle(),
+    doc="STREAMING maintenance of the persisted BM25 index (the landing-"
+    "zone pattern): the corpus lands as 3 parquet files, a file-source "
+    "stream delivers them as micro-batches (maxFilesPerTrigger=1), and "
+    "foreachBatch routes batch 1 into write_bm25_index and batches 2..n "
+    "into bm25_index_add — postings append into bucket partitions, the "
+    "term dictionary df-merges partition-selectively, stats rewrite. The "
+    "add-invisibility property makes the final index independent of the "
+    "batch split, so the post-stream probe shares tx_bm25_topk's oracle "
+    "verbatim; replayed batches fail LOUDLY on the duplicate guard "
+    "rather than double-count (streaming/index_maintenance.py documents "
+    "the recovery contract)",
+)
+def st_bm25_index(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    from .pipeline_ext import BM25_TERMS
+    from ..streaming.incremental import read_documents_stream
+    from ..streaming.index_maintenance import run_bm25_index_stream
+
+    docs = load_table(spark, sf, "documents")
+    landing = tempfile.mkdtemp(prefix="bm25_landing_")
+    # 3 landing-zone files -> 3 micro-batches (1 build + 2 adds); which
+    # docs land in which batch doesn't matter — the index is a batching-
+    # independent function of the corpus
+    docs.repartition(3).write.mode("overwrite").parquet(landing)
+    path = tempfile.mkdtemp(prefix="bm25_stream_idx_")
+    shutil.rmtree(path, ignore_errors=True)
+    stream = read_documents_stream(
+        spark, landing, glob="*.parquet", max_files_per_trigger=1
+    ).select("doc_id", "text")
+    run_bm25_index_stream(stream, path, "doc_id", "text", n_buckets=16)
+    return bm25_probe(spark, path, BM25_TERMS, k=5)

@@ -1,0 +1,96 @@
+"""Streaming BM25 index maintenance (streaming/index_maintenance.py).
+
+The contract: the final index is a batching-independent function of the
+corpus — however the landing-zone files split into micro-batches, the
+streamed build+add chain lands bit-identical to a one-shot batch build.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+    bm25_probe,
+    write_bm25_index,
+)
+from data_wrangle_openstreetmaps_data_1_spark.sources.tables import load_table
+from data_wrangle_openstreetmaps_data_1_spark.streaming.incremental import (
+    read_documents_stream,
+)
+from data_wrangle_openstreetmaps_data_1_spark.streaming.index_maintenance import (
+    run_bm25_index_stream,
+)
+
+NB = 16
+TERMS = ["spark", "hash", "window"]
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_small):
+    return load_table(spark, sf_small, "documents").select("doc_id", "text").cache()
+
+
+def _stream_into(spark, docs, n_files: int) -> str:
+    landing = tempfile.mkdtemp(prefix="idxstream_landing_")
+    docs.repartition(n_files).write.mode("overwrite").parquet(landing)
+    path = tempfile.mkdtemp(prefix="idxstream_idx_")
+    shutil.rmtree(path, ignore_errors=True)
+    stream = read_documents_stream(
+        spark, landing, glob="*.parquet", max_files_per_trigger=1
+    ).select("doc_id", "text")
+    run_bm25_index_stream(stream, path, "doc_id", "text", n_buckets=NB)
+    shutil.rmtree(landing, ignore_errors=True)
+    return path
+
+
+def test_batching_independence(spark, docs):
+    """1-batch, 4-batch streamed builds and the one-shot batch build all
+    land the same index content and the same probe answers."""
+    oneshot = tempfile.mkdtemp(prefix="idxstream_ref_")
+    try:
+        write_bm25_index(spark, docs, oneshot, "doc_id", "text", n_buckets=NB)
+        ref_probe = sorted(map(tuple, bm25_probe(spark, oneshot, TERMS, k=5).collect()))
+        ref = {
+            sub: sorted(
+                tuple(r) for r in spark.read.parquet(f"{oneshot}/{sub}").collect()
+            )
+            for sub in ("postings", "terms", "stats")
+        }
+        for n_files in (1, 4):
+            path = _stream_into(spark, docs, n_files)
+            try:
+                for sub in ("postings", "terms", "stats"):
+                    got = sorted(
+                        tuple(r) for r in spark.read.parquet(f"{path}/{sub}").collect()
+                    )
+                    assert got == ref[sub], f"{sub} diverged at n_files={n_files}"
+                probe = sorted(map(tuple, bm25_probe(spark, path, TERMS, k=5).collect()))
+                assert probe == ref_probe
+            finally:
+                shutil.rmtree(path, ignore_errors=True)
+    finally:
+        shutil.rmtree(oneshot, ignore_errors=True)
+
+
+def test_replayed_batch_fails_loudly(spark, docs):
+    """Re-delivering already-indexed documents (the crash-replay case)
+    must raise the duplicate guard, not double-count postings."""
+    path = _stream_into(spark, docs, 2)
+    try:
+        landing = tempfile.mkdtemp(prefix="idxstream_replay_")
+        docs.limit(5).write.mode("overwrite").parquet(landing)
+        stream = read_documents_stream(
+            spark, landing, glob="*.parquet", max_files_per_trigger=1
+        ).select("doc_id", "text")
+        from py4j.protocol import Py4JJavaError
+
+        with pytest.raises(Exception) as ei:
+            run_bm25_index_stream(stream, path, "doc_id", "text", n_buckets=NB)
+        assert "already indexed" in str(ei.value)
+        shutil.rmtree(landing, ignore_errors=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
