@@ -188,6 +188,78 @@ def bm25_index_add(
         new_post.unpersist()
 
 
+_TOMBSTONES = "tombstones"
+
+
+def bm25_index_delete(spark: SparkSession, path: str, doc_ids: list[int]) -> None:
+    """Logical document delete (takedowns): O(batch) tombstone append.
+    Probes anti-join the broadcast tombstone set so deleted docs never
+    surface — but ``df`` and corpus stats still COUNT them until
+    ``bm25_index_compact`` folds the tombstones in. That staleness is
+    the standard inverted-index contract (Lucene scores against
+    deleted-doc-inclusive df until segment merge for the same reason): a
+    doc's postings are scattered across its terms' buckets, so exact
+    eager df maintenance would scan the whole index per delete."""
+    if not doc_ids:
+        raise ValueError("bm25_index_delete: empty doc_id batch")
+    spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id long").write.mode(
+        "append"
+    ).parquet(f"{path}/{_TOMBSTONES}")
+
+
+def _doc_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    import os
+
+    if not os.path.isdir(f"{path}/{_TOMBSTONES}"):
+        return None
+    return spark.read.parquet(f"{path}/{_TOMBSTONES}")
+
+
+def bm25_index_compact(spark: SparkSession, path: str) -> int:
+    """Fold document tombstones in: rewrite the postings WITHOUT the
+    deleted docs and rebuild the term dictionary + stats exactly (df and
+    avgdl drop the deleted docs — probe scores are exact again).
+
+    Unlike the vector index's cluster-selective compaction, this is a
+    FULL postings rewrite: a doc's postings live in every bucket its
+    terms hash to, so the dirty-partition set is usually 'all of them'
+    (same reason Lucene compacts by whole-segment merge). Returns the
+    number of postings rows removed."""
+    ts = _doc_tombstones(spark, path)
+    if ts is None or ts.head(1) == []:
+        return 0
+    n_buckets = read_index_meta(spark, path)["n_buckets"]
+    post = spark.read.parquet(f"{path}/{_POSTINGS}")
+    before = post.count()
+    survivors = post.join(F.broadcast(ts), "doc_id", "left_anti").select(
+        "term", "doc_id", "tf", "dl", "bucket"
+    ).persist()
+    try:
+        removed = before - survivors.count()
+        # rewrite to a sibling then swap: the source of the rewrite is the
+        # table being replaced, so an in-place overwrite would delete its
+        # own input before reading it
+        import shutil
+
+        tmp_new = f"{path}/{_POSTINGS}__compact"
+        survivors.repartition("bucket").write.partitionBy("bucket").mode(
+            "overwrite"
+        ).parquet(tmp_new)
+        shutil.rmtree(f"{path}/{_POSTINGS}")
+        shutil.move(tmp_new, f"{path}/{_POSTINGS}")
+        rewritten = spark.read.parquet(f"{path}/{_POSTINGS}")
+        rewritten.groupBy("term").agg(F.count("*").alias("df")).select(
+            "term", "df", _bucket_col(F.col("term"), n_buckets).alias("bucket")
+        ).repartition("bucket").write.partitionBy("bucket").mode("overwrite").parquet(
+            f"{path}/{_TERMS}"
+        )
+        _write_stats(spark, path)
+    finally:
+        survivors.unpersist()
+    shutil.rmtree(f"{path}/{_TOMBSTONES}", ignore_errors=True)
+    return removed
+
+
 def bm25_probe(
     spark: SparkSession, path: str, terms: list[str], k: int = 5
 ) -> DataFrame:
@@ -196,7 +268,9 @@ def bm25_probe(
     bucket column), so the postings/terms scans list only the probed
     partitions; the term equality predicate pushes into those scans.
     Output schema and values match operators/retrieval.bm25_topk exactly
-    (same fixed-point formula, same tie-breaks)."""
+    (same fixed-point formula, same tie-breaks). Tombstoned docs are
+    anti-joined out; df/stats stay deleted-doc-inclusive until compact
+    (see bm25_index_delete)."""
     from .retrieval import B_FP, K1_FP
 
     if not terms:
@@ -207,6 +281,9 @@ def bm25_probe(
         spark.read.parquet(f"{path}/{_POSTINGS}")
         .where(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
     )
+    ts = _doc_tombstones(spark, path)
+    if ts is not None:
+        post = post.join(F.broadcast(ts), "doc_id", "left_anti")
     dfreq = (
         spark.read.parquet(f"{path}/{_TERMS}")
         .where(F.col("bucket").isin(buckets) & F.col("term").isin(terms))

@@ -125,6 +125,46 @@ def tx_bm25_stored(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "st_ivf_index",
+    _ivf_pq_oracle(),
+    doc="STREAMING maintenance of the persisted IVF-PQ index: meta "
+    "(codebooks + centroids) trains BEFOREHAND on the corpus (the FAISS "
+    "train-once contract — streams never train), then the embeddings "
+    "land as 3 parquet files and a file-source stream routes batch 1 "
+    "into write_ivf_pq_index and batches 2..n into ivf_pq_index_add "
+    "(assign+encode from stored meta, cluster-partition appends, zero "
+    "existing index bytes touched). Assignment/encoding are per-vector "
+    "functions of fixed meta, so the final index is batching-independent "
+    "and the post-stream pruned probe shares sim_ivf_pq's oracle "
+    "verbatim — value-checked streaming vector-index DDL",
+)
+def st_ivf_index(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    from ..streaming.incremental import read_documents_stream
+    from ..streaming.index_maintenance import run_ivf_index_stream
+
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    meta = train_ivf_pq_meta(
+        emb, "vec_id", "v",
+        ncent=_IVFPQ_NCENT, m=_PQ_M, dsub=_PQ_DSUB, ksub=_PQ_K,
+        iters=_PQ_ITERS, round_to=_PQ_R,
+    )
+    landing = tempfile.mkdtemp(prefix="ivf_landing_")
+    emb.repartition(3).write.mode("overwrite").parquet(landing)
+    path = tempfile.mkdtemp(prefix="ivf_stream_idx_")
+    shutil.rmtree(path, ignore_errors=True)
+    stream = read_documents_stream(spark, landing, glob="*.parquet", max_files_per_trigger=1)
+    run_ivf_index_stream(stream, path, meta, "vec_id", "v")
+    queries = [
+        (r["vec_id"], list(r["v"]))
+        for r in emb.where(F.col("vec_id") < _PQ_NQ).orderBy("vec_id").collect()
+    ]
+    return ivf_pq_probe(spark, path, queries, k=_PQ_TOPK, nprobe=_IVFPQ_NPROBE)
+
+
+@register(
     "st_bm25_index",
     _bm25_stored_oracle(),
     doc="STREAMING maintenance of the persisted BM25 index (the landing-"

@@ -71,3 +71,44 @@ def run_bm25_index_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_ivf_index_stream(
+    vec_stream: DataFrame,
+    path: str,
+    meta: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    checkpoint: str | None = None,
+) -> None:
+    """Vector twin: drain a finite embedding stream into the IVF-PQ index
+    at ``path``. ``meta`` (codebooks + centroids) is TRAINED BEFOREHAND on
+    a sample — the FAISS train-once-add-forever contract; streams only
+    ever assign + encode, so the final index is the same batching-
+    independent function of the corpus as the BM25 case. First non-empty
+    batch materializes the index (codes + meta sidecar), later batches
+    append into their cluster partitions."""
+    from ..operators.ivf_index import ivf_pq_index_add, write_ivf_pq_index
+
+    state = {"initialized": os.path.isdir(os.path.join(path, "codes"))}
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if not state["initialized"]:
+            write_ivf_pq_index(spark, batch_df, path, meta, id_col, vec_col)
+            state["initialized"] = True
+        else:
+            ivf_pq_index_add(spark, batch_df, path, id_col, vec_col)
+
+    q = (
+        vec_stream.writeStream.foreachBatch(handle)
+        .option(
+            "checkpointLocation",
+            checkpoint or tempfile.mkdtemp(prefix="ivf_stream_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

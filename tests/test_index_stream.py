@@ -76,6 +76,52 @@ def test_batching_independence(spark, docs):
         shutil.rmtree(oneshot, ignore_errors=True)
 
 
+def test_ivf_stream_batching_independence(spark, sf_small):
+    """Vector twin: streamed build+adds (pre-trained meta) land the same
+    codes table and probe answers as a one-shot write."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.ivf_index import (
+        ivf_pq_probe,
+        train_ivf_pq_meta,
+        write_ivf_pq_index,
+    )
+    from data_wrangle_openstreetmaps_data_1_spark.streaming.index_maintenance import (
+        run_ivf_index_stream,
+    )
+
+    emb = (
+        load_table(spark, sf_small, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .cache()
+    )
+    meta = train_ivf_pq_meta(
+        emb, "vec_id", "v", ncent=16, m=8, dsub=8, ksub=16, iters=1, round_to=6
+    )
+    qs = [
+        (r["vec_id"], list(r["v"]))
+        for r in emb.where(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    ]
+    ref_path = tempfile.mkdtemp(prefix="ivfstream_ref_")
+    stream_path = tempfile.mkdtemp(prefix="ivfstream_idx_")
+    landing = tempfile.mkdtemp(prefix="ivfstream_landing_")
+    try:
+        write_ivf_pq_index(spark, emb, ref_path, meta, "vec_id", "v")
+        emb.repartition(3).write.mode("overwrite").parquet(landing)
+        shutil.rmtree(stream_path, ignore_errors=True)
+        stream = read_documents_stream(
+            spark, landing, glob="*.parquet", max_files_per_trigger=1
+        )
+        run_ivf_index_stream(stream, stream_path, meta, "vec_id", "v")
+        a = sorted(tuple(r) for r in spark.read.parquet(f"{stream_path}/codes").collect())
+        b = sorted(tuple(r) for r in spark.read.parquet(f"{ref_path}/codes").collect())
+        assert a == b
+        pa = sorted(map(tuple, ivf_pq_probe(spark, stream_path, qs, k=5, nprobe=2).collect()))
+        pb = sorted(map(tuple, ivf_pq_probe(spark, ref_path, qs, k=5, nprobe=2).collect()))
+        assert pa == pb
+    finally:
+        for p in (ref_path, stream_path, landing):
+            shutil.rmtree(p, ignore_errors=True)
+
+
 def test_replayed_batch_fails_loudly(spark, docs):
     """Re-delivering already-indexed documents (the crash-replay case)
     must raise the duplicate guard, not double-count postings."""

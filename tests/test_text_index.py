@@ -141,3 +141,52 @@ def test_duplicate_add_raises(spark, docs, full_index):
         bm25_index_add(
             spark, docs.where(F.col("doc_id") < 3), full_index, "doc_id", "text"
         )
+
+
+def test_delete_then_compact(spark, docs):
+    """Delete: the doc vanishes from probes immediately while df stays
+    deleted-doc-inclusive (the documented Lucene-style staleness);
+    compact: df/stats become exact — the index answers as if built on
+    the filtered corpus."""
+    import os
+
+    from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+        bm25_index_compact,
+        bm25_index_delete,
+    )
+
+    path = tempfile.mkdtemp(prefix="bm25idx_del_")
+    try:
+        write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=NB)
+        before = bm25_probe(spark, path, TERMS, k=5).collect()
+        victim = int(
+            sorted(
+                (r for r in before if r["term"] == TERMS[0]),
+                key=lambda r: r["rnk"],
+            )[0]["doc_id"]
+        )
+        bm25_index_delete(spark, path, [victim])
+        stale = bm25_probe(spark, path, TERMS, k=5).collect()
+        assert victim not in {r["doc_id"] for r in stale}
+        assert all(len([r for r in stale if r["term"] == t]) == 5 for t in TERMS)
+        # df still counts the deleted doc until compact (the contract)
+        df_stale = {r["term"]: r["df"] for r in stale}
+        df_before = {r["term"]: r["df"] for r in before}
+        assert df_stale == df_before
+
+        removed = bm25_index_compact(spark, path)
+        assert removed > 0
+        assert not os.path.isdir(f"{path}/tombstones")
+        exact = sorted(map(tuple, bm25_probe(spark, path, TERMS, k=5).collect()))
+        ref = sorted(
+            map(
+                tuple,
+                bm25_topk(
+                    docs.where(F.col("doc_id") != victim), "doc_id", "text", TERMS, k=5
+                ).collect(),
+            )
+        )
+        assert exact == ref  # post-compact == built-on-filtered-corpus
+        assert bm25_index_compact(spark, path) == 0  # idempotent
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
