@@ -240,6 +240,8 @@ def ivf_pq_index_compact(spark: SparkSession, path: str, id_col: str = "vec_id")
 
 
 def _clear_tombstones(spark: SparkSession, path: str) -> None:
+    # local-FS delete; on HDFS/S3 swap for the FS client's recursive
+    # delete (same boundary as sources/osm_split.py's file opener)
     import shutil
 
     shutil.rmtree(f"{path}/{_TOMBSTONES}", ignore_errors=True)

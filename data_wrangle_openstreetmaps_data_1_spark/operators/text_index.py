@@ -238,7 +238,8 @@ def bm25_index_compact(spark: SparkSession, path: str) -> int:
         removed = before - survivors.count()
         # rewrite to a sibling then swap: the source of the rewrite is the
         # table being replaced, so an in-place overwrite would delete its
-        # own input before reading it
+        # own input before reading it. (local-FS move; on HDFS/S3 swap for
+        # the FS client's rename — same boundary as osm_split's opener)
         import shutil
 
         tmp_new = f"{path}/{_POSTINGS}__compact"

@@ -45,6 +45,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 NAMES = [
     "sim_ivf_pq_stored",
     "tx_bm25_stored",
+    "st_bm25_index",
+    "st_ivf_index",
     "a_heavy_hitters",
     "u_scd2_apply",
     "g_knn_join",
