@@ -47,6 +47,12 @@ QUERIES = [
     "st_incremental_dedup",
     "t_gap_fill",
     "ml_pagerank",
+    # Round-11 classes: persisted-index lifecycles under a plain session —
+    # partitionBy writes + dynamic partition overwrite + driver-side md5
+    # bucket routing (tx_bm25_stored), and foreachBatch streaming index
+    # maintenance + cluster-pruned probe (st_ivf_index)
+    "tx_bm25_stored",
+    "st_ivf_index",
 ]
 
 _CHILD = r"""
