@@ -26,9 +26,24 @@ from .sources.osm_xml import read_elements, read_shaped, relation_members, way_n
 BBOX = {"lat_min": 47.5580, "lat_max": 47.8878, "lon_min": -117.5523, "lon_max": -116.6212}
 
 
-def ingest_osm(spark: SparkSession, xml_path: str, out_dir: str) -> DataFrame:
-    """ETL + clean + store; returns the queryable osm table."""
-    cleaned = clean_osm(read_shaped(spark, xml_path))
+def ingest_osm(
+    spark: SparkSession, xml_path: str, out_dir: str, split_chunk_mb: int | None = None
+) -> DataFrame:
+    """ETL + clean + store; returns the queryable osm table.
+
+    ``split_chunk_mb`` switches the scan to the splittable single-document
+    reader (sources/osm_split.py) with that byte-range size — the planet-
+    scale path: the native XML source reads one file as ONE task, the
+    split reader parallelizes within the document (8.2x measured at a
+    468 MB input, BENCH_sf1_local.json r11_osm_scale). Output is
+    value-identical either way (tests/test_osm_split.py)."""
+    if split_chunk_mb is not None:
+        from .sources.osm_split import read_shaped_split
+
+        shaped = read_shaped_split(spark, xml_path, chunk_mb=split_chunk_mb)
+    else:
+        shaped = read_shaped(spark, xml_path)
+    cleaned = clean_osm(shaped)
     write_table(cleaned, out_dir, partition_by=["type"])
     return spark.read.parquet(out_dir)
 

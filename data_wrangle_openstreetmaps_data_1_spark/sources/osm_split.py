@@ -32,6 +32,13 @@ Same-name nesting (a ``<node>`` inside a ``<node>``) would break the
 first-close-token rule; OSM's schema has no such nesting, and the
 parse-time FAILFAST would surface it loudly if an input did.
 
+Out-of-contract (same as Hadoop's XmlInputFormat): a row-tag token
+inside an XML comment or CDATA section (``<!-- <node .../> -->``) would
+be extracted as a real element — comment state can't be tracked across
+byte-range boundaries without back-scanning the whole file. OSM planet
+exports contain neither; for inputs that might, pre-strip comments or
+use the native (single-task) reader, whose parity the tests pin.
+
 Scale notes: the per-task Python work is one buffered read + token
 scanning (no XML DOM); the actual field parsing happens in the JVM via
 ``from_xml`` under whole-stage codegen. The file opener is Python's —
