@@ -713,8 +713,9 @@ def sim_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
     # materialize the assigned+encoded index ONCE: the per-query branches
     # below each re-read it, and without the barrier every branch would
     # re-run the centroid window + encode over the corpus (x nq scans). In
-    # production this frame IS the stored index (write codes+cluster to a
-    # cluster-partitioned table; see PQWIN.json) — the materialization here
+    # production this frame IS the stored index — written, grown, compacted
+    # and probe-pruned as the sim_ivf_pq_stored lifecycle
+    # (operators/ivf_index.py, IVFINDEX_WIN.json); the materialization here
     # is the in-session stand-in for that artifact.
     from ..partitioning import truncate_lineage
 
