@@ -595,7 +595,8 @@ def dd_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     "on their pair-set intersection, any tier disagreement to be "
     "true-pairs-only (banding recall, never precision) and bounded "
     "<= 2% of the union; dd_lsh_tier_audit pins precision == 0 false "
-    "positives in-oracle",
+    "positives in-oracle, and dd_lsh_fast_equiv value-checks the same "
+    "four invariants at the DRIVER (oracle-green, not rows-only)",
 )
 def dd_minhash_lsh_fast(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_lsh_pairs(
@@ -671,6 +672,77 @@ def dd_lsh_tier_audit(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n_fast_outside_truth"))
     )
     return n_truth.crossJoin(n_portable).crossJoin(n_pit).crossJoin(n_fot)
+
+
+@register(
+    "dd_lsh_fast_equiv",
+    f"""
+    WITH portable AS ({_minhash_oracle()})
+    SELECT CAST((SELECT count(*) FROM portable) AS BIGINT) AS n_portable,
+           CAST(0 AS BIGINT) AS n_value_mismatch,
+           CAST(0 AS BIGINT) AS n_below_threshold,
+           CAST(1 AS BIGINT) AS sym_diff_within_bound
+    """,
+    doc="fast-vs-portable MinHash tier EQUIVALENCE, driver-value-checked: "
+    "full-outer join of the xxhash64 fast tier's verified pair set against "
+    "the portable-md5 tier's on the same corpus/params. Emits four "
+    "invariants the oracle pins exactly: n_portable (recomputed "
+    "independently in DuckDB — ties the Spark-side portable set to the "
+    "cross-engine ground truth inside the SAME query the fast tier is "
+    "compared in), n_value_mismatch = 0 (intersection pairs must agree on "
+    "jaccard to the last digit — both tiers verify on collision-free "
+    "full-width hashes, so verified Jaccard is hash-independent), "
+    "n_below_threshold = 0 (no tier may emit a sub-threshold pair — "
+    "precision is exact by construction), and sym_diff_within_bound = 1 "
+    "(|fast XOR portable| <= 2% of the union — banding recall is the only "
+    "legal disagreement and it is probabilistically small). This is the "
+    "value-grade check the rows-only dd_minhash_lsh_fast lacked: any fast-"
+    "tier value corruption, threshold leak, or recall collapse turns a "
+    "pinned zero nonzero and the driver goes red",
+)
+def dd_lsh_fast_equiv(spark: SparkSession, sf: str) -> DataFrame:
+    corpus = _corpus(spark, sf)
+    fast = minhash_lsh_pairs(
+        corpus, "doc_id", "text", n=3, k=16, bands=4, threshold=0.4, hash_tier="fast"
+    ).select("doc_a", "doc_b", F.col("jaccard").alias("j_fast"))
+    portable = minhash_lsh_pairs(
+        corpus, "doc_id", "text", n=3, k=16, bands=4, threshold=0.4
+    ).select("doc_a", "doc_b", F.col("jaccard").alias("j_port"))
+    both = fast.join(portable, ["doc_a", "doc_b"], "full_outer")
+    agg = both.agg(
+        F.sum(F.when(F.col("j_port").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_portable"),
+        F.sum(
+            F.when(
+                F.col("j_fast").isNotNull()
+                & F.col("j_port").isNotNull()
+                & (F.col("j_fast") != F.col("j_port")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_value_mismatch"),
+        F.sum(F.when(F.coalesce("j_fast", "j_port") < 0.4, 1).otherwise(0))
+        .cast("long")
+        .alias("n_below_threshold"),
+        F.sum(F.when(F.col("j_fast").isNull() | F.col("j_port").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_sym"),
+        F.count("*").cast("long").alias("n_union"),
+    )
+    # bound as a pinned 0/1 so the oracle row is corpus-independent: the
+    # raw n_sym/n_union counts are xxhash64-banding-dependent (DuckDB
+    # cannot reproduce them), but "<= 2% of the union" holds on any corpus
+    # where banding recall is healthy — the same bound the proxy test pins.
+    return agg.select(
+        "n_portable",
+        "n_value_mismatch",
+        "n_below_threshold",
+        F.when(F.col("n_sym") * 50 <= F.col("n_union"), F.lit(1).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("sym_diff_within_bound"),
+    )
 
 
 def _simhash_oracle(bits: int = 32) -> str:
