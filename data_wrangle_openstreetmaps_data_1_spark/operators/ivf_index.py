@@ -115,10 +115,29 @@ def _assign_encode(emb: DataFrame, id_col: str, vec_col: str, meta: dict) -> Dat
         literal_fold_sql(vec_col, cvec, term="l2sq") for _, cvec in meta["centroids"]
     ) + ")"
     ids = "array(" + ", ".join(str(int(cid)) for cid, _ in meta["centroids"]) + ")"
+    d = int(meta["m"]) * int(meta["dsub"])
     # first-minimum position == (d2 asc, c_id asc) tie-break because the
-    # centroid literals are ordered by id
+    # centroid literals are ordered by id.
+    #
+    # Loud malformed-vector guard: a wrong-dimension vector nulls the
+    # zip_with folds (all distances NULL -> array_min NULL -> cluster
+    # NULL), and a NaN/Inf component can do the same — without the guard
+    # such rows land silently in __HIVE_DEFAULT_PARTITION__, which no
+    # probe ever reads (probes prune on concrete cluster ids). The write
+    # path must refuse them the way adc_topk's non-finite LUT guard does.
     assigned = emb.withColumn(
-        "cluster", F.expr(f"element_at({ids}, cast(array_position({dists}, array_min({dists})) as int))")
+        "cluster",
+        F.expr(
+            f"CASE WHEN size({vec_col}) != {d} THEN "
+            f"  raise_error(concat('ivf _assign_encode: vector for id ', "
+            f"    cast({id_col} as string), ' has dimension ', "
+            f"    cast(size({vec_col}) as string), ', index requires {d}')) "
+            f"WHEN exists({vec_col}, x -> isnan(x) OR x = double('inf') "
+            f"                            OR x = double('-inf')) THEN "
+            f"  raise_error(concat('ivf _assign_encode: non-finite component "
+            f"in vector for id ', cast({id_col} as string))) "
+            f"ELSE element_at({ids}, cast(array_position({dists}, array_min({dists})) as int)) END"
+        ).cast("int"),
     )
     enc = encode_pq(assigned, vec_col, meta["codebooks"], meta["dsub"])
     return enc.select(
@@ -266,6 +285,10 @@ def ivf_pq_probe(
     """
     from .pq import adc_topk
 
+    if not queries:
+        # mirror bm25_probe's empty-terms guard: without it the union fold
+        # below indexes parts[0] and raises an opaque IndexError
+        raise ValueError("ivf_pq_probe: queries must be non-empty")
     meta = read_ivf_pq_meta(spark, path)
     codes = spark.read.parquet(f"{path}/{_CODES}")
     ts = _tombstones(spark, path)

@@ -112,16 +112,44 @@ def write_bm25_index(
 
 
 def _write_stats(spark: SparkSession, path: str, post: DataFrame | None = None) -> None:
-    """(n_docs, avgdl_fp) from the doc-level view of the postings: each
-    doc's dl appears on every one of its postings, so distinct (doc, dl)
-    is exact. Same integer forms as operators/retrieval.bm25_topk.
-    ``post`` reuses an already-persisted postings frame; without it the
-    stored table is read (the incremental-add path, where stats must
-    cover old + new docs)."""
+    """(n_docs, sum_dl, avgdl_fp) from the doc-level view of the postings:
+    each doc's dl appears on every one of its postings, so distinct
+    (doc, dl) is exact. Same integer forms as operators/retrieval.bm25_topk.
+    ``sum_dl`` is persisted so the incremental-add path can maintain stats
+    from the stored row + the batch aggregate alone — avgdl_fp's integer
+    division is lossy, so without the raw sum an add would have to
+    re-aggregate the whole postings table. ``post`` reuses an
+    already-persisted postings frame; without it the stored table is read
+    (the compact path, which just rewrote the postings anyway)."""
     src = post if post is not None else spark.read.parquet(f"{path}/{_POSTINGS}")
     src.select("doc_id", "dl").distinct().agg(
         F.count("*").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
         F.expr("sum(dl) * 1000 div count(*)").alias("avgdl_fp"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{_STATS}")
+
+
+def _write_stats_incremental(spark: SparkSession, path: str, new_post: DataFrame) -> None:
+    """O(batch) stats maintenance for the add path: stored (n_docs,
+    sum_dl) + the batch's doc-level aggregate -> new stats row. Both
+    inputs are collected driver-side (one row each) BEFORE the overwrite,
+    so there is no lazy read of the path being replaced. Falls back to
+    the full rebuild for a pre-sum_dl stats row (older index layout)."""
+    stored = spark.read.parquet(f"{path}/{_STATS}").head()
+    if "sum_dl" not in stored.asDict():
+        _write_stats(spark, path)
+        return
+    b = (
+        new_post.select("doc_id", "dl")
+        .distinct()
+        .agg(F.count("*").alias("n"), F.sum("dl").cast("long").alias("s"))
+        .head()
+    )
+    n_docs = int(stored["n_docs"]) + int(b["n"])
+    sum_dl = int(stored["sum_dl"]) + int(b["s"] or 0)
+    spark.createDataFrame(
+        [(n_docs, sum_dl, (sum_dl * 1000) // n_docs)],
+        "n_docs bigint, sum_dl bigint, avgdl_fp bigint",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{_STATS}")
 
 
@@ -141,8 +169,17 @@ def bm25_index_add(
 ) -> None:
     """Incremental add: append the batch's postings into their bucket
     partitions, df-merge the term dictionary partition-selectively, and
-    rewrite the (tiny) stats row. Existing postings bytes are never
-    rewritten; only the terms/ buckets the batch touches are."""
+    roll the (tiny) stats row forward from stored (n_docs, sum_dl) + the
+    batch aggregate. Existing postings bytes are never rewritten; only the
+    terms/ buckets the batch touches are.
+
+    The df-merge STAGES the merged buckets to a sibling dir and swaps via
+    dynamic overwrite of the staged copy — never lazily reading the same
+    path it is overwriting (the bm25_index_compact discipline; an
+    in-place merge can leave terms/ half-merged after a mid-commit
+    crash while postings were already appended). If a crash still lands
+    between the postings append and the terms swap, ``rebuild_bm25_terms``
+    is the recovery: terms/ and stats/ are pure functions of postings/."""
     n_buckets = read_index_meta(spark, path)["n_buckets"]
     new_post = _postings_with_dl(batch, id_col, text_col, n_buckets)
     if check_duplicates:
@@ -175,17 +212,44 @@ def bm25_index_add(
             .agg(F.sum("df").cast("long").alias("df"))
             .select("term", "df", "bucket")
         )
+        # stage the merged buckets, THEN overwrite from the staged copy:
+        # the merge reads the table being replaced, so an un-staged
+        # dynamic overwrite would race its own input's commit window
+        import shutil
+
+        staged_path = f"{path}/{_TERMS}__merge"
+        merged.repartition("bucket").write.partitionBy("bucket").mode("overwrite").parquet(
+            staged_path
+        )
+        staged = spark.read.parquet(staged_path).select("term", "df", "bucket")
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            merged.repartition("bucket").write.partitionBy("bucket").mode("overwrite").parquet(
+            staged.repartition("bucket").write.partitionBy("bucket").mode("overwrite").parquet(
                 f"{path}/{_TERMS}"
             )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        _write_stats(spark, path)
+        shutil.rmtree(staged_path, ignore_errors=True)
+        _write_stats_incremental(spark, path, new_post)
     finally:
         new_post.unpersist()
+
+
+def rebuild_bm25_terms(spark: SparkSession, path: str) -> None:
+    """Partial-commit recovery: rebuild terms/ and stats/ from postings/
+    (both are pure functions of the postings table). Run after a crash
+    that landed between bm25_index_add's postings append and its terms
+    swap — the replay contract's loud duplicate guard tells you the
+    postings made it; this restores the derived state to match."""
+    n_buckets = read_index_meta(spark, path)["n_buckets"]
+    post = spark.read.parquet(f"{path}/{_POSTINGS}")
+    post.groupBy("term").agg(F.count("*").alias("df")).select(
+        "term", "df", _bucket_col(F.col("term"), n_buckets).alias("bucket")
+    ).repartition("bucket").write.partitionBy("bucket").mode("overwrite").parquet(
+        f"{path}/{_TERMS}"
+    )
+    _write_stats(spark, path)
 
 
 _TOMBSTONES = "tombstones"

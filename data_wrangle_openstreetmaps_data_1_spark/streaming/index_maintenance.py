@@ -15,7 +15,12 @@ asserted against a one-shot build in tests/test_index_stream.py.
 Why foreachBatch: the add path is write-side DDL-ish work (partitioned
 appends, dynamic partition overwrite of dictionary buckets) that has no
 streaming-operator form; foreachBatch hands over full batch semantics
-per micro-batch, keeping the per-batch cost O(batch), never O(corpus).
+per micro-batch. Per-batch WRITE cost is O(batch) — no existing postings
+or codes bytes are rewritten — and stats roll forward from the stored
+(n_docs, sum_dl) row plus the batch aggregate; the one O(corpus) touch
+left is the optional duplicate-id guard, a single column-pruned scan of
+stored ids (disable ``check_duplicates`` when upstream guarantees
+exactly-once ids to make the whole batch corpus-free).
 
 Replay boundary, honestly: after a crash between the postings append and
 the checkpoint commit, the file source re-delivers the batch and

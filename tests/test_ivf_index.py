@@ -230,3 +230,31 @@ def test_stored_probe_matches_in_session(spark, sf_small):
     a = sorted(tuple(r) for r in sim_ivf_pq_stored(spark, sf_small).collect())
     b = sorted(tuple(r) for r in sim_ivf_pq(spark, sf_small).collect())
     assert a == b and len(a) == NQ * TOPK
+
+
+def test_probe_empty_queries_raises(spark, full_index):
+    """Empty query batch must fail loudly (mirrors bm25_probe's guard) —
+    st_ivf_index passes caller queries through unguarded otherwise."""
+    with pytest.raises(ValueError, match="non-empty"):
+        ivf_pq_probe(spark, full_index, [], k=TOPK, nprobe=NPROBE)
+
+
+def test_write_refuses_malformed_vectors(spark, meta):
+    """A wrong-dimension or non-finite vector must be refused at write
+    time: un-guarded it assigns cluster NULL and lands in
+    __HIVE_DEFAULT_PARTITION__, which no probe ever reads."""
+    path = tempfile.mkdtemp(prefix="ivfidx_bad_")
+    d = M * DSUB
+    try:
+        bad_dim = spark.createDataFrame(
+            [(900001, [0.0] * (d - 1))], "vec_id long, v array<double>"
+        )
+        with pytest.raises(Exception, match="dimension"):
+            write_ivf_pq_index(spark, bad_dim, path, meta, "vec_id", "v")
+        bad_nan = spark.createDataFrame(
+            [(900002, [float("nan")] + [0.0] * (d - 1))], "vec_id long, v array<double>"
+        )
+        with pytest.raises(Exception, match="non-finite"):
+            write_ivf_pq_index(spark, bad_nan, path, meta, "vec_id", "v")
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -190,3 +190,65 @@ def test_delete_then_compact(spark, docs):
         assert bm25_index_compact(spark, path) == 0  # idempotent
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_interleaved_add_delete_probe_compact(spark, docs):
+    """Full lifecycle interleaving (the IVF twin's discipline): build ->
+    add -> delete -> probe -> ADD WITH TOMBSTONES PENDING -> probe ->
+    compact -> probe -> re-add the deleted doc -> probe. Tombstone
+    consistency must hold at every step: deleted docs never surface,
+    per-term k is maintained, and post-compact (and post-re-add) the
+    probe is bit-equal to the per-query operator on the live corpus."""
+    import os
+
+    from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+        bm25_index_compact,
+        bm25_index_delete,
+    )
+
+    path = tempfile.mkdtemp(prefix="bm25idx_ilv_")
+    try:
+        base = docs.where(F.col("doc_id") % 3 == 0)
+        add1 = docs.where(F.col("doc_id") % 3 == 1)
+        add2 = docs.where(F.col("doc_id") % 3 == 2)
+        write_bm25_index(spark, base, path, "doc_id", "text", n_buckets=NB)
+        bm25_index_add(spark, add1, path, "doc_id", "text")
+
+        got = bm25_probe(spark, path, TERMS, k=5).collect()
+        victim = int(
+            sorted((r for r in got if r["term"] == TERMS[0]), key=lambda r: r["rnk"])[0][
+                "doc_id"
+            ]
+        )
+        bm25_index_delete(spark, path, [victim])
+        stale = bm25_probe(spark, path, TERMS, k=5).collect()
+        assert victim not in {r["doc_id"] for r in stale}
+        assert all(len([r for r in stale if r["term"] == t]) == 5 for t in TERMS)
+
+        # add while tombstones are pending — the interleaving under test
+        bm25_index_add(spark, add2, path, "doc_id", "text")
+        mid = bm25_probe(spark, path, TERMS, k=5).collect()
+        assert victim not in {r["doc_id"] for r in mid}
+        assert all(len([r for r in mid if r["term"] == t]) == 5 for t in TERMS)
+
+        removed = bm25_index_compact(spark, path)
+        assert removed > 0 and not os.path.isdir(f"{path}/tombstones")
+        exact = sorted(map(tuple, bm25_probe(spark, path, TERMS, k=5).collect()))
+        ref = sorted(
+            map(
+                tuple,
+                bm25_topk(
+                    docs.where(F.col("doc_id") != victim), "doc_id", "text", TERMS, k=5
+                ).collect(),
+            )
+        )
+        assert exact == ref
+
+        # compaction physically dropped the victim -> re-adding it is a
+        # legal new document again; the index must answer as the full corpus
+        bm25_index_add(spark, docs.where(F.col("doc_id") == victim), path, "doc_id", "text")
+        back = sorted(map(tuple, bm25_probe(spark, path, TERMS, k=5).collect()))
+        full = sorted(map(tuple, bm25_topk(docs, "doc_id", "text", TERMS, k=5).collect()))
+        assert back == full
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
