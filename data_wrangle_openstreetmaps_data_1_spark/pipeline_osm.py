@@ -31,15 +31,22 @@ def ingest_osm(
 ) -> DataFrame:
     """ETL + clean + store; returns the queryable osm table.
 
-    ``split_chunk_mb`` switches the scan to the splittable single-document
-    reader (sources/osm_split.py) with that byte-range size — the planet-
-    scale path: the native XML source reads one file as ONE task, the
-    split reader parallelizes within the document (8.2x measured at a
-    468 MB input, BENCH_sf1_local.json r11_osm_scale). Output is
-    value-identical either way (tests/test_osm_split.py)."""
-    if split_chunk_mb is not None:
-        from .sources.osm_split import read_shaped_split
+    Scan-path selection is DATA-DRIVEN by default (``split_chunk_mb=None``):
+    a single document bigger than ~2x ``spark.sql.files.maxPartitionBytes``
+    ingests through the splittable byte-range reader
+    (sources/osm_split.py — the planet-scale path: the native XML source
+    reads one file as ONE task however big it is, the split reader
+    parallelizes within the document, 8.2x measured at a 468 MB input,
+    BENCH_sf1_local.json r11_osm_scale); a directory of files or a small
+    single file uses the native source. Explicit overrides: a positive
+    ``split_chunk_mb`` forces the split reader with that byte-range size,
+    ``split_chunk_mb=0`` forces the native reader. Output is
+    value-identical on every path (tests/test_osm_split.py)."""
+    from .sources.osm_split import auto_split_chunk_mb, read_shaped_split
 
+    if split_chunk_mb is None:
+        split_chunk_mb = auto_split_chunk_mb(spark, xml_path)
+    if split_chunk_mb:
         shaped = read_shaped_split(spark, xml_path, chunk_mb=split_chunk_mb)
     else:
         shaped = read_shaped(spark, xml_path)

@@ -41,10 +41,16 @@ use the native (single-task) reader, whose parity the tests pin.
 
 Scale notes: the per-task Python work is one buffered read + token
 scanning (no XML DOM); the actual field parsing happens in the JVM via
-``from_xml`` under whole-stage codegen. The file opener is Python's —
-local paths here; on HDFS/S3 swap ``_open_range`` for the matching
-client (the planning/extraction contract is byte-offset based and
-carries over unchanged).
+``from_xml`` under whole-stage codegen. All file I/O goes through a
+pluggable :class:`RangeOpener` (``size(path)`` + ``read_range(path,
+offset, length)``): :class:`LocalRangeOpener` is the default, and
+:class:`FsspecRangeOpener` adapts any fsspec-style filesystem object
+(s3fs / gcsfs / adlfs / pyarrow's HadoopFileSystem wrapper) — the
+planning/extraction contract is byte-offset based, so the plans and the
+extracted rows are identical whichever opener serves the bytes
+(asserted in tests/test_osm_split.py). Openers are pickled to
+executors, so a remote opener must be picklable (fsspec filesystems
+are, by design).
 """
 
 from __future__ import annotations
@@ -54,6 +60,40 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+class LocalRangeOpener:
+    """Default opener: plain POSIX ``open`` + ``seek``. Stateless, so
+    pickling it to executors is free."""
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)
+
+    def read_range(self, path: str, offset: int, length: int) -> bytes:
+        with open(path, "rb") as f:
+            f.seek(offset)
+            return f.read(length)
+
+
+class FsspecRangeOpener:
+    """Adapter for any fsspec-style filesystem object: needs only
+    ``fs.size(path) -> int`` and ``fs.open(path, 'rb')`` returning a
+    seekable binary stream — the interface every fsspec implementation
+    (s3fs, gcsfs, adlfs, HTTPFileSystem, ...) provides. The fs object
+    ships to executors inside each task closure; fsspec filesystems
+    re-establish their connections lazily after unpickling, which is
+    exactly the behavior a per-task opener needs."""
+
+    def __init__(self, fs):
+        self.fs = fs
+
+    def size(self, path: str) -> int:
+        return int(self.fs.size(path))
+
+    def read_range(self, path: str, offset: int, length: int) -> bytes:
+        with self.fs.open(path, "rb") as f:
+            f.seek(offset)
+            return f.read(length)
 
 # raw-string schemas matching the native source with inferSchema=false +
 # attributePrefix="_" (every attribute a string; children as struct arrays)
@@ -141,19 +181,23 @@ def element_fragments(
     chunk_mb: int = 64,
     max_element_bytes: int = 1 << 20,
     _chunk_bytes: int | None = None,
+    opener=None,
 ) -> DataFrame:
     """One row per complete ``<row_tag ...>`` element fragment, extracted in
     parallel across byte ranges of a single document. ``_chunk_bytes``
     overrides ``chunk_mb`` for tests that sweep boundary positions at
-    byte granularity (the extraction code under test stays THIS code)."""
-    size = os.path.getsize(path)
+    byte granularity (the extraction code under test stays THIS code).
+    ``opener`` serves the bytes (default local FS; see
+    :class:`FsspecRangeOpener` for remote stores) — the byte-range plan
+    depends only on ``opener.size``, so identical sizes give identical
+    plans across openers."""
+    opener = opener or LocalRangeOpener()
+    size = opener.size(path)
     ranges = plan_ranges(size, _chunk_bytes or chunk_mb * 1024 * 1024)
 
     def scan(ranges_iter):
         for start, end in ranges_iter:
-            with open(path, "rb") as f:
-                f.seek(start)
-                buf = f.read((end - start) + max_element_bytes)
+            buf = opener.read_range(path, start, (end - start) + max_element_bytes)
             for frag in extract_fragments_in_range(
                 buf, end - start, row_tag, start, max_element_bytes, path
             ):
@@ -169,6 +213,7 @@ def read_elements_split(
     row_tag: str,
     chunk_mb: int = 64,
     max_element_bytes: int = 1 << 20,
+    opener=None,
 ) -> DataFrame:
     """Drop-in for ``osm_xml.read_elements`` on single huge documents:
     same raw column shape, N = ceil(filesize / chunk_mb) parallel tasks
@@ -176,7 +221,9 @@ def read_elements_split(
     bug to surface, not a row to null out."""
     if row_tag not in RAW_SCHEMAS:
         raise ValueError(f"no raw schema for rowTag {row_tag!r} (have {sorted(RAW_SCHEMAS)})")
-    frags = element_fragments(spark, path, row_tag, chunk_mb, max_element_bytes)
+    frags = element_fragments(
+        spark, path, row_tag, chunk_mb, max_element_bytes, opener=opener
+    )
     parsed = frags.select(
         F.from_xml(
             "value",
@@ -188,13 +235,55 @@ def read_elements_split(
 
 
 def read_shaped_split(
-    spark: SparkSession, path: str, fix_streets: bool = True, chunk_mb: int = 64
+    spark: SparkSession,
+    path: str,
+    fix_streets: bool = True,
+    chunk_mb: int = 64,
+    opener=None,
 ) -> DataFrame:
     """``osm_xml.read_shaped`` twin over the splittable scan — the planet-
     scale ingest path. Output schema and values are identical (pinned by
-    tests/test_osm_split.py); only the scan parallelism differs."""
+    tests/test_osm_split.py); only the scan parallelism differs.
+    ``opener`` selects the byte source (local default / fsspec remote)."""
     from ..operators.reshape import shape_elements
 
-    nodes = shape_elements(read_elements_split(spark, path, "node", chunk_mb), "node", fix_streets)
-    ways = shape_elements(read_elements_split(spark, path, "way", chunk_mb), "way", fix_streets)
+    nodes = shape_elements(
+        read_elements_split(spark, path, "node", chunk_mb, opener=opener), "node", fix_streets
+    )
+    ways = shape_elements(
+        read_elements_split(spark, path, "way", chunk_mb, opener=opener), "way", fix_streets
+    )
     return nodes.unionByName(ways)
+
+
+def parse_byte_conf(value: str) -> int:
+    """Parse a Spark byte-size conf string ('134217728b', '128MB', '1g',
+    plain '134217728') to bytes — the subset of JavaUtils.byteStringAs
+    Spark uses for spark.sql.files.maxPartitionBytes."""
+    m = re.fullmatch(r"\s*(\d+)\s*([kmgtp]?b?)\s*", value, re.IGNORECASE)
+    if not m:
+        raise ValueError(f"unparseable byte conf value: {value!r}")
+    mult = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20, "mb": 1 << 20,
+            "g": 1 << 30, "gb": 1 << 30, "t": 1 << 40, "tb": 1 << 40,
+            "p": 1 << 50, "pb": 1 << 50}[m.group(2).lower()]
+    return int(m.group(1)) * mult
+
+
+def auto_split_chunk_mb(spark: SparkSession, path: str, opener=None) -> int | None:
+    """Data-driven scan-path selection for ``ingest_osm``: a SINGLE
+    document bigger than ~2x ``spark.sql.files.maxPartitionBytes`` (the
+    size at which the native one-task-per-file XML scan has provably left
+    at least half the cluster idle) returns the byte-range size in MB —
+    ``maxPartitionBytes`` itself, the granularity Spark would use if the
+    format were splittable. A directory of files (the native source's
+    good case: one task per file) or a small single file returns None
+    (use the native reader)."""
+    if os.path.isdir(path):
+        return None
+    opener = opener or LocalRangeOpener()
+    max_pb = parse_byte_conf(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    )
+    if opener.size(path) <= 2 * max_pb:
+        return None
+    return max(1, max_pb >> 20)

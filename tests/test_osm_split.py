@@ -132,3 +132,104 @@ def test_relation_rowtag_schema(spark, tmp_path):
     assert r["_id"] == "9"
     assert [m["_ref"] for m in r["member"]] == ["7", "8"]
     assert r["tag"][0]["_v"] == "multipolygon"
+
+
+def test_remote_opener_parity(spark, xml_path):
+    """The fsspec-adapter opener must produce the identical byte-range
+    plan AND identical shaped output as the local opener — the whole
+    opener contract (size -> plan, read_range -> bytes) exercised
+    end-to-end through Spark with a non-local byte source."""
+    from data_wrangle_openstreetmaps_data_1_spark.sources.osm_split import (
+        FsspecRangeOpener,
+        LocalRangeOpener,
+    )
+
+    class _FakeFsspecFS:
+        """In-memory fsspec-shaped filesystem: .size + .open('rb') over a
+        preloaded {path: bytes} dict. Defined inside the test so
+        cloudpickle ships it to executors BY VALUE inside the task
+        closure — the same transport path a real s3fs instance takes."""
+
+        def __init__(self, files: dict[str, bytes]):
+            self.files = files
+
+        def size(self, path: str) -> int:
+            return len(self.files[path])
+
+        def open(self, path: str, mode: str = "rb"):
+            import io
+
+            assert mode == "rb"
+            return io.BytesIO(self.files[path])
+
+    with open(xml_path, "rb") as f:
+        blob = f.read()
+    remote_path = "bucket/planet.osm"  # deliberately NOT a local path
+    remote = FsspecRangeOpener(_FakeFsspecFS({remote_path: blob}))
+    local = LocalRangeOpener()
+    # identical sizes -> identical byte-range plans
+    assert remote.size(remote_path) == local.size(xml_path)
+    assert plan_ranges(remote.size(remote_path), 1 << 20) == plan_ranges(
+        local.size(xml_path), 1 << 20
+    )
+    a = sorted(
+        map(tuple, read_shaped_split(spark, xml_path, chunk_mb=1).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            read_shaped_split(spark, remote_path, chunk_mb=1, opener=remote).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+
+
+def test_parse_byte_conf():
+    from data_wrangle_openstreetmaps_data_1_spark.sources.osm_split import parse_byte_conf
+
+    assert parse_byte_conf("134217728b") == 128 << 20
+    assert parse_byte_conf("128MB") == 128 << 20
+    assert parse_byte_conf("1g") == 1 << 30
+    assert parse_byte_conf("4096") == 4096
+    with pytest.raises(ValueError):
+        parse_byte_conf("12 parsecs")
+
+
+def test_auto_scan_path_selection(spark, xml_path, tmp_path):
+    """Data-driven default: big single document -> split reader with
+    maxPartitionBytes-sized ranges; small file or directory -> native."""
+    from data_wrangle_openstreetmaps_data_1_spark.sources.osm_split import (
+        auto_split_chunk_mb,
+    )
+
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    # a directory always takes the native one-task-per-file source
+    assert auto_split_chunk_mb(spark, str(tmp_path)) is None
+    try:
+        # force the threshold under the fixture's size: the same file now
+        # counts as "planet-scale" and must pick the split reader
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "65536b")
+        assert auto_split_chunk_mb(spark, xml_path) == 1  # max(1, 64k>>20)
+        # and comfortably above it: native
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1g")
+        assert auto_split_chunk_mb(spark, xml_path) is None
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+
+def test_ingest_auto_path_parity(spark, xml_path, tmp_path):
+    """ingest_osm's auto selection end-to-end: the same document ingested
+    through the auto-picked split path and the forced-native path must
+    land identical stored tables (VERDICT r11 item 4's parity ask)."""
+    from data_wrangle_openstreetmaps_data_1_spark.pipeline_osm import ingest_osm
+
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "65536b")
+        auto = ingest_osm(spark, xml_path, str(tmp_path / "auto"))  # -> split
+        native = ingest_osm(spark, xml_path, str(tmp_path / "native"), split_chunk_mb=0)
+        a = sorted(map(tuple, auto.collect()))
+        b = sorted(map(tuple, native.collect()))
+        assert a == b and len(a) > 0
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
