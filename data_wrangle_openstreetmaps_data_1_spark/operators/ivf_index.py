@@ -104,11 +104,16 @@ def _assign_clusters_driver(vec: list[float], meta: dict, nprobe: int) -> list[i
     return [cid for _, cid in scored[:nprobe]]
 
 
-def _assign_encode(emb: DataFrame, id_col: str, vec_col: str, meta: dict) -> DataFrame:
+def _assign_encode(
+    emb: DataFrame, id_col: str, vec_col: str, meta: dict, with_resid: bool = False
+) -> DataFrame:
     """(id, code0..codeM-1, cluster) for a batch of vectors, purely from
     meta: cluster via a literal-folded distance array over the broadcast-
     free centroid LITERALS (ncent is small by contract), codes via
-    encode_pq. One scan, whole-stage codegen, no join, no shuffle."""
+    encode_pq. One scan, whole-stage codegen, no join, no shuffle.
+    ``with_resid`` adds ``resid_fp``: the assigned-centroid squared
+    distance in 1e-6 fixed point (integer, so downstream sums are
+    aggregation-order independent) — the drift gauge's raw signal."""
     from ..functions.vectors import literal_fold_sql
 
     dists = "array(" + ", ".join(
@@ -139,23 +144,46 @@ def _assign_encode(emb: DataFrame, id_col: str, vec_col: str, meta: dict) -> Dat
             f"ELSE element_at({ids}, cast(array_position({dists}, array_min({dists})) as int)) END"
         ).cast("int"),
     )
+    if with_resid:
+        assigned = assigned.withColumn(
+            "resid_fp", F.expr(f"cast(round(array_min({dists}) * 1000000) as long)")
+        )
     enc = encode_pq(assigned, vec_col, meta["codebooks"], meta["dsub"])
     return enc.select(
-        id_col, *[f"code{mi}" for mi in range(meta["m"])], "cluster"
+        id_col,
+        *[f"code{mi}" for mi in range(meta["m"])],
+        "cluster",
+        *(["resid_fp"] if with_resid else []),
     )
+
+
+_DRIFT_BASE = "drift_baseline"
 
 
 def write_ivf_pq_index(
     spark: SparkSession, emb: DataFrame, path: str, meta: dict, id_col: str, vec_col: str
 ) -> None:
-    """Materialize the index: codes partitioned by cluster + sidecar meta.
+    """Materialize the index: codes partitioned by cluster + sidecar meta
+    + the drift baseline (per-cluster base count and summed assignment
+    residual, ncent tiny rows — the training-time distribution snapshot
+    ``ivf_pq_drift_report`` compares add batches against; adds never
+    update it, since the whole point is detecting departure from what the
+    codebooks were trained on).
 
     The meta sidecar is written through Spark (text dataset) so the index
     is one self-contained directory on whatever filesystem the codes use
     (HDFS/S3/local) — no driver-local files."""
-    _assign_encode(emb, id_col, vec_col, meta).write.partitionBy("cluster").mode(
-        "overwrite"
-    ).parquet(f"{path}/{_CODES}")
+    assigned = _assign_encode(emb, id_col, vec_col, meta, with_resid=True).persist()
+    try:
+        assigned.drop("resid_fp").write.partitionBy("cluster").mode("overwrite").parquet(
+            f"{path}/{_CODES}"
+        )
+        assigned.groupBy("cluster").agg(
+            F.count("*").alias("n_base"),
+            F.sum("resid_fp").cast("long").alias("sum_resid_fp"),
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{_DRIFT_BASE}")
+    finally:
+        assigned.unpersist()
     spark.createDataFrame([(json.dumps(meta),)], "value string").coalesce(1).write.mode(
         "overwrite"
     ).text(f"{path}/{_META}")
@@ -163,6 +191,83 @@ def write_ivf_pq_index(
 
 def read_ivf_pq_meta(spark: SparkSession, path: str) -> dict:
     return json.loads(spark.read.text(f"{path}/{_META}").head()["value"])
+
+
+def ivf_pq_drift_report(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    *,
+    rate_ratio_warn: float = 3.0,
+    resid_ratio_warn: float = 2.0,
+) -> DataFrame:
+    """Distribution-drift gauge for train-once-add-forever: compares an
+    add batch's per-cluster landing profile against the training-time
+    baseline snapshot, from the BATCH ONLY (one assign pass, meta-local)
+    plus the ncent-row baseline — no index scan.
+
+    Two orthogonal signals per touched cluster (both in 1e-6 fixed point,
+    integer arithmetic end-to-end so values are deterministic):
+
+    - ``add_rate_fp`` vs ``base_rate_fp``: the fraction of the batch
+      landing in this cluster vs the fraction of the training corpus that
+      did. A cluster soaking up ``rate_ratio_warn``x its base share (or
+      any vectors landing in a base-empty cluster) means the coarse
+      partition no longer matches the data — probes will over-scan hot
+      clusters.
+    - ``mean_resid_add_fp`` vs ``mean_resid_base_fp``: mean squared
+      distance of the batch's vectors to their assigned centroids vs the
+      training mean. Residual inflation past ``resid_ratio_warn``x means
+      the new vectors sit far from EVERY centroid — quantization error
+      grows and stored-probe recall silently degrades.
+
+    ``retrain_flag`` = either signal fired. Feed any batch through this
+    before/after ``ivf_pq_index_add`` (or pass ``drift_guard=True`` to the
+    add to make a flagged batch raise instead of landing)."""
+    meta = read_ivf_pq_meta(spark, path)
+    base = spark.read.parquet(f"{path}/{_DRIFT_BASE}")
+    batch_prof = (
+        _assign_encode(batch, id_col, vec_col, meta, with_resid=True)
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n_add"), F.sum("resid_fp").cast("long").alias("sum_add_fp"))
+    )
+    tot_add = batch_prof.agg(F.sum("n_add").cast("long").alias("total_add"))
+    tot_base = base.agg(F.sum("n_base").cast("long").alias("total_base"))
+    joined = (
+        batch_prof.join(F.broadcast(base), "cluster", "left")
+        .crossJoin(F.broadcast(tot_add))
+        .crossJoin(F.broadcast(tot_base))
+        .withColumn("n_base", F.coalesce("n_base", F.lit(0)).cast("long"))
+        .withColumn("sum_resid_fp", F.coalesce("sum_resid_fp", F.lit(0)).cast("long"))
+        .withColumn("add_rate_fp", F.expr("n_add * 1000000 div total_add"))
+        .withColumn("base_rate_fp", F.expr("n_base * 1000000 div total_base"))
+        .withColumn("mean_resid_add_fp", F.expr("sum_add_fp div n_add"))
+        .withColumn(
+            "mean_resid_base_fp",
+            F.expr("CASE WHEN n_base > 0 THEN sum_resid_fp div n_base ELSE NULL END"),
+        )
+        .withColumn(
+            "rate_flag",
+            (F.col("n_base") == 0)
+            | (F.col("add_rate_fp") > F.lit(rate_ratio_warn) * F.col("base_rate_fp")),
+        )
+        .withColumn(
+            "resid_flag",
+            F.col("mean_resid_base_fp").isNotNull()
+            & (
+                F.col("mean_resid_add_fp")
+                > F.lit(resid_ratio_warn) * F.col("mean_resid_base_fp")
+            ),
+        )
+        .withColumn("retrain_flag", F.col("rate_flag") | F.col("resid_flag"))
+    )
+    return joined.select(
+        "cluster", "n_add", "n_base", "add_rate_fp", "base_rate_fp",
+        "mean_resid_add_fp", "mean_resid_base_fp", "rate_flag", "resid_flag",
+        "retrain_flag",
+    )
 
 
 def ivf_pq_index_add(
@@ -173,13 +278,36 @@ def ivf_pq_index_add(
     vec_col: str,
     *,
     check_duplicates: bool = True,
+    drift_guard: bool = False,
 ) -> None:
     """Incremental add: assign + encode ``batch`` with the STORED meta and
     append into the cluster partitions. Touches no existing index data
     (assignment is meta-only); the optional duplicate guard is the one
     batch×index contact and reads only the column-pruned ``vec_id``s.
+    ``drift_guard=True`` runs :func:`ivf_pq_drift_report` on the batch
+    first and refuses (raises) if any cluster warrants retraining — the
+    batch never lands, so the index's recall contract is preserved.
     """
     meta = read_ivf_pq_meta(spark, path)
+    if drift_guard:
+        flagged = (
+            ivf_pq_drift_report(spark, batch, path, id_col, vec_col)
+            .where(F.col("retrain_flag"))
+            .select("cluster", "rate_flag", "resid_flag")
+            .collect()  # bounded: <= ncent rows
+        )
+        if flagged:
+            detail = ", ".join(
+                f"cluster {r['cluster']}"
+                f"({'rate' if r['rate_flag'] else ''}{'+' if r['rate_flag'] and r['resid_flag'] else ''}{'resid' if r['resid_flag'] else ''})"
+                for r in flagged
+            )
+            raise ValueError(
+                f"ivf_pq_index_add: drift guard tripped at {path} — {detail}. "
+                "The batch's distribution departs from what the codebooks were "
+                "trained on; retrain meta (train_ivf_pq_meta on a fresh sample) "
+                "and rebuild, or pass drift_guard=False to add anyway."
+            )
     if check_duplicates:
         existing = spark.read.parquet(f"{path}/{_CODES}").select(id_col)
         dup = batch.select(id_col).join(existing, id_col).limit(1).collect()

@@ -198,3 +198,183 @@ def st_bm25_index(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "text")
     run_bm25_index_stream(stream, path, "doc_id", "text", n_buckets=16)
     return bm25_probe(spark, path, BM25_TERMS, k=5)
+
+
+def _ivf_pq_drift_oracle() -> str:
+    """Replays the FULL drifted-adds lifecycle relationally: train on the
+    base corpus (the shared unrolled-PQ CTEs, untouched), extend the
+    corpus with the drifted batch (ids +1000000, every component +0.0625 —
+    exact in binary floating point, so both engines shift identically),
+    re-derive codes/cluster assignments for the extended corpus against
+    the BASE-trained centroids (the train-once-add-forever contract the
+    stored index implements), replay the cluster-pruned ADC probe, and
+    score its recall against the exact full-L2 top-k over base+adds."""
+    from .curation_ext import _pq_cte_list
+
+    m, d, r = _PQ_M, _PQ_DSUB, _PQ_R
+    nq, topk, ncent, nprobe = _PQ_NQ, _PQ_TOPK, _IVFPQ_NCENT, _IVFPQ_NPROBE
+
+    def d2sub(vec: str, cent: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {d + 1}), "
+            f"i -> ({vec}[i] - {cent}[i]) * ({vec}[i] - {cent}[i])), (a, b) -> a + b)"
+        )
+
+    d2full = (
+        "list_reduce(list_transform(range(1, 65), "
+        "i -> (t.v[i] - c.c_vec[i]) * (t.v[i] - c.c_vec[i])), (a, b) -> a + b)"
+    )
+    d2exact = (
+        "list_reduce(list_transform(range(1, 65), "
+        "i -> (t.v[i] - q.v[i]) * (t.v[i] - q.v[i])), (a, b) -> a + b)"
+    )
+    ctes = _pq_cte_list() + [
+        "e2 AS (SELECT vec_id, v FROM e UNION ALL "
+        "SELECT vec_id + 1000000, list_transform(v, x -> x + 0.0625) "
+        "FROM e WHERE vec_id % 4 = 3)",
+    ]
+    for mi in range(m):
+        lo, hi = mi * d + 1, (mi + 1) * d
+        fin = f"cent{mi}_1"  # _PQ_ITERS == 1: the trained codebooks
+        ctes.append(f"s2_{mi} AS (SELECT vec_id, v[{lo}:{hi}] AS s FROM e2)")
+        ctes.append(
+            f"code2_{mi} AS (SELECT vec_id, code FROM ("
+            f"SELECT t.vec_id, c.code, row_number() OVER (PARTITION BY t.vec_id "
+            f"ORDER BY {d2sub('t.s', 'c.c')} ASC, c.code ASC) AS rk "
+            f"FROM s2_{mi} t, {fin} c) WHERE rk = 1)"
+        )
+    ctes.append(
+        "acc2_0 AS MATERIALIZED (SELECT c.vec_id, l.qid, l.dd AS acc "
+        "FROM code2_0 c JOIN lut0 l ON l.code = c.code)"
+    )
+    for mi in range(1, m):
+        ctes.append(
+            f"acc2_{mi} AS MATERIALIZED (SELECT a.vec_id, a.qid, a.acc + l.dd AS acc "
+            f"FROM acc2_{mi - 1} a JOIN code2_{mi} c ON c.vec_id = a.vec_id "
+            f"JOIN lut{mi} l ON l.code = c.code AND l.qid = a.qid)"
+        )
+    ctes += [
+        f"adc2 AS (SELECT qid, vec_id, round(acc, {r}) AS adc_d2 "
+        f"FROM acc2_{m - 1} WHERE vec_id != qid)",
+        f"cent2 AS (SELECT vec_id AS c_id, v AS c_vec FROM e WHERE vec_id < {ncent})",
+        "cassign2 AS (SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id "
+        f"ORDER BY d2f ASC, c_id ASC) AS crk FROM (SELECT t.vec_id, c.c_id, {d2full} "
+        "AS d2f FROM e2 t, cent2 c))",
+        "tclu2 AS (SELECT vec_id, c_id AS cluster FROM cassign2 WHERE crk = 1)",
+        f"qclu2 AS (SELECT vec_id AS qid, c_id AS cluster FROM cassign2 "
+        f"WHERE crk <= {nprobe} AND vec_id < {nq})",
+        "cand2 AS (SELECT a.qid, a.vec_id, a.adc_d2 FROM adc2 a "
+        "JOIN tclu2 t USING (vec_id) "
+        "JOIN qclu2 q ON q.cluster = t.cluster AND q.qid = a.qid)",
+        "pr AS (SELECT qid, vec_id FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY qid "
+        f"ORDER BY adc_d2 ASC, vec_id ASC) AS rk FROM cand2) WHERE rk <= {topk})",
+        f"ex AS (SELECT qid, vec_id FROM ("
+        f"SELECT q.vec_id AS qid, t.vec_id, row_number() OVER (PARTITION BY q.vec_id "
+        f"ORDER BY {d2exact} ASC, t.vec_id ASC) AS rk "
+        f"FROM e2 t, (SELECT vec_id, v FROM e WHERE vec_id < {nq}) q "
+        f"WHERE t.vec_id != q.vec_id) WHERE rk <= {topk})",
+        "h AS (SELECT pr.qid, count(*) AS hits FROM pr "
+        "JOIN ex ON ex.qid = pr.qid AND ex.vec_id = pr.vec_id GROUP BY pr.qid)",
+        "dr AS (SELECT qid, sum(CASE WHEN vec_id >= 1000000 THEN 1 ELSE 0 END) "
+        "AS drifted_in_topk FROM pr GROUP BY qid)",
+        f"qs AS (SELECT vec_id AS qid FROM e WHERE vec_id < {nq})",
+    ]
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT qs.qid AS query_id, "
+        "CAST(coalesce(h.hits, 0) AS BIGINT) AS hits, "
+        f"CAST((coalesce(h.hits, 0) * 1000000) // {topk} AS BIGINT) AS recall_fp, "
+        "CAST(coalesce(dr.drifted_in_topk, 0) AS BIGINT) AS drifted_in_topk "
+        "FROM qs LEFT JOIN h ON h.qid = qs.qid LEFT JOIN dr ON dr.qid = qs.qid"
+    )
+
+
+@register(
+    "sim_ivf_pq_drift_recall",
+    _ivf_pq_drift_oracle(),
+    doc="stored-index recall AFTER DRIFTED ADDS, value-checked — the "
+    "quality gauge for train-once-add-forever: meta trains on the base "
+    "corpus only, the index is written from base, then a drifted batch "
+    "(new ids, every component shifted +0.0625 — exact in binary FP, so "
+    "both engines drift identically) lands through ivf_pq_index_add "
+    "against the stale codebooks. The pruned stored probe then answers "
+    "base queries over base+adds, and its per-query recall@k vs the "
+    "exact full-L2 top-k over the SAME extended corpus is the output "
+    "(plus how many drifted vectors made each top-k). The oracle "
+    "replays train -> drift -> re-encode -> pruned probe -> exact -> "
+    "recall relationally, so the driver pins the recall VALUES: a "
+    "regression in how stale meta encodes drifted vectors shows up as a "
+    "value mismatch, not a silent quality loss. ivf_pq_drift_report is "
+    "the operational twin (flags batches that warrant retraining before "
+    "they land; tests/test_ivf_index.py)",
+)
+def sim_ivf_pq_drift_recall(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.vectors import literal_fold_sql
+
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    meta = train_ivf_pq_meta(
+        emb, "vec_id", "v",
+        ncent=_IVFPQ_NCENT, m=_PQ_M, dsub=_PQ_DSUB, ksub=_PQ_K,
+        iters=_PQ_ITERS, round_to=_PQ_R,
+    )
+    path = tempfile.mkdtemp(prefix="ivfpq_drift_")
+    shutil.rmtree(path, ignore_errors=True)
+    write_ivf_pq_index(spark, emb, path, meta, "vec_id", "v")
+    drifted = emb.where(F.col("vec_id") % 4 == 3).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.expr("transform(v, x -> x + 0.0625d)").alias("v"),
+    )
+    ivf_pq_index_add(spark, drifted, path, "vec_id", "v")
+    queries = [
+        (r["vec_id"], list(r["v"]))
+        for r in emb.where(F.col("vec_id") < _PQ_NQ).orderBy("vec_id").collect()
+    ]
+    probe = ivf_pq_probe(
+        spark, path, queries, k=_PQ_TOPK, nprobe=_IVFPQ_NPROBE
+    ).select("query_id", "vec_id")
+    corpus = emb.unionByName(drifted)
+    # exact ground truth over base+adds: per-query full-L2 top-k, each a
+    # TakeOrderedAndProject branch (same fold order as the probe's
+    # assignment math — the cross-engine float-parity contract)
+    parts = []
+    for qid, qvec in queries:
+        parts.append(
+            corpus.where(F.col("vec_id") != qid)
+            .select(
+                F.lit(qid).cast("long").alias("query_id"),
+                "vec_id",
+                F.expr(literal_fold_sql("v", qvec, term="l2sq")).alias("d2"),
+            )
+            .orderBy(F.asc("d2"), F.asc("vec_id"))
+            .limit(_PQ_TOPK)
+            .select("query_id", "vec_id")
+        )
+    exact = parts[0]
+    for p in parts[1:]:
+        exact = exact.unionByName(p)
+    hits = (
+        probe.join(exact, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("hits"))
+    )
+    drifted_hits = (
+        probe.where(F.col("vec_id") >= 1000000)
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("drifted_in_topk"))
+    )
+    qs = emb.where(F.col("vec_id") < _PQ_NQ).select(F.col("vec_id").alias("query_id"))
+    return (
+        qs.join(hits, "query_id", "left")
+        .join(drifted_hits, "query_id", "left")
+        .withColumn("hits", F.coalesce("hits", F.lit(0)).cast("long"))
+        .withColumn(
+            "recall_fp", F.expr(f"hits * 1000000 div {_PQ_TOPK}").cast("long")
+        )
+        .withColumn(
+            "drifted_in_topk", F.coalesce("drifted_in_topk", F.lit(0)).cast("long")
+        )
+        .select("query_id", "hits", "recall_fp", "drifted_in_topk")
+    )

@@ -258,3 +258,40 @@ def test_write_refuses_malformed_vectors(spark, meta):
             write_ivf_pq_index(spark, bad_nan, path, meta, "vec_id", "v")
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_drift_report_and_guard(spark, emb, meta):
+    """In-distribution adds must not trip the gauge; a shifted-distribution
+    batch must (residual inflation and/or rate skew), and drift_guard=True
+    must refuse the flagged batch before it lands."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.ivf_index import (
+        ivf_pq_drift_report,
+    )
+
+    path = tempfile.mkdtemp(prefix="ivfidx_drift_")
+    try:
+        write_ivf_pq_index(spark, emb, path, meta, "vec_id", "v")
+
+        # same vectors, new ids: the batch's landing profile is exactly the
+        # training profile -> zero flags
+        clone = emb.select((F.col("vec_id") + 500000).alias("vec_id"), "v")
+        rep = ivf_pq_drift_report(spark, clone, path, "vec_id", "v")
+        assert rep.where(F.col("retrain_flag")).count() == 0
+        # and the unflagged batch passes the guard
+        ivf_pq_index_add(spark, clone, path, "vec_id", "v", drift_guard=True)
+
+        # shifted distribution: every component +2.0 -> assignment residuals
+        # inflate far past resid_ratio_warn
+        drifted = emb.select(
+            (F.col("vec_id") + 600000).alias("vec_id"),
+            F.expr("transform(v, x -> x + 2.0d)").alias("v"),
+        )
+        rep2 = ivf_pq_drift_report(spark, drifted, path, "vec_id", "v")
+        assert rep2.where(F.col("retrain_flag")).count() > 0
+        n_before = spark.read.parquet(f"{path}/codes").count()
+        with pytest.raises(ValueError, match="drift guard"):
+            ivf_pq_index_add(spark, drifted, path, "vec_id", "v", drift_guard=True)
+        # the refused batch never landed
+        assert spark.read.parquet(f"{path}/codes").count() == n_before
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
