@@ -21,9 +21,17 @@ and ledgers:
 - the conservation invariant (wa_nodes + id_nodes == all_nodes,
   reference readme.md:519-522) at BOTH scales.
 
-Merges into BENCH_sf1_local.json under 'r11_osm_scale'.
+Merges into BENCH_sf1_local.json under '<label>' (default 'r11_osm_scale'
+for ledger continuity; the per-round sweep passes 'rN_osm_scale' — see
+tools/round_sweep.py, which runs this every round so the reference-surface
+scaling evidence never goes stale).
 
-Usage: python tools/r11_osm_scale.py [base_n]   (default 266875)
+Since r12, ingest_osm auto-selects its scan path (single document > 2x
+maxPartitionBytes -> split reader); this script additionally records the
+auto decision at both scales and asserts it flips exactly at planet
+scale: native for the 1x 47 MB document, split for the 10x 0.5 GB one.
+
+Usage: python tools/r11_osm_scale.py [base_n] [label]   (default 266875 r11_osm_scale)
 """
 
 from __future__ import annotations
@@ -65,8 +73,18 @@ def run_scale(spark, n: int, tmp: str) -> dict:
     native_partitions = read_elements(spark, xml, "node").rdd.getNumPartitions()
     split_partitions = read_elements_split(spark, xml, "node", chunk_mb=64).rdd.getNumPartitions()
 
+    # what would the flagless default do at this size?
+    from data_wrangle_openstreetmaps_data_1_spark.sources.osm_split import (
+        auto_split_chunk_mb,
+    )
+
+    auto_chunk_mb = auto_split_chunk_mb(spark, xml)
+
+    # forced-native ingest (split_chunk_mb=0) so the native-vs-split ratio
+    # stays measured even now that the flagless default auto-picks split
+    # at planet scale
     t0 = time.perf_counter()
-    osm = ingest_osm(spark, xml, os.path.join(tmp, f"store_{n}"))
+    osm = ingest_osm(spark, xml, os.path.join(tmp, f"store_{n}"), split_chunk_mb=0)
     docs = osm.count()
     ingest_s = time.perf_counter() - t0
 
@@ -94,6 +112,7 @@ def run_scale(spark, n: int, tmp: str) -> dict:
         "docs": docs,
         "node_scan_partitions_native": native_partitions,
         "node_scan_partitions_split": split_partitions,
+        "auto_chunk_mb": auto_chunk_mb,
         "gen_sec": round(gen_s, 2),
         "ingest_clean_store_sec": round(ingest_s, 2),
         "ingest_split_reader_sec": round(ingest_split_s, 2),
@@ -109,10 +128,11 @@ def run_scale(spark, n: int, tmp: str) -> dict:
 
 def main() -> int:
     base_n = int(sys.argv[1]) if len(sys.argv) > 1 else 266_875
+    label = sys.argv[2] if len(sys.argv) > 2 else "r11_osm_scale"
 
     from data_wrangle_openstreetmaps_data_1_spark.session import get_spark
 
-    spark = get_spark("r11_osm_scale")
+    spark = get_spark(label)
     spark.sparkContext.setLogLevel("ERROR")
 
     with tempfile.TemporaryDirectory() as tmp:
@@ -125,6 +145,14 @@ def main() -> int:
     )
     assert ten["node_scan_partitions_native"] == 1, "native XML source became splittable?"
     assert ten["node_scan_partitions_split"] > 1, "split reader must parallelize a 0.5 GB doc"
+    assert one["auto_chunk_mb"] is None, (
+        f"auto scan-path must keep the 1x {one['xml_mb']} MB document on the "
+        f"native source, picked split with chunk {one['auto_chunk_mb']} MB"
+    )
+    assert ten["auto_chunk_mb"], (
+        f"auto scan-path must pick the split reader for the 10x "
+        f"{ten['xml_mb']} MB document"
+    )
     payload = {
         "comment": "OSM reference-surface 10x rehearsal: same deterministic "
         "workload as tools/bench_osm.py at 1x and 10x (~0.47 GB single XML "
@@ -155,7 +183,7 @@ def main() -> int:
     }
     bench_path = os.path.join(REPO, "BENCH_sf1_local.json")
     doc = json.load(open(bench_path))
-    doc["r11_osm_scale"] = payload
+    doc[label] = payload
     with open(bench_path, "w") as f:
         json.dump(doc, f, indent=1)
         f.write("\n")
