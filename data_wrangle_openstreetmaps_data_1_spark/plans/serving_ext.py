@@ -378,3 +378,213 @@ def sim_ivf_pq_drift_recall(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("query_id", "hits", "recall_fp", "drifted_in_topk")
     )
+
+
+def _bm25_lifecycle_oracle(k: int = 5) -> str:
+    """Replays the delete -> probe(stale) -> compact -> probe(exact)
+    lifecycle relationally. Victims are chosen INSIDE the query (each
+    probed term's rank-1 doc from the full index), so the oracle is
+    corpus-independent: full-corpus scoring CTEs -> victim set ->
+    'stale' phase = full-corpus df/stats with victims excluded from
+    ranking (the documented Lucene-style staleness contract) ->
+    'compacted' phase = full recompute over the corpus minus victims."""
+    from ..operators.retrieval import B_FP, K1_FP
+    from .pipeline import _TOKS_SQL
+    from .pipeline_ext import _TERMS_IN
+
+    return rf"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    lens AS (SELECT doc_id, len(toks) AS dl FROM d WHERE len(toks) >= 1),
+    stats AS (SELECT count(*) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) * 1000 // count(*) AS avgdl_fp
+              FROM lens),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    post AS (SELECT term, doc_id, count(*) AS tf FROM tok
+             WHERE term IN ({_TERMS_IN}) GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+    scored AS (
+      SELECT term, doc_id, tf, df,
+             (n_docs - df) * 1000 // (df + 1) + 1000 AS idf_fp,
+             (1000 - {B_FP}) + ({B_FP} * dl * 1000) // avgdl_fp AS norm_fp
+      FROM post JOIN dfreq USING (term) JOIN lens USING (doc_id)
+      CROSS JOIN stats),
+    s2 AS (SELECT term, doc_id, tf, df,
+                  (tf * {K1_FP + 1000} * idf_fp)
+                    // (tf * 1000 + ({K1_FP} * norm_fp) // 1000) AS score_fp
+           FROM scored),
+    r0 AS (SELECT term, doc_id,
+                  row_number() OVER (PARTITION BY term
+                                     ORDER BY score_fp DESC, doc_id ASC) AS rnk
+           FROM s2),
+    vict AS (SELECT DISTINCT doc_id FROM r0 WHERE rnk = 1),
+    stale_r AS (SELECT term, doc_id, tf, df, score_fp,
+                       row_number() OVER (PARTITION BY term
+                                          ORDER BY score_fp DESC, doc_id ASC) AS rnk
+                FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM vict)),
+    d2 AS (SELECT doc_id, toks FROM d
+           WHERE doc_id NOT IN (SELECT doc_id FROM vict)),
+    lens2 AS (SELECT doc_id, len(toks) AS dl FROM d2 WHERE len(toks) >= 1),
+    stats2 AS (SELECT count(*) AS n_docs,
+                      CAST(sum(dl) AS BIGINT) * 1000 // count(*) AS avgdl_fp
+               FROM lens2),
+    tok2 AS (SELECT doc_id, unnest(toks) AS term FROM d2),
+    post2 AS (SELECT term, doc_id, count(*) AS tf FROM tok2
+              WHERE term IN ({_TERMS_IN}) GROUP BY 1, 2),
+    dfreq2 AS (SELECT term, count(*) AS df FROM post2 GROUP BY 1),
+    scored2 AS (
+      SELECT term, doc_id, tf, df,
+             (n_docs - df) * 1000 // (df + 1) + 1000 AS idf_fp,
+             (1000 - {B_FP}) + ({B_FP} * dl * 1000) // avgdl_fp AS norm_fp
+      FROM post2 JOIN dfreq2 USING (term) JOIN lens2 USING (doc_id)
+      CROSS JOIN stats2),
+    s22 AS (SELECT term, doc_id, tf, df,
+                   (tf * {K1_FP + 1000} * idf_fp)
+                     // (tf * 1000 + ({K1_FP} * norm_fp) // 1000) AS score_fp
+            FROM scored2),
+    comp_r AS (SELECT term, doc_id, tf, df, score_fp,
+                      row_number() OVER (PARTITION BY term
+                                         ORDER BY score_fp DESC, doc_id ASC) AS rnk
+               FROM s22)
+    SELECT 'stale' AS phase, term, doc_id, CAST(tf AS BIGINT) AS tf,
+           CAST(df AS BIGINT) AS df, CAST(score_fp AS BIGINT) AS score_fp, rnk
+    FROM stale_r WHERE rnk <= {k}
+    UNION ALL
+    SELECT 'compacted' AS phase, term, doc_id, CAST(tf AS BIGINT) AS tf,
+           CAST(df AS BIGINT) AS df, CAST(score_fp AS BIGINT) AS score_fp, rnk
+    FROM comp_r WHERE rnk <= {k}
+    """
+
+
+@register(
+    "tx_bm25_lifecycle",
+    _bm25_lifecycle_oracle(),
+    doc="delete -> probe -> compact -> probe on the persisted BM25 index, "
+    "BOTH phases driver-value-checked (the delete/compact halves of the "
+    "lifecycle were previously test-only). Victims are each probed "
+    "term's rank-1 doc (collected driver-side, <=|terms| scalars), so "
+    "every probe is forced to promote runners-up; the 'stale' phase "
+    "pins the documented Lucene-style staleness contract EXACTLY "
+    "(victims vanish from results immediately, df/stats still count "
+    "them until compact), and the 'compacted' phase pins the exact "
+    "rebuilt scores (df/stats drop the victims). The oracle replays "
+    "victim selection + both scoring regimes relationally",
+)
+def tx_bm25_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.text_index import bm25_index_compact, bm25_index_delete
+    from .pipeline_ext import BM25_TERMS
+
+    docs = load_table(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="bm25_lc_")
+    shutil.rmtree(path, ignore_errors=True)
+    write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
+    top1 = bm25_probe(spark, path, BM25_TERMS, k=1).collect()  # bounded: |terms|
+    victims = sorted({int(r["doc_id"]) for r in top1})
+    bm25_index_delete(spark, path, victims)
+    stale = bm25_probe(spark, path, BM25_TERMS, k=5).withColumn(
+        "phase", F.lit("stale")
+    )
+    # materialize the stale phase BEFORE compact rewrites the files it
+    # would lazily re-read (collect is bounded: |terms| x k rows)
+    stale_rows = stale.select(
+        "phase", "term", "doc_id", "tf", "df", "score_fp", "rnk"
+    ).collect()
+    bm25_index_compact(spark, path)
+    compacted = bm25_probe(spark, path, BM25_TERMS, k=5).withColumn(
+        "phase", F.lit("compacted")
+    ).select("phase", "term", "doc_id", "tf", "df", "score_fp", "rnk")
+    stale_df = spark.createDataFrame(stale_rows, compacted.schema)
+    return stale_df.unionByName(compacted)
+
+
+def _ivf_pq_del_oracle() -> str:
+    """Replays delete -> probe -> compact -> probe for the vector index:
+    victims = each query's rank-1 neighbor from the full pruned probe
+    (chosen inside the query), then both phases re-rank the candidate
+    set without them. Unlike BM25 there is no score staleness — ADC
+    distances carry no corpus statistics — so the two phases emit
+    IDENTICAL rows (pinned by the oracle emitting the same ranking
+    twice): tombstone masking and physical compaction must be
+    value-invisible to probes, the FAISS remove_ids contract."""
+    from .curation_ext import _pq_cte_list
+
+    nq, topk, ncent, nprobe = _PQ_NQ, _PQ_TOPK, _IVFPQ_NCENT, _IVFPQ_NPROBE
+    d2full = (
+        "list_reduce(list_transform(range(1, 65), "
+        "i -> (e.v[i] - c.c_vec[i]) * (e.v[i] - c.c_vec[i])), (a, b) -> a + b)"
+    )
+    ctes = _pq_cte_list() + [
+        f"cent AS (SELECT vec_id AS c_id, v AS c_vec FROM e WHERE vec_id < {ncent})",
+        "cassign AS (SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id "
+        f"ORDER BY d2full ASC, c_id ASC) AS crk FROM (SELECT e.vec_id, c.c_id, {d2full} "
+        "AS d2full FROM e, cent c))",
+        "tclu AS (SELECT vec_id, c_id AS cluster FROM cassign WHERE crk = 1)",
+        f"qclu AS (SELECT vec_id AS qid, c_id AS cluster FROM cassign "
+        f"WHERE crk <= {nprobe} AND vec_id < {nq})",
+        "cand AS (SELECT a.qid, a.vec_id, a.adc_d2 FROM adc a "
+        "JOIN tclu t USING (vec_id) "
+        "JOIN qclu q ON q.cluster = t.cluster AND q.qid = a.qid)",
+        "pr0 AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid "
+        "ORDER BY adc_d2 ASC, vec_id ASC) AS rk FROM cand)",
+        "vict AS (SELECT DISTINCT vec_id FROM pr0 WHERE rk = 1)",
+        "pr AS (SELECT qid, vec_id, adc_d2, row_number() OVER (PARTITION BY qid "
+        "ORDER BY adc_d2 ASC, vec_id ASC) AS rk FROM cand "
+        "WHERE vec_id NOT IN (SELECT vec_id FROM vict))",
+    ]
+    body = (
+        f"SELECT qid AS query_id, vec_id, adc_d2 FROM pr WHERE rk <= {topk}"
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        f"SELECT 'stale' AS phase, * FROM ({body}) "
+        "UNION ALL "
+        f"SELECT 'compacted' AS phase, * FROM ({body})"
+    )
+
+
+@register(
+    "sim_ivf_pq_del_lifecycle",
+    _ivf_pq_del_oracle(),
+    doc="delete -> probe -> compact -> probe on the persisted IVF-PQ "
+    "index, both phases driver-value-checked: victims = each query's "
+    "rank-1 neighbor from the full pruned probe (bounded driver "
+    "collect), deleted as tombstones (probe anti-joins them — the "
+    "'stale' phase), then physically folded in by the partition-"
+    "selective compact (the 'compacted' phase). ADC distances carry no "
+    "corpus statistics, so unlike BM25's df-staleness both phases must "
+    "be IDENTICAL — the oracle pins that by emitting one ranking twice; "
+    "any probe result that shifts across compaction is a value failure, "
+    "not a flaky test",
+)
+def sim_ivf_pq_del_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.ivf_index import ivf_pq_index_compact, ivf_pq_index_delete
+
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    meta = train_ivf_pq_meta(
+        emb, "vec_id", "v",
+        ncent=_IVFPQ_NCENT, m=_PQ_M, dsub=_PQ_DSUB, ksub=_PQ_K,
+        iters=_PQ_ITERS, round_to=_PQ_R,
+    )
+    path = tempfile.mkdtemp(prefix="ivfpq_del_")
+    shutil.rmtree(path, ignore_errors=True)
+    write_ivf_pq_index(spark, emb, path, meta, "vec_id", "v")
+    queries = [
+        (r["vec_id"], list(r["v"]))
+        for r in emb.where(F.col("vec_id") < _PQ_NQ).orderBy("vec_id").collect()
+    ]
+    top1 = ivf_pq_probe(spark, path, queries, k=1, nprobe=_IVFPQ_NPROBE).collect()
+    victims = sorted({int(r["vec_id"]) for r in top1})  # bounded: <= nq
+    ivf_pq_index_delete(spark, path, victims)
+    stale = ivf_pq_probe(spark, path, queries, k=_PQ_TOPK, nprobe=_IVFPQ_NPROBE)
+    stale_rows = stale.withColumn("phase", F.lit("stale")).select(
+        "phase", "query_id", "vec_id", "adc_d2"
+    ).collect()
+    ivf_pq_index_compact(spark, path)
+    compacted = ivf_pq_probe(
+        spark, path, queries, k=_PQ_TOPK, nprobe=_IVFPQ_NPROBE
+    ).withColumn("phase", F.lit("compacted")).select(
+        "phase", "query_id", "vec_id", "adc_d2"
+    )
+    stale_df = spark.createDataFrame(stale_rows, compacted.schema)
+    return stale_df.unionByName(compacted)

@@ -252,3 +252,41 @@ def test_interleaved_add_delete_probe_compact(spark, docs):
         assert back == full
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_rebuild_terms_recovers_partial_commit(spark, docs):
+    """The documented partial-commit recovery: postings appended but the
+    terms swap never landed (crash window). rebuild_bm25_terms must
+    restore terms/ and stats/ to exactly the one-shot-build state, since
+    both are pure functions of postings/."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+        rebuild_bm25_terms,
+    )
+
+    path = tempfile.mkdtemp(prefix="bm25idx_rec_")
+    ref = tempfile.mkdtemp(prefix="bm25idx_ref_")
+    try:
+        base = docs.where(F.col("doc_id") % 5 != 3)
+        batch = docs.where(F.col("doc_id") % 5 == 3)
+        write_bm25_index(spark, base, path, "doc_id", "text", n_buckets=NB)
+        # simulate the crash window: postings landed, terms/stats did not
+        from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+            _postings_with_dl,
+        )
+
+        _postings_with_dl(batch, "doc_id", "text", NB).repartition("bucket").write.partitionBy(
+            "bucket"
+        ).mode("append").parquet(f"{path}/postings")
+        rebuild_bm25_terms(spark, path)
+
+        write_bm25_index(spark, docs, ref, "doc_id", "text", n_buckets=NB)
+        for sub in ("terms", "stats"):
+            a = sorted(tuple(r) for r in spark.read.parquet(f"{path}/{sub}").collect())
+            b = sorted(tuple(r) for r in spark.read.parquet(f"{ref}/{sub}").collect())
+            assert a == b, f"{sub} not recovered to the one-shot state"
+        pa = sorted(map(tuple, bm25_probe(spark, path, TERMS, k=5).collect()))
+        pb = sorted(map(tuple, bm25_probe(spark, ref, TERMS, k=5).collect()))
+        assert pa == pb
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(ref, ignore_errors=True)
