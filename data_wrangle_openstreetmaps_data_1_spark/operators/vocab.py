@@ -98,3 +98,129 @@ def vocab_coverage(df: DataFrame, text_col: str, coverage_bps: list[int]) -> Dat
         )
     )
     return curve
+
+
+# --------------------------------------------------------------------------
+# batch-vs-corpus vocabulary drift (ingestion distribution-shift monitor)
+# --------------------------------------------------------------------------
+
+# warn thresholds (fixed-point): >10% of batch token mass out-of-vocabulary,
+# batch mean doc length outside [0.8x, 1.25x] of the base, or total L1
+# distance between the relative term-frequency vectors above 0.6 (per-million
+# units; L1 of two distributions is in [0, 2e6] fp)
+OOV_WARN_FP = 100_000
+DL_RATIO_LO_FP = 800
+DL_RATIO_HI_FP = 1250
+L1_WARN_FP = 600_000
+
+
+def vocab_drift_report(base: DataFrame, batch: DataFrame, text_col: str) -> DataFrame:
+    """Distribution-shift gauge for an incoming document batch against the
+    corpus it is about to join: new-term count, out-of-vocabulary token
+    mass, mean-doc-length ratio, and the L1 distance between the two
+    relative term-frequency vectors — the text-side analog of
+    ``ivf_index.ivf_pq_drift_report``, with one honest difference stated
+    up front: BM25 carries NO trained state (df/stats are maintained
+    exactly by adds), so nothing here gates index correctness. This is
+    INGESTION monitoring — the check a pretraining pipeline runs to catch
+    a crawler/domain mix shift before the batch lands in the corpus.
+
+    All metrics are integer fixed-point (per-mille / per-million), so the
+    report hashes identically in the DuckDB oracle:
+
+    - ``new_terms`` — distinct batch terms absent from the base vocabulary
+    - ``oov_rate_fp`` — batch token occurrences of those terms, per million
+      batch tokens
+    - ``dl_ratio_fp`` — batch avg doc length vs base, per mille
+    - ``l1_fp`` — sum over the vocabulary union of |base relative freq −
+      batch relative freq|, per million (total variation x 2)
+    - ``drift_flag`` — any threshold tripped (module constants above)
+
+    Shape at 100 TB: both sides tokenize once; term counts partial-
+    aggregate map-side; the single data-sized exchange is the term-keyed
+    full-outer join of the two count tables (O(vocabulary), not
+    O(corpus)); everything after is a one-row global aggregate.
+    """
+    from ..functions.text import tokens
+    from ..partitioning import explode_nonempty, spread
+
+    def _counts(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        toked = spread(df).select(tokens(F.col(text_col)).alias("toks"))
+        lens = toked.select(F.size("toks").alias("dl")).where(F.col("dl") >= 1)
+        docstats = lens.agg(
+            F.count("*").alias("n_docs"),
+            F.expr("sum(dl) * 1000 div count(*)").alias("avgdl_fp"),
+        )
+        cnt = (
+            explode_nonempty(toked, [], "toks", "term")
+            .groupBy("term")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        return docstats, cnt
+
+    base_stats, base_cnt = _counts(base)
+    batch_stats, batch_cnt = _counts(batch)
+    base_tot = base_cnt.agg(F.sum("cnt").cast("long").alias("tot_base"))
+    batch_tot = batch_cnt.agg(F.sum("cnt").cast("long").alias("tot_batch"))
+    joined = (
+        base_cnt.withColumnRenamed("cnt", "cnt_base")
+        .join(
+            batch_cnt.withColumnRenamed("cnt", "cnt_batch"),
+            "term",
+            "full_outer",
+        )
+        .crossJoin(F.broadcast(base_tot))
+        .crossJoin(F.broadcast(batch_tot))
+    )
+    per_term = joined.select(
+        "cnt_base",
+        "cnt_batch",
+        F.expr(
+            "abs(coalesce(cnt_base, 0L) * 1000000 div tot_base "
+            "- coalesce(cnt_batch, 0L) * 1000000 div tot_batch)"
+        ).alias("l1_term_fp"),
+    )
+    agg = per_term.agg(
+        F.count(F.when(F.col("cnt_base").isNotNull(), 1)).cast("long").alias("base_terms"),
+        F.count(F.when(F.col("cnt_batch").isNotNull(), 1)).cast("long").alias("batch_terms"),
+        F.count(
+            F.when(F.col("cnt_base").isNull() & F.col("cnt_batch").isNotNull(), 1)
+        ).cast("long").alias("new_terms"),
+        F.sum(F.when(F.col("cnt_base").isNull(), F.col("cnt_batch")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("oov_mass"),
+        F.sum("l1_term_fp").cast("long").alias("l1_fp"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(batch_tot))
+        .crossJoin(
+            F.broadcast(
+                base_stats.select(
+                    F.col("n_docs").alias("base_docs"),
+                    F.col("avgdl_fp").alias("base_avgdl_fp"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                batch_stats.select(
+                    F.col("n_docs").alias("batch_docs"),
+                    F.col("avgdl_fp").alias("batch_avgdl_fp"),
+                )
+            )
+        )
+        .withColumn("oov_rate_fp", F.expr("oov_mass * 1000000 div tot_batch"))
+        .withColumn("dl_ratio_fp", F.expr("batch_avgdl_fp * 1000 div base_avgdl_fp"))
+        .withColumn(
+            "drift_flag",
+            F.expr(
+                f"oov_rate_fp > {OOV_WARN_FP} "
+                f"or dl_ratio_fp < {DL_RATIO_LO_FP} or dl_ratio_fp > {DL_RATIO_HI_FP} "
+                f"or l1_fp > {L1_WARN_FP}"
+            ),
+        )
+        .select(
+            "base_docs", "batch_docs", "base_terms", "batch_terms", "new_terms",
+            "oov_rate_fp", "dl_ratio_fp", "l1_fp", "drift_flag",
+        )
+    )

@@ -748,3 +748,84 @@ def sim_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
     for pq_part in parts[1:]:
         out = out.unionByName(pq_part)
     return out
+
+
+# --------------------------------------------------------------------------
+# batch-vs-corpus vocabulary drift (round 12)
+# --------------------------------------------------------------------------
+
+
+def _vocab_drift_oracle() -> str:
+    from ..operators.vocab import (
+        DL_RATIO_HI_FP,
+        DL_RATIO_LO_FP,
+        L1_WARN_FP,
+        OOV_WARN_FP,
+    )
+    from .pipeline import _TOKS_SQL
+
+    return rf"""
+    WITH bd AS (SELECT {_TOKS_SQL} AS toks FROM documents WHERE doc_id % 5 != 3),
+    ad AS (SELECT {_TOKS_SQL} AS toks FROM documents WHERE doc_id % 5 = 3),
+    bl AS (SELECT len(toks) AS dl FROM bd WHERE len(toks) >= 1),
+    al AS (SELECT len(toks) AS dl FROM ad WHERE len(toks) >= 1),
+    bs AS (SELECT CAST(count(*) AS BIGINT) AS base_docs,
+                  CAST(sum(dl) AS BIGINT) * 1000 // count(*) AS base_avgdl_fp
+           FROM bl),
+    asx AS (SELECT CAST(count(*) AS BIGINT) AS batch_docs,
+                   CAST(sum(dl) AS BIGINT) * 1000 // count(*) AS batch_avgdl_fp
+            FROM al),
+    bc AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt_base
+           FROM (SELECT unnest(toks) AS term FROM bd) GROUP BY 1),
+    ac AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt_batch
+           FROM (SELECT unnest(toks) AS term FROM ad) GROUP BY 1),
+    tb AS (SELECT CAST(sum(cnt_base) AS BIGINT) AS tot_base FROM bc),
+    ta AS (SELECT CAST(sum(cnt_batch) AS BIGINT) AS tot_batch FROM ac),
+    j AS (SELECT bc.cnt_base, ac.cnt_batch
+          FROM bc FULL OUTER JOIN ac ON bc.term = ac.term),
+    m AS (SELECT
+      CAST(count(*) FILTER (WHERE cnt_base IS NOT NULL) AS BIGINT) AS base_terms,
+      CAST(count(*) FILTER (WHERE cnt_batch IS NOT NULL) AS BIGINT) AS batch_terms,
+      CAST(count(*) FILTER (WHERE cnt_base IS NULL AND cnt_batch IS NOT NULL)
+           AS BIGINT) AS new_terms,
+      CAST(coalesce(sum(CASE WHEN cnt_base IS NULL THEN cnt_batch ELSE 0 END), 0)
+           AS BIGINT) AS oov_mass,
+      CAST(sum(abs(coalesce(cnt_base, 0) * 1000000 // tot_base
+                   - coalesce(cnt_batch, 0) * 1000000 // tot_batch))
+           AS BIGINT) AS l1_fp
+      FROM j CROSS JOIN tb CROSS JOIN ta)
+    SELECT base_docs, batch_docs, base_terms, batch_terms, new_terms,
+           CAST(oov_mass * 1000000 // tot_batch AS BIGINT) AS oov_rate_fp,
+           CAST(batch_avgdl_fp * 1000 // base_avgdl_fp AS BIGINT) AS dl_ratio_fp,
+           l1_fp,
+           (oov_mass * 1000000 // tot_batch > {OOV_WARN_FP}
+            OR batch_avgdl_fp * 1000 // base_avgdl_fp < {DL_RATIO_LO_FP}
+            OR batch_avgdl_fp * 1000 // base_avgdl_fp > {DL_RATIO_HI_FP}
+            OR l1_fp > {L1_WARN_FP}) AS drift_flag
+    FROM m CROSS JOIN bs CROSS JOIN asx CROSS JOIN tb CROSS JOIN ta
+    """
+
+
+@register(
+    "tx_vocab_drift",
+    _vocab_drift_oracle(),
+    doc="batch-vs-corpus vocabulary drift report — the text-side analog "
+    "of this round's IVF-PQ drift gauge, with the honest difference "
+    "stated in the operator docstring: BM25 carries no trained state "
+    "(adds maintain df/stats exactly), so this gates INGESTION (crawler/"
+    "domain mix shift detection before a batch lands), not index "
+    "correctness. New-term count, OOV token mass per million, mean-doc-"
+    "length ratio per mille, and the L1 distance between relative term-"
+    "frequency vectors, all integer fixed-point, one row. The single "
+    "data-sized exchange is the term-keyed full-outer join of two "
+    "pre-aggregated count tables: O(vocabulary), never O(corpus)",
+)
+def tx_vocab_drift(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.vocab import vocab_drift_report
+
+    docs = load_table(spark, sf, "documents")
+    return vocab_drift_report(
+        docs.where(F.col("doc_id") % 5 != 3),
+        docs.where(F.col("doc_id") % 5 == 3),
+        "text",
+    )

@@ -496,6 +496,129 @@ def tx_bm25_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
     return stale_df.unionByName(compacted)
 
 
+_HYBRID_STORED_N = 20  # per-tier candidate depth fed into the fusion
+_RRF_K = 60
+
+
+def _hybrid_stored_oracle() -> str:
+    """RRF fusion of the two PERSISTED-index probe rankings: the stored
+    BM25 top-20 per term (same scoring CTEs as tx_bm25_stored) and the
+    stored IVF-PQ cluster-pruned ADC top-20 per query vector (same
+    pruning CTEs as sim_ivf_pq). Query term i pairs with query vector
+    vec_id = i — BM25_TERMS has exactly _PQ_NQ entries, so the shared
+    per-query LUT CTEs cover every fusion query. Both tiers re-rank on
+    their PUBLISHED values (score_fp / rounded adc_d2, ties by id), the
+    same contract as sim_hybrid_rrf's oracle."""
+    from .curation_ext import _pq_cte_list
+    from .pipeline_ext import _TERMS_IN, _bm25_oracle, BM25_TERMS
+
+    n, rk = _HYBRID_STORED_N, _RRF_K
+    map_values = ", ".join(f"({i}, '{t}')" for i, t in enumerate(BM25_TERMS))
+    d2full = (
+        "list_reduce(list_transform(range(1, 65), "
+        "i -> (e.v[i] - c.c_vec[i]) * (e.v[i] - c.c_vec[i])), (a, b) -> a + b)"
+    )
+    ctes = [f"lex20 AS ({_bm25_oracle(_TERMS_IN, n)})"] + _pq_cte_list() + [
+        f"cent AS (SELECT vec_id AS c_id, v AS c_vec FROM e WHERE vec_id < {_IVFPQ_NCENT})",
+        "cassign AS (SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id "
+        f"ORDER BY d2full ASC, c_id ASC) AS crk FROM (SELECT e.vec_id, c.c_id, {d2full} "
+        "AS d2full FROM e, cent c))",
+        "tclu AS (SELECT vec_id, c_id AS cluster FROM cassign WHERE crk = 1)",
+        f"qclu AS (SELECT vec_id AS qid, c_id AS cluster FROM cassign "
+        f"WHERE crk <= {_IVFPQ_NPROBE} AND vec_id < {_PQ_NQ})",
+        "cand AS (SELECT a.qid, a.vec_id, a.adc_d2 FROM adc a "
+        "JOIN tclu t USING (vec_id) "
+        "JOIN qclu q ON q.cluster = t.cluster AND q.qid = a.qid)",
+        "vecr AS (SELECT query_id, doc_id, vec_rank FROM ("
+        "SELECT qid AS query_id, vec_id AS doc_id, "
+        "CAST(row_number() OVER (PARTITION BY qid "
+        "ORDER BY adc_d2 ASC, vec_id ASC) AS BIGINT) AS vec_rank FROM cand) "
+        f"WHERE vec_rank <= {n})",
+        f"m(query_id, term) AS (VALUES {map_values})",
+        "lexr AS (SELECT CAST(m.query_id AS BIGINT) AS query_id, l.doc_id, "
+        "CAST(l.rnk AS BIGINT) AS lex_rank FROM lex20 l JOIN m ON l.term = m.term)",
+        "fused AS (SELECT coalesce(l.query_id, v.query_id) AS query_id, "
+        "coalesce(l.doc_id, v.doc_id) AS doc_id, "
+        "coalesce(l.lex_rank, 0) AS lex_rank, "
+        "coalesce(v.vec_rank, 0) AS vec_rank, "
+        f"coalesce(1000000 // ({rk} + l.lex_rank), 0) "
+        f"+ coalesce(1000000 // ({rk} + v.vec_rank), 0) AS rrf_fp "
+        "FROM lexr l FULL OUTER JOIN vecr v "
+        "ON l.query_id = v.query_id AND l.doc_id = v.doc_id)",
+        "rr AS (SELECT query_id, doc_id, lex_rank, vec_rank, rrf_fp, "
+        "row_number() OVER (PARTITION BY query_id "
+        "ORDER BY rrf_fp DESC, doc_id ASC) AS rnk FROM fused)",
+    ]
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT query_id, doc_id, lex_rank, vec_rank, "
+        "CAST(rrf_fp AS BIGINT) AS rrf_fp, rnk FROM rr WHERE rnk <= 10"
+    )
+
+
+@register(
+    "sim_hybrid_stored",
+    _hybrid_stored_oracle(),
+    doc="hybrid retrieval served ENTIRELY from the persisted indexes — the "
+    "serving-tier capstone: the stored BM25 probe (partition-pruned term "
+    "buckets) supplies the lexical top-20 per term and the stored IVF-PQ "
+    "probe (partition-pruned clusters, ADC over codes) supplies the "
+    "vector top-20 per query, fused by reciprocal-rank (RRF k=60, "
+    "integer fixed-point — rank fusion needs no score normalization "
+    "across tiers). sim_hybrid_rrf recomputes both tiers from the corpus "
+    "per query batch; this is what the same query costs AFTER the build "
+    "is amortized — each probe reads only probed buckets/clusters, so "
+    "serving cost is independent of corpus growth outside those "
+    "partitions. The vector tier is the ADC approximation (not "
+    "sim_hybrid_rrf's exact cosine), so the fused oracle replays BOTH "
+    "stored rankings relationally: rank parity pins the whole serve path "
+    "(build -> prune -> score -> fuse) end to end",
+)
+def sim_hybrid_stored(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.retrieval import rrf_fuse
+    from .pipeline_ext import BM25_TERMS
+
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bm_path = tempfile.mkdtemp(prefix="bm25_hybrid_")
+    shutil.rmtree(bm_path, ignore_errors=True)
+    write_bm25_index(spark, docs, bm_path, "doc_id", "text", n_buckets=16)
+    meta = train_ivf_pq_meta(
+        emb, "vec_id", "v",
+        ncent=_IVFPQ_NCENT, m=_PQ_M, dsub=_PQ_DSUB, ksub=_PQ_K,
+        iters=_PQ_ITERS, round_to=_PQ_R,
+    )
+    ivf_path = tempfile.mkdtemp(prefix="ivfpq_hybrid_")
+    shutil.rmtree(ivf_path, ignore_errors=True)
+    write_ivf_pq_index(spark, emb, ivf_path, meta, "vec_id", "v")
+    mapping = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(BM25_TERMS)], "query_id long, term string"
+    )
+    lex = (
+        bm25_probe(spark, bm_path, BM25_TERMS, k=_HYBRID_STORED_N)
+        .join(F.broadcast(mapping), "term")
+        .select("query_id", "doc_id", F.col("rnk").alias("lex_rank"))
+    )
+    queries = [
+        (r["vec_id"], list(r["v"]))
+        for r in emb.where(F.col("vec_id") < _PQ_NQ).orderBy("vec_id").collect()
+    ]
+    probe = ivf_pq_probe(
+        spark, ivf_path, queries, k=_HYBRID_STORED_N, nprobe=_IVFPQ_NPROBE
+    )
+    # re-rank on the PUBLISHED rounded adc_d2 (ties by vec_id) so the rank
+    # is reproducible from the probe's public output on any engine
+    wv = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("vec_id"))
+    vec = probe.withColumn("vec_rank", F.row_number().over(wv)).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "vec_rank"
+    )
+    return rrf_fuse(lex, vec, k_rrf=_RRF_K, k=10)
+
+
 def _ivf_pq_del_oracle() -> str:
     """Replays delete -> probe -> compact -> probe for the vector index:
     victims = each query's rank-1 neighbor from the full pruned probe

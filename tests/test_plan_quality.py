@@ -278,6 +278,14 @@ def test_no_unexpected_products_registry_wide(spark):
         "tx_bm25_topk", "tx_domain_mix", "tx_tfidf_top_terms", "ml_pagerank",
         # the stored-index probe inherits tx_bm25_topk's 1-row stats cross
         "tx_bm25_stored",
+        # both phases are bm25_probe results: same 1-row stats cross
+        "tx_bm25_lifecycle",
+        # lexical tier = bm25_probe (1-row stats cross); the stored vector
+        # tier assigns clusters driver-side, so it adds no product join
+        "sim_hybrid_stored",
+        # broadcast 1-row totals (tot_base/tot_batch/doc stats) crossed
+        # onto the O(vocabulary) term join — see vocab_drift_report
+        "tx_vocab_drift",
         "t_gap_fill", "sk_hll", "sk_histogram_quantiles", "dd_lsh_tier_audit",
         # adaptive form: same <=256-row sketch x 3-quantile broadcast cross
         "sk_quantiles_adaptive",
