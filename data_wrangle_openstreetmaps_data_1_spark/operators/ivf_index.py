@@ -443,3 +443,101 @@ def ivf_pq_probe(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+def ivf_pq_probe_batched(
+    spark: SparkSession,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    *,
+    k: int,
+    nprobe: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """:func:`ivf_pq_probe` for SERVING-SIZED query batches: one plan,
+    constant size in the number of queries.
+
+    The per-query form builds one scan branch + one TakeOrderedAndProject
+    per query — right for a handful of queries, wrong for a serving batch
+    (a 500-query batch would compile a 500-branch union and re-list the
+    probed partitions 500 times). This form:
+
+    - scans the codes table ONCE, pruned to the UNION of all probed
+      clusters (``cluster isin`` on the partition column — still
+      PartitionFilters, still nprobe/ncent of the index per query, just
+      listed once);
+    - fans candidates out to their probing queries with a broadcast
+      (query_id, cluster) join — rows appear once per probing query,
+      exactly the work the per-query branches did;
+    - replaces the per-query literal LUT arrays with M broadcast
+      (query_id, code, dd) LUT joins. The dd values are the SAME
+      driver-computed doubles adc_topk embeds as literals, and the
+      accumulation ``dd0 + dd1 + ... + ddM-1`` is the same left fold as
+      its ``element_at`` chain — bit-identical adc_d2, pinned by sharing
+      sim_ivf_pq's oracle and by the equality test against the per-query
+      probe;
+    - takes top-k with ONE window partitioned by query_id (same
+      (adc_d2, id) tie-break as the per-query ``orderBy(...).limit(k)``).
+
+    Broadcast sizes: (queries x nprobe) cluster pairs + M x (queries x
+    ksub) LUT rows — a 1000-query batch at M=8, ksub=256 is ~2M tiny rows,
+    comfortably broadcastable; the corpus-sized side never shuffles.
+    Tombstones are honored identically to ivf_pq_probe.
+    """
+    from pyspark.sql import Window
+
+    from .pq import _fold_l2sq
+    import math
+
+    if not queries:
+        raise ValueError("ivf_pq_probe_batched: queries must be non-empty")
+    meta = read_ivf_pq_meta(spark, path)
+    cb, dsub, r = meta["codebooks"], int(meta["dsub"]), int(meta["round_to"])
+    m = len(cb)
+    qc_rows: list[tuple[int, int]] = []
+    lut_rows: list[list[tuple[int, int, float]]] = [[] for _ in range(m)]
+    for qid, qvec in queries:
+        for c in _assign_clusters_driver(qvec, meta, nprobe):
+            qc_rows.append((int(qid), int(c)))
+        for mi in range(m):
+            qs = qvec[mi * dsub : (mi + 1) * dsub]
+            for code0, cvec in enumerate(cb[mi]):
+                dd = _fold_l2sq(qs, cvec)
+                if not math.isfinite(dd):
+                    raise ValueError(
+                        f"ivf_pq_probe_batched: non-finite distance {dd!r} for "
+                        f"query {qid!r} subspace {mi} — the query vector or "
+                        "codebook contains NaN/inf; clean the embeddings first"
+                    )
+                # codes are 1-based (array_position), same as adc_topk's
+                # element_at indexing
+                lut_rows[mi].append((int(qid), code0 + 1, float(dd)))
+    union_clusters = sorted({c for _, c in qc_rows})
+    codes = spark.read.parquet(f"{path}/{_CODES}").where(
+        F.col("cluster").isin(union_clusters)
+    )
+    ts = _tombstones(spark, path)
+    if ts is not None:
+        codes = codes.join(
+            F.broadcast(ts.withColumnRenamed("vec_id", id_col).select(id_col)),
+            id_col,
+            "left_anti",
+        )
+    qc = spark.createDataFrame(qc_rows, "query_id long, cluster int")
+    cand = codes.join(F.broadcast(qc), "cluster")
+    for mi in range(m):
+        lut = spark.createDataFrame(
+            lut_rows[mi], f"query_id long, code{mi} int, dd{mi} double"
+        )
+        cand = cand.join(F.broadcast(lut), ["query_id", f"code{mi}"])
+    acc = F.col("dd0")
+    for mi in range(1, m):
+        acc = acc + F.col(f"dd{mi}")
+    scored = cand.where(F.col(id_col) != F.col("query_id")).select(
+        "query_id", id_col, F.round(acc, r).alias("adc_d2")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc(id_col))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )

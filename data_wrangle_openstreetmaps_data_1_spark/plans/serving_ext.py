@@ -82,6 +82,45 @@ def sim_ivf_pq_stored(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_pq_probe(spark, path, queries, k=_PQ_TOPK, nprobe=_IVFPQ_NPROBE)
 
 
+@register(
+    "sim_ivf_pq_batched",
+    _ivf_pq_oracle(),
+    doc="the BATCHED serving form of the stored-index probe "
+    "(operators/ivf_index.py:ivf_pq_probe_batched): one codes scan pruned "
+    "to the UNION of probed clusters, a broadcast (query_id, cluster) "
+    "fan-out join, M broadcast LUT joins replacing the per-query literal "
+    "arrays, and one window top-k — plan size CONSTANT in the number of "
+    "queries, where ivf_pq_probe compiles a scan branch + "
+    "TakeOrderedAndProject per query (right for 3 queries, wrong for a "
+    "500-query serving batch). The LUT dd values are the same driver-"
+    "computed doubles and the accumulation is the same left fold, so "
+    "adc_d2 is bit-identical: this query shares sim_ivf_pq's oracle "
+    "verbatim, and tests/test_ivf_index.py asserts row-for-row equality "
+    "with the per-query probe plus the single-scan plan shape",
+)
+def sim_ivf_pq_batched(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.ivf_index import ivf_pq_probe_batched
+
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    meta = train_ivf_pq_meta(
+        emb, "vec_id", "v",
+        ncent=_IVFPQ_NCENT, m=_PQ_M, dsub=_PQ_DSUB, ksub=_PQ_K,
+        iters=_PQ_ITERS, round_to=_PQ_R,
+    )
+    path = tempfile.mkdtemp(prefix="ivfpq_batched_")
+    shutil.rmtree(path, ignore_errors=True)
+    write_ivf_pq_index(spark, emb, path, meta, "vec_id", "v")
+    queries = [
+        (r["vec_id"], list(r["v"]))
+        for r in emb.where(F.col("vec_id") < _PQ_NQ).orderBy("vec_id").collect()
+    ]
+    return ivf_pq_probe_batched(
+        spark, path, queries, k=_PQ_TOPK, nprobe=_IVFPQ_NPROBE
+    )
+
+
 def _bm25_stored_oracle() -> str:
     from .pipeline_ext import _TERMS_IN, _bm25_oracle
 

@@ -295,3 +295,67 @@ def test_drift_report_and_guard(spark, emb, meta):
         assert spark.read.parquet(f"{path}/codes").count() == n_before
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_batched_probe_matches_per_query_probe(spark, emb, meta, full_index):
+    """ivf_pq_probe_batched must be bit-identical to the per-query probe
+    (same LUT doubles, same left-fold accumulation, same tie-breaks) while
+    compiling ONE pruned scan instead of one branch per query."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.ivf_index import (
+        ivf_pq_probe_batched,
+    )
+
+    qs = _queries(emb)
+    looped = ivf_pq_probe(spark, full_index, qs, k=TOPK, nprobe=NPROBE)
+    batched = ivf_pq_probe_batched(spark, full_index, qs, k=TOPK, nprobe=NPROBE)
+    l_rows = {(r["query_id"], r["vec_id"], r["adc_d2"]) for r in looped.collect()}
+    b_rows = {(r["query_id"], r["vec_id"], r["adc_d2"]) for r in batched.collect()}
+    assert l_rows == b_rows and len(b_rows) == len(qs) * TOPK
+
+    plan = batched._jdf.queryExecution().executedPlan().toString()
+    # AQE prints the final plan followed by the initial plan — count scans
+    # in the final section only (the initial section repeats them)
+    plan = plan.split("== Initial Plan ==", 1)[0]
+    # one codes scan, pruned at file-listing time to the union of probed
+    # clusters; the per-query form has len(qs) scans
+    assert plan.count("Scan parquet") == 1
+    assert "PartitionFilters" in plan
+    assert "cluster" in plan.split("PartitionFilters", 1)[1][:200]
+    # the fan-out and LUT joins must all be broadcast equi-joins
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1 + len(meta["codebooks"])
+
+
+def test_batched_probe_honors_tombstones(spark, emb, meta):
+    """Deleted ids must vanish from batched probe results exactly as they
+    do from the per-query probe."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.ivf_index import (
+        ivf_pq_index_delete,
+        ivf_pq_probe_batched,
+    )
+
+    path = tempfile.mkdtemp(prefix="ivfidx_batch_ts_")
+    shutil.rmtree(path, ignore_errors=True)
+    write_ivf_pq_index(spark, emb, path, meta, "vec_id", "v")
+    try:
+        qs = _queries(emb)
+        top1 = ivf_pq_probe_batched(spark, path, qs, k=1, nprobe=NPROBE).collect()
+        victims = sorted({int(r["vec_id"]) for r in top1})
+        ivf_pq_index_delete(spark, path, victims)
+        after = ivf_pq_probe_batched(spark, path, qs, k=TOPK, nprobe=NPROBE)
+        hit = after.where(F.col("vec_id").isin(victims)).count()
+        assert hit == 0
+        looped = ivf_pq_probe(spark, path, qs, k=TOPK, nprobe=NPROBE)
+        assert {tuple(r) for r in after.collect()} == {tuple(r) for r in looped.collect()}
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_batched_probe_empty_queries_raises(spark, full_index):
+    from data_wrangle_openstreetmaps_data_1_spark.operators.ivf_index import (
+        ivf_pq_probe_batched,
+    )
+
+    with pytest.raises(ValueError, match="non-empty"):
+        ivf_pq_probe_batched(spark, full_index, [], k=TOPK, nprobe=NPROBE)
