@@ -53,6 +53,10 @@ QUERIES = [
     # maintenance + cluster-pruned probe (st_ivf_index)
     "tx_bm25_stored",
     "st_ivf_index",
+    # Round-12 class: the batched stored probe under a plain session —
+    # createDataFrame-broadcast LUT equi-joins + query-partitioned window
+    # top-k must pick the same plan (and values) without the tuned confs
+    "sim_ivf_pq_batched",
 ]
 
 _CHILD = r"""
