@@ -1,0 +1,122 @@
+"""Measure the serving win of ivf_pq_probe_batched over the per-query
+probe loop at a SERVING-SIZED batch — the claim the batched form exists
+for: plan size constant in the number of queries, one pruned scan instead
+of one scan branch per query.
+
+Protocol: train + write one stored IVF-PQ index from sf0.1 embeddings,
+then answer the SAME 48-query batch (vec_id < 48) both ways, best of 2
+timed reps each (cache cleared between reps), results asserted EQUAL
+row-for-row before any number is recorded. Writes BATCHPROBE_WIN.json.
+
+48 queries is deliberately modest — the loop's cost grows linearly in
+queries (48 scan branches, 48 partition listings, one driver plan ~16x
+the 3-query correctness shape), so the ratio here UNDERSTATES the win at
+a production batch of hundreds.
+
+Usage: python tools/batchprobe_win.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+NQ_BATCH = 48
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from pyspark.sql import functions as F
+
+    from data_wrangle_openstreetmaps_data_1_spark.operators.ivf_index import (
+        ivf_pq_probe,
+        ivf_pq_probe_batched,
+        train_ivf_pq_meta,
+        write_ivf_pq_index,
+    )
+    from data_wrangle_openstreetmaps_data_1_spark.plans.curation_ext import (
+        _IVFPQ_NCENT,
+        _IVFPQ_NPROBE,
+        _PQ_DSUB,
+        _PQ_ITERS,
+        _PQ_K,
+        _PQ_M,
+        _PQ_R,
+        _PQ_TOPK,
+    )
+    from data_wrangle_openstreetmaps_data_1_spark.session import get_spark
+    from data_wrangle_openstreetmaps_data_1_spark.sources.tables import load_table
+
+    spark = get_spark("batchprobe_win")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    meta = train_ivf_pq_meta(
+        emb, "vec_id", "v",
+        ncent=_IVFPQ_NCENT, m=_PQ_M, dsub=_PQ_DSUB, ksub=_PQ_K,
+        iters=_PQ_ITERS, round_to=_PQ_R,
+    )
+    path = tempfile.mkdtemp(prefix="ivfpq_batchwin_")
+    shutil.rmtree(path, ignore_errors=True)
+    write_ivf_pq_index(spark, emb, path, meta, "vec_id", "v")
+    queries = [
+        (r["vec_id"], list(r["v"]))
+        for r in emb.where(F.col("vec_id") < NQ_BATCH).orderBy("vec_id").collect()
+    ]
+    if len(queries) < NQ_BATCH:
+        print(f"corpus has only {len(queries)} query vectors; need {NQ_BATCH}")
+        return 1
+
+    def timed(fn):
+        best, rows = float("inf"), None
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            rows = fn().collect()
+            best = min(best, time.time() - t0)
+        return best, rows
+
+    t_loop, r_loop = timed(
+        lambda: ivf_pq_probe(spark, path, queries, k=_PQ_TOPK, nprobe=_IVFPQ_NPROBE)
+    )
+    t_batch, r_batch = timed(
+        lambda: ivf_pq_probe_batched(
+            spark, path, queries, k=_PQ_TOPK, nprobe=_IVFPQ_NPROBE
+        )
+    )
+    set_loop = {(r["query_id"], r["vec_id"], r["adc_d2"]) for r in r_loop}
+    set_batch = {(r["query_id"], r["vec_id"], r["adc_d2"]) for r in r_batch}
+    assert set_loop == set_batch, "batched probe diverged from the per-query loop"
+
+    payload = {
+        "comment": "per-query probe loop vs batched probe, same stored "
+        f"index, same {NQ_BATCH}-query batch, best of 2, results asserted "
+        "equal row-for-row before recording; the loop compiles one scan "
+        "branch per query, the batched form one union-pruned scan",
+        "sf_dir": sf,
+        "n_queries": NQ_BATCH,
+        "k": _PQ_TOPK,
+        "nprobe": _IVFPQ_NPROBE,
+        "rows": len(set_batch),
+        "per_query_loop_s": round(t_loop, 2),
+        "batched_s": round(t_batch, 2),
+        "speedup": round(t_loop / max(t_batch, 1e-9), 2),
+    }
+    with open(os.path.join(REPO, "BATCHPROBE_WIN.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+        f.write("\n")
+    print(json.dumps(payload))
+    shutil.rmtree(path, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
