@@ -239,6 +239,136 @@ def st_bm25_index(spark: SparkSession, sf: str) -> DataFrame:
     return bm25_probe(spark, path, BM25_TERMS, k=5)
 
 
+_HYBRID_STORED_N = 20  # per-tier candidate depth fed into the fusion
+_RRF_K = 60
+
+
+def _hybrid_stored_oracle() -> str:
+    """RRF fusion of the two PERSISTED-index probe rankings: the stored
+    BM25 top-20 per term (same scoring CTEs as tx_bm25_stored) and the
+    stored IVF-PQ cluster-pruned ADC top-20 per query vector (same
+    pruning CTEs as sim_ivf_pq). Query term i pairs with query vector
+    vec_id = i — BM25_TERMS has exactly _PQ_NQ entries, so the shared
+    per-query LUT CTEs cover every fusion query. Both tiers re-rank on
+    their PUBLISHED values (score_fp / rounded adc_d2, ties by id), the
+    same contract as sim_hybrid_rrf's oracle."""
+    from .curation_ext import _pq_cte_list
+    from .pipeline_ext import _TERMS_IN, _bm25_oracle, BM25_TERMS
+
+    n, rk = _HYBRID_STORED_N, _RRF_K
+    map_values = ", ".join(f"({i}, '{t}')" for i, t in enumerate(BM25_TERMS))
+    d2full = (
+        "list_reduce(list_transform(range(1, 65), "
+        "i -> (e.v[i] - c.c_vec[i]) * (e.v[i] - c.c_vec[i])), (a, b) -> a + b)"
+    )
+    ctes = [f"lex20 AS ({_bm25_oracle(_TERMS_IN, n)})"] + _pq_cte_list() + [
+        f"cent AS (SELECT vec_id AS c_id, v AS c_vec FROM e WHERE vec_id < {_IVFPQ_NCENT})",
+        "cassign AS (SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id "
+        f"ORDER BY d2full ASC, c_id ASC) AS crk FROM (SELECT e.vec_id, c.c_id, {d2full} "
+        "AS d2full FROM e, cent c))",
+        "tclu AS (SELECT vec_id, c_id AS cluster FROM cassign WHERE crk = 1)",
+        f"qclu AS (SELECT vec_id AS qid, c_id AS cluster FROM cassign "
+        f"WHERE crk <= {_IVFPQ_NPROBE} AND vec_id < {_PQ_NQ})",
+        "cand AS (SELECT a.qid, a.vec_id, a.adc_d2 FROM adc a "
+        "JOIN tclu t USING (vec_id) "
+        "JOIN qclu q ON q.cluster = t.cluster AND q.qid = a.qid)",
+        "vecr AS (SELECT query_id, doc_id, vec_rank FROM ("
+        "SELECT qid AS query_id, vec_id AS doc_id, "
+        "CAST(row_number() OVER (PARTITION BY qid "
+        "ORDER BY adc_d2 ASC, vec_id ASC) AS BIGINT) AS vec_rank FROM cand) "
+        f"WHERE vec_rank <= {n})",
+        f"m(query_id, term) AS (VALUES {map_values})",
+        "lexr AS (SELECT CAST(m.query_id AS BIGINT) AS query_id, l.doc_id, "
+        "CAST(l.rnk AS BIGINT) AS lex_rank FROM lex20 l JOIN m ON l.term = m.term)",
+        "fused AS (SELECT coalesce(l.query_id, v.query_id) AS query_id, "
+        "coalesce(l.doc_id, v.doc_id) AS doc_id, "
+        "coalesce(l.lex_rank, 0) AS lex_rank, "
+        "coalesce(v.vec_rank, 0) AS vec_rank, "
+        f"coalesce(1000000 // ({rk} + l.lex_rank), 0) "
+        f"+ coalesce(1000000 // ({rk} + v.vec_rank), 0) AS rrf_fp "
+        "FROM lexr l FULL OUTER JOIN vecr v "
+        "ON l.query_id = v.query_id AND l.doc_id = v.doc_id)",
+        "rr AS (SELECT query_id, doc_id, lex_rank, vec_rank, rrf_fp, "
+        "row_number() OVER (PARTITION BY query_id "
+        "ORDER BY rrf_fp DESC, doc_id ASC) AS rnk FROM fused)",
+    ]
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT query_id, doc_id, lex_rank, vec_rank, "
+        "CAST(rrf_fp AS BIGINT) AS rrf_fp, rnk FROM rr WHERE rnk <= 10"
+    )
+
+
+@register(
+    "st_hybrid_index",
+    _hybrid_stored_oracle(),
+    doc="STREAMING maintenance of the WHOLE hybrid serving stack: one "
+    "foreachBatch (streaming/index_maintenance.run_hybrid_index_stream) "
+    "feeds BOTH persisted indexes per micro-batch, so the lexical and "
+    "vector tiers index the same document set at every commit point — "
+    "the lockstep a dual-writer setup cannot guarantee. The landing zone "
+    "is the OUTER union of the modalities (docs without embeddings still "
+    "reach the lexical tier; each tier indexes its non-null slice), meta "
+    "trains beforehand (streams never train), and both final indexes are "
+    "batching-independent functions of the corpus — so the post-stream "
+    "fused probe (stored BM25 + BATCHED stored IVF-PQ + RRF) shares "
+    "sim_hybrid_stored's oracle verbatim: value-checked streaming DDL "
+    "for hybrid retrieval",
+)
+def st_hybrid_index(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.ivf_index import ivf_pq_probe_batched
+    from ..operators.retrieval import rrf_fuse
+    from ..streaming.incremental import read_documents_stream
+    from ..streaming.index_maintenance import run_hybrid_index_stream
+    from .pipeline_ext import BM25_TERMS
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    meta = train_ivf_pq_meta(
+        emb, "doc_id", "v",
+        ncent=_IVFPQ_NCENT, m=_PQ_M, dsub=_PQ_DSUB, ksub=_PQ_K,
+        iters=_PQ_ITERS, round_to=_PQ_R,
+    )
+    landing = tempfile.mkdtemp(prefix="hybrid_landing_")
+    docs.join(emb, "doc_id", "full_outer").repartition(3).write.mode(
+        "overwrite"
+    ).parquet(landing)
+    bm_path = tempfile.mkdtemp(prefix="bm25_hybrid_st_")
+    ivf_path = tempfile.mkdtemp(prefix="ivfpq_hybrid_st_")
+    shutil.rmtree(bm_path, ignore_errors=True)
+    shutil.rmtree(ivf_path, ignore_errors=True)
+    stream = read_documents_stream(
+        spark, landing, glob="*.parquet", max_files_per_trigger=1
+    ).select("doc_id", "text", "v")
+    run_hybrid_index_stream(stream, bm_path, ivf_path, meta, n_buckets=16)
+    mapping = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(BM25_TERMS)], "query_id long, term string"
+    )
+    lex = (
+        bm25_probe(spark, bm_path, BM25_TERMS, k=_HYBRID_STORED_N)
+        .join(F.broadcast(mapping), "term")
+        .select("query_id", "doc_id", F.col("rnk").alias("lex_rank"))
+    )
+    queries = [
+        (r["doc_id"], list(r["v"]))
+        for r in emb.where(F.col("doc_id") < _PQ_NQ).orderBy("doc_id").collect()
+    ]
+    probe = ivf_pq_probe_batched(
+        spark, ivf_path, queries, k=_HYBRID_STORED_N, nprobe=_IVFPQ_NPROBE,
+        id_col="doc_id",
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("doc_id"))
+    vec = probe.withColumn("vec_rank", F.row_number().over(wv)).select(
+        "query_id", "doc_id", "vec_rank"
+    )
+    return rrf_fuse(lex, vec, k_rrf=_RRF_K, k=10)
+
+
 def _ivf_pq_drift_oracle() -> str:
     """Replays the FULL drifted-adds lifecycle relationally: train on the
     base corpus (the shared unrolled-PQ CTEs, untouched), extend the
@@ -533,66 +663,6 @@ def tx_bm25_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
     ).select("phase", "term", "doc_id", "tf", "df", "score_fp", "rnk")
     stale_df = spark.createDataFrame(stale_rows, compacted.schema)
     return stale_df.unionByName(compacted)
-
-
-_HYBRID_STORED_N = 20  # per-tier candidate depth fed into the fusion
-_RRF_K = 60
-
-
-def _hybrid_stored_oracle() -> str:
-    """RRF fusion of the two PERSISTED-index probe rankings: the stored
-    BM25 top-20 per term (same scoring CTEs as tx_bm25_stored) and the
-    stored IVF-PQ cluster-pruned ADC top-20 per query vector (same
-    pruning CTEs as sim_ivf_pq). Query term i pairs with query vector
-    vec_id = i — BM25_TERMS has exactly _PQ_NQ entries, so the shared
-    per-query LUT CTEs cover every fusion query. Both tiers re-rank on
-    their PUBLISHED values (score_fp / rounded adc_d2, ties by id), the
-    same contract as sim_hybrid_rrf's oracle."""
-    from .curation_ext import _pq_cte_list
-    from .pipeline_ext import _TERMS_IN, _bm25_oracle, BM25_TERMS
-
-    n, rk = _HYBRID_STORED_N, _RRF_K
-    map_values = ", ".join(f"({i}, '{t}')" for i, t in enumerate(BM25_TERMS))
-    d2full = (
-        "list_reduce(list_transform(range(1, 65), "
-        "i -> (e.v[i] - c.c_vec[i]) * (e.v[i] - c.c_vec[i])), (a, b) -> a + b)"
-    )
-    ctes = [f"lex20 AS ({_bm25_oracle(_TERMS_IN, n)})"] + _pq_cte_list() + [
-        f"cent AS (SELECT vec_id AS c_id, v AS c_vec FROM e WHERE vec_id < {_IVFPQ_NCENT})",
-        "cassign AS (SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id "
-        f"ORDER BY d2full ASC, c_id ASC) AS crk FROM (SELECT e.vec_id, c.c_id, {d2full} "
-        "AS d2full FROM e, cent c))",
-        "tclu AS (SELECT vec_id, c_id AS cluster FROM cassign WHERE crk = 1)",
-        f"qclu AS (SELECT vec_id AS qid, c_id AS cluster FROM cassign "
-        f"WHERE crk <= {_IVFPQ_NPROBE} AND vec_id < {_PQ_NQ})",
-        "cand AS (SELECT a.qid, a.vec_id, a.adc_d2 FROM adc a "
-        "JOIN tclu t USING (vec_id) "
-        "JOIN qclu q ON q.cluster = t.cluster AND q.qid = a.qid)",
-        "vecr AS (SELECT query_id, doc_id, vec_rank FROM ("
-        "SELECT qid AS query_id, vec_id AS doc_id, "
-        "CAST(row_number() OVER (PARTITION BY qid "
-        "ORDER BY adc_d2 ASC, vec_id ASC) AS BIGINT) AS vec_rank FROM cand) "
-        f"WHERE vec_rank <= {n})",
-        f"m(query_id, term) AS (VALUES {map_values})",
-        "lexr AS (SELECT CAST(m.query_id AS BIGINT) AS query_id, l.doc_id, "
-        "CAST(l.rnk AS BIGINT) AS lex_rank FROM lex20 l JOIN m ON l.term = m.term)",
-        "fused AS (SELECT coalesce(l.query_id, v.query_id) AS query_id, "
-        "coalesce(l.doc_id, v.doc_id) AS doc_id, "
-        "coalesce(l.lex_rank, 0) AS lex_rank, "
-        "coalesce(v.vec_rank, 0) AS vec_rank, "
-        f"coalesce(1000000 // ({rk} + l.lex_rank), 0) "
-        f"+ coalesce(1000000 // ({rk} + v.vec_rank), 0) AS rrf_fp "
-        "FROM lexr l FULL OUTER JOIN vecr v "
-        "ON l.query_id = v.query_id AND l.doc_id = v.doc_id)",
-        "rr AS (SELECT query_id, doc_id, lex_rank, vec_rank, rrf_fp, "
-        "row_number() OVER (PARTITION BY query_id "
-        "ORDER BY rrf_fp DESC, doc_id ASC) AS rnk FROM fused)",
-    ]
-    return (
-        "WITH " + ", ".join(ctes) + " "
-        "SELECT query_id, doc_id, lex_rank, vec_rank, "
-        "CAST(rrf_fp AS BIGINT) AS rrf_fp, rnk FROM rr WHERE rnk <= 10"
-    )
 
 
 @register(

@@ -117,3 +117,76 @@ def run_ivf_index_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_hybrid_index_stream(
+    doc_vec_stream: DataFrame,
+    bm_path: str,
+    ivf_path: str,
+    meta: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "v",
+    n_buckets: int = 16,
+    checkpoint: str | None = None,
+) -> None:
+    """Drain a finite (id, text, vector) stream into BOTH serving indexes
+    from ONE ``foreachBatch`` — the ingestion shape behind a hybrid
+    retrieval deployment, where the lexical and vector tiers must index
+    the SAME document set at every commit point. A dual-writer setup (two
+    independent streams) can expose a window where a doc is searchable in
+    one tier but not the other; a single handler narrows that to the two
+    in-batch writes (and a crash between them is caught by whichever
+    index's duplicate guard trips on replay — the same loud-failure
+    recovery contract as the single-index streams, with the landing zone
+    as the source of truth).
+
+    Rows may carry text, a vector, or both (the stream is the OUTER union
+    of the two modalities — a doc without an embedding must still reach
+    the lexical tier, not silently drop from the corpus): each tier
+    indexes its non-null slice, initializing on its first non-empty one.
+    Each tier's add is the same O(batch) work as its single-index stream,
+    and each final index is the same batching-independent function of the
+    corpus — so the post-stream hybrid probe shares sim_hybrid_stored's
+    oracle verbatim (plans/serving_ext.py:st_hybrid_index).
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.ivf_index import ivf_pq_index_add, write_ivf_pq_index
+
+    state = {
+        "bm": os.path.isdir(os.path.join(bm_path, _POSTINGS)),
+        "ivf": os.path.isdir(os.path.join(ivf_path, "codes")),
+    }
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        docs = batch_df.where(F.col(text_col).isNotNull()).select(id_col, text_col)
+        vecs = batch_df.where(F.col(vec_col).isNotNull()).select(id_col, vec_col)
+        if not docs.isEmpty():
+            if not state["bm"]:
+                write_bm25_index(
+                    spark, docs, bm_path, id_col, text_col, n_buckets=n_buckets
+                )
+                state["bm"] = True
+            else:
+                bm25_index_add(spark, docs, bm_path, id_col, text_col)
+        if not vecs.isEmpty():
+            if not state["ivf"]:
+                write_ivf_pq_index(spark, vecs, ivf_path, meta, id_col, vec_col)
+                state["ivf"] = True
+            else:
+                ivf_pq_index_add(spark, vecs, ivf_path, id_col, vec_col)
+
+    q = (
+        doc_vec_stream.writeStream.foreachBatch(handle)
+        .option(
+            "checkpointLocation",
+            checkpoint or tempfile.mkdtemp(prefix="hybrid_stream_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -140,3 +140,63 @@ def test_replayed_batch_fails_loudly(spark, docs):
         shutil.rmtree(landing, ignore_errors=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_hybrid_stream_lockstep_and_modality_slices(spark, docs, sf_small):
+    """run_hybrid_index_stream keeps both indexes in lockstep: after the
+    drain, the lexical doc set and the vector id set each match exactly
+    the ids that carried that modality through the landing zone — and a
+    doc WITHOUT an embedding still reaches the lexical tier (the outer-
+    union contract, the thing a naive inner join of the modalities would
+    silently drop)."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.ivf_index import (
+        train_ivf_pq_meta,
+    )
+    from data_wrangle_openstreetmaps_data_1_spark.streaming.index_maintenance import (
+        run_hybrid_index_stream,
+    )
+
+    emb = (
+        load_table(spark, sf_small, "embeddings")
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        # drop some embeddings so text-only docs exist in the landing zone
+        # (keep ids < 16: train_ivf_pq_meta's centroid seed contract)
+        .where((F.col("doc_id") % 7 != 2) | (F.col("doc_id") < 16))
+    )
+    meta = train_ivf_pq_meta(
+        emb, "doc_id", "v", ncent=16, m=8, dsub=8, ksub=16, iters=1, round_to=6
+    )
+    landing = tempfile.mkdtemp(prefix="hybst_landing_")
+    joined = docs.join(emb, "doc_id", "full_outer")
+    joined.repartition(3).write.mode("overwrite").parquet(landing)
+    bm_path = tempfile.mkdtemp(prefix="hybst_bm_")
+    ivf_path = tempfile.mkdtemp(prefix="hybst_ivf_")
+    shutil.rmtree(bm_path, ignore_errors=True)
+    shutil.rmtree(ivf_path, ignore_errors=True)
+    try:
+        stream = read_documents_stream(
+            spark, landing, glob="*.parquet", max_files_per_trigger=1
+        ).select("doc_id", "text", "v")
+        run_hybrid_index_stream(stream, bm_path, ivf_path, meta, n_buckets=NB)
+        lex_ids = {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{bm_path}/postings")
+            .select("doc_id").distinct().collect()
+        }
+        vec_ids = {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{ivf_path}/codes")
+            .select("doc_id").distinct().collect()
+        }
+        doc_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+        emb_ids = {r["doc_id"] for r in emb.select("doc_id").collect()}
+        assert lex_ids == doc_ids  # every doc searchable lexically...
+        assert vec_ids == emb_ids  # ...every embedded doc searchable vectorially
+        assert emb_ids < doc_ids  # and the fixture really had text-only docs
+    finally:
+        shutil.rmtree(landing, ignore_errors=True)
+        shutil.rmtree(bm_path, ignore_errors=True)
+        shutil.rmtree(ivf_path, ignore_errors=True)
