@@ -149,3 +149,70 @@ def rrf_fuse(
         .where(F.col("rnk") <= k)
         .select("query_id", "doc_id", "lex_rank", "vec_rank", "rrf_fp", "rnk")
     )
+def _phrase_tf_expr(phrase_words: list[str], toks: str = "toks") -> str:
+    """SQL expression counting EXACT adjacent occurrences of an n-word
+    phrase in a token array: filter the valid start positions (1-based,
+    bounds-guarded so element_at never reads past the array — ANSI-safe)
+    for full n-token matches. 0 when the doc is shorter than the phrase."""
+    n = len(phrase_words)
+    conds = " AND ".join(
+        f"element_at({toks}, i + {j}) = '{w}'" for j, w in enumerate(phrase_words)
+    )
+    return (
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"size(filter(sequence(1, size({toks}) - {n} + 1), i -> {conds})) "
+        f"ELSE 0 END"
+    )
+
+
+def phrase_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrases: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """Per-phrase top-k documents by EXACT-ADJACENCY phrase frequency —
+    the positional query BM25's bag-of-words postings cannot answer
+    ("table hash" as a phrase, not two independent terms).
+
+    One corpus scan computes every phrase's count as a parallel column
+    (all whole-stage-codegen higher-order filters over the shared token
+    array — the corpus is NOT re-scanned per phrase), then ``stack``
+    pivots the counts long, rows with zero matches drop, and one window
+    per phrase ranks (phrase_tf desc, doc_id asc).
+
+    Output: (phrase, doc_id, phrase_tf, rnk), rnk <= k.
+
+    100 TB shape: scan-dominated by construction — phrase evaluation is
+    per-row array arithmetic inside codegen; the only exchange is the
+    per-phrase top-k window over rows that actually match (a tiny
+    fraction for selective phrases). Serving-side note, honestly: this
+    is the SCAN form; an index-served form needs positional postings
+    (positions arrays in the postings rows — the standard Lucene layout),
+    which the stored BM25 index deliberately omits (docstring there:
+    postings stay scoring-complete, not position-complete).
+    """
+    if not phrases:
+        raise ValueError("phrase_topk: phrases must be non-empty")
+    split = [p.split() for p in phrases]
+    if any(len(w) < 2 for w in split):
+        raise ValueError("phrase_topk: each phrase needs >= 2 words")
+    toked = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    )
+    tf_cols = [
+        F.expr(_phrase_tf_expr(w)).cast("long").alias(f"tf_{i}")
+        for i, w in enumerate(split)
+    ]
+    wide = toked.select("doc_id", *tf_cols)
+    stack_args = ", ".join(f"'{p}', tf_{i}" for i, p in enumerate(phrases))
+    long = wide.selectExpr(
+        "doc_id", f"stack({len(phrases)}, {stack_args}) AS (phrase, phrase_tf)"
+    ).where(F.col("phrase_tf") > 0)
+    w = Window.partitionBy("phrase").orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
+    return (
+        long.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("phrase", "doc_id", "phrase_tf", "rnk")
+    )

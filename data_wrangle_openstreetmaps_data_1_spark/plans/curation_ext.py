@@ -829,3 +829,58 @@ def tx_vocab_drift(spark: SparkSession, sf: str) -> DataFrame:
         docs.where(F.col("doc_id") % 5 == 3),
         "text",
     )
+# --------------------------------------------------------------------------
+# exact phrase search (round 12)
+# --------------------------------------------------------------------------
+
+_PHRASES = ["table hash", "merge group", "slow hash batch"]
+
+
+def _phrase_oracle(k: int = 5) -> str:
+    from .pipeline import _TOKS_SQL
+
+    branches = []
+    for p in _PHRASES:
+        words = p.split()
+        n = len(words)
+        conds = " AND ".join(
+            f"toks[i + {j}] = '{w}'" for j, w in enumerate(words)
+        )
+        # DuckDB range(a, b) is EXCLUSIVE of b; Spark sequence(a, b) is
+        # INCLUSIVE — range(1, len - n + 2) == sequence(1, size - n + 1)
+        branches.append(
+            f"SELECT '{p}' AS phrase, doc_id, "
+            f"CASE WHEN len(toks) >= {n} THEN "
+            f"CAST(len(list_filter(range(1, len(toks) - {n} + 2), i -> {conds})) AS BIGINT) "
+            f"ELSE 0 END AS phrase_tf FROM d"
+        )
+    return rf"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    u AS ({' UNION ALL '.join(branches)}),
+    r AS (SELECT phrase, doc_id, phrase_tf,
+                 row_number() OVER (PARTITION BY phrase
+                                    ORDER BY phrase_tf DESC, doc_id ASC) AS rnk
+          FROM u WHERE phrase_tf > 0)
+    SELECT phrase, doc_id, phrase_tf, rnk FROM r WHERE rnk <= {k}
+    """
+
+
+@register(
+    "tx_phrase_search",
+    _phrase_oracle(),
+    doc="EXACT phrase search (adjacency, not bag-of-words): per-phrase "
+    "top-5 documents by phrase frequency — the positional query BM25 "
+    "postings cannot answer. One corpus scan evaluates every phrase as a "
+    "codegen'd higher-order filter over the shared token array (phrases "
+    "include a trigram — the operator is n-ary, not bigram-only), stack "
+    "pivots counts long, non-matching rows drop before the only "
+    "exchange (per-phrase top-k window). The oracle replays the same "
+    "position arithmetic with DuckDB list ops (range/sequence "
+    "inclusivity difference handled explicitly in the SQL)",
+)
+def tx_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.retrieval import phrase_topk
+
+    return phrase_topk(
+        load_table(spark, sf, "documents"), "doc_id", "text", _PHRASES, k=5
+    )
