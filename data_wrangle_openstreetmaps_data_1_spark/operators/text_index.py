@@ -377,3 +377,164 @@ def bm25_probe(
         .where(F.col("rnk") <= k)
         .select("term", "doc_id", "tf", "df", "score_fp", "rnk")
     )
+
+
+_POSITIONS = "positions"
+
+
+def write_phrase_positions(
+    spark: SparkSession,
+    docs: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+) -> None:
+    """Positional postings sidecar — the layout that serves PHRASE queries
+    from the index (operators/retrieval.phrase_topk is the scan form;
+    Lucene stores exactly this to avoid that scan): (term, doc_id,
+    positions) with the 1-based occurrence positions as a sorted array,
+    bucketed/partitioned like ``postings/`` so a phrase probe prunes to
+    its words' buckets. Kept OUT of the scoring postings deliberately —
+    positions roughly double index bytes and BM25 probes never need them;
+    deployments that don't serve phrases skip this sidecar entirely.
+
+    Requires the index at ``path`` to exist (reads its n_buckets so both
+    layouts agree on bucket routing).
+    """
+    from ..functions.text import tokens
+
+    n_buckets = read_index_meta(spark, path)["n_buckets"]
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    )
+    pos = (
+        toked.select(
+            "doc_id", F.posexplode("toks").alias("pos0", "term")
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.sort_array(F.collect_list(F.col("pos0") + 1)).alias("positions"))
+        .select(
+            "term", "doc_id", "positions",
+            _bucket_col(F.col("term"), n_buckets).alias("bucket"),
+        )
+    )
+    pos.repartition("bucket").write.partitionBy("bucket").mode("overwrite").parquet(
+        f"{path}/{_POSITIONS}"
+    )
+
+
+def phrase_positions_add(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    *,
+    check_duplicates: bool = True,
+) -> None:
+    """Incremental positional add: a new doc's (term, doc_id, positions)
+    rows append into their term buckets — positions are per-document
+    state, so like the codes table (and unlike the df dictionary) adds
+    touch ZERO existing bytes and base+delta is bit-identical to a
+    one-shot build."""
+    from ..functions.text import tokens
+
+    n_buckets = read_index_meta(spark, path)["n_buckets"]
+    if check_duplicates:
+        existing = (
+            spark.read.parquet(f"{path}/{_POSITIONS}").select("doc_id").distinct()
+        )
+        dup = (
+            batch.select(F.col(id_col).alias("doc_id")).distinct()
+            .join(existing, "doc_id").limit(1).collect()
+        )
+        if dup:
+            raise ValueError(
+                f"phrase_positions_add: doc_id {dup[0]['doc_id']!r} already has "
+                f"positions at {path} — adds must be new documents"
+            )
+    toked = batch.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    )
+    (
+        toked.select("doc_id", F.posexplode("toks").alias("pos0", "term"))
+        .groupBy("term", "doc_id")
+        .agg(F.sort_array(F.collect_list(F.col("pos0") + 1)).alias("positions"))
+        .select(
+            "term", "doc_id", "positions",
+            _bucket_col(F.col("term"), n_buckets).alias("bucket"),
+        )
+        .repartition("bucket")
+        .write.partitionBy("bucket")
+        .mode("append")
+        .parquet(f"{path}/{_POSITIONS}")
+    )
+
+
+def phrase_probe(
+    spark: SparkSession, path: str, phrases: list[str], k: int = 5
+) -> DataFrame:
+    """Phrase top-k from the positional sidecar, value-identical to the
+    scan form (tx_phrase_search's oracle checks this probe verbatim):
+    per phrase, read ONLY its words' buckets (driver-side md5 routing →
+    PartitionFilters, term isin pushed into the pruned scan), pivot each
+    doc's per-word position arrays into a map, and fold adjacency with
+    array arithmetic — starts(w0); then for each next word intersect
+    (starts + 1) with its positions; phrase_tf = |final starts|. A doc
+    qualifies only when it carries ALL the phrase's words (inner
+    map-completeness check), and overlapping runs count once per start,
+    both exactly the scan form's semantics. Tombstoned docs are
+    anti-joined out (the bm25_probe contract); positions/ is a pure
+    function of the corpus, so compaction-time recovery is rebuild, like
+    rebuild_bm25_terms."""
+    from pyspark.sql import Window
+
+    if not phrases:
+        raise ValueError("phrase_probe: phrases must be non-empty")
+    split = [p.split() for p in phrases]
+    if any(len(w) < 2 for w in split):
+        raise ValueError("phrase_probe: each phrase needs >= 2 words")
+    n_buckets = read_index_meta(spark, path)["n_buckets"]
+    ts = _doc_tombstones(spark, path)
+    parts = []
+    for phrase, words in zip(phrases, split):
+        uniq = sorted(set(words))
+        buckets = sorted({term_bucket_py(t, n_buckets) for t in uniq})
+        pos = (
+            spark.read.parquet(f"{path}/{_POSITIONS}")
+            .where(F.col("bucket").isin(buckets) & F.col("term").isin(uniq))
+        )
+        if ts is not None:
+            pos = pos.join(F.broadcast(ts), "doc_id", "left_anti")
+        pmap = (
+            pos.groupBy("doc_id")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("term", "positions"))
+                ).alias("pmap"),
+                F.count("*").alias("n_terms"),
+            )
+            .where(F.col("n_terms") == len(uniq))  # doc has ALL words
+        )
+        chain = f"element_at(pmap, '{words[0]}')"
+        for wj in words[1:]:
+            chain = (
+                f"array_intersect(transform({chain}, x -> x + 1), "
+                f"element_at(pmap, '{wj}'))"
+            )
+        parts.append(
+            pmap.select(
+                F.lit(phrase).alias("phrase"),
+                "doc_id",
+                F.expr(f"size({chain})").cast("long").alias("phrase_tf"),
+            ).where(F.col("phrase_tf") > 0)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    w = Window.partitionBy("phrase").orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
+    return (
+        out.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("phrase", "doc_id", "phrase_tf", "rnk")
+    )

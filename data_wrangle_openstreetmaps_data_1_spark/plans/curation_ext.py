@@ -884,3 +884,46 @@ def tx_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
     return phrase_topk(
         load_table(spark, sf, "documents"), "doc_id", "text", _PHRASES, k=5
     )
+
+
+@register(
+    "tx_phrase_stored",
+    _phrase_oracle(),
+    doc="phrase search served from the PERSISTED positional sidecar "
+    "(operators/text_index.py:write_phrase_positions/phrase_probe) — the "
+    "Lucene positional-postings layout: (term, doc_id, sorted positions) "
+    "bucketed like the scoring postings, kept as a separate dataset "
+    "because positions roughly double index bytes and BM25 probes never "
+    "need them. The probe reads ONLY the phrase words' buckets (driver-"
+    "side md5 routing -> PartitionFilters) and folds adjacency with "
+    "array arithmetic (starts+1 intersected with the next word's "
+    "positions), where tx_phrase_search re-scans and re-tokenizes the "
+    "whole corpus per phrase batch. Built base + incremental add inside "
+    "the query (positions are per-document state: adds append, zero "
+    "existing bytes touched) and shares tx_phrase_search's oracle "
+    "verbatim — the serving path must be value-invisible",
+)
+def tx_phrase_stored(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.text_index import (
+        phrase_positions_add,
+        phrase_probe,
+        write_bm25_index,
+        write_phrase_positions,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="phrase_idx_")
+    shutil.rmtree(path, ignore_errors=True)
+    # the scoring index provides the layout meta (n_buckets) the
+    # positional sidecar routes by — one index dir, two datasets
+    write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
+    write_phrase_positions(
+        spark, docs.where(F.col("doc_id") % 5 != 3), path, "doc_id", "text"
+    )
+    phrase_positions_add(
+        spark, docs.where(F.col("doc_id") % 5 == 3), path, "doc_id", "text"
+    )
+    return phrase_probe(spark, path, _PHRASES, k=5)

@@ -290,3 +290,95 @@ def test_rebuild_terms_recovers_partial_commit(spark, docs):
     finally:
         shutil.rmtree(path, ignore_errors=True)
         shutil.rmtree(ref, ignore_errors=True)
+
+
+PHRASES = ["table hash", "merge group", "slow hash batch"]
+
+
+def test_phrase_stored_matches_scan_form(spark, docs, full_index):
+    """The positional-sidecar probe must be value-identical to the scan
+    form (phrase_topk) — the serving path changes bytes touched, never
+    the answer — and its scan must prune to the phrase words' buckets."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.retrieval import (
+        phrase_topk,
+    )
+    from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+        phrase_probe,
+        write_phrase_positions,
+    )
+
+    write_phrase_positions(spark, docs, full_index, "doc_id", "text")
+    stored = phrase_probe(spark, full_index, PHRASES, k=5)
+    scan = phrase_topk(docs, "doc_id", "text", PHRASES, k=5)
+    assert sorted(map(tuple, stored.collect())) == sorted(map(tuple, scan.collect()))
+
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==", 1)[0]
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_phrase_positions_add_invisible(spark, docs):
+    """base + delta positional add == one-shot positional build, probe
+    answers included (per-document state: appends never touch existing
+    bytes), and the duplicate guard is loud."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+        phrase_positions_add,
+        phrase_probe,
+        write_phrase_positions,
+    )
+
+    oneshot = tempfile.mkdtemp(prefix="phrasepos_ref_")
+    split = tempfile.mkdtemp(prefix="phrasepos_split_")
+    try:
+        for p in (oneshot, split):
+            write_bm25_index(spark, docs, p, "doc_id", "text", n_buckets=NB)
+        write_phrase_positions(spark, docs, oneshot, "doc_id", "text")
+        write_phrase_positions(
+            spark, docs.where(F.col("doc_id") % 3 != 1), split, "doc_id", "text"
+        )
+        phrase_positions_add(
+            spark, docs.where(F.col("doc_id") % 3 == 1), split, "doc_id", "text"
+        )
+        ref = sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{oneshot}/positions").collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{split}/positions").collect()
+        )
+        assert got == ref
+        assert sorted(map(tuple, phrase_probe(spark, split, PHRASES, k=5).collect())) \
+            == sorted(map(tuple, phrase_probe(spark, oneshot, PHRASES, k=5).collect()))
+        with pytest.raises(ValueError, match="already has positions"):
+            phrase_positions_add(
+                spark, docs.where(F.col("doc_id") % 3 == 1), split, "doc_id", "text"
+            )
+    finally:
+        shutil.rmtree(oneshot, ignore_errors=True)
+        shutil.rmtree(split, ignore_errors=True)
+
+
+def test_phrase_probe_honors_tombstones(spark, docs):
+    """A deleted doc must vanish from phrase results immediately (the
+    bm25_probe staleness contract applies to the positional sidecar
+    too)."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+        bm25_index_delete,
+        phrase_probe,
+        write_phrase_positions,
+    )
+
+    path = tempfile.mkdtemp(prefix="phrasepos_ts_")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=NB)
+        write_phrase_positions(spark, docs, path, "doc_id", "text")
+        top1 = phrase_probe(spark, path, PHRASES, k=1).collect()
+        victims = sorted({int(r["doc_id"]) for r in top1})
+        bm25_index_delete(spark, path, victims)
+        after = phrase_probe(spark, path, PHRASES, k=5)
+        assert after.where(F.col("doc_id").isin(victims)).count() == 0
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
