@@ -538,3 +538,85 @@ def phrase_probe(
         .where(F.col("rnk") <= k)
         .select("phrase", "doc_id", "phrase_tf", "rnk")
     )
+
+
+def proximity_probe(
+    spark: SparkSession,
+    path: str,
+    pairs: list[tuple[str, str, int]],
+    k: int = 5,
+) -> DataFrame:
+    """Ordered within-window co-occurrence from the positional sidecar —
+    the slop query (Lucene's sloppy PhraseQuery territory, with a simpler
+    contract stated exactly): for (w1, w2, slop), a match is a position
+    pair (p1, p2) with p1 < p2 <= p1 + slop + 1 — slop = how many tokens
+    may sit between the words, so slop=0 is exact bigram adjacency
+    (asserted against phrase_probe in tests). ``prox_tf`` counts ALL such
+    pairs per doc.
+
+    Same serving shape as phrase_probe: driver-side md5 routing prunes to
+    the two words' buckets, per-doc position arrays pivot into a map, and
+    the count is one nested higher-order fold (tiny arrays, off the hot
+    path — the corpus-sized work stayed in the one-time positional
+    build). Tombstoned docs are anti-joined out. Output:
+    (w1, w2, slop, doc_id, prox_tf, rnk), top-k per pair by
+    (prox_tf desc, doc_id asc).
+    """
+    from pyspark.sql import Window
+
+    if not pairs:
+        raise ValueError("proximity_probe: pairs must be non-empty")
+    for w1, w2, slop in pairs:
+        if w1 == w2:
+            raise ValueError(
+                f"proximity_probe: identical words ({w1!r}) need the phrase "
+                "form — the position map keys by word"
+            )
+        if slop < 0:
+            raise ValueError(f"proximity_probe: negative slop {slop}")
+    n_buckets = read_index_meta(spark, path)["n_buckets"]
+    ts = _doc_tombstones(spark, path)
+    parts = []
+    for w1, w2, slop in pairs:
+        buckets = sorted({term_bucket_py(t, n_buckets) for t in (w1, w2)})
+        pos = (
+            spark.read.parquet(f"{path}/{_POSITIONS}")
+            .where(F.col("bucket").isin(buckets) & F.col("term").isin([w1, w2]))
+        )
+        if ts is not None:
+            pos = pos.join(F.broadcast(ts), "doc_id", "left_anti")
+        pmap = (
+            pos.groupBy("doc_id")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("term", "positions"))
+                ).alias("pmap"),
+                F.count("*").alias("n_terms"),
+            )
+            .where(F.col("n_terms") == 2)
+        )
+        count_expr = (
+            f"aggregate(element_at(pmap, '{w1}'), 0, (acc, p) -> acc + "
+            f"size(filter(element_at(pmap, '{w2}'), "
+            f"q -> q > p AND q <= p + {slop + 1})))"
+        )
+        parts.append(
+            pmap.select(
+                F.lit(w1).alias("w1"),
+                F.lit(w2).alias("w2"),
+                F.lit(int(slop)).cast("int").alias("slop"),
+                "doc_id",
+                F.expr(count_expr).cast("long").alias("prox_tf"),
+            ).where(F.col("prox_tf") > 0)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    w = Window.partitionBy("w1", "w2", "slop").orderBy(
+        F.desc("prox_tf"), F.asc("doc_id")
+    )
+    return (
+        out.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("w1", "w2", "slop", "doc_id", "prox_tf", "rnk")
+    )

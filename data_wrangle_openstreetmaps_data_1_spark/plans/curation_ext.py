@@ -927,3 +927,67 @@ def tx_phrase_stored(spark: SparkSession, sf: str) -> DataFrame:
         spark, docs.where(F.col("doc_id") % 5 == 3), path, "doc_id", "text"
     )
     return phrase_probe(spark, path, _PHRASES, k=5)
+
+
+_PROX_PAIRS = [("table", "hash", 0), ("merge", "group", 2), ("slow", "batch", 3)]
+
+
+def _proximity_oracle(k: int = 5) -> str:
+    from .pipeline import _TOKS_SQL
+
+    branches = []
+    for w1, w2, slop in _PROX_PAIRS:
+        # position arrays per word, then the ordered within-window pair
+        # count: sum over p1 of |{p2 : p1 < p2 <= p1 + slop + 1}|.
+        # DuckDB list_reduce has no init value -> list_sum(list_transform)
+        # instead (equals Spark's aggregate(..., 0, ...) fold)
+        p1 = f"list_filter(range(1, len(toks) + 1), i -> toks[i] = '{w1}')"
+        p2 = f"list_filter(range(1, len(toks) + 1), i -> toks[i] = '{w2}')"
+        branches.append(
+            f"SELECT '{w1}' AS w1, '{w2}' AS w2, CAST({slop} AS INT) AS slop, "
+            f"doc_id, CAST(coalesce(list_sum(list_transform({p1}, "
+            f"p -> len(list_filter({p2}, q -> q > p AND q <= p + {slop + 1})))), 0) "
+            f"AS BIGINT) AS prox_tf FROM d"
+        )
+    return rf"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    u AS ({' UNION ALL '.join(branches)}),
+    r AS (SELECT w1, w2, slop, doc_id, prox_tf,
+                 row_number() OVER (PARTITION BY w1, w2, slop
+                                    ORDER BY prox_tf DESC, doc_id ASC) AS rnk
+          FROM u WHERE prox_tf > 0)
+    SELECT w1, w2, slop, doc_id, prox_tf, rnk FROM r WHERE rnk <= {k}
+    """
+
+
+@register(
+    "tx_proximity_stored",
+    _proximity_oracle(),
+    doc="ordered within-window co-occurrence (the slop query) served from "
+    "the SAME positional sidecar as tx_phrase_stored — the layout pays "
+    "for a second query family it was not purpose-built for: (w1, w2, "
+    "slop) matches position pairs p1 < p2 <= p1 + slop + 1, so slop=0 is "
+    "exact bigram adjacency (asserted against phrase_probe in tests) and "
+    "larger slops catch split phrases. Probe prunes to the two words' "
+    "buckets (driver md5 routing -> PartitionFilters); the pair count is "
+    "a nested fold over tiny per-doc position arrays, off the hot path. "
+    "Oracle replays positions + window arithmetic from the raw corpus "
+    "with DuckDB list ops (list_sum/list_transform standing in for "
+    "Spark's aggregate-with-init, which DuckDB's list_reduce lacks)",
+)
+def tx_proximity_stored(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.text_index import (
+        proximity_probe,
+        write_bm25_index,
+        write_phrase_positions,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="prox_idx_")
+    shutil.rmtree(path, ignore_errors=True)
+    write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
+    write_phrase_positions(spark, docs, path, "doc_id", "text")
+    return proximity_probe(spark, path, _PROX_PAIRS, k=5)

@@ -382,3 +382,34 @@ def test_phrase_probe_honors_tombstones(spark, docs):
         assert after.where(F.col("doc_id").isin(victims)).count() == 0
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_proximity_slop0_equals_phrase_bigram(spark, docs, full_index):
+    """slop=0 is exact adjacency: proximity counts for (w1, w2, 0) must
+    equal phrase_probe's bigram counts doc-for-doc, and the guards are
+    loud."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+        phrase_probe,
+        proximity_probe,
+        write_phrase_positions,
+    )
+
+    write_phrase_positions(spark, docs, full_index, "doc_id", "text")
+    prox = proximity_probe(spark, full_index, [("table", "hash", 0)], k=500)
+    phr = phrase_probe(spark, full_index, ["table hash"], k=500)
+    got = {(r["doc_id"], r["prox_tf"]) for r in prox.collect()}
+    ref = {(r["doc_id"], r["phrase_tf"]) for r in phr.collect()}
+    assert got == ref and got  # non-empty on this corpus
+
+    # widening the window can only add matches
+    wide = proximity_probe(spark, full_index, [("table", "hash", 3)], k=500)
+    wide_by_doc = {r["doc_id"]: r["prox_tf"] for r in wide.collect()}
+    for doc_id, tf in got:
+        assert wide_by_doc.get(doc_id, 0) >= tf
+
+    with pytest.raises(ValueError, match="identical words"):
+        proximity_probe(spark, full_index, [("hash", "hash", 1)], k=5)
+    with pytest.raises(ValueError, match="negative slop"):
+        proximity_probe(spark, full_index, [("table", "hash", -1)], k=5)
+    with pytest.raises(ValueError, match="non-empty"):
+        proximity_probe(spark, full_index, [], k=5)
