@@ -226,7 +226,20 @@ def ivf_pq_drift_report(
     ``retrain_flag`` = either signal fired. Feed any batch through this
     before/after ``ivf_pq_index_add`` (or pass ``drift_guard=True`` to the
     add to make a flagged batch raise instead of landing)."""
+    import os
+
     meta = read_ivf_pq_meta(spark, path)
+    if not os.path.isdir(f"{path}/{_DRIFT_BASE}"):
+        # graceful old-layout handling (the BM25 stats path's discipline):
+        # indexes written before the drift gauge existed have no baseline
+        # snapshot — fail with the recovery spelled out, not an opaque
+        # AnalysisException from the missing parquet dir
+        raise ValueError(
+            f"ivf_pq_drift_report: {path} predates the drift baseline "
+            f"({_DRIFT_BASE}/ missing) — rebuild with write_ivf_pq_index "
+            "to snapshot the training-time cluster profile, or skip the "
+            "drift gauge for this index"
+        )
     base = spark.read.parquet(f"{path}/{_DRIFT_BASE}")
     batch_prof = (
         _assign_encode(batch, id_col, vec_col, meta, with_resid=True)

@@ -193,11 +193,16 @@ def phrase_topk(
     which the stored BM25 index deliberately omits (docstring there:
     postings stay scoring-complete, not position-complete).
     """
+    from .text_index import check_query_words
+
     if not phrases:
         raise ValueError("phrase_topk: phrases must be non-empty")
     split = [p.split() for p in phrases]
     if any(len(w) < 2 for w in split):
         raise ValueError("phrase_topk: each phrase needs >= 2 words")
+    # words are interpolated into the codegen'd filter expression below —
+    # the shared charset guard rejects quote/backslash/whitespace loudly
+    check_query_words([w for ws in split for w in ws], "phrase_topk")
     toked = df.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
     )

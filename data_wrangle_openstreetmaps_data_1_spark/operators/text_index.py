@@ -39,6 +39,7 @@ full build (asserted in tests).
 from __future__ import annotations
 
 import hashlib
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -49,6 +50,27 @@ from ..functions.text import tokens
 _POSTINGS = "postings"
 _TERMS = "terms"
 _STATS = "stats"
+
+# Query words reaching the probes are data (broadcast DataFrame rows in the
+# batched forms), but the reference per-phrase forms and the scan-form
+# phrase_topk interpolate them into SQL expression strings — so every
+# public entry point rejects words that could break or inject into an
+# expression (quotes, backslashes) or that can never be a token at all
+# (whitespace/empty: the tokenizer splits on whitespace). Serving APIs
+# fail LOUDLY on malformed input instead of producing a corrupt plan.
+_BAD_QUERY_WORD = re.compile(r"['\\\s]")
+
+
+def check_query_words(words: list[str], caller: str) -> None:
+    """Shared guard for the retrieval string APIs (see _BAD_QUERY_WORD)."""
+    for w in words:
+        if not w or _BAD_QUERY_WORD.search(w):
+            raise ValueError(
+                f"{caller}: query word {w!r} is empty or contains a quote, "
+                "backslash, or whitespace — not a valid token (tokenizer "
+                "splits on whitespace; quotes/backslashes would corrupt the "
+                "probe expression)"
+            )
 
 
 def term_bucket_py(term: str, n_buckets: int) -> int:
@@ -134,9 +156,11 @@ def _write_stats_incremental(spark: SparkSession, path: str, new_post: DataFrame
     sum_dl) + the batch's doc-level aggregate -> new stats row. Both
     inputs are collected driver-side (one row each) BEFORE the overwrite,
     so there is no lazy read of the path being replaced. Falls back to
-    the full rebuild for a pre-sum_dl stats row (older index layout)."""
+    the full rebuild for a pre-sum_dl stats row (older index layout) AND
+    for a missing stats row (head() is None in the documented partial-
+    commit crash state) — stats are a pure function of postings/."""
     stored = spark.read.parquet(f"{path}/{_STATS}").head()
-    if "sum_dl" not in stored.asDict():
+    if stored is None or "sum_dl" not in stored.asDict():
         _write_stats(spark, path)
         return
     b = (
@@ -230,7 +254,11 @@ def bm25_index_add(
             )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        shutil.rmtree(staged_path, ignore_errors=True)
+        # driver-local cleanup of the staged dir (local-FS boundary, same
+        # as bm25_index_compact's sibling swap: on HDFS/S3 swap for the FS
+        # client's delete). NOT ignore_errors — a leaked terms__merge dir
+        # inside the index path must be visible, not silent.
+        shutil.rmtree(staged_path)
         _write_stats_incremental(spark, path, new_post)
     finally:
         new_post.unpersist()
@@ -282,13 +310,21 @@ def _doc_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
 def bm25_index_compact(spark: SparkSession, path: str) -> int:
     """Fold document tombstones in: rewrite the postings WITHOUT the
     deleted docs and rebuild the term dictionary + stats exactly (df and
-    avgdl drop the deleted docs — probe scores are exact again).
+    avgdl drop the deleted docs — probe scores are exact again). When the
+    positional sidecar (``positions/``) exists it is rewritten with the
+    SAME survivors anti-join BEFORE the tombstones are cleared — phrase
+    and proximity probes rely on the tombstone anti-join for delete
+    correctness, so a compact that dropped the tombstones but kept the
+    deleted docs' positions rows would RESURRECT them (and block a legal
+    post-compact re-add on stale duplicate-guard hits).
 
     Unlike the vector index's cluster-selective compaction, this is a
     FULL postings rewrite: a doc's postings live in every bucket its
     terms hash to, so the dirty-partition set is usually 'all of them'
     (same reason Lucene compacts by whole-segment merge). Returns the
     number of postings rows removed."""
+    import os
+
     ts = _doc_tombstones(spark, path)
     if ts is None or ts.head(1) == []:
         return 0
@@ -319,6 +355,23 @@ def bm25_index_compact(spark: SparkSession, path: str) -> int:
             f"{path}/{_TERMS}"
         )
         _write_stats(spark, path)
+        if os.path.isdir(f"{path}/{_POSITIONS}"):
+            # positions rows are doc-keyed, so the survivors pass needs no
+            # corpus — same sibling-write + swap as postings/ above. This
+            # MUST land before the tombstone clear below: it is what makes
+            # the clear safe for the phrase/proximity probes.
+            pos_tmp = f"{path}/{_POSITIONS}__compact"
+            (
+                spark.read.parquet(f"{path}/{_POSITIONS}")
+                .join(F.broadcast(ts), "doc_id", "left_anti")
+                .select("term", "doc_id", "positions", "bucket")
+                .repartition("bucket")
+                .write.partitionBy("bucket")
+                .mode("overwrite")
+                .parquet(pos_tmp)
+            )
+            shutil.rmtree(f"{path}/{_POSITIONS}")
+            shutil.move(pos_tmp, f"{path}/{_POSITIONS}")
     finally:
         survivors.unpersist()
     shutil.rmtree(f"{path}/{_TOMBSTONES}", ignore_errors=True)
@@ -471,12 +524,28 @@ def phrase_positions_add(
     )
 
 
+def _split_phrases(phrases: list[str], caller: str) -> list[list[str]]:
+    """Shared phrase validation: non-empty batch, >= 2 words each, no
+    duplicate phrases (a duplicate would double its rows through the
+    per-phrase ranking window — a caller bug, rejected loudly), and the
+    query-word charset guard."""
+    if not phrases:
+        raise ValueError(f"{caller}: phrases must be non-empty")
+    if len(set(phrases)) != len(phrases):
+        raise ValueError(f"{caller}: duplicate phrases in the batch")
+    split = [p.split() for p in phrases]
+    if any(len(w) < 2 for w in split):
+        raise ValueError(f"{caller}: each phrase needs >= 2 words")
+    check_query_words([w for ws in split for w in ws], caller)
+    return split
+
+
 def phrase_probe(
     spark: SparkSession, path: str, phrases: list[str], k: int = 5
 ) -> DataFrame:
     """Phrase top-k from the positional sidecar, value-identical to the
     scan form (tx_phrase_search's oracle checks this probe verbatim):
-    per phrase, read ONLY its words' buckets (driver-side md5 routing →
+    read ONLY the phrase words' buckets (driver-side md5 routing →
     PartitionFilters, term isin pushed into the pruned scan), pivot each
     doc's per-word position arrays into a map, and fold adjacency with
     array arithmetic — starts(w0); then for each next word intersect
@@ -486,14 +555,99 @@ def phrase_probe(
     both exactly the scan form's semantics. Tombstoned docs are
     anti-joined out (the bm25_probe contract); positions/ is a pure
     function of the corpus, so compaction-time recovery is rebuild, like
-    rebuild_bm25_terms."""
+    rebuild_bm25_terms.
+
+    Delegates to :func:`phrase_probe_batched` — ONE pruned ``positions/``
+    scan regardless of phrase count. The per-phrase reference form
+    (:func:`phrase_probe_per_phrase`, a scan branch + union per phrase)
+    is kept as the executable semantics spec; the two are asserted
+    row-identical in tests."""
+    return phrase_probe_batched(spark, path, phrases, k=k)
+
+
+def phrase_probe_batched(
+    spark: SparkSession, path: str, phrases: list[str], k: int = 5
+) -> DataFrame:
+    """The BATCHED serving form (the text twin of ivf_pq_probe_batched):
+    plan size CONSTANT in the number of phrases. One ``positions/`` scan
+    pruned to the UNION of all phrases' buckets/terms, a broadcast
+    (phrase, term) fan-out join, one (phrase, doc) aggregation into the
+    per-doc position map, and the adjacency fold as ONE generic
+    higher-order expression over the phrase's word ARRAY —
+    ``aggregate(words[2:], positions(words[0]),
+    (acc, w) -> (acc + 1) ∩ positions(w))`` — instead of a per-phrase
+    literal element_at chain. Query words travel as broadcast DataFrame
+    rows, never interpolated into SQL (injection-free by construction;
+    the charset guard still applies for API consistency). Positions are
+    integers, so the fold is exactly the reference form's arithmetic —
+    row-identical, not approximately equal.
+
+    100 TB shape: a serving batch of hundreds of phrases compiles the
+    same 5-node plan as 3 phrases do; the scan reads only the union of
+    the probed term buckets, and the only corpus-proportional exchange is
+    the (phrase, doc) aggregation over rows that carry probed terms."""
     from pyspark.sql import Window
 
-    if not phrases:
-        raise ValueError("phrase_probe: phrases must be non-empty")
-    split = [p.split() for p in phrases]
-    if any(len(w) < 2 for w in split):
-        raise ValueError("phrase_probe: each phrase needs >= 2 words")
+    split = _split_phrases(phrases, "phrase_probe")
+    n_buckets = read_index_meta(spark, path)["n_buckets"]
+    all_words = sorted({w for ws in split for w in ws})
+    buckets = sorted({term_bucket_py(w, n_buckets) for w in all_words})
+    ptab = spark.createDataFrame(
+        [(p, ws, sorted(set(ws)), len(set(ws))) for p, ws in zip(phrases, split)],
+        "phrase string, words array<string>, uniq array<string>, n_uniq int",
+    )
+    pos = (
+        spark.read.parquet(f"{path}/{_POSITIONS}")
+        .where(F.col("bucket").isin(buckets) & F.col("term").isin(all_words))
+    )
+    ts = _doc_tombstones(spark, path)
+    if ts is not None:
+        pos = pos.join(F.broadcast(ts), "doc_id", "left_anti")
+    # fan out each positions row to every phrase containing its term,
+    # then pivot per (phrase, doc) — n_terms == n_uniq is the same
+    # doc-has-ALL-words completeness check as the reference form
+    pw = ptab.select("phrase", F.explode("uniq").alias("term"))
+    pmap = (
+        pos.join(F.broadcast(pw), "term")
+        .groupBy("phrase", "doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))
+            ).alias("pmap"),
+            F.count("*").alias("n_terms"),
+        )
+        .join(F.broadcast(ptab.select("phrase", "words", "n_uniq")), "phrase")
+        .where(F.col("n_terms") == F.col("n_uniq"))
+    )
+    fold = (
+        "size(aggregate(slice(words, 2, size(words) - 1), "
+        "element_at(pmap, words[0]), "
+        "(acc, w) -> array_intersect(transform(acc, x -> x + 1), "
+        "element_at(pmap, w))))"
+    )
+    out = pmap.select(
+        "phrase", "doc_id", F.expr(fold).cast("long").alias("phrase_tf")
+    ).where(F.col("phrase_tf") > 0)
+    w = Window.partitionBy("phrase").orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
+    return (
+        out.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("phrase", "doc_id", "phrase_tf", "rnk")
+    )
+
+
+def phrase_probe_per_phrase(
+    spark: SparkSession, path: str, phrases: list[str], k: int = 5
+) -> DataFrame:
+    """The per-phrase REFERENCE form: one pruned scan branch + literal
+    element_at chain per phrase, unioned. Semantically the spec
+    phrase_probe_batched must match (asserted row-identical in tests);
+    kept out of the serving path because its plan grows linearly in the
+    phrase count — the same per-query plan growth ivf_pq_probe_batched
+    retired for vectors."""
+    from pyspark.sql import Window
+
+    split = _split_phrases(phrases, "phrase_probe_per_phrase")
     n_buckets = read_index_meta(spark, path)["n_buckets"]
     ts = _doc_tombstones(spark, path)
     parts = []
@@ -561,19 +715,106 @@ def proximity_probe(
     build). Tombstoned docs are anti-joined out. Output:
     (w1, w2, slop, doc_id, prox_tf, rnk), top-k per pair by
     (prox_tf desc, doc_id asc).
-    """
-    from pyspark.sql import Window
 
+    Delegates to :func:`proximity_probe_batched` — one pruned
+    ``positions/`` scan regardless of pair count;
+    :func:`proximity_probe_per_pair` is the per-pair reference form kept
+    for the equality tests.
+    """
+    return proximity_probe_batched(spark, path, pairs, k=k)
+
+
+def _check_pairs(pairs: list[tuple[str, str, int]], caller: str) -> None:
     if not pairs:
-        raise ValueError("proximity_probe: pairs must be non-empty")
+        raise ValueError(f"{caller}: pairs must be non-empty")
+    if len({(w1, w2, int(s)) for w1, w2, s in pairs}) != len(pairs):
+        raise ValueError(f"{caller}: duplicate (w1, w2, slop) pairs in the batch")
     for w1, w2, slop in pairs:
         if w1 == w2:
             raise ValueError(
-                f"proximity_probe: identical words ({w1!r}) need the phrase "
+                f"{caller}: identical words ({w1!r}) need the phrase "
                 "form — the position map keys by word"
             )
         if slop < 0:
-            raise ValueError(f"proximity_probe: negative slop {slop}")
+            raise ValueError(f"{caller}: negative slop {slop}")
+    check_query_words([w for w1, w2, _ in pairs for w in (w1, w2)], caller)
+
+
+def proximity_probe_batched(
+    spark: SparkSession,
+    path: str,
+    pairs: list[tuple[str, str, int]],
+    k: int = 5,
+) -> DataFrame:
+    """BATCHED slop probe: plan size constant in the pair count. Same
+    shape as phrase_probe_batched — one positions/ scan pruned to the
+    union of all pairs' buckets/terms, broadcast (w1, w2, slop, term)
+    fan-out, one (pair, doc) map pivot, and the pair count as ONE generic
+    fold referencing the pair's w1/w2/slop COLUMNS inside the lambda
+    (outer-attribute references, not string interpolation — injection-
+    free by construction)."""
+    from pyspark.sql import Window
+
+    _check_pairs(pairs, "proximity_probe")
+    n_buckets = read_index_meta(spark, path)["n_buckets"]
+    all_words = sorted({w for w1, w2, _ in pairs for w in (w1, w2)})
+    buckets = sorted({term_bucket_py(w, n_buckets) for w in all_words})
+    ptab = spark.createDataFrame(
+        [(w1, w2, int(slop)) for w1, w2, slop in pairs],
+        "w1 string, w2 string, slop int",
+    )
+    pos = (
+        spark.read.parquet(f"{path}/{_POSITIONS}")
+        .where(F.col("bucket").isin(buckets) & F.col("term").isin(all_words))
+    )
+    ts = _doc_tombstones(spark, path)
+    if ts is not None:
+        pos = pos.join(F.broadcast(ts), "doc_id", "left_anti")
+    pw = ptab.select(
+        "w1", "w2", "slop", F.explode(F.array("w1", "w2")).alias("term")
+    )
+    pmap = (
+        pos.join(F.broadcast(pw), "term")
+        .groupBy("w1", "w2", "slop", "doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))
+            ).alias("pmap"),
+            F.count("*").alias("n_terms"),
+        )
+        .where(F.col("n_terms") == 2)
+    )
+    count_expr = (
+        "aggregate(element_at(pmap, w1), 0, (acc, p) -> acc + "
+        "size(filter(element_at(pmap, w2), "
+        "q -> q > p AND q <= p + slop + 1)))"
+    )
+    out = pmap.select(
+        "w1", "w2", "slop", "doc_id",
+        F.expr(count_expr).cast("long").alias("prox_tf"),
+    ).where(F.col("prox_tf") > 0)
+    w = Window.partitionBy("w1", "w2", "slop").orderBy(
+        F.desc("prox_tf"), F.asc("doc_id")
+    )
+    return (
+        out.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("w1", "w2", "slop", "doc_id", "prox_tf", "rnk")
+    )
+
+
+def proximity_probe_per_pair(
+    spark: SparkSession,
+    path: str,
+    pairs: list[tuple[str, str, int]],
+    k: int = 5,
+) -> DataFrame:
+    """The per-pair REFERENCE form (scan branch + union per pair, literal
+    interpolated fold); proximity_probe_batched must match it
+    row-identically (asserted in tests). Not on the serving path."""
+    from pyspark.sql import Window
+
+    _check_pairs(pairs, "proximity_probe_per_pair")
     n_buckets = read_index_meta(spark, path)["n_buckets"]
     ts = _doc_tombstones(spark, path)
     parts = []

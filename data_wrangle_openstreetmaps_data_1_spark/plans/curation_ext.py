@@ -836,11 +836,11 @@ def tx_vocab_drift(spark: SparkSession, sf: str) -> DataFrame:
 _PHRASES = ["table hash", "merge group", "slow hash batch"]
 
 
-def _phrase_oracle(k: int = 5) -> str:
+def _phrase_oracle(k: int = 5, phrases: list[str] | None = None) -> str:
     from .pipeline import _TOKS_SQL
 
     branches = []
-    for p in _PHRASES:
+    for p in phrases or _PHRASES:
         words = p.split()
         n = len(words)
         conds = " AND ".join(
@@ -991,3 +991,165 @@ def tx_proximity_stored(spark: SparkSession, sf: str) -> DataFrame:
     write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
     write_phrase_positions(spark, docs, path, "doc_id", "text")
     return proximity_probe(spark, path, _PROX_PAIRS, k=5)
+
+
+# round 13: batched phrase serving + the positional-sidecar lifecycle
+
+_PHRASES_BATCH8 = _PHRASES + [
+    "hash table",
+    "group merge",
+    "batch slow",
+    "hash group",
+    "table group",
+]
+
+
+@register(
+    "tx_phrase_batch8",
+    _phrase_oracle(phrases=_PHRASES_BATCH8),
+    doc="the BATCHED phrase probe at serving batch width — the text twin "
+    "of sim_ivf_pq_batched (operators/text_index.py:phrase_probe_batched): "
+    "8 phrases answered from ONE positions/ scan pruned to the union of "
+    "their words' buckets, a broadcast (phrase, term) fan-out join, one "
+    "(phrase, doc) map pivot, and the adjacency fold as a single GENERIC "
+    "higher-order expression over each phrase's word array — plan size "
+    "constant in the phrase count, where the per-phrase reference form "
+    "compiles a scan branch + union per phrase (right for 3, wrong for a "
+    "500-phrase serving batch; PHRASEBATCH_WIN.json measures the "
+    "crossover). Query words travel as broadcast rows, never interpolated "
+    "into SQL. Positions are integers so the generic fold is exactly the "
+    "reference chain's arithmetic; tests assert row-identity and the "
+    "single-scan plan shape, and this query shares the scan form's "
+    "corpus-replay oracle (several phrases legitimately match zero docs — "
+    "the empty branches must agree too)",
+)
+def tx_phrase_batch8(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.text_index import (
+        phrase_probe_batched,
+        write_bm25_index,
+        write_phrase_positions,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="phrase_b8_")
+    shutil.rmtree(path, ignore_errors=True)
+    write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
+    write_phrase_positions(spark, docs, path, "doc_id", "text")
+    return phrase_probe_batched(spark, path, _PHRASES_BATCH8, k=5)
+
+
+def _phrase_lifecycle_oracle(k: int = 5) -> str:
+    """Replays delete -> probe -> compact -> probe -> re-add -> probe for
+    the positional sidecar. Victims are each phrase's rank-1 doc over the
+    full corpus (chosen inside the query). phrase_tf carries NO corpus
+    statistics (unlike BM25's df), so the stale and compacted phases must
+    be IDENTICAL — the oracle pins that by emitting the victims-excluded
+    ranking twice — and the re-added phase must equal the full-corpus
+    ranking exactly (a physically-compacted victim is a legal new doc
+    again; its positions rows must come back bit-equal)."""
+    from .pipeline import _TOKS_SQL
+
+    branches = []
+    for p in _PHRASES:
+        words = p.split()
+        n = len(words)
+        conds = " AND ".join(
+            f"toks[i + {j}] = '{w}'" for j, w in enumerate(words)
+        )
+        branches.append(
+            f"SELECT '{p}' AS phrase, doc_id, "
+            f"CASE WHEN len(toks) >= {n} THEN "
+            f"CAST(len(list_filter(range(1, len(toks) - {n} + 2), i -> {conds})) AS BIGINT) "
+            f"ELSE 0 END AS phrase_tf FROM d"
+        )
+    return rf"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    u AS ({' UNION ALL '.join(branches)}),
+    m AS (SELECT phrase, doc_id, phrase_tf FROM u WHERE phrase_tf > 0),
+    r0 AS (SELECT phrase, doc_id,
+                  row_number() OVER (PARTITION BY phrase
+                                     ORDER BY phrase_tf DESC, doc_id ASC) AS rnk
+           FROM m),
+    vict AS (SELECT DISTINCT doc_id FROM r0 WHERE rnk = 1),
+    sr AS (SELECT phrase, doc_id, phrase_tf,
+                  row_number() OVER (PARTITION BY phrase
+                                     ORDER BY phrase_tf DESC, doc_id ASC) AS rnk
+           FROM m WHERE doc_id NOT IN (SELECT doc_id FROM vict)),
+    fr AS (SELECT phrase, doc_id, phrase_tf,
+                  row_number() OVER (PARTITION BY phrase
+                                     ORDER BY phrase_tf DESC, doc_id ASC) AS rnk
+           FROM m)
+    SELECT 'stale' AS phase, phrase, doc_id, phrase_tf, rnk FROM sr WHERE rnk <= {k}
+    UNION ALL
+    SELECT 'compacted' AS phase, phrase, doc_id, phrase_tf, rnk FROM sr WHERE rnk <= {k}
+    UNION ALL
+    SELECT 'readded' AS phase, phrase, doc_id, phrase_tf, rnk FROM fr WHERE rnk <= {k}
+    """
+
+
+@register(
+    "tx_phrase_lifecycle",
+    _phrase_lifecycle_oracle(),
+    doc="delete -> probe -> compact -> probe -> RE-ADD -> probe on the "
+    "positional sidecar, all three phases driver-value-checked — the "
+    "driver-visible gate for the bug class round 12's verdict found "
+    "(compact cleared the tombstones phrase probes anti-join but never "
+    "rewrote positions/, so deleted docs RESURRECTED after compaction "
+    "and their stale rows blocked legal re-adds). Victims are each "
+    "phrase's rank-1 doc (bounded driver collect); phrase_tf carries no "
+    "corpus statistics, so stale and compacted phases must be IDENTICAL "
+    "(the oracle emits one victims-excluded ranking twice — any "
+    "resurrection is a value failure), and the re-added phase must equal "
+    "the full-corpus ranking bit-exactly (compaction physically dropped "
+    "the victim, so re-adding it is legal again and must restore its "
+    "positions rows)",
+)
+def tx_phrase_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.text_index import (
+        bm25_index_add,
+        bm25_index_compact,
+        bm25_index_delete,
+        phrase_positions_add,
+        phrase_probe,
+        write_bm25_index,
+        write_phrase_positions,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="phrase_lc_")
+    shutil.rmtree(path, ignore_errors=True)
+    write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
+    write_phrase_positions(spark, docs, path, "doc_id", "text")
+    top1 = phrase_probe(spark, path, _PHRASES, k=1).collect()  # bounded: |phrases|
+    victims = sorted({int(r["doc_id"]) for r in top1})
+    bm25_index_delete(spark, path, victims)
+    cols = ["phase", "phrase", "doc_id", "phrase_tf", "rnk"]
+    # collect each phase BEFORE the next lifecycle step rewrites/appends
+    # the files a lazy plan would re-read (bounded: |phrases| x k rows)
+    stale_rows = (
+        phrase_probe(spark, path, _PHRASES, k=5)
+        .withColumn("phase", F.lit("stale")).select(cols).collect()
+    )
+    bm25_index_compact(spark, path)
+    comp_rows = (
+        phrase_probe(spark, path, _PHRASES, k=5)
+        .withColumn("phase", F.lit("compacted")).select(cols).collect()
+    )
+    vic_docs = docs.where(F.col("doc_id").isin(victims))
+    bm25_index_add(spark, vic_docs, path, "doc_id", "text")
+    phrase_positions_add(spark, vic_docs, path, "doc_id", "text")
+    readded = (
+        phrase_probe(spark, path, _PHRASES, k=5)
+        .withColumn("phase", F.lit("readded")).select(cols)
+    )
+    return (
+        spark.createDataFrame(stale_rows, readded.schema)
+        .unionByName(spark.createDataFrame(comp_rows, readded.schema))
+        .unionByName(readded)
+    )

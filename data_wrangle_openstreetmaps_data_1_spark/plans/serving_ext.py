@@ -820,3 +820,43 @@ def sim_ivf_pq_del_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
     )
     stale_df = spark.createDataFrame(stale_rows, compacted.schema)
     return stale_df.unionByName(compacted)
+
+
+def _st_phrase_oracle() -> str:
+    from .curation_ext import _phrase_oracle
+
+    return _phrase_oracle()
+
+
+@register(
+    "st_phrase_index",
+    _st_phrase_oracle(),
+    doc="STREAMING maintenance of the positional sidecar alongside the "
+    "scoring index (streaming/index_maintenance.run_bm25_index_stream "
+    "with_positions=True): the corpus lands as 3 parquet files, each "
+    "micro-batch's ONE foreachBatch feeds postings AND positions/ — the "
+    "lockstep a phrase-serving deployment needs, or a doc becomes BM25-"
+    "searchable before it is phrase-searchable. Positions are per-"
+    "document state (appends touch zero existing bytes), so the sidecar "
+    "is batching-independent like the postings, and the post-stream "
+    "phrase probe shares tx_phrase_search's corpus-replay oracle "
+    "verbatim — value-checked streaming DDL for the phrase tier",
+)
+def st_phrase_index(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+
+    from ..operators.text_index import phrase_probe
+    from ..streaming.incremental import read_documents_stream
+    from ..streaming.index_maintenance import run_bm25_index_stream
+    from .curation_ext import _PHRASES
+
+    docs = load_table(spark, sf, "documents")
+    landing = tempfile.mkdtemp(prefix="phrase_landing_")
+    docs.select("doc_id", "text").repartition(3).write.mode("overwrite").parquet(landing)
+    path = tempfile.mkdtemp(prefix="phrase_stream_idx_")
+    shutil.rmtree(path, ignore_errors=True)
+    stream = read_documents_stream(
+        spark, landing, glob="*.parquet", max_files_per_trigger=1
+    ).select("doc_id", "text")
+    run_bm25_index_stream(stream, path, "doc_id", "text", n_buckets=16, with_positions=True)
+    return phrase_probe(spark, path, _PHRASES, k=5)

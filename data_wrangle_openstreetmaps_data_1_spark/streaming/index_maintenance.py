@@ -39,7 +39,12 @@ import tempfile
 
 from pyspark.sql import DataFrame
 
-from ..operators.text_index import bm25_index_add, write_bm25_index
+from ..operators.text_index import (
+    bm25_index_add,
+    phrase_positions_add,
+    write_bm25_index,
+    write_phrase_positions,
+)
 
 _POSTINGS = "postings"
 
@@ -51,9 +56,18 @@ def run_bm25_index_stream(
     text_col: str = "text",
     n_buckets: int = 16,
     checkpoint: str | None = None,
+    with_positions: bool = False,
 ) -> None:
     """Drain a finite document stream (AvailableNow) into the BM25 index
-    at ``path``: first non-empty batch builds, later batches add."""
+    at ``path``: first non-empty batch builds, later batches add.
+
+    ``with_positions=True`` maintains the phrase/proximity positional
+    sidecar (``positions/``) in the SAME foreachBatch — a streaming
+    deployment that serves phrase queries needs the sidecar to ride the
+    same adds as the scoring postings, or a doc becomes BM25-searchable
+    before it is phrase-searchable. Positions are per-document state
+    (appends touch zero existing bytes), so the sidecar is as batching-
+    independent as the postings; both duplicate guards fire on replay."""
     state = {"initialized": os.path.isdir(os.path.join(path, _POSTINGS))}
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -62,9 +76,13 @@ def run_bm25_index_stream(
         spark = batch_df.sparkSession
         if not state["initialized"]:
             write_bm25_index(spark, batch_df, path, id_col, text_col, n_buckets=n_buckets)
+            if with_positions:
+                write_phrase_positions(spark, batch_df, path, id_col, text_col)
             state["initialized"] = True
         else:
             bm25_index_add(spark, batch_df, path, id_col, text_col)
+            if with_positions:
+                phrase_positions_add(spark, batch_df, path, id_col, text_col)
 
     q = (
         doc_stream.writeStream.foreachBatch(handle)

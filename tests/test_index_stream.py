@@ -200,3 +200,51 @@ def test_hybrid_stream_lockstep_and_modality_slices(spark, docs, sf_small):
         shutil.rmtree(landing, ignore_errors=True)
         shutil.rmtree(bm_path, ignore_errors=True)
         shutil.rmtree(ivf_path, ignore_errors=True)
+
+
+def test_positions_stream_batching_independence(spark, docs):
+    """with_positions=True maintains the positional sidecar in the same
+    foreachBatch: however the corpus splits into micro-batches, positions/
+    lands bit-identical to the one-shot build and the phrase probe answers
+    the same (per-document state: adds append, zero existing bytes)."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+        phrase_probe,
+        write_phrase_positions,
+    )
+
+    phrases = ["table hash", "merge group", "slow hash batch"]
+    oneshot = tempfile.mkdtemp(prefix="idxstream_posref_")
+    try:
+        write_bm25_index(spark, docs, oneshot, "doc_id", "text", n_buckets=NB)
+        write_phrase_positions(spark, docs, oneshot, "doc_id", "text")
+        ref_pos = sorted(
+            tuple(r) for r in spark.read.parquet(f"{oneshot}/positions").collect()
+        )
+        ref_probe = sorted(
+            map(tuple, phrase_probe(spark, oneshot, phrases, k=5).collect())
+        )
+        for n_files in (1, 3):
+            landing = tempfile.mkdtemp(prefix="idxstream_poslanding_")
+            docs.repartition(n_files).write.mode("overwrite").parquet(landing)
+            path = tempfile.mkdtemp(prefix="idxstream_posidx_")
+            shutil.rmtree(path, ignore_errors=True)
+            try:
+                stream = read_documents_stream(
+                    spark, landing, glob="*.parquet", max_files_per_trigger=1
+                ).select("doc_id", "text")
+                run_bm25_index_stream(
+                    stream, path, "doc_id", "text", n_buckets=NB, with_positions=True
+                )
+                got = sorted(
+                    tuple(r) for r in spark.read.parquet(f"{path}/positions").collect()
+                )
+                assert got == ref_pos, f"positions diverged at n_files={n_files}"
+                probe = sorted(
+                    map(tuple, phrase_probe(spark, path, phrases, k=5).collect())
+                )
+                assert probe == ref_probe
+            finally:
+                shutil.rmtree(landing, ignore_errors=True)
+                shutil.rmtree(path, ignore_errors=True)
+    finally:
+        shutil.rmtree(oneshot, ignore_errors=True)

@@ -359,3 +359,24 @@ def test_batched_probe_empty_queries_raises(spark, full_index):
 
     with pytest.raises(ValueError, match="non-empty"):
         ivf_pq_probe_batched(spark, full_index, [], k=TOPK, nprobe=NPROBE)
+
+
+def test_drift_report_missing_baseline_is_loud(spark, emb, meta):
+    """An index written before the drift gauge existed (no drift_baseline/
+    snapshot) must fail the gauge with the recovery spelled out, not an
+    opaque AnalysisException from the missing parquet dir."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.ivf_index import (
+        ivf_pq_drift_report,
+    )
+
+    path = tempfile.mkdtemp(prefix="ivfidx_nobase_")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        write_ivf_pq_index(spark, emb, path, meta, "vec_id", "v")
+        shutil.rmtree(f"{path}/drift_baseline")  # simulate the old layout
+        with pytest.raises(ValueError, match="predates the drift baseline"):
+            ivf_pq_drift_report(
+                spark, emb.limit(50), path, "vec_id", "v"
+            )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -413,3 +413,179 @@ def test_proximity_slop0_equals_phrase_bigram(spark, docs, full_index):
         proximity_probe(spark, full_index, [("table", "hash", -1)], k=5)
     with pytest.raises(ValueError, match="non-empty"):
         proximity_probe(spark, full_index, [], k=5)
+
+
+def test_compact_folds_tombstones_into_positions(spark, docs):
+    """The round-12 wrong-answer repro: delete -> compact must NOT
+    resurrect the victim in phrase/proximity results (compact rewrites
+    positions/ with the survivors anti-join BEFORE clearing tombstones),
+    and a post-compact re-add of the victim is legal again and restores
+    its positions rows bit-equally."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+        bm25_index_add,
+        bm25_index_compact,
+        bm25_index_delete,
+        phrase_positions_add,
+        phrase_probe,
+        proximity_probe,
+        write_phrase_positions,
+    )
+
+    path = tempfile.mkdtemp(prefix="phrasepos_cpt_")
+    ref = tempfile.mkdtemp(prefix="phrasepos_cptref_")
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(ref, ignore_errors=True)
+    try:
+        write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=NB)
+        write_phrase_positions(spark, docs, path, "doc_id", "text")
+        top1 = phrase_probe(spark, path, PHRASES, k=1).collect()
+        victims = sorted({int(r["doc_id"]) for r in top1})
+        bm25_index_delete(spark, path, victims)
+        stale = phrase_probe(spark, path, PHRASES, k=5).collect()
+        assert not set(victims) & {r["doc_id"] for r in stale}
+
+        assert bm25_index_compact(spark, path) > 0
+        # the repro: pre-fix, the tombstone clear resurrected the victims
+        after = phrase_probe(spark, path, PHRASES, k=5).collect()
+        assert not set(victims) & {r["doc_id"] for r in after}
+        assert sorted(map(tuple, after)) == sorted(map(tuple, stale))
+        prox_after = proximity_probe(
+            spark, path, [("table", "hash", 0), ("merge", "group", 2)], k=5
+        ).collect()
+        assert not set(victims) & {r["doc_id"] for r in prox_after}
+        # positions/ physically dropped the victims' rows
+        pos_ids = {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{path}/positions")
+            .select("doc_id").distinct().collect()
+        }
+        assert not set(victims) & pos_ids
+
+        # re-add after compact: the duplicate guard must NOT trip on stale
+        # rows, and the restored index answers as the full corpus
+        vic_docs = docs.where(F.col("doc_id").isin(victims))
+        bm25_index_add(spark, vic_docs, path, "doc_id", "text")
+        phrase_positions_add(spark, vic_docs, path, "doc_id", "text")
+        write_bm25_index(spark, docs, ref, "doc_id", "text", n_buckets=NB)
+        write_phrase_positions(spark, docs, ref, "doc_id", "text")
+        got = sorted(
+            tuple(r) for r in spark.read.parquet(f"{path}/positions").collect()
+        )
+        want = sorted(
+            tuple(r) for r in spark.read.parquet(f"{ref}/positions").collect()
+        )
+        assert got == want
+        assert sorted(map(tuple, phrase_probe(spark, path, PHRASES, k=5).collect())) \
+            == sorted(map(tuple, phrase_probe(spark, ref, PHRASES, k=5).collect()))
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(ref, ignore_errors=True)
+
+
+BATCH8 = PHRASES + [
+    "hash table", "group merge", "batch slow", "hash group", "table group",
+]
+
+
+def test_batched_phrase_probe_matches_reference_form(spark, docs, full_index):
+    """phrase_probe_batched must be row-identical to the per-phrase
+    reference form while compiling ONE pruned positions/ scan regardless
+    of phrase count (the ivf_pq_probe_batched discipline)."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+        phrase_probe_batched,
+        phrase_probe_per_phrase,
+        write_phrase_positions,
+    )
+
+    write_phrase_positions(spark, docs, full_index, "doc_id", "text")
+    for phrases in (PHRASES, BATCH8):
+        batched = phrase_probe_batched(spark, full_index, phrases, k=5)
+        looped = phrase_probe_per_phrase(spark, full_index, phrases, k=5)
+        assert sorted(map(tuple, batched.collect())) == sorted(
+            map(tuple, looped.collect())
+        )
+        plan = batched._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==", 1)[0]
+        # one positions scan however many phrases; the reference form has
+        # one per phrase. No tombstones on this index -> exactly 1.
+        assert plan.count("Scan parquet") == 1
+        assert "PartitionFilters" in plan
+        assert "bucket" in plan.split("PartitionFilters", 1)[1][:200]
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_batched_proximity_probe_matches_reference_form(spark, docs, full_index):
+    from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+        proximity_probe_batched,
+        proximity_probe_per_pair,
+        write_phrase_positions,
+    )
+
+    write_phrase_positions(spark, docs, full_index, "doc_id", "text")
+    pairs = [
+        ("table", "hash", 0), ("merge", "group", 2), ("slow", "batch", 3),
+        ("hash", "table", 1), ("group", "merge", 0), ("table", "group", 4),
+    ]
+    batched = proximity_probe_batched(spark, full_index, pairs, k=5)
+    looped = proximity_probe_per_pair(spark, full_index, pairs, k=5)
+    assert sorted(map(tuple, batched.collect())) == sorted(map(tuple, looped.collect()))
+    plan = batched._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==", 1)[0]
+    assert plan.count("Scan parquet") == 1
+
+
+def test_query_word_guards(spark, docs, full_index):
+    """Serving APIs reject malformed query words LOUDLY (quotes and
+    backslashes would corrupt/inject the probe expression in the
+    interpolating forms; whitespace can never be a token), and duplicate
+    phrases/pairs are caller bugs, not silent double-counts."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.retrieval import (
+        phrase_topk,
+    )
+    from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+        phrase_probe,
+        proximity_probe,
+        write_phrase_positions,
+    )
+
+    write_phrase_positions(spark, docs, full_index, "doc_id", "text")
+    for bad in ("o'brien hash", "back\\slash hash"):
+        with pytest.raises(ValueError, match="quote"):
+            phrase_probe(spark, full_index, [bad], k=5)
+        with pytest.raises(ValueError, match="quote"):
+            phrase_topk(docs, "doc_id", "text", [bad], k=5)
+    with pytest.raises(ValueError, match="quote"):
+        proximity_probe(spark, full_index, [("o'brien", "hash", 1)], k=5)
+    with pytest.raises(ValueError, match="duplicate phrases"):
+        phrase_probe(spark, full_index, ["table hash", "table hash"], k=5)
+    with pytest.raises(ValueError, match="duplicate"):
+        proximity_probe(
+            spark, full_index, [("table", "hash", 0), ("table", "hash", 0)], k=5
+        )
+
+
+def test_stats_incremental_missing_row_rebuilds(spark, docs):
+    """The documented partial-commit crash state can leave stats/ with no
+    row; the incremental-stats path must fall back to the full rebuild
+    (stats are a pure function of postings/), not AttributeError."""
+    path = tempfile.mkdtemp(prefix="bm25idx_nostats_")
+    ref = tempfile.mkdtemp(prefix="bm25idx_nostats_ref_")
+    try:
+        base = docs.where(F.col("doc_id") % 5 != 3)
+        batch = docs.where(F.col("doc_id") % 5 == 3)
+        write_bm25_index(spark, base, path, "doc_id", "text", n_buckets=NB)
+        # simulate the crash state: stats/ exists but holds zero rows
+        empty = spark.read.parquet(f"{path}/stats").where(F.lit(False)).collect()
+        spark.createDataFrame(
+            empty, spark.read.parquet(f"{path}/stats").schema
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+        assert spark.read.parquet(f"{path}/stats").head() is None
+        bm25_index_add(spark, batch, path, "doc_id", "text")
+        write_bm25_index(spark, docs, ref, "doc_id", "text", n_buckets=NB)
+        a = sorted(tuple(r) for r in spark.read.parquet(f"{path}/stats").collect())
+        b = sorted(tuple(r) for r in spark.read.parquet(f"{ref}/stats").collect())
+        assert a == b
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(ref, ignore_errors=True)
