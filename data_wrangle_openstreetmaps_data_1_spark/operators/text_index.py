@@ -588,7 +588,23 @@ def phrase_probe_batched(
     the (phrase, doc) aggregation over rows that carry probed terms."""
     from pyspark.sql import Window
 
-    split = _split_phrases(phrases, "phrase_probe")
+    out = _phrase_matches(spark, path, phrases, "phrase_probe")
+    w = Window.partitionBy("phrase").orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
+    return (
+        out.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("phrase", "doc_id", "phrase_tf", "rnk")
+    )
+
+
+def _phrase_matches(
+    spark: SparkSession, path: str, phrases: list[str], caller: str
+) -> DataFrame:
+    """The batched matched-set core shared by phrase_probe_batched and
+    phrase_bm25_probe: (phrase, doc_id, phrase_tf > 0) from one pruned
+    positions/ scan (see phrase_probe_batched's docstring for the plan
+    shape)."""
+    split = _split_phrases(phrases, caller)
     n_buckets = read_index_meta(spark, path)["n_buckets"]
     all_words = sorted({w for ws in split for w in ws})
     buckets = sorted({term_bucket_py(w, n_buckets) for w in all_words})
@@ -625,15 +641,9 @@ def phrase_probe_batched(
         "(acc, w) -> array_intersect(transform(acc, x -> x + 1), "
         "element_at(pmap, w))))"
     )
-    out = pmap.select(
+    return pmap.select(
         "phrase", "doc_id", F.expr(fold).cast("long").alias("phrase_tf")
     ).where(F.col("phrase_tf") > 0)
-    w = Window.partitionBy("phrase").orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
-    return (
-        out.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("phrase", "doc_id", "phrase_tf", "rnk")
-    )
 
 
 def phrase_probe_per_phrase(
@@ -860,4 +870,171 @@ def proximity_probe_per_pair(
         out.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("w1", "w2", "slop", "doc_id", "prox_tf", "rnk")
+    )
+
+
+def phrase_bm25_probe(
+    spark: SparkSession, path: str, phrases: list[str], k: int = 5
+) -> DataFrame:
+    """BM25-SCORED phrase query — the phrase analogue of bm25_probe
+    (Lucene's PhraseQuery scores through the same Similarity, with the
+    phrase frequency standing in for the term frequency): tf = phrase_tf
+    from the positional sidecar's batched matched set, df = the number of
+    matching documents per phrase (computed FROM the matched set — a tiny
+    per-phrase aggregate over rows already in hand, not a dictionary
+    lookup: phrases have no precomputed df), dl joined from the pruned
+    postings scan (the matched doc necessarily carries the phrase's words
+    there), n_docs/avgdl from the stored stats row. Same fixed-point
+    integer formula as bm25_probe, so scores hash bit-identically in the
+    DuckDB oracle.
+
+    Staleness contract under deletes, stated exactly: tombstoned docs are
+    anti-joined out of the matched set, so phrase df is EXACT over live
+    docs immediately (it is probe-computed), while n_docs/avgdl stay
+    deleted-doc-inclusive until bm25_index_compact — the same corpus-stats
+    staleness as bm25_probe, minus its df staleness.
+
+    Output: (phrase, doc_id, phrase_tf, df, score_fp, rnk), top-k per
+    phrase by (score_fp desc, doc_id asc)."""
+    from pyspark.sql import Window
+
+    from .retrieval import B_FP, K1_FP
+
+    split = [p.split() for p in phrases] if phrases else []
+    matched = _phrase_matches(spark, path, phrases, "phrase_bm25_probe")
+    n_buckets = read_index_meta(spark, path)["n_buckets"]
+    all_words = sorted({w for ws in split for w in ws})
+    buckets = sorted({term_bucket_py(w, n_buckets) for w in all_words})
+    # dl rides the pruned postings scan (denormalized per posting row —
+    # the impact-file trick, same as bm25_probe: no corpus-sized join)
+    dl = (
+        spark.read.parquet(f"{path}/{_POSTINGS}")
+        .where(F.col("bucket").isin(buckets) & F.col("term").isin(all_words))
+        .select("doc_id", "dl")
+        .distinct()
+    )
+    dfq = matched.groupBy("phrase").agg(F.count("*").cast("long").alias("df"))
+    stats = spark.read.parquet(f"{path}/{_STATS}")
+    scored = (
+        matched.join(F.broadcast(dfq), "phrase")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("idf_fp", F.expr("(n_docs - df) * 1000 div (df + 1) + 1000"))
+        .withColumn(
+            "norm_fp", F.expr(f"(1000 - {B_FP}) + ({B_FP} * dl * 1000) div avgdl_fp")
+        )
+        .withColumn(
+            "score_fp",
+            F.expr(
+                f"(phrase_tf * {K1_FP + 1000} * idf_fp) "
+                f"div (phrase_tf * 1000 + ({K1_FP} * norm_fp) div 1000)"
+            ),
+        )
+    )
+    w = Window.partitionBy("phrase").orderBy(F.desc("score_fp"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("phrase", "doc_id", "phrase_tf", "df", "score_fp", "rnk")
+    )
+
+
+_PREFIX_OK = re.compile(r"[a-z0-9]+")
+
+
+def prefix_probe(
+    spark: SparkSession,
+    path: str,
+    prefixes: list[str],
+    k: int = 5,
+    max_expansions: int = 64,
+) -> DataFrame:
+    """Prefix term query (Lucene's PrefixQuery shape): expand each prefix
+    against the ``terms/`` dictionary, then serve document matches from
+    the postings pruned to the expanded terms' buckets.
+
+    Two-tier cost, honestly: a prefix cannot be hash-routed (the bucket
+    is a hash of the WHOLE term), so the EXPANSION reads the dictionary —
+    but ``terms/`` is vocabulary-sized, orders of magnitude smaller than
+    the corpus, and the startsWith predicate pushes into its scan. The
+    DOCUMENT-sized read (postings) is then pruned exactly like
+    bm25_probe: matched terms' buckets via the driver-side md5 twin,
+    term isin pushed into the pruned scan. ``max_expansions`` is Lucene's
+    guard against degenerate prefixes ('a'): exceeding it raises loudly
+    instead of exploding the probe (the collect is capped BEFORE it can
+    pull an unbounded term list onto the driver).
+
+    Prefixes are restricted to [a-z0-9]+ — tighter than the probe word
+    guard, because the DuckDB oracle replays expansion with LIKE and '_'
+    and '%' are LIKE metacharacters.
+
+    Output: (prefix, doc_id, n_terms, total_tf, rnk) — n_terms = how many
+    distinct expanded terms the doc carries, total_tf their summed tf
+    (the constant-score-ish multi-term contract), top-k per prefix by
+    (total_tf desc, doc_id asc). Tombstoned docs are anti-joined out."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    if not prefixes:
+        raise ValueError("prefix_probe: prefixes must be non-empty")
+    if len(set(prefixes)) != len(prefixes):
+        raise ValueError("prefix_probe: duplicate prefixes in the batch")
+    for p in prefixes:
+        if not _PREFIX_OK.fullmatch(p):
+            raise ValueError(
+                f"prefix_probe: prefix {p!r} must match [a-z0-9]+ (tokens "
+                "are lowercased; '_'/'%' are LIKE metacharacters in the "
+                "oracle replay)"
+            )
+    n_buckets = read_index_meta(spark, path)["n_buckets"]
+    terms = spark.read.parquet(f"{path}/{_TERMS}").select("term")
+    pred = reduce(
+        lambda a, b: a | b, [F.col("term").startswith(p) for p in prefixes]
+    )
+    cap = max_expansions * len(prefixes) + 1
+    rows = terms.where(pred).limit(cap).collect()  # bounded by the cap
+    if len(rows) == cap:
+        raise ValueError(
+            f"prefix_probe: prefixes expand past {max_expansions} terms each "
+            f"at {path} — narrow the prefixes or raise max_expansions"
+        )
+    mapping = [
+        (p, r["term"]) for p in prefixes for r in rows if r["term"].startswith(p)
+    ]
+    per_prefix: dict[str, int] = {}
+    for p, _t in mapping:
+        per_prefix[p] = per_prefix.get(p, 0) + 1
+    over = {p: n for p, n in per_prefix.items() if n > max_expansions}
+    if over:
+        raise ValueError(
+            f"prefix_probe: prefixes expand past max_expansions={max_expansions}: "
+            f"{over} — narrow them or raise the cap"
+        )
+    out_schema = "prefix string, doc_id long, n_terms long, total_tf long, rnk int"
+    if not mapping:  # every prefix matched nothing: empty result, same schema
+        return spark.createDataFrame([], out_schema)
+    matched_terms = sorted({t for _p, t in mapping})
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in matched_terms})
+    post = (
+        spark.read.parquet(f"{path}/{_POSTINGS}")
+        .where(F.col("bucket").isin(buckets) & F.col("term").isin(matched_terms))
+    )
+    ts = _doc_tombstones(spark, path)
+    if ts is not None:
+        post = post.join(F.broadcast(ts), "doc_id", "left_anti")
+    mdf = spark.createDataFrame(mapping, "prefix string, term string")
+    g = (
+        post.join(F.broadcast(mdf), "term")
+        .groupBy("prefix", "doc_id")
+        .agg(
+            F.countDistinct("term").cast("long").alias("n_terms"),
+            F.sum("tf").cast("long").alias("total_tf"),
+        )
+    )
+    w = Window.partitionBy("prefix").orderBy(F.desc("total_tf"), F.asc("doc_id"))
+    return (
+        g.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("prefix", "doc_id", "n_terms", "total_tf", "rnk")
     )

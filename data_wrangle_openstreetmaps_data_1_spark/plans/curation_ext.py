@@ -1153,3 +1153,142 @@ def tx_phrase_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(spark.createDataFrame(comp_rows, readded.schema))
         .unionByName(readded)
     )
+
+
+def _phrase_bm25_oracle(k: int = 5) -> str:
+    """Replays BM25-scored phrase search from the raw corpus: phrase_tf
+    via the same list arithmetic as _phrase_oracle, df = matching-doc
+    count per phrase, dl/n_docs/avgdl from the corpus, then the exact
+    fixed-point BM25 integer forms shared with the bm25_probe oracles."""
+    from ..operators.retrieval import B_FP, K1_FP
+    from .pipeline import _TOKS_SQL
+
+    branches = []
+    for p in _PHRASES:
+        words = p.split()
+        n = len(words)
+        conds = " AND ".join(
+            f"toks[i + {j}] = '{w}'" for j, w in enumerate(words)
+        )
+        branches.append(
+            f"SELECT '{p}' AS phrase, doc_id, "
+            f"CASE WHEN len(toks) >= {n} THEN "
+            f"CAST(len(list_filter(range(1, len(toks) - {n} + 2), i -> {conds})) AS BIGINT) "
+            f"ELSE 0 END AS phrase_tf FROM d"
+        )
+    return rf"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    lens AS (SELECT doc_id, len(toks) AS dl FROM d WHERE len(toks) >= 1),
+    stats AS (SELECT count(*) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) * 1000 // count(*) AS avgdl_fp
+              FROM lens),
+    u AS ({' UNION ALL '.join(branches)}),
+    m AS (SELECT phrase, doc_id, phrase_tf FROM u WHERE phrase_tf > 0),
+    dfq AS (SELECT phrase, CAST(count(*) AS BIGINT) AS df FROM m GROUP BY 1),
+    s AS (SELECT m.phrase, m.doc_id, m.phrase_tf, dfq.df,
+                 (n_docs - df) * 1000 // (df + 1) + 1000 AS idf_fp,
+                 (1000 - {B_FP}) + ({B_FP} * dl * 1000) // avgdl_fp AS norm_fp
+          FROM m JOIN dfq USING (phrase) JOIN lens USING (doc_id)
+          CROSS JOIN stats),
+    s2 AS (SELECT phrase, doc_id, phrase_tf, df,
+                  (phrase_tf * {K1_FP + 1000} * idf_fp)
+                    // (phrase_tf * 1000 + ({K1_FP} * norm_fp) // 1000) AS score_fp
+           FROM s),
+    r AS (SELECT phrase, doc_id, phrase_tf, df,
+                 CAST(score_fp AS BIGINT) AS score_fp,
+                 row_number() OVER (PARTITION BY phrase
+                                    ORDER BY score_fp DESC, doc_id ASC) AS rnk
+          FROM s2)
+    SELECT phrase, doc_id, phrase_tf, df, score_fp, rnk FROM r WHERE rnk <= {k}
+    """
+
+
+@register(
+    "tx_phrase_bm25",
+    _phrase_bm25_oracle(),
+    doc="BM25-SCORED phrase search from the positional sidecar "
+    "(operators/text_index.py:phrase_bm25_probe) — Lucene's PhraseQuery "
+    "scoring contract: the phrase frequency rides the same fixed-point "
+    "BM25 formula as term queries, with df computed from the matched set "
+    "itself (phrases have no precomputed dictionary row) and dl joined "
+    "from the pruned postings scan (the denormalized impact-file column "
+    "— no corpus-sized join). Top-5 per phrase by score, not raw "
+    "phrase_tf: a rare phrase in a short doc now outranks a common one "
+    "in a long doc, which raw-count ranking (tx_phrase_stored) cannot "
+    "express. Same batched one-scan matched-set core as the other "
+    "phrase probes; the oracle replays phrase_tf + df + corpus stats + "
+    "the integer BM25 forms relationally",
+)
+def tx_phrase_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.text_index import (
+        phrase_bm25_probe,
+        write_bm25_index,
+        write_phrase_positions,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="phrase_bm25_")
+    shutil.rmtree(path, ignore_errors=True)
+    write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
+    write_phrase_positions(spark, docs, path, "doc_id", "text")
+    return phrase_bm25_probe(spark, path, _PHRASES, k=5)
+
+
+_PREFIXES_Q = ["s", "qu", "c", "zz"]
+
+
+def _prefix_oracle(k: int = 5) -> str:
+    from .pipeline import _TOKS_SQL
+
+    values = ", ".join(f"('{p}')" for p in _PREFIXES_Q)
+    return rf"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    post AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+    pf(prefix) AS (VALUES {values}),
+    m AS (SELECT pf.prefix, p.term, p.doc_id, p.tf
+          FROM post p JOIN pf ON p.term LIKE pf.prefix || '%'),
+    g AS (SELECT prefix, doc_id,
+                 CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+                 CAST(sum(tf) AS BIGINT) AS total_tf
+          FROM m GROUP BY 1, 2),
+    r AS (SELECT prefix, doc_id, n_terms, total_tf,
+                 row_number() OVER (PARTITION BY prefix
+                                    ORDER BY total_tf DESC, doc_id ASC) AS rnk
+          FROM g)
+    SELECT prefix, doc_id, n_terms, total_tf, rnk FROM r WHERE rnk <= {k}
+    """
+
+
+@register(
+    "tx_term_prefix",
+    _prefix_oracle(),
+    doc="prefix term query from the persisted index (Lucene's PrefixQuery "
+    "shape, operators/text_index.py:prefix_probe): expansion reads the "
+    "VOCABULARY-sized terms/ dictionary (a prefix cannot be hash-routed "
+    "— the bucket hashes the whole term; stated honestly, the dictionary "
+    "is orders of magnitude smaller than the corpus and startsWith pushes "
+    "into its scan), then the DOCUMENT-sized postings read is pruned to "
+    "the expanded terms' buckets exactly like bm25_probe. max_expansions "
+    "is Lucene's degenerate-prefix guard — the expansion collect is "
+    "CAPPED before it can pull an unbounded term list onto the driver. "
+    "Per-prefix top-5 docs by summed tf over expanded terms (ties doc_id "
+    "asc) with the distinct-term count; one probed prefix ('zz') matches "
+    "nothing and must yield the same empty branch in both engines. "
+    "Prefixes restricted to [a-z0-9]+ so the oracle's LIKE replay is "
+    "metacharacter-exact",
+)
+def tx_term_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.text_index import prefix_probe, write_bm25_index
+
+    docs = load_table(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="prefix_idx_")
+    shutil.rmtree(path, ignore_errors=True)
+    write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
+    return prefix_probe(spark, path, _PREFIXES_Q, k=5)

@@ -589,3 +589,132 @@ def test_stats_incremental_missing_row_rebuilds(spark, docs):
     finally:
         shutil.rmtree(path, ignore_errors=True)
         shutil.rmtree(ref, ignore_errors=True)
+
+
+def test_prefix_probe_guards_and_pruning(spark, docs, full_index):
+    """PrefixQuery contract: metacharacter/charset rejection, the
+    max_expansions cap (Lucene's degenerate-prefix guard) trips BEFORE an
+    unbounded driver collect, zero-match prefixes yield empty results,
+    and the postings scan carries the bucket PartitionFilters."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+        prefix_probe,
+    )
+
+    for bad in ("ab_", "a%", "Upper", "o'x", ""):
+        with pytest.raises(ValueError, match="a-z0-9|non-empty"):
+            prefix_probe(spark, full_index, [bad], k=5)
+    with pytest.raises(ValueError, match="duplicate prefixes"):
+        prefix_probe(spark, full_index, ["s", "s"], k=5)
+    with pytest.raises(ValueError, match="expand past"):
+        prefix_probe(spark, full_index, ["s"], k=5, max_expansions=1)
+    empty = prefix_probe(spark, full_index, ["zzzz"], k=5)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "prefix", "doc_id", "n_terms", "total_tf", "rnk",
+    ]
+
+    got = prefix_probe(spark, full_index, ["s", "zzzz"], k=5)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==", 1)[0]
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_prefix_probe_matches_corpus_computation(spark, docs, full_index):
+    """Stored prefix probe == the same aggregation computed directly from
+    the corpus (expansion + summed tf + distinct-term count + ranking)."""
+    from pyspark.sql import Window
+
+    from data_wrangle_openstreetmaps_data_1_spark.functions.text import tokens
+    from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+        prefix_probe,
+    )
+
+    prefixes = ["s", "c"]
+    stored = sorted(map(tuple, prefix_probe(spark, full_index, prefixes, k=5).collect()))
+    tok = docs.select(
+        F.col("doc_id"), F.explode(tokens(F.col("text"))).alias("term")
+    )
+    pf = spark.createDataFrame([(p,) for p in prefixes], "prefix string")
+    g = (
+        tok.join(F.broadcast(pf), tok["term"].startswith(pf["prefix"]))
+        .groupBy("prefix", "doc_id")
+        .agg(
+            F.countDistinct("term").cast("long").alias("n_terms"),
+            F.count("*").cast("long").alias("total_tf"),
+        )
+    )
+    w = Window.partitionBy("prefix").orderBy(F.desc("total_tf"), F.asc("doc_id"))
+    ref = sorted(
+        map(
+            tuple,
+            g.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 5)
+            .select("prefix", "doc_id", "n_terms", "total_tf", "rnk")
+            .collect(),
+        )
+    )
+    assert stored == ref and stored
+
+
+def test_prefix_probe_honors_tombstones(spark, docs):
+    from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+        bm25_index_delete,
+        prefix_probe,
+    )
+
+    path = tempfile.mkdtemp(prefix="bm25idx_pref_ts_")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=NB)
+        top1 = prefix_probe(spark, path, ["s"], k=1).collect()
+        victim = int(top1[0]["doc_id"])
+        bm25_index_delete(spark, path, [victim])
+        after = prefix_probe(spark, path, ["s"], k=5)
+        assert after.where(F.col("doc_id") == victim).count() == 0
+        assert after.count() == 5  # runners-up promoted
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_phrase_bm25_scoring_and_exact_df_under_delete(spark, docs):
+    """phrase_bm25_probe ranks by the fixed-point BM25 score (not raw
+    phrase_tf), df = matching-doc count per phrase, and — the stated
+    staleness contract — df is EXACT immediately after a delete (it is
+    probe-computed from the matched set), unlike term df which waits for
+    compact."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+        bm25_index_delete,
+        phrase_bm25_probe,
+        phrase_probe,
+        write_phrase_positions,
+    )
+
+    path = tempfile.mkdtemp(prefix="phrase_bm25_t_")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=NB)
+        write_phrase_positions(spark, docs, path, "doc_id", "text")
+        phrase = PHRASES[0]
+        scored = phrase_bm25_probe(spark, path, [phrase], k=500).collect()
+        assert scored
+        # df is constant per phrase and equals the matched-doc count
+        matched = phrase_probe(spark, path, [phrase], k=100000).collect()
+        dfs = {r["df"] for r in scored}
+        assert dfs == {len(matched)}
+        # phrase_tf values agree doc-for-doc with the unscored probe
+        tf_by_doc = {r["doc_id"]: r["phrase_tf"] for r in matched}
+        for r in scored:
+            assert tf_by_doc[r["doc_id"]] == r["phrase_tf"]
+        # ranking is by score_fp desc (doc_id asc ties), monotone in rnk
+        by_rnk = sorted(scored, key=lambda r: r["rnk"])
+        for a, b in zip(by_rnk, by_rnk[1:]):
+            assert (a["score_fp"], -a["doc_id"]) >= (b["score_fp"], -b["doc_id"])
+
+        victim = int(by_rnk[0]["doc_id"])
+        bm25_index_delete(spark, path, [victim])
+        after = phrase_bm25_probe(spark, path, [phrase], k=500).collect()
+        assert victim not in {r["doc_id"] for r in after}
+        assert {r["df"] for r in after} == {len(matched) - 1}  # exact, not stale
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
