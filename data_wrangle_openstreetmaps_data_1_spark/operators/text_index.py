@@ -1038,3 +1038,74 @@ def prefix_probe(
         .where(F.col("rnk") <= k)
         .select("prefix", "doc_id", "n_terms", "total_tf", "rnk")
     )
+
+
+def _del1_py(s: str) -> list[str]:
+    """Driver-side deletion neighborhood: the string plus every
+    single-character deletion (the JVM twin below must generate exactly
+    this set)."""
+    return sorted({s} | {s[:i] + s[i + 1:] for i in range(len(s))})
+
+
+def fuzzy_term_probe(
+    spark: SparkSession, path: str, queries: list[str], k: int = 5
+) -> DataFrame:
+    """Fuzzy term match at edit distance <= 1 from the persisted term
+    dictionary — the SymSpell candidate-generation shape (the standard
+    scale trick behind did-you-mean / typo-tolerant lookup): candidate
+    pairs come from an EQUI-join of deletion neighborhoods (every string
+    plus its single-character deletions; two strings at ED<=1 always
+    share a member), then the exact ``levenshtein`` verifies candidates
+    only. The alternative — levenshtein over |queries| x |vocabulary| —
+    is a cross join; the neighborhood join shuffles O(vocab x term_len)
+    short variant strings instead and verifies a handful of candidates
+    per query. (Deletion neighborhoods can also pair strings at ED 2,
+    e.g. transposed bigrams — the verify step is what makes the result
+    exact, same as SymSpell.)
+
+    The dictionary side derives from ``terms/`` (vocabulary-sized, tiny
+    vs the corpus); ``df`` rides along so suggestions rank by corpus
+    evidence. Query-side neighborhoods are generated driver-side
+    (|queries| x len strings).
+
+    Output: (query, term, dist, df, rnk), top-k per query by
+    (dist asc, df desc, term asc) — exact matches first, then the
+    most-attested corrections. A query with no ED<=1 dictionary term
+    yields no rows."""
+    from pyspark.sql import Window
+
+    if not queries:
+        raise ValueError("fuzzy_term_probe: queries must be non-empty")
+    if len(set(queries)) != len(queries):
+        raise ValueError("fuzzy_term_probe: duplicate queries in the batch")
+    check_query_words(queries, "fuzzy_term_probe")
+    # dictionary deletion neighborhood: JVM twin of _del1_py
+    del1_sql = (
+        "array_distinct(concat(array(term), "
+        "transform(sequence(1, length(term)), "
+        "i -> concat(substr(term, 1, i - 1), substr(term, i + 1)))))"
+    )
+    dict_var = (
+        spark.read.parquet(f"{path}/{_TERMS}")
+        .select("term", F.col("df").cast("long").alias("df"))
+        .select("term", "df", F.explode(F.expr(del1_sql)).alias("variant"))
+    )
+    qvar = spark.createDataFrame(
+        [(q, v) for q in queries for v in _del1_py(q)],
+        "query string, variant string",
+    )
+    cand = (
+        dict_var.join(F.broadcast(qvar), "variant")
+        .select("query", "term", "df")
+        .distinct()
+        .withColumn("dist", F.levenshtein("query", "term"))
+        .where(F.col("dist") <= 1)
+    )
+    w = Window.partitionBy("query").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term")
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query", "term", "dist", "df", "rnk")
+    )

@@ -1292,3 +1292,59 @@ def tx_term_prefix(spark: SparkSession, sf: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
     return prefix_probe(spark, path, _PREFIXES_Q, k=5)
+
+
+_FUZZY_QUERIES = ["spar", "grup", "windo", "batch", "qzx"]
+
+
+def _fuzzy_oracle(k: int = 5) -> str:
+    from .pipeline import _TOKS_SQL
+
+    values = ", ".join(f"('{q}')" for q in _FUZZY_QUERIES)
+    return rf"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    dict AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+             FROM tok GROUP BY 1),
+    q(query) AS (VALUES {values}),
+    m AS (SELECT q.query, dict.term,
+                 CAST(levenshtein(q.query, dict.term) AS INTEGER) AS dist,
+                 dict.df
+          FROM q, dict WHERE levenshtein(q.query, dict.term) <= 1),
+    r AS (SELECT query, term, dist, df,
+                 row_number() OVER (PARTITION BY query
+                                    ORDER BY dist ASC, df DESC, term ASC) AS rnk
+          FROM m)
+    SELECT query, term, dist, df, rnk FROM r WHERE rnk <= {k}
+    """
+
+
+@register(
+    "tx_term_fuzzy",
+    _fuzzy_oracle(),
+    doc="typo-tolerant term lookup at edit distance <= 1 from the "
+    "persisted dictionary (operators/text_index.py:fuzzy_term_probe) — "
+    "the SymSpell shape: candidates from an EQUI-join of deletion "
+    "neighborhoods (a string plus its single-char deletions; ED<=1 pairs "
+    "always share a member), exact levenshtein verifies candidates only. "
+    "The naive form is levenshtein over |queries| x |vocabulary| — a "
+    "cross join; the neighborhood join shuffles O(vocab x term_len) "
+    "short variants instead, the same never-all-pairs discipline as the "
+    "LSH dedup tier. Suggestions rank (dist asc, df desc, term asc): "
+    "exact hits first, then corpus-attested corrections; one query "
+    "('qzx') matches nothing and must yield the same empty branch in "
+    "both engines. The ORACLE brute-forces all pairs deliberately — the "
+    "vocabulary is tiny in DuckDB and exactness is the point; the Spark "
+    "side is the shape that survives a 100M-term dictionary",
+)
+def tx_term_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.text_index import fuzzy_term_probe, write_bm25_index
+
+    docs = load_table(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="fuzzy_idx_")
+    shutil.rmtree(path, ignore_errors=True)
+    write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
+    return fuzzy_term_probe(spark, path, _FUZZY_QUERIES, k=5)

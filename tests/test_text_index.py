@@ -718,3 +718,50 @@ def test_phrase_bm25_scoring_and_exact_df_under_delete(spark, docs):
         assert {r["df"] for r in after} == {len(matched) - 1}  # exact, not stale
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_fuzzy_term_probe_matches_brute_force(spark, docs, full_index):
+    """The SymSpell neighborhood join + verify must equal brute-force
+    levenshtein over queries x vocabulary (exactness is the contract:
+    deletion neighborhoods alone admit ED-2 pairs like transposed
+    bigrams — the verify step must reject them), and guards are loud."""
+    from pyspark.sql import Window
+
+    from data_wrangle_openstreetmaps_data_1_spark.functions.text import tokens
+    from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+        fuzzy_term_probe,
+    )
+
+    queries = ["spar", "grup", "windo", "batch", "qzx"]
+    got = sorted(map(tuple, fuzzy_term_probe(spark, full_index, queries, k=5).collect()))
+    # brute force: fine at test scale, the exact thing the probe optimizes
+    dictionary = (
+        docs.select(F.col("doc_id"), F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    )
+    q = spark.createDataFrame([(x,) for x in queries], "query string")
+    w = Window.partitionBy("query").orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+    ref = sorted(
+        map(
+            tuple,
+            dictionary.crossJoin(F.broadcast(q))
+            .withColumn("dist", F.levenshtein("query", "term"))
+            .where(F.col("dist") <= 1)
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 5)
+            .select("query", "term", "dist", "df", "rnk")
+            .collect(),
+        )
+    )
+    assert got == ref and got
+    by_query = {}
+    for row in got:
+        by_query.setdefault(row[0], []).append(row)
+    assert "qzx" not in by_query  # no ED<=1 neighbor: empty branch
+    assert by_query["batch"][0][1:3] == ("batch", 0)  # exact hit first
+
+    with pytest.raises(ValueError, match="duplicate"):
+        fuzzy_term_probe(spark, full_index, ["spar", "spar"], k=5)
+    with pytest.raises(ValueError, match="quote"):
+        fuzzy_term_probe(spark, full_index, ["o'x"], k=5)
