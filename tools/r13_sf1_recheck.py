@@ -41,6 +41,16 @@ NAMES = [
     "st_phrase_index",
     "tx_phrase_stored",
     "tx_proximity_stored",
+    # late round-13 additions (same documents-only fixture):
+    # - tx_phrase_bm25: matched set + pruned-postings dl join + stats
+    # - tx_term_prefix: dictionary expansion is O(vocab) BY DESIGN — the
+    #   fixture's vocabulary is replication-invariant, so the ratio reads
+    #   the corpus-sized parts (index build + pruned postings)
+    # - tx_term_fuzzy: neighborhood join is O(vocab x len), also
+    #   replication-invariant past the index build
+    "tx_phrase_bm25",
+    "tx_term_prefix",
+    "tx_term_fuzzy",
 ]
 
 
