@@ -635,15 +635,29 @@ def _phrase_matches(
         .join(F.broadcast(ptab.select("phrase", "words", "n_uniq")), "phrase")
         .where(F.col("n_terms") == F.col("n_uniq"))
     )
-    fold = (
-        "size(aggregate(slice(words, 2, size(words) - 1), "
+    # the fold's final array holds the LAST word's position for every
+    # match; tf = its size, and the earliest match START backs out as
+    # min(ends) - (|words| - 1) (consumed by phrase_snippet_probe; the
+    # extra integer column is free for the tf-only callers)
+    ends = (
+        "aggregate(slice(words, 2, size(words) - 1), "
         "element_at(pmap, words[0]), "
         "(acc, w) -> array_intersect(transform(acc, x -> x + 1), "
-        "element_at(pmap, w))))"
+        "element_at(pmap, w)))"
     )
-    return pmap.select(
-        "phrase", "doc_id", F.expr(fold).cast("long").alias("phrase_tf")
-    ).where(F.col("phrase_tf") > 0)
+    return (
+        pmap.withColumn("ends", F.expr(ends))
+        .select(
+            "phrase",
+            "doc_id",
+            F.expr("size(ends)").cast("long").alias("phrase_tf"),
+            (F.expr("array_min(ends)") - (F.size("words") - F.lit(1)))
+            .cast("int")
+            .alias("first_pos"),
+            F.size("words").cast("int").alias("n_words"),
+        )
+        .where(F.col("phrase_tf") > 0)
+    )
 
 
 def phrase_probe_per_phrase(
@@ -1108,4 +1122,162 @@ def fuzzy_term_probe(
         cand.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("query", "term", "dist", "df", "rnk")
+    )
+
+
+def bm25_query_topk(
+    spark: SparkSession,
+    path: str,
+    queries: list[str],
+    k: int = 5,
+    require_all: bool = False,
+) -> DataFrame:
+    """RANKED multi-term retrieval from the stored index — the canonical
+    IR query shape (what a search box actually issues): a query is a bag
+    of words, a document's score is the SUM of its per-term BM25
+    contributions, top-k docs per query. ``require_all=False`` is OR
+    semantics (any query term matches; docs carrying more terms naturally
+    score higher); ``require_all=True`` is AND semantics (conjunctive —
+    only docs containing EVERY query term rank). bm25_probe answers
+    per-TERM rankings; this is the per-QUERY ranking built on the same
+    pruned reads and the same fixed-point per-term scores, so the two
+    agree exactly on single-word queries.
+
+    Repeated words in one query are deduplicated (tf lives doc-side in
+    BM25; a repeated query word adds no information — the standard
+    bag-of-words contract).
+
+    Batched like the other probes: ONE postings scan pruned to the union
+    of all queries' terms' buckets, one pruned dictionary read, a
+    broadcast (query, term) fan-out join, one (query, doc) sum, one
+    window — plan size constant in the number of queries. Tombstoned
+    docs are anti-joined out; df/stats carry the documented staleness
+    contract until compact.
+
+    Output: (query, doc_id, n_terms, score_fp, rnk) — n_terms = how many
+    of the query's distinct terms the doc carries — top-k per query by
+    (score_fp desc, doc_id asc)."""
+    from pyspark.sql import Window
+
+    from .retrieval import B_FP, K1_FP
+
+    if not queries:
+        raise ValueError("bm25_query_topk: queries must be non-empty")
+    if len(set(queries)) != len(queries):
+        raise ValueError("bm25_query_topk: duplicate queries in the batch")
+    split = [sorted(set(q.split())) for q in queries]
+    if any(not ws for ws in split):
+        raise ValueError("bm25_query_topk: each query needs >= 1 word")
+    check_query_words([w for ws in split for w in ws], "bm25_query_topk")
+    n_buckets = read_index_meta(spark, path)["n_buckets"]
+    all_terms = sorted({w for ws in split for w in ws})
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in all_terms})
+    qtab = spark.createDataFrame(
+        [(q, ws, len(ws)) for q, ws in zip(queries, split)],
+        "query string, terms array<string>, n_query_terms int",
+    )
+    qt = qtab.select("query", F.explode("terms").alias("term"))
+    post = (
+        spark.read.parquet(f"{path}/{_POSTINGS}")
+        .where(F.col("bucket").isin(buckets) & F.col("term").isin(all_terms))
+    )
+    ts = _doc_tombstones(spark, path)
+    if ts is not None:
+        post = post.join(F.broadcast(ts), "doc_id", "left_anti")
+    dfreq = (
+        spark.read.parquet(f"{path}/{_TERMS}")
+        .where(F.col("bucket").isin(buckets) & F.col("term").isin(all_terms))
+        .select("term", "df")
+    )
+    stats = spark.read.parquet(f"{path}/{_STATS}")
+    scored = (
+        post.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("idf_fp", F.expr("(n_docs - df) * 1000 div (df + 1) + 1000"))
+        .withColumn(
+            "norm_fp", F.expr(f"(1000 - {B_FP}) + ({B_FP} * dl * 1000) div avgdl_fp")
+        )
+        .withColumn(
+            "score_fp",
+            F.expr(
+                f"(tf * {K1_FP + 1000} * idf_fp) "
+                f"div (tf * 1000 + ({K1_FP} * norm_fp) div 1000)"
+            ),
+        )
+    )
+    per_doc = (
+        scored.join(F.broadcast(qt), "term")
+        .groupBy("query", "doc_id")
+        .agg(
+            F.countDistinct("term").cast("long").alias("n_terms"),
+            F.sum("score_fp").cast("long").alias("score_fp"),
+        )
+    )
+    if require_all:
+        per_doc = per_doc.join(
+            F.broadcast(qtab.select("query", "n_query_terms")), "query"
+        ).where(F.col("n_terms") == F.col("n_query_terms"))
+    w = Window.partitionBy("query").orderBy(F.desc("score_fp"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query", "doc_id", "n_terms", "score_fp", "rnk")
+    )
+
+
+def phrase_snippet_probe(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    phrases: list[str],
+    k: int = 5,
+    ctx: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Phrase search WITH SNIPPETS (the Lucene highlighter shape): top-k
+    docs per phrase by phrase frequency, each with the token window
+    around its FIRST occurrence — ``ctx`` tokens of context on each side,
+    clamped to the document bounds.
+
+    The index stores no text (positions are enough to rank), so the
+    snippet is cut from the document store: the TOP-K matched set (tiny —
+    |phrases| x k rows of ids + integer positions, already ranked from
+    the batched one-scan probe) is BROADCAST against ``docs`` and only
+    the k winners' texts are tokenized and sliced. At scale that's the
+    doc-store lookup every search stack does after ranking — the corpus
+    is scanned once for the join, never shuffled, and the rank work never
+    touches text at all.
+
+    Output: (phrase, doc_id, phrase_tf, first_pos, snippet, rnk) —
+    first_pos is the 1-based token position where the phrase first
+    starts; snippet joins the window's tokens with single spaces
+    (tokenization is the index's own lowercased whitespace split)."""
+    from pyspark.sql import Window
+
+    if ctx < 0:
+        raise ValueError(f"phrase_snippet_probe: negative ctx {ctx}")
+    matched = _phrase_matches(spark, path, phrases, "phrase_snippet_probe")
+    w = Window.partitionBy("phrase").orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
+    topk = (
+        matched.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("phrase", "doc_id", "phrase_tf", "first_pos", "n_words", "rnk")
+    )
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    )
+    snip = (
+        toked.join(F.broadcast(topk), "doc_id")
+        .withColumn("lo", F.expr(f"greatest(1, first_pos - {ctx})"))
+        .withColumn(
+            "hi",
+            F.expr(f"least(size(toks), first_pos + n_words - 1 + {ctx})"),
+        )
+        .withColumn(
+            "snippet", F.expr("concat_ws(' ', slice(toks, lo, hi - lo + 1))")
+        )
+    )
+    return snip.select(
+        "phrase", "doc_id", "phrase_tf", "first_pos", "snippet", "rnk"
     )

@@ -1348,3 +1348,177 @@ def tx_term_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
     return fuzzy_term_probe(spark, path, _FUZZY_QUERIES, k=5)
+
+
+_MULTI_QUERIES = ["slow hash", "table merge group", "spark window"]
+
+
+def _bm25_multi_oracle(k: int = 5) -> str:
+    """Replays ranked multi-term retrieval: per-term fixed-point BM25
+    (the shared integer forms), summed per (query, doc), OR semantics
+    ranked as-is and AND semantics ranked over docs carrying every query
+    term — both modes in one result under a mode column."""
+    from ..operators.retrieval import B_FP, K1_FP
+    from .pipeline import _TOKS_SQL
+
+    all_terms = sorted({w for q in _MULTI_QUERIES for w in q.split()})
+    terms_in = ", ".join(f"'{t}'" for t in all_terms)
+    qt_values = ", ".join(
+        f"('{q}', '{t}')" for q in _MULTI_QUERIES for t in sorted(set(q.split()))
+    )
+    nq_values = ", ".join(
+        f"('{q}', {len(set(q.split()))})" for q in _MULTI_QUERIES
+    )
+    return rf"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    lens AS (SELECT doc_id, len(toks) AS dl FROM d WHERE len(toks) >= 1),
+    stats AS (SELECT count(*) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) * 1000 // count(*) AS avgdl_fp
+              FROM lens),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    post AS (SELECT term, doc_id, count(*) AS tf FROM tok
+             WHERE term IN ({terms_in}) GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+    scored AS (
+      SELECT term, doc_id, tf, df,
+             (n_docs - df) * 1000 // (df + 1) + 1000 AS idf_fp,
+             (1000 - {B_FP}) + ({B_FP} * dl * 1000) // avgdl_fp AS norm_fp
+      FROM post JOIN dfreq USING (term) JOIN lens USING (doc_id)
+      CROSS JOIN stats),
+    s2 AS (SELECT term, doc_id,
+                  (tf * {K1_FP + 1000} * idf_fp)
+                    // (tf * 1000 + ({K1_FP} * norm_fp) // 1000) AS score_fp
+           FROM scored),
+    qt(query, term) AS (VALUES {qt_values}),
+    g AS (SELECT qt.query, s.doc_id,
+                 CAST(count(DISTINCT s.term) AS BIGINT) AS n_terms,
+                 CAST(sum(s.score_fp) AS BIGINT) AS score_fp
+          FROM s2 s JOIN qt ON s.term = qt.term GROUP BY 1, 2),
+    nq(query, n) AS (VALUES {nq_values}),
+    r_or AS (SELECT query, doc_id, n_terms, score_fp,
+                    row_number() OVER (PARTITION BY query
+                                       ORDER BY score_fp DESC, doc_id ASC) AS rnk
+             FROM g),
+    r_and AS (SELECT g.query, g.doc_id, g.n_terms, g.score_fp,
+                     row_number() OVER (PARTITION BY g.query
+                                        ORDER BY g.score_fp DESC, g.doc_id ASC) AS rnk
+              FROM g JOIN nq ON g.query = nq.query AND g.n_terms = nq.n)
+    SELECT 'or' AS mode, query, doc_id, n_terms, score_fp, rnk
+    FROM r_or WHERE rnk <= {k}
+    UNION ALL
+    SELECT 'and' AS mode, query, doc_id, n_terms, score_fp, rnk
+    FROM r_and WHERE rnk <= {k}
+    """
+
+
+@register(
+    "tx_bm25_multiterm",
+    _bm25_multi_oracle(),
+    doc="RANKED multi-term retrieval from the stored index "
+    "(operators/text_index.py:bm25_query_topk) — the canonical IR query "
+    "shape a search box issues, which per-TERM rankings (tx_bm25_stored) "
+    "don't answer: a query is a bag of words, a doc's score is the SUM "
+    "of its per-term fixed-point BM25 contributions, top-5 docs per "
+    "query. Both boolean modes in one value-checked result: OR (any "
+    "term; multi-term docs naturally outrank) and AND (conjunctive — "
+    "docs carrying every query term, the n_terms completeness filter). "
+    "Batched like every serving probe: one postings scan pruned to the "
+    "union of the queries' term buckets, broadcast (query, term) "
+    "fan-out, one (query, doc) sum, one window — plan constant in query "
+    "count. The oracle replays per-term scores + the per-query sum + "
+    "both mode rankings relationally",
+)
+def tx_bm25_multiterm(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.text_index import bm25_query_topk, write_bm25_index
+
+    docs = load_table(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="bm25_multi_")
+    shutil.rmtree(path, ignore_errors=True)
+    write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
+    cols = ["mode", "query", "doc_id", "n_terms", "score_fp", "rnk"]
+    o = bm25_query_topk(spark, path, _MULTI_QUERIES, k=5).withColumn(
+        "mode", F.lit("or")
+    ).select(cols)
+    a = bm25_query_topk(spark, path, _MULTI_QUERIES, k=5, require_all=True).withColumn(
+        "mode", F.lit("and")
+    ).select(cols)
+    return o.unionByName(a)
+
+
+def _snippet_oracle(k: int = 5, ctx: int = 3) -> str:
+    """Replays phrase match starts + ranking + the clamped token-window
+    slice from the raw corpus (DuckDB list slices are 1-based and
+    inclusive on both ends, clamping out-of-range — matched to Spark's
+    slice(toks, lo, hi - lo + 1) exactly)."""
+    from .pipeline import _TOKS_SQL
+
+    branches = []
+    for p in _PHRASES:
+        words = p.split()
+        n = len(words)
+        conds = " AND ".join(
+            f"toks[i + {j}] = '{w}'" for j, w in enumerate(words)
+        )
+        branches.append(
+            f"SELECT '{p}' AS phrase, doc_id, toks, {n} AS n_words, "
+            f"CASE WHEN len(toks) >= {n} THEN "
+            f"list_filter(range(1, len(toks) - {n} + 2), i -> {conds}) "
+            f"ELSE CAST([] AS BIGINT[]) END AS starts FROM d"
+        )
+    return rf"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    u AS ({' UNION ALL '.join(branches)}),
+    m AS (SELECT phrase, doc_id, toks, n_words,
+                 CAST(len(starts) AS BIGINT) AS phrase_tf,
+                 CAST(starts[1] AS INTEGER) AS first_pos
+          FROM u WHERE len(starts) > 0),
+    r AS (SELECT phrase, doc_id, toks, n_words, phrase_tf, first_pos,
+                 row_number() OVER (PARTITION BY phrase
+                                    ORDER BY phrase_tf DESC, doc_id ASC) AS rnk
+          FROM m)
+    SELECT phrase, doc_id, phrase_tf, first_pos,
+           array_to_string(
+             toks[greatest(1, first_pos - {ctx}):
+                  least(len(toks), first_pos + n_words - 1 + {ctx})], ' ')
+             AS snippet,
+           rnk
+    FROM r WHERE rnk <= {k}
+    """
+
+
+@register(
+    "tx_phrase_snippets",
+    _snippet_oracle(),
+    doc="phrase search WITH SNIPPETS (the Lucene highlighter shape, "
+    "operators/text_index.py:phrase_snippet_probe): top-5 docs per "
+    "phrase from the positional sidecar's batched one-scan probe, each "
+    "with the token window around its FIRST occurrence (3 tokens of "
+    "context each side, clamped at document bounds) cut from the doc "
+    "store AFTER ranking — the tiny ranked set (|phrases| x k ids + "
+    "integer positions) broadcasts against the corpus, so text is "
+    "touched only for the winners and never shuffled; rank work never "
+    "reads text at all. The match start backs out of the adjacency "
+    "fold's final array (min(last-word positions) - |words| + 1). The "
+    "oracle replays starts, ranking, and the clamped slice with DuckDB "
+    "list ops (1-based inclusive slices on both engines, inclusivity "
+    "matched explicitly) — the snippet STRINGS hash bit-identically",
+)
+def tx_phrase_snippets(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.text_index import (
+        phrase_snippet_probe,
+        write_bm25_index,
+        write_phrase_positions,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="phrase_snip_")
+    shutil.rmtree(path, ignore_errors=True)
+    write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
+    write_phrase_positions(spark, docs, path, "doc_id", "text")
+    return phrase_snippet_probe(spark, path, docs, _PHRASES, k=5, ctx=3)

@@ -765,3 +765,96 @@ def test_fuzzy_term_probe_matches_brute_force(spark, docs, full_index):
         fuzzy_term_probe(spark, full_index, ["spar", "spar"], k=5)
     with pytest.raises(ValueError, match="quote"):
         fuzzy_term_probe(spark, full_index, ["o'x"], k=5)
+
+
+def test_bm25_query_topk_semantics(spark, docs, full_index):
+    """Multi-term ranked retrieval: a single-word query agrees exactly
+    with the per-term probe; AND results are the n_terms-complete subset
+    of OR results; guards are loud; tombstones honored."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+        bm25_query_topk,
+    )
+
+    one = bm25_query_topk(spark, full_index, ["spark"], k=5).collect()
+    ref = [r for r in bm25_probe(spark, full_index, ["spark"], k=5).collect()]
+    assert [(r["doc_id"], r["score_fp"], r["rnk"]) for r in sorted(one, key=lambda r: r["rnk"])] \
+        == [(r["doc_id"], r["score_fp"], r["rnk"]) for r in sorted(ref, key=lambda r: r["rnk"])]
+    assert all(r["n_terms"] == 1 for r in one)
+
+    q = ["slow hash", "table merge group"]
+    both = bm25_query_topk(spark, full_index, q, k=1000).collect()
+    conj = bm25_query_topk(spark, full_index, q, k=1000, require_all=True).collect()
+    or_set = {(r["query"], r["doc_id"]): r for r in both}
+    for r in conj:
+        o = or_set[(r["query"], r["doc_id"])]  # every AND row exists in OR
+        assert o["score_fp"] == r["score_fp"] and o["n_terms"] == r["n_terms"]
+        assert r["n_terms"] == len(set(r["query"].split()))
+    # repeated query words dedupe (bag-of-words contract)
+    a = bm25_query_topk(spark, full_index, ["hash hash"], k=5).collect()
+    b = bm25_query_topk(spark, full_index, ["hash"], k=5).collect()
+    assert sorted((r["doc_id"], r["score_fp"]) for r in a) == sorted(
+        (r["doc_id"], r["score_fp"]) for r in b
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        bm25_query_topk(spark, full_index, ["hash", "hash"], k=5)
+    with pytest.raises(ValueError, match="quote"):
+        bm25_query_topk(spark, full_index, ["o'x hash"], k=5)
+
+
+def test_bm25_query_topk_honors_tombstones(spark, docs):
+    from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+        bm25_index_delete,
+        bm25_query_topk,
+    )
+
+    path = tempfile.mkdtemp(prefix="bm25idx_multi_ts_")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=NB)
+        top1 = bm25_query_topk(spark, path, ["slow hash"], k=1).collect()
+        victim = int(top1[0]["doc_id"])
+        bm25_index_delete(spark, path, [victim])
+        after = bm25_query_topk(spark, path, ["slow hash"], k=5)
+        assert after.where(F.col("doc_id") == victim).count() == 0
+        assert after.count() == 5
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_phrase_snippet_probe_windows_and_clamps(spark):
+    """Snippet windows: first occurrence selected, ctx tokens each side,
+    clamped at both document bounds; tokenization is the index's own."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+        phrase_snippet_probe,
+        write_bm25_index,
+        write_phrase_positions,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Table Hash u v w x y z"),            # match at doc start
+            (2, "a b c d e table hash"),              # match at doc end
+            (3, "a b c d table hash x y z w"),        # interior + clamp-free
+            (4, "table hash a b table hash c"),       # first of two matches
+            (5, "no match here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    path = tempfile.mkdtemp(prefix="phrase_snip_t_")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=NB)
+        write_phrase_positions(spark, docs, path, "doc_id", "text")
+        got = {
+            r["doc_id"]: (r["first_pos"], r["snippet"], r["phrase_tf"])
+            for r in phrase_snippet_probe(
+                spark, path, docs, ["table hash"], k=10, ctx=3
+            ).collect()
+        }
+        assert got[1] == (1, "table hash u v w", 1)       # lo clamps to 1
+        assert got[2] == (6, "c d e table hash", 1)       # hi clamps to len
+        assert got[3] == (5, "b c d table hash x y z", 1) # full window
+        assert got[4] == (1, "table hash a b table", 2)   # first of two wins
+        assert 5 not in got
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
