@@ -51,7 +51,14 @@ NAMES = [
     "tx_phrase_bm25",
     "tx_term_prefix",
     "tx_term_fuzzy",
+    # latest additions: multi-term ranked retrieval + highlighter
+    "tx_bm25_multiterm",
+    "tx_phrase_snippets",
 ]
+
+# pass query names after the fixture dir to re-measure a subset, e.g.
+#   python tools/r13_sf1_recheck.py /tmp/sf1_freq tx_bm25_multiterm
+# (subset runs MERGE into the existing r13_new_ops table)
 
 
 def main() -> int:
@@ -67,8 +74,9 @@ def main() -> int:
     registry._load_all()
     spark = get_spark("r13_sf1_recheck")
     spark.sparkContext.setLogLevel("ERROR")
+    names = sys.argv[2:] or NAMES
     table: dict[str, dict] = {}
-    for name in NAMES:
+    for name in names:
         fn = registry.QUERIES[name].spark
         row = {}
         for label, d in (("sf01", sf01), ("sf1", sf1)):
@@ -94,7 +102,10 @@ def main() -> int:
     }
     bench_path = os.path.join(REPO, "BENCH_sf1_local.json")
     doc = json.load(open(bench_path))
-    doc["r13_new_ops"] = payload
+    if sys.argv[2:] and "r13_new_ops" in doc:  # subset run: merge
+        doc["r13_new_ops"]["queries"].update(table)
+    else:
+        doc["r13_new_ops"] = payload
     with open(bench_path, "w") as f:
         json.dump(doc, f, indent=1)
         f.write("\n")
