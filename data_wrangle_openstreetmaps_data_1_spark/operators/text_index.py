@@ -1025,8 +1025,25 @@ def prefix_probe(
             f"prefix_probe: prefixes expand past max_expansions={max_expansions}: "
             f"{over} — narrow them or raise the cap"
         )
-    out_schema = "prefix string, doc_id long, n_terms long, total_tf long, rnk int"
-    if not mapping:  # every prefix matched nothing: empty result, same schema
+    return _expanded_terms_probe(spark, path, mapping, "prefix", n_buckets, k)
+
+
+def _expanded_terms_probe(
+    spark: SparkSession,
+    path: str,
+    mapping: list[tuple[str, str]],
+    label_col: str,
+    n_buckets: int,
+    k: int,
+) -> DataFrame:
+    """Shared multi-term constant-score probe behind prefix_probe and
+    suffix_probe: (label, term) mapping -> postings pruned to the
+    expanded terms' buckets -> per (label, doc) summed tf + distinct-term
+    count -> top-k per label by (total_tf desc, doc_id asc)."""
+    from pyspark.sql import Window
+
+    out_schema = f"{label_col} string, doc_id long, n_terms long, total_tf long, rnk int"
+    if not mapping:  # every label matched nothing: empty result, same schema
         return spark.createDataFrame([], out_schema)
     matched_terms = sorted({t for _p, t in mapping})
     buckets = sorted({term_bucket_py(t, n_buckets) for t in matched_terms})
@@ -1037,20 +1054,20 @@ def prefix_probe(
     ts = _doc_tombstones(spark, path)
     if ts is not None:
         post = post.join(F.broadcast(ts), "doc_id", "left_anti")
-    mdf = spark.createDataFrame(mapping, "prefix string, term string")
+    mdf = spark.createDataFrame(mapping, f"{label_col} string, term string")
     g = (
         post.join(F.broadcast(mdf), "term")
-        .groupBy("prefix", "doc_id")
+        .groupBy(label_col, "doc_id")
         .agg(
             F.countDistinct("term").cast("long").alias("n_terms"),
             F.sum("tf").cast("long").alias("total_tf"),
         )
     )
-    w = Window.partitionBy("prefix").orderBy(F.desc("total_tf"), F.asc("doc_id"))
+    w = Window.partitionBy(label_col).orderBy(F.desc("total_tf"), F.asc("doc_id"))
     return (
         g.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
-        .select("prefix", "doc_id", "n_terms", "total_tf", "rnk")
+        .select(label_col, "doc_id", "n_terms", "total_tf", "rnk")
     )
 
 
@@ -1280,4 +1297,274 @@ def phrase_snippet_probe(
     )
     return snip.select(
         "phrase", "doc_id", "phrase_tf", "first_pos", "snippet", "rnk"
+    )
+
+
+def bm25_index_merge(
+    spark: SparkSession, out_path: str, in_paths: list[str]
+) -> None:
+    """Merge N BM25 indexes into one (Lucene's multi-segment merge, the
+    missing lifecycle op between per-shard builds and one serving index —
+    e.g. per-source or per-day indexes built independently, merged for
+    serving): postings UNION (document sets must be disjoint — loud
+    guard), term dictionaries df-SUMMED per (term, bucket), stats summed
+    from the stored (n_docs, sum_dl) rows (avgdl re-derived exactly — the
+    reason sum_dl is persisted), and the positional sidecar unioned when
+    EVERY input carries it.
+
+    Merging is a pure union-and-reaggregate of already-bucketed rows:
+    the merged index is bit-identical to a one-shot build on the union
+    corpus (asserted in tests), because every artifact is a pure function
+    of the (term, doc) multiset and bucket routing depends only on the
+    term and the shared n_buckets.
+
+    Contracts, loudly enforced: all inputs share n_buckets (bucket
+    routing must agree); no input has pending tombstones (compact first —
+    merging stale df against masked docs would bake the staleness in);
+    either every input has positions/ or none does (a merged index that
+    silently served phrases for half the corpus would be wrong)."""
+    import os
+
+    if len(in_paths) < 2:
+        raise ValueError("bm25_index_merge: need >= 2 input indexes")
+    metas = [read_index_meta(spark, p) for p in in_paths]
+    n_buckets = metas[0]["n_buckets"]
+    if any(m["n_buckets"] != n_buckets for m in metas):
+        raise ValueError(
+            f"bm25_index_merge: n_buckets disagree across inputs "
+            f"({[m['n_buckets'] for m in metas]}) — bucket routing must agree"
+        )
+    for p in in_paths:
+        ts = _doc_tombstones(spark, p)
+        if ts is not None and ts.head(1) != []:
+            raise ValueError(
+                f"bm25_index_merge: {p} has pending tombstones — run "
+                "bm25_index_compact first (merging would bake stale df in)"
+            )
+    have_pos = [os.path.isdir(f"{p}/{_POSITIONS}") for p in in_paths]
+    if any(have_pos) and not all(have_pos):
+        raise ValueError(
+            "bm25_index_merge: positions/ present on only some inputs — "
+            "a merged index must serve phrases for all of the corpus or "
+            "none of it"
+        )
+    posts = [spark.read.parquet(f"{p}/{_POSTINGS}") for p in in_paths]
+    union = posts[0]
+    for q in posts[1:]:
+        union = union.unionByName(q)
+    # disjointness guard: a doc_id in two inputs would double-count
+    per_input_ids = [p.select("doc_id").distinct() for p in posts]
+    overlap = per_input_ids[0]
+    seen = per_input_ids[0]
+    clash = None
+    for ids in per_input_ids[1:]:
+        c = seen.join(ids, "doc_id").limit(1).collect()
+        if c:
+            clash = c[0]["doc_id"]
+            break
+        seen = seen.unionByName(ids).distinct()
+    if clash is not None:
+        raise ValueError(
+            f"bm25_index_merge: doc_id {clash!r} appears in more than one "
+            "input — document sets must be disjoint"
+        )
+    union.select("term", "doc_id", "tf", "dl", "bucket").repartition(
+        "bucket"
+    ).write.partitionBy("bucket").mode("overwrite").parquet(f"{out_path}/{_POSTINGS}")
+    terms = [
+        spark.read.parquet(f"{p}/{_TERMS}").select("term", "df", "bucket")
+        for p in in_paths
+    ]
+    tu = terms[0]
+    for t in terms[1:]:
+        tu = tu.unionByName(t)
+    tu.groupBy("term", "bucket").agg(F.sum("df").cast("long").alias("df")).select(
+        "term", "df", "bucket"
+    ).repartition("bucket").write.partitionBy("bucket").mode("overwrite").parquet(
+        f"{out_path}/{_TERMS}"
+    )
+    rows = [spark.read.parquet(f"{p}/{_STATS}").head() for p in in_paths]
+    if any(r is None or "sum_dl" not in r.asDict() for r in rows):
+        # pre-sum_dl layout somewhere: rebuild from the merged postings
+        spark.createDataFrame([(int(n_buckets),)], "n_buckets int").coalesce(
+            1
+        ).write.mode("overwrite").json(f"{out_path}/meta")
+        _write_stats(spark, out_path)
+    else:
+        n_docs = sum(int(r["n_docs"]) for r in rows)
+        sum_dl = sum(int(r["sum_dl"]) for r in rows)
+        spark.createDataFrame(
+            [(n_docs, sum_dl, (sum_dl * 1000) // n_docs)],
+            "n_docs bigint, sum_dl bigint, avgdl_fp bigint",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{out_path}/{_STATS}")
+        spark.createDataFrame([(int(n_buckets),)], "n_buckets int").coalesce(
+            1
+        ).write.mode("overwrite").json(f"{out_path}/meta")
+    if all(have_pos):
+        pos = [spark.read.parquet(f"{p}/{_POSITIONS}") for p in in_paths]
+        pu = pos[0]
+        for q in pos[1:]:
+            pu = pu.unionByName(q)
+        pu.select("term", "doc_id", "positions", "bucket").repartition(
+            "bucket"
+        ).write.partitionBy("bucket").mode("overwrite").parquet(
+            f"{out_path}/{_POSITIONS}"
+        )
+
+
+_RTERMS = "rterms"
+
+
+def write_reversed_terms(spark: SparkSession, path: str) -> None:
+    """Materialize the REVERSED term dictionary (Lucene's reversed-field
+    trick for leading-wildcard queries): ``rterms/`` = (rterm =
+    reverse(term), term, df), GLOBALLY SORTED by rterm. A suffix query
+    becomes a PREFIX match on rterm — and because the file is rterm-
+    sorted, ``startsWith`` is a sargable range predicate parquet answers
+    from row-group min/max stats, where ``endswith(term, ...)`` on the
+    forward dictionary can never skip anything. Pure function of terms/;
+    rebuild after compaction or adds (vocabulary-sized — cheap)."""
+    (
+        spark.read.parquet(f"{path}/{_TERMS}")
+        .select(F.reverse(F.col("term")).alias("rterm"), "term", "df")
+        .sort("rterm")
+        .write.mode("overwrite")
+        .parquet(f"{path}/{_RTERMS}")
+    )
+
+
+def suffix_probe(
+    spark: SparkSession,
+    path: str,
+    suffixes: list[str],
+    k: int = 5,
+    max_expansions: int = 64,
+) -> DataFrame:
+    """Suffix term query (the leading-wildcard '*ing' shape) from the
+    reversed dictionary: expansion is a startsWith on ``rterms/`` — a
+    sargable range predicate over the rterm-SORTED file (row-group
+    min/max skipping), which ``endswith`` on the forward dictionary
+    cannot get — then the document-sized postings read prunes to the
+    matched terms' buckets exactly like prefix_probe (same guard
+    contract, same constant-score output shape, same [a-z0-9]+ charset
+    so the oracle's LIKE replay is metacharacter-exact).
+
+    Requires ``write_reversed_terms`` to have materialized rterms/ (loud
+    error otherwise). Output: (suffix, doc_id, n_terms, total_tf, rnk)."""
+    import os
+    from functools import reduce
+
+    if not suffixes:
+        raise ValueError("suffix_probe: suffixes must be non-empty")
+    if len(set(suffixes)) != len(suffixes):
+        raise ValueError("suffix_probe: duplicate suffixes in the batch")
+    for s in suffixes:
+        if not _PREFIX_OK.fullmatch(s):
+            raise ValueError(
+                f"suffix_probe: suffix {s!r} must match [a-z0-9]+ (tokens "
+                "are lowercased; '_'/'%' are LIKE metacharacters in the "
+                "oracle replay)"
+            )
+    if not os.path.isdir(f"{path}/{_RTERMS}"):
+        raise ValueError(
+            f"suffix_probe: {path} has no reversed dictionary — run "
+            "write_reversed_terms(spark, path) first (and re-run it after "
+            "adds/compaction; it is a pure function of terms/)"
+        )
+    n_buckets = read_index_meta(spark, path)["n_buckets"]
+    rev = {s: s[::-1] for s in suffixes}
+    rt = spark.read.parquet(f"{path}/{_RTERMS}")
+    pred = reduce(
+        lambda a, b: a | b,
+        [F.col("rterm").startswith(rev[s]) for s in suffixes],
+    )
+    cap = max_expansions * len(suffixes) + 1
+    rows = rt.where(pred).select("term").limit(cap).collect()
+    if len(rows) == cap:
+        raise ValueError(
+            f"suffix_probe: suffixes expand past {max_expansions} terms each "
+            f"at {path} — narrow the suffixes or raise max_expansions"
+        )
+    mapping = [
+        (s, r["term"]) for s in suffixes for r in rows if r["term"].endswith(s)
+    ]
+    per_suffix: dict[str, int] = {}
+    for s, _t in mapping:
+        per_suffix[s] = per_suffix.get(s, 0) + 1
+    over = {s: n for s, n in per_suffix.items() if n > max_expansions}
+    if over:
+        raise ValueError(
+            f"suffix_probe: suffixes expand past max_expansions={max_expansions}: "
+            f"{over} — narrow them or raise the cap"
+        )
+    return _expanded_terms_probe(spark, path, mapping, "suffix", n_buckets, k)
+
+
+def bm25_facet_counts(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    queries: list[str],
+    facet_col: str,
+    k_facets: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """FACET counts for multi-term queries (the search-engine aggregation
+    panel — Elasticsearch terms-agg / Solr facets): for each query, how
+    many MATCHING documents (OR semantics — any query term) fall in each
+    value of a metadata column, ranked by count. Facets summarize the
+    WHOLE matching set, not the top-k page — that is the product
+    contract (the sidebar counts don't change as you paginate).
+
+    Plan: matching (query, doc_id) pairs come from the same pruned
+    postings read as bm25_query_topk (one scan, broadcast (query, term)
+    fan-out, distinct); the facet column joins from the doc store
+    COLUMN-PRUNED (two columns, never text) on doc_id — a real shuffle
+    join because the matching set is corpus-proportional for common
+    terms, which is exactly when you want it distributed. The facet
+    aggregate is |queries| x |facet values| rows — tiny. Tombstoned docs
+    are anti-joined out.
+
+    Output: (query, facet, n_docs, rnk) top-k_facets per query by
+    (n_docs desc, facet asc)."""
+    from pyspark.sql import Window
+
+    if not queries:
+        raise ValueError("bm25_facet_counts: queries must be non-empty")
+    if len(set(queries)) != len(queries):
+        raise ValueError("bm25_facet_counts: duplicate queries in the batch")
+    split = [sorted(set(q.split())) for q in queries]
+    if any(not ws for ws in split):
+        raise ValueError("bm25_facet_counts: each query needs >= 1 word")
+    check_query_words([w for ws in split for w in ws], "bm25_facet_counts")
+    n_buckets = read_index_meta(spark, path)["n_buckets"]
+    all_terms = sorted({w for ws in split for w in ws})
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in all_terms})
+    qt = spark.createDataFrame(
+        [(q, t) for q, ws in zip(queries, split) for t in ws],
+        "query string, term string",
+    )
+    post = (
+        spark.read.parquet(f"{path}/{_POSTINGS}")
+        .where(F.col("bucket").isin(buckets) & F.col("term").isin(all_terms))
+    )
+    ts = _doc_tombstones(spark, path)
+    if ts is not None:
+        post = post.join(F.broadcast(ts), "doc_id", "left_anti")
+    matched = (
+        post.join(F.broadcast(qt), "term").select("query", "doc_id").distinct()
+    )
+    meta = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(facet_col).alias("facet")
+    )
+    g = (
+        matched.join(meta, "doc_id")
+        .groupBy("query", "facet")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    w = Window.partitionBy("query").orderBy(F.desc("n_docs"), F.asc("facet"))
+    return (
+        g.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k_facets)
+        .select("query", "facet", "n_docs", "rnk")
     )

@@ -1522,3 +1522,115 @@ def tx_phrase_snippets(spark: SparkSession, sf: str) -> DataFrame:
     write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
     write_phrase_positions(spark, docs, path, "doc_id", "text")
     return phrase_snippet_probe(spark, path, docs, _PHRASES, k=5, ctx=3)
+
+
+_SUFFIXES_Q = ["w", "er", "le", "zz"]
+
+
+def _suffix_oracle(k: int = 5) -> str:
+    from .pipeline import _TOKS_SQL
+
+    values = ", ".join(f"('{s}')" for s in _SUFFIXES_Q)
+    return rf"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    post AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+    sf(suffix) AS (VALUES {values}),
+    m AS (SELECT sf.suffix, p.term, p.doc_id, p.tf
+          FROM post p JOIN sf ON p.term LIKE '%' || sf.suffix),
+    g AS (SELECT suffix, doc_id,
+                 CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+                 CAST(sum(tf) AS BIGINT) AS total_tf
+          FROM m GROUP BY 1, 2),
+    r AS (SELECT suffix, doc_id, n_terms, total_tf,
+                 row_number() OVER (PARTITION BY suffix
+                                    ORDER BY total_tf DESC, doc_id ASC) AS rnk
+          FROM g)
+    SELECT suffix, doc_id, n_terms, total_tf, rnk FROM r WHERE rnk <= {k}
+    """
+
+
+@register(
+    "tx_term_suffix",
+    _suffix_oracle(),
+    doc="suffix term query — the leading-wildcard '*ing' shape — served "
+    "through the REVERSED dictionary (operators/text_index.py:"
+    "write_reversed_terms/suffix_probe — Lucene's reversed-field trick): "
+    "rterms/ stores (reverse(term), term, df) GLOBALLY SORTED by rterm, "
+    "turning the unsargable endswith into a startsWith RANGE predicate "
+    "parquet answers from row-group min/max stats; the document-sized "
+    "postings read then prunes to the matched terms' buckets like "
+    "prefix_probe. Same max_expansions cap, same constant-score output, "
+    "one suffix ('zz') matching nothing. The oracle replays expansion "
+    "with LIKE '%'||suffix over the raw corpus",
+)
+def tx_term_suffix(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.text_index import (
+        suffix_probe,
+        write_bm25_index,
+        write_reversed_terms,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="suffix_idx_")
+    shutil.rmtree(path, ignore_errors=True)
+    write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
+    write_reversed_terms(spark, path)
+    return suffix_probe(spark, path, _SUFFIXES_Q, k=5)
+
+
+def _facet_oracle(k_facets: int = 10) -> str:
+    from .pipeline import _TOKS_SQL
+
+    all_terms = sorted({w for q in _MULTI_QUERIES for w in q.split()})
+    terms_in = ", ".join(f"'{t}'" for t in all_terms)
+    qt_values = ", ".join(
+        f"('{q}', '{t}')" for q in _MULTI_QUERIES for t in sorted(set(q.split()))
+    )
+    return rf"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    post AS (SELECT DISTINCT term, doc_id FROM tok WHERE term IN ({terms_in})),
+    qt(query, term) AS (VALUES {qt_values}),
+    m AS (SELECT DISTINCT qt.query, p.doc_id FROM post p JOIN qt ON p.term = qt.term),
+    g AS (SELECT m.query, doc.source AS facet, CAST(count(*) AS BIGINT) AS n_docs
+          FROM m JOIN documents doc ON doc.doc_id = m.doc_id
+          GROUP BY 1, 2),
+    r AS (SELECT query, facet, n_docs,
+                 row_number() OVER (PARTITION BY query
+                                    ORDER BY n_docs DESC, facet ASC) AS rnk
+          FROM g)
+    SELECT query, facet, n_docs, rnk FROM r WHERE rnk <= {k_facets}
+    """
+
+
+@register(
+    "tx_bm25_facets",
+    _facet_oracle(),
+    doc="FACET counts for multi-term queries (the search-engine "
+    "aggregation panel — Elasticsearch terms-agg, operators/text_index"
+    ".py:bm25_facet_counts): per query, matching-document counts by the "
+    "doc-store 'source' column, ranked desc — summarizing the WHOLE "
+    "matching set (OR semantics), not the top-k page, which is the "
+    "product contract (sidebar counts don't change as you paginate). "
+    "Matching pairs ride the same pruned postings scan + broadcast "
+    "(query, term) fan-out as tx_bm25_multiterm; the facet column joins "
+    "COLUMN-PRUNED from the doc store (two columns, never text) — a "
+    "real shuffle join, correctly, because the matching set is corpus-"
+    "proportional for common terms. The oracle replays matching + the "
+    "facet rollup relationally",
+)
+def tx_bm25_facets(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.text_index import bm25_facet_counts, write_bm25_index
+
+    docs = load_table(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="bm25_facets_")
+    shutil.rmtree(path, ignore_errors=True)
+    write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
+    return bm25_facet_counts(spark, path, docs, _MULTI_QUERIES, "source", k_facets=10)

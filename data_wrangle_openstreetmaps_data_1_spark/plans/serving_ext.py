@@ -860,3 +860,49 @@ def st_phrase_index(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "text")
     run_bm25_index_stream(stream, path, "doc_id", "text", n_buckets=16, with_positions=True)
     return phrase_probe(spark, path, _PHRASES, k=5)
+
+
+@register(
+    "tx_bm25_merged",
+    _bm25_stored_oracle(),
+    doc="SEGMENT MERGE for the lexical serving tier (operators/"
+    "text_index.py:bm25_index_merge — Lucene's multi-segment merge, the "
+    "lifecycle op between per-shard builds and one serving index): two "
+    "indexes built independently on disjoint corpus halves (each with "
+    "its positional sidecar) merge into one — postings union, term df "
+    "sum per bucket, stats summed from the stored (n_docs, sum_dl) rows "
+    "(the reason sum_dl is persisted), positions union. Every artifact "
+    "is a pure function of the (term, doc) multiset and bucket routing "
+    "depends only on term + n_buckets, so the merged index is BIT-"
+    "IDENTICAL to a one-shot build on the union corpus (asserted in "
+    "tests); this query probes the merged index under tx_bm25_stored's "
+    "oracle verbatim — the merge must be value-invisible. Guards are "
+    "loud: n_buckets mismatch, overlapping doc sets, pending tombstones "
+    "(compact first), and mixed positions capability all refuse",
+)
+def tx_bm25_merged(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+
+    from ..operators.text_index import bm25_index_merge, write_phrase_positions
+    from .pipeline_ext import BM25_TERMS
+
+    docs = load_table(spark, sf, "documents")
+    a = tempfile.mkdtemp(prefix="bm25_shard_a_")
+    b = tempfile.mkdtemp(prefix="bm25_shard_b_")
+    out = tempfile.mkdtemp(prefix="bm25_merged_")
+    for p in (a, b, out):
+        shutil.rmtree(p, ignore_errors=True)
+    write_bm25_index(
+        spark, docs.where(F.col("doc_id") % 2 == 0), a, "doc_id", "text", n_buckets=16
+    )
+    write_phrase_positions(
+        spark, docs.where(F.col("doc_id") % 2 == 0), a, "doc_id", "text"
+    )
+    write_bm25_index(
+        spark, docs.where(F.col("doc_id") % 2 == 1), b, "doc_id", "text", n_buckets=16
+    )
+    write_phrase_positions(
+        spark, docs.where(F.col("doc_id") % 2 == 1), b, "doc_id", "text"
+    )
+    bm25_index_merge(spark, out, [a, b])
+    return bm25_probe(spark, out, BM25_TERMS, k=5)

@@ -858,3 +858,157 @@ def test_phrase_snippet_probe_windows_and_clamps(spark):
         assert 5 not in got
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_index_merge_equals_oneshot_build(spark, docs):
+    """merge(build(A), build(B)) must be bit-identical to build(A ∪ B)
+    across every artifact (postings, terms, stats, positions) and every
+    probe family; the guards (bucket mismatch, overlapping docs, pending
+    tombstones, mixed positions capability) refuse loudly."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+        bm25_index_delete,
+        bm25_index_merge,
+        phrase_probe,
+        write_phrase_positions,
+    )
+
+    a = tempfile.mkdtemp(prefix="bm25mrg_a_")
+    b = tempfile.mkdtemp(prefix="bm25mrg_b_")
+    out = tempfile.mkdtemp(prefix="bm25mrg_o_")
+    ref = tempfile.mkdtemp(prefix="bm25mrg_r_")
+    for p in (a, b, out, ref):
+        shutil.rmtree(p, ignore_errors=True)
+    try:
+        da = docs.where(F.col("doc_id") % 2 == 0)
+        db = docs.where(F.col("doc_id") % 2 == 1)
+        write_bm25_index(spark, da, a, "doc_id", "text", n_buckets=NB)
+        write_phrase_positions(spark, da, a, "doc_id", "text")
+        write_bm25_index(spark, db, b, "doc_id", "text", n_buckets=NB)
+        write_phrase_positions(spark, db, b, "doc_id", "text")
+        bm25_index_merge(spark, out, [a, b])
+        write_bm25_index(spark, docs, ref, "doc_id", "text", n_buckets=NB)
+        write_phrase_positions(spark, docs, ref, "doc_id", "text")
+        for sub in ("postings", "terms", "stats", "positions"):
+            got = sorted(tuple(r) for r in spark.read.parquet(f"{out}/{sub}").collect())
+            want = sorted(tuple(r) for r in spark.read.parquet(f"{ref}/{sub}").collect())
+            assert got == want, f"{sub} diverged from the one-shot build"
+        assert sorted(map(tuple, bm25_probe(spark, out, TERMS, k=5).collect())) \
+            == sorted(map(tuple, bm25_probe(spark, ref, TERMS, k=5).collect()))
+        assert sorted(map(tuple, phrase_probe(spark, out, PHRASES, k=5).collect())) \
+            == sorted(map(tuple, phrase_probe(spark, ref, PHRASES, k=5).collect()))
+
+        # guards
+        with pytest.raises(ValueError, match="more than one input"):
+            bm25_index_merge(spark, tempfile.mkdtemp(prefix="bm25mrg_x_"), [a, a])
+        mismatch = tempfile.mkdtemp(prefix="bm25mrg_nb_")
+        shutil.rmtree(mismatch, ignore_errors=True)
+        write_bm25_index(spark, db, mismatch, "doc_id", "text", n_buckets=8)
+        with pytest.raises(ValueError, match="n_buckets disagree"):
+            bm25_index_merge(spark, tempfile.mkdtemp(prefix="bm25mrg_y_"), [a, mismatch])
+        shutil.rmtree(mismatch, ignore_errors=True)
+        victim = int(da.limit(1).collect()[0]["doc_id"])
+        bm25_index_delete(spark, a, [victim])
+        with pytest.raises(ValueError, match="pending tombstones"):
+            bm25_index_merge(spark, tempfile.mkdtemp(prefix="bm25mrg_z_"), [a, b])
+    finally:
+        for p in (a, b, out, ref):
+            shutil.rmtree(p, ignore_errors=True)
+
+
+def test_suffix_probe_matches_corpus_and_guards(spark, docs, full_index):
+    """Reversed-dictionary suffix queries: equality with direct corpus
+    computation, the missing-rterms loud error, and the shared guard
+    contract (charset, duplicates, expansion cap, zero-match empties)."""
+    from pyspark.sql import Window
+
+    from data_wrangle_openstreetmaps_data_1_spark.functions.text import tokens
+    from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+        suffix_probe,
+        write_reversed_terms,
+    )
+
+    nodict = tempfile.mkdtemp(prefix="bm25idx_nodict_")
+    shutil.rmtree(nodict, ignore_errors=True)
+    try:
+        write_bm25_index(spark, docs, nodict, "doc_id", "text", n_buckets=NB)
+        with pytest.raises(ValueError, match="no reversed dictionary"):
+            suffix_probe(spark, nodict, ["w"], k=5)
+    finally:
+        shutil.rmtree(nodict, ignore_errors=True)
+
+    write_reversed_terms(spark, full_index)
+    suffixes = ["w", "er", "zz"]
+    got = sorted(map(tuple, suffix_probe(spark, full_index, suffixes, k=5).collect()))
+    tok = docs.select(F.col("doc_id"), F.explode(tokens(F.col("text"))).alias("term"))
+    sf = spark.createDataFrame([(s,) for s in suffixes], "suffix string")
+    g = (
+        tok.join(F.broadcast(sf), tok["term"].endswith(sf["suffix"]))
+        .groupBy("suffix", "doc_id")
+        .agg(
+            F.countDistinct("term").cast("long").alias("n_terms"),
+            F.count("*").cast("long").alias("total_tf"),
+        )
+    )
+    w = Window.partitionBy("suffix").orderBy(F.desc("total_tf"), F.asc("doc_id"))
+    ref = sorted(
+        map(
+            tuple,
+            g.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 5)
+            .select("suffix", "doc_id", "n_terms", "total_tf", "rnk")
+            .collect(),
+        )
+    )
+    assert got == ref and got
+    assert not [r for r in got if r[0] == "zz"]  # zero-match branch empty
+    with pytest.raises(ValueError, match="a-z0-9"):
+        suffix_probe(spark, full_index, ["W%"], k=5)
+    with pytest.raises(ValueError, match="expand past"):
+        suffix_probe(spark, full_index, ["w"], k=5, max_expansions=1)
+
+
+def test_facet_counts_match_corpus_and_whole_set(spark, docs, full_index):
+    """Facets summarize the WHOLE matching set (not the top-k page) and
+    match the direct corpus computation; tombstoned docs drop from the
+    counts immediately."""
+    from data_wrangle_openstreetmaps_data_1_spark.functions.text import tokens
+    from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+        bm25_facet_counts,
+        bm25_index_delete,
+    )
+
+    q = ["slow hash"]
+    got = {
+        (r["facet"],): r["n_docs"]
+        for r in bm25_facet_counts(spark, full_index, docs, q, "source", k_facets=1000).collect()
+    }
+    terms = set(q[0].split())
+    matching = (
+        docs.select("doc_id", "source", F.explode(tokens(F.col("text"))).alias("term"))
+        .where(F.col("term").isin(list(terms)))
+        .select("doc_id", "source")
+        .distinct()
+    )
+    ref = {
+        (r["source"],): r["n"]
+        for r in matching.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == ref and sum(got.values()) == matching.count()
+
+    # delete a matching doc: counts drop by exactly one in its facet
+    victim = matching.limit(1).collect()[0]
+    path = tempfile.mkdtemp(prefix="bm25idx_facet_ts_")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=NB)
+        bm25_index_delete(spark, path, [int(victim["doc_id"])])
+        after = {
+            (r["facet"],): r["n_docs"]
+            for r in bm25_facet_counts(spark, path, docs, q, "source", k_facets=1000).collect()
+        }
+        expect = dict(ref)
+        expect[(victim["source"],)] -= 1
+        expect = {k: v for k, v in expect.items() if v > 0}
+        assert after == expect
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
