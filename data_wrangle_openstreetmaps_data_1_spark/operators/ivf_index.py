@@ -465,9 +465,23 @@ def ivf_pq_probe_batched(
     k: int,
     nprobe: int,
     id_col: str = "vec_id",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`ivf_pq_probe` for SERVING-SIZED query batches: one plan,
     constant size in the number of queries.
+
+    ``allowed`` (optional) is a DataFrame whose ``id_col`` column names
+    the vectors eligible to rank — METADATA-FILTERED vector search with
+    PRE-FILTER semantics: candidates are restricted BEFORE the top-k, so
+    every returned neighbor satisfies the filter and k survivors come
+    back whenever the probed clusters hold k eligible vectors (the
+    post-filter alternative — filter the unfiltered top-k — silently
+    returns fewer than k under selective filters; stated exactly in the
+    filtered-search literature). The filter applies as a semi-join on
+    the pruned codes scan; AQE broadcasts it when small, shuffles both
+    sides when the eligible set is corpus-sized — which is when you want
+    it distributed. Cluster pruning still bounds recall exactly as in
+    the unfiltered probe.
 
     The per-query form builds one scan branch + one TakeOrderedAndProject
     per query — right for a handful of queries, wrong for a serving batch
@@ -528,6 +542,9 @@ def ivf_pq_probe_batched(
     codes = spark.read.parquet(f"{path}/{_CODES}").where(
         F.col("cluster").isin(union_clusters)
     )
+    if allowed is not None:
+        # pre-filter semi-join (see docstring); dedup is inherent to semi
+        codes = codes.join(allowed.select(F.col(id_col)), id_col, "semi")
     ts = _tombstones(spark, path)
     if ts is not None:
         codes = codes.join(
@@ -554,3 +571,78 @@ def ivf_pq_probe_batched(
         .where(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def ivf_pq_index_merge(
+    spark: SparkSession, out_path: str, in_paths: list[str], id_col: str = "vec_id"
+) -> None:
+    """Merge N IVF-PQ indexes into one (FAISS's ``merge_from`` contract):
+    legal ONLY when every input was encoded with the SAME trained meta
+    (codebooks + centroids are statistics — the train-once contract means
+    shards encoded independently against shared meta carry directly
+    comparable codes and cluster routing). Codes union into their cluster
+    partitions; the drift baselines (per-cluster count + summed residual)
+    are mergeable monoids and SUM per cluster, so the merged gauge reads
+    as if the union corpus had been snapshotted at training time.
+
+    Because assignment/encoding are per-vector functions of fixed meta,
+    the merged index is bit-identical to a one-shot
+    :func:`write_ivf_pq_index` on the union corpus (asserted in tests) —
+    merging is value-invisible to probes.
+
+    Guards, loudly: < 2 inputs, meta mismatch (byte-compared as canonical
+    JSON), overlapping vector ids, pending tombstones (compact first)."""
+    import os
+
+    if len(in_paths) < 2:
+        raise ValueError("ivf_pq_index_merge: need >= 2 input indexes")
+    metas = [read_ivf_pq_meta(spark, p) for p in in_paths]
+    canon = [json.dumps(m, sort_keys=True) for m in metas]
+    if any(c != canon[0] for c in canon[1:]):
+        raise ValueError(
+            "ivf_pq_index_merge: inputs were encoded with DIFFERENT meta "
+            "(codebooks/centroids) — codes are not comparable across "
+            "codebooks; re-encode against shared meta first (the FAISS "
+            "merge_from contract)"
+        )
+    for p in in_paths:
+        ts = _tombstones(spark, p)
+        if ts is not None and ts.head(1) != []:
+            raise ValueError(
+                f"ivf_pq_index_merge: {p} has pending tombstones — run "
+                "ivf_pq_index_compact first"
+            )
+    codes = [spark.read.parquet(f"{p}/{_CODES}") for p in in_paths]
+    per_ids = [c.select(id_col).distinct() for c in codes]
+    seen = per_ids[0]
+    for ids in per_ids[1:]:
+        clash = seen.join(ids, id_col).limit(1).collect()
+        if clash:
+            raise ValueError(
+                f"ivf_pq_index_merge: {id_col} {clash[0][id_col]!r} appears "
+                "in more than one input — vector sets must be disjoint"
+            )
+        seen = seen.unionByName(ids).distinct()
+    union = codes[0]
+    for c in codes[1:]:
+        union = union.unionByName(c)
+    union.write.partitionBy("cluster").mode("overwrite").parquet(
+        f"{out_path}/{_CODES}"
+    )
+    bases = []
+    for p in in_paths:
+        if not os.path.isdir(f"{p}/{_DRIFT_BASE}"):
+            bases = None
+            break
+        bases.append(spark.read.parquet(f"{p}/{_DRIFT_BASE}"))
+    if bases is not None:
+        bu = bases[0]
+        for b in bases[1:]:
+            bu = bu.unionByName(b)
+        bu.groupBy("cluster").agg(
+            F.sum("n_base").cast("long").alias("n_base"),
+            F.sum("sum_resid_fp").cast("long").alias("sum_resid_fp"),
+        ).coalesce(1).write.mode("overwrite").parquet(f"{out_path}/{_DRIFT_BASE}")
+    spark.createDataFrame([(json.dumps(metas[0]),)], "value string").coalesce(
+        1
+    ).write.mode("overwrite").text(f"{out_path}/{_META}")

@@ -653,11 +653,13 @@ _IVFPQ_NCENT = 16  # coarse centroids = seed vectors (sim_ivf's convention)
 _IVFPQ_NPROBE = 2
 
 
-def _ivf_pq_oracle() -> str:
+def _ivf_pq_oracle(cand_filter: str = "") -> str:
     """Coarse-cluster pruning composed onto the shared PQ CTEs: targets sit
     in their single nearest seed centroid (full-64-dim L2, same fold order
     as similarity._l2sq), queries probe their 2 nearest, and the ADC
-    ranking runs over cluster-matched candidates only."""
+    ranking runs over cluster-matched candidates only. ``cand_filter``
+    (e.g. " WHERE a.vec_id % 3 = 0") restricts the candidate set — the
+    relational twin of the filtered probe's pre-ranking semi-join."""
     d2full = (
         "list_reduce(list_transform(range(1, 65), "
         "i -> (e.v[i] - c.c_vec[i]) * (e.v[i] - c.c_vec[i])), (a, b) -> a + b)"
@@ -674,7 +676,7 @@ def _ivf_pq_oracle() -> str:
         # most once — no DISTINCT needed
         "cand AS (SELECT a.qid, a.vec_id, a.adc_d2 FROM adc a "
         "JOIN tclu t USING (vec_id) "
-        "JOIN qclu q ON q.cluster = t.cluster AND q.qid = a.qid)",
+        f"JOIN qclu q ON q.cluster = t.cluster AND q.qid = a.qid{cand_filter})",
     ]
     return (
         "WITH " + ", ".join(ctes) + " "

@@ -906,3 +906,90 @@ def tx_bm25_merged(spark: SparkSession, sf: str) -> DataFrame:
     )
     bm25_index_merge(spark, out, [a, b])
     return bm25_probe(spark, out, BM25_TERMS, k=5)
+
+
+def _ivf_pq_filtered_oracle() -> str:
+    from .curation_ext import _ivf_pq_oracle
+
+    return _ivf_pq_oracle(" WHERE a.vec_id % 3 = 0")
+
+
+@register(
+    "sim_ivf_pq_filtered",
+    _ivf_pq_filtered_oracle(),
+    doc="METADATA-FILTERED vector search with PRE-FILTER semantics (the "
+    "marquee capability of production vector stores, stated exactly): "
+    "the eligible set (here vec_id % 3 = 0, standing in for any metadata "
+    "predicate) restricts candidates BEFORE the top-k, so every returned "
+    "neighbor satisfies the filter and k survivors come back whenever "
+    "the probed clusters hold k eligible vectors — where post-filtering "
+    "the unfiltered top-k silently under-returns on selective filters. "
+    "Served by the BATCHED probe with one extra semi-join on the pruned "
+    "codes scan (operators/ivf_index.py:ivf_pq_probe_batched allowed=); "
+    "AQE broadcasts a small filter set and shuffles a corpus-sized one. "
+    "The oracle is the shared IVF-PQ replay with the same candidate "
+    "restriction in the cand CTE — filtered ranks fully value-checked",
+)
+def sim_ivf_pq_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.ivf_index import ivf_pq_probe_batched
+
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    meta = train_ivf_pq_meta(
+        emb, "vec_id", "v",
+        ncent=_IVFPQ_NCENT, m=_PQ_M, dsub=_PQ_DSUB, ksub=_PQ_K,
+        iters=_PQ_ITERS, round_to=_PQ_R,
+    )
+    path = tempfile.mkdtemp(prefix="ivfpq_filtered_")
+    shutil.rmtree(path, ignore_errors=True)
+    write_ivf_pq_index(spark, emb, path, meta, "vec_id", "v")
+    queries = [
+        (r["vec_id"], list(r["v"]))
+        for r in emb.where(F.col("vec_id") < _PQ_NQ).orderBy("vec_id").collect()
+    ]
+    allowed = emb.where(F.col("vec_id") % 3 == 0).select("vec_id")
+    return ivf_pq_probe_batched(
+        spark, path, queries, k=_PQ_TOPK, nprobe=_IVFPQ_NPROBE, allowed=allowed
+    )
+
+
+@register(
+    "sim_ivf_pq_merged",
+    _ivf_pq_oracle(),
+    doc="SEGMENT MERGE for the vector serving tier (operators/ivf_index"
+    ".py:ivf_pq_index_merge — FAISS's merge_from contract): two shard "
+    "indexes encoded independently against the SAME trained meta (the "
+    "train-once contract is what makes shard codes directly comparable) "
+    "merge into one — codes union into cluster partitions, drift "
+    "baselines sum per cluster (mergeable monoids). Assignment/encoding "
+    "are per-vector functions of fixed meta, so the merged index is "
+    "bit-identical to a one-shot build on the union corpus (asserted in "
+    "tests) and this query probes it under sim_ivf_pq's oracle verbatim "
+    "— the merge must be value-invisible. Loud guards: meta mismatch "
+    "(canonical-JSON compare), overlapping ids, pending tombstones",
+)
+def sim_ivf_pq_merged(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.ivf_index import ivf_pq_index_merge
+
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    meta = train_ivf_pq_meta(
+        emb, "vec_id", "v",
+        ncent=_IVFPQ_NCENT, m=_PQ_M, dsub=_PQ_DSUB, ksub=_PQ_K,
+        iters=_PQ_ITERS, round_to=_PQ_R,
+    )
+    a = tempfile.mkdtemp(prefix="ivfpq_shard_a_")
+    b = tempfile.mkdtemp(prefix="ivfpq_shard_b_")
+    out = tempfile.mkdtemp(prefix="ivfpq_merged_")
+    for p in (a, b, out):
+        shutil.rmtree(p, ignore_errors=True)
+    write_ivf_pq_index(spark, emb.where(F.col("vec_id") % 2 == 0), a, meta, "vec_id", "v")
+    write_ivf_pq_index(spark, emb.where(F.col("vec_id") % 2 == 1), b, meta, "vec_id", "v")
+    ivf_pq_index_merge(spark, out, [a, b])
+    queries = [
+        (r["vec_id"], list(r["v"]))
+        for r in emb.where(F.col("vec_id") < _PQ_NQ).orderBy("vec_id").collect()
+    ]
+    return ivf_pq_probe(spark, out, queries, k=_PQ_TOPK, nprobe=_IVFPQ_NPROBE)

@@ -380,3 +380,88 @@ def test_drift_report_missing_baseline_is_loud(spark, emb, meta):
             )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_filtered_probe_equals_probe_on_filtered_index(spark, emb, meta, full_index):
+    """Pre-filter semantics pinned by construction: assignment/encoding
+    are per-vector functions of fixed meta, so the filtered probe on the
+    FULL index must equal the unfiltered probe on an index built from
+    ONLY the eligible vectors — same candidates, same codes, same ranks.
+    And every returned neighbor satisfies the filter."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.ivf_index import (
+        ivf_pq_probe_batched,
+    )
+
+    qs = _queries(emb)
+    allowed = emb.where(F.col("vec_id") % 3 == 0).select("vec_id")
+    got = ivf_pq_probe_batched(
+        spark, full_index, qs, k=TOPK, nprobe=NPROBE, allowed=allowed
+    ).collect()
+    assert got and all(r["vec_id"] % 3 == 0 for r in got)
+
+    small = tempfile.mkdtemp(prefix="ivfidx_onlyallowed_")
+    shutil.rmtree(small, ignore_errors=True)
+    try:
+        write_ivf_pq_index(
+            spark, emb.where(F.col("vec_id") % 3 == 0), small, meta, "vec_id", "v"
+        )
+        ref = ivf_pq_probe_batched(spark, small, qs, k=TOPK, nprobe=NPROBE).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, ref))
+    finally:
+        shutil.rmtree(small, ignore_errors=True)
+
+
+def test_ivf_merge_equals_oneshot_build(spark, emb, meta):
+    """merge(shard_a, shard_b) must equal write_ivf_pq_index on the union
+    corpus across codes, drift baseline, and probe answers; guards (meta
+    mismatch, overlapping ids, pending tombstones) refuse loudly."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.ivf_index import (
+        ivf_pq_index_delete,
+        ivf_pq_index_merge,
+        train_ivf_pq_meta,
+    )
+
+    a = tempfile.mkdtemp(prefix="ivfmrg_a_")
+    b = tempfile.mkdtemp(prefix="ivfmrg_b_")
+    out = tempfile.mkdtemp(prefix="ivfmrg_o_")
+    ref = tempfile.mkdtemp(prefix="ivfmrg_r_")
+    for p in (a, b, out, ref):
+        shutil.rmtree(p, ignore_errors=True)
+    try:
+        ea = emb.where(F.col("vec_id") % 2 == 0)
+        eb = emb.where(F.col("vec_id") % 2 == 1)
+        write_ivf_pq_index(spark, ea, a, meta, "vec_id", "v")
+        write_ivf_pq_index(spark, eb, b, meta, "vec_id", "v")
+        ivf_pq_index_merge(spark, out, [a, b])
+        write_ivf_pq_index(spark, emb, ref, meta, "vec_id", "v")
+        for sub in ("codes", "drift_baseline"):
+            got = sorted(tuple(r) for r in spark.read.parquet(f"{out}/{sub}").collect())
+            want = sorted(tuple(r) for r in spark.read.parquet(f"{ref}/{sub}").collect())
+            assert got == want, f"{sub} diverged from the one-shot build"
+        qs = _queries(emb)
+        pa = sorted(map(tuple, ivf_pq_probe(spark, out, qs, k=TOPK, nprobe=NPROBE).collect()))
+        pb = sorted(map(tuple, ivf_pq_probe(spark, ref, qs, k=TOPK, nprobe=NPROBE).collect()))
+        assert pa == pb
+
+        # different training corpus (seed ids 0..NCENT-1 kept) -> different
+        # codebooks -> canonical-JSON mismatch
+        half = int(emb.agg(F.max("vec_id")).head()[0]) // 2
+        other_meta = train_ivf_pq_meta(
+            emb.where(F.col("vec_id") <= half), "vec_id", "v",
+            ncent=NCENT, m=M, dsub=DSUB, ksub=KSUB, iters=1, round_to=R,
+        )
+        mm = tempfile.mkdtemp(prefix="ivfmrg_mm_")
+        shutil.rmtree(mm, ignore_errors=True)
+        write_ivf_pq_index(spark, eb, mm, other_meta, "vec_id", "v")
+        with pytest.raises(ValueError, match="DIFFERENT meta"):
+            ivf_pq_index_merge(spark, tempfile.mkdtemp(prefix="ivfmrg_x_"), [a, mm])
+        shutil.rmtree(mm, ignore_errors=True)
+        with pytest.raises(ValueError, match="more than one input"):
+            ivf_pq_index_merge(spark, tempfile.mkdtemp(prefix="ivfmrg_y_"), [a, a])
+        victim = int(ea.limit(1).collect()[0]["vec_id"])
+        ivf_pq_index_delete(spark, a, [victim])
+        with pytest.raises(ValueError, match="pending tombstones"):
+            ivf_pq_index_merge(spark, tempfile.mkdtemp(prefix="ivfmrg_z_"), [a, b])
+    finally:
+        for p in (a, b, out, ref):
+            shutil.rmtree(p, ignore_errors=True)
