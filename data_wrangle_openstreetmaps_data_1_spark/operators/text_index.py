@@ -1148,6 +1148,7 @@ def bm25_query_topk(
     queries: list[str],
     k: int = 5,
     require_all: bool = False,
+    boosts: dict[str, int] | None = None,
 ) -> DataFrame:
     """RANKED multi-term retrieval from the stored index — the canonical
     IR query shape (what a search box actually issues): a query is a bag
@@ -1159,6 +1160,15 @@ def bm25_query_topk(
     per-TERM rankings; this is the per-QUERY ranking built on the same
     pruned reads and the same fixed-point per-term scores, so the two
     agree exactly on single-word queries.
+
+    ``boosts`` (optional) is query-time TERM BOOSTING — Lucene's
+    ``term^2.0`` — as fixed-point integer multipliers per term (1000 =
+    neutral, 2000 doubles the term's contribution, 500 halves it): a
+    boosted term's contribution is ``(score_fp * boost) div 1000``,
+    applied BEFORE the per-query sum so integer arithmetic keeps scores
+    engine-portable. Unlisted terms get 1000; boosts must be positive
+    (a zero boost is a term you should not query). The boost table rides
+    the same broadcast (query, term) fan-out — no extra plan nodes.
 
     Repeated words in one query are deduplicated (tf lives doc-side in
     BM25; a repeated query word adds no information — the standard
@@ -1186,6 +1196,14 @@ def bm25_query_topk(
     if any(not ws for ws in split):
         raise ValueError("bm25_query_topk: each query needs >= 1 word")
     check_query_words([w for ws in split for w in ws], "bm25_query_topk")
+    boosts = boosts or {}
+    for t, bv in boosts.items():
+        if int(bv) <= 0:
+            raise ValueError(
+                f"bm25_query_topk: non-positive boost {bv!r} for term {t!r} "
+                "(fixed-point: 1000 = neutral; drop the term instead of "
+                "zeroing it)"
+            )
     n_buckets = read_index_meta(spark, path)["n_buckets"]
     all_terms = sorted({w for ws in split for w in ws})
     buckets = sorted({term_bucket_py(t, n_buckets) for t in all_terms})
@@ -1193,7 +1211,16 @@ def bm25_query_topk(
         [(q, ws, len(ws)) for q, ws in zip(queries, split)],
         "query string, terms array<string>, n_query_terms int",
     )
-    qt = qtab.select("query", F.explode("terms").alias("term"))
+    if boosts:
+        boost_map = F.create_map(
+            *[F.lit(x) for t, bv in boosts.items() for x in (t, int(bv))]
+        )
+        boost_col = F.coalesce(F.element_at(boost_map, F.col("term")), F.lit(1000))
+    else:
+        boost_col = F.lit(1000)
+    qt = qtab.select("query", F.explode("terms").alias("term")).withColumn(
+        "boost_fp", boost_col.cast("long")
+    )
     post = (
         spark.read.parquet(f"{path}/{_POSTINGS}")
         .where(F.col("bucket").isin(buckets) & F.col("term").isin(all_terms))
@@ -1227,7 +1254,9 @@ def bm25_query_topk(
         .groupBy("query", "doc_id")
         .agg(
             F.countDistinct("term").cast("long").alias("n_terms"),
-            F.sum("score_fp").cast("long").alias("score_fp"),
+            F.sum(F.expr("(score_fp * boost_fp) div 1000")).cast("long").alias(
+                "score_fp"
+            ),
         )
     )
     if require_all:

@@ -1636,3 +1636,82 @@ def tx_bm25_facets(spark: SparkSession, sf: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
     return bm25_facet_counts(spark, path, docs, _MULTI_QUERIES, "source", k_facets=10)
+
+
+_BOOSTS = {"hash": 2000, "slow": 500, "group": 1500}
+
+
+def _bm25_boosted_oracle(k: int = 5) -> str:
+    """The multi-term replay with query-time term boosts folded in before
+    the per-query sum: contribution = (score_fp * boost) // 1000, boost
+    defaulting to 1000 (neutral) for unlisted terms."""
+    from ..operators.retrieval import B_FP, K1_FP
+    from .pipeline import _TOKS_SQL
+
+    all_terms = sorted({w for q in _MULTI_QUERIES for w in q.split()})
+    terms_in = ", ".join(f"'{t}'" for t in all_terms)
+    qt_values = ", ".join(
+        f"('{q}', '{t}')" for q in _MULTI_QUERIES for t in sorted(set(q.split()))
+    )
+    boost_values = ", ".join(f"('{t}', {v})" for t, v in sorted(_BOOSTS.items()))
+    return rf"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    lens AS (SELECT doc_id, len(toks) AS dl FROM d WHERE len(toks) >= 1),
+    stats AS (SELECT count(*) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) * 1000 // count(*) AS avgdl_fp
+              FROM lens),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    post AS (SELECT term, doc_id, count(*) AS tf FROM tok
+             WHERE term IN ({terms_in}) GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+    scored AS (
+      SELECT term, doc_id, tf, df,
+             (n_docs - df) * 1000 // (df + 1) + 1000 AS idf_fp,
+             (1000 - {B_FP}) + ({B_FP} * dl * 1000) // avgdl_fp AS norm_fp
+      FROM post JOIN dfreq USING (term) JOIN lens USING (doc_id)
+      CROSS JOIN stats),
+    s2 AS (SELECT term, doc_id,
+                  (tf * {K1_FP + 1000} * idf_fp)
+                    // (tf * 1000 + ({K1_FP} * norm_fp) // 1000) AS score_fp
+           FROM scored),
+    b(term, boost) AS (VALUES {boost_values}),
+    qt(query, term) AS (VALUES {qt_values}),
+    g AS (SELECT qt.query, s.doc_id,
+                 CAST(count(DISTINCT s.term) AS BIGINT) AS n_terms,
+                 CAST(sum((s.score_fp * coalesce(b.boost, 1000)) // 1000)
+                      AS BIGINT) AS score_fp
+          FROM s2 s JOIN qt ON s.term = qt.term
+          LEFT JOIN b ON b.term = s.term GROUP BY 1, 2),
+    r AS (SELECT query, doc_id, n_terms, score_fp,
+                 row_number() OVER (PARTITION BY query
+                                    ORDER BY score_fp DESC, doc_id ASC) AS rnk
+          FROM g)
+    SELECT query, doc_id, n_terms, score_fp, rnk FROM r WHERE rnk <= {k}
+    """
+
+
+@register(
+    "tx_bm25_boosted",
+    _bm25_boosted_oracle(),
+    doc="query-time TERM BOOSTING (Lucene's term^2.0) on the ranked "
+    "multi-term probe: fixed-point integer multipliers per term (1000 = "
+    "neutral, 2000 doubles a term's contribution, 500 halves it), "
+    "applied to each per-term BM25 contribution BEFORE the per-query "
+    "sum — integer end-to-end, so boosted scores hash bit-identically "
+    "in the oracle. The boost table rides the same broadcast (query, "
+    "term) fan-out as the unboosted probe: zero extra plan nodes, same "
+    "one pruned postings scan. Here 'hash' is doubled, 'slow' halved, "
+    "'group' x1.5 across the standard 3-query batch — rank inversions "
+    "vs tx_bm25_multiterm are the point and the oracle pins them",
+)
+def tx_bm25_boosted(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.text_index import bm25_query_topk, write_bm25_index
+
+    docs = load_table(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="bm25_boost_")
+    shutil.rmtree(path, ignore_errors=True)
+    write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
+    return bm25_query_topk(spark, path, _MULTI_QUERIES, k=5, boosts=_BOOSTS)

@@ -1012,3 +1012,38 @@ def test_facet_counts_match_corpus_and_whole_set(spark, docs, full_index):
         assert after == expect
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_bm25_query_boosts(spark, docs, full_index):
+    """Query-time boosting: neutral boosts are a no-op, the multiplier is
+    exact fixed-point on each term's contribution, and non-positive
+    boosts refuse loudly."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+        bm25_query_topk,
+    )
+
+    q = ["slow hash"]
+    plain = sorted(map(tuple, bm25_query_topk(spark, full_index, q, k=1000).collect()))
+    neutral = sorted(
+        map(
+            tuple,
+            bm25_query_topk(
+                spark, full_index, q, k=1000, boosts={"slow": 1000, "hash": 1000}
+            ).collect(),
+        )
+    )
+    assert plain == neutral
+    # doubling one term: recompute expected scores from the per-term probe
+    per_term = bm25_probe(spark, full_index, ["slow", "hash"], k=100000).collect()
+    contrib = {}
+    for r in per_term:
+        mult = 2000 if r["term"] == "hash" else 1000
+        contrib.setdefault(r["doc_id"], 0)
+        contrib[r["doc_id"]] += (r["score_fp"] * mult) // 1000
+    boosted = bm25_query_topk(
+        spark, full_index, q, k=1000, boosts={"hash": 2000}
+    ).collect()
+    for r in boosted:
+        assert contrib[r["doc_id"]] == r["score_fp"]
+    with pytest.raises(ValueError, match="non-positive boost"):
+        bm25_query_topk(spark, full_index, q, k=5, boosts={"hash": 0})
