@@ -1204,6 +1204,13 @@ def bm25_query_topk(
                 "(fixed-point: 1000 = neutral; drop the term instead of "
                 "zeroing it)"
             )
+    unused = set(boosts) - {w for ws in split for w in ws}
+    if unused:
+        raise ValueError(
+            f"bm25_query_topk: boosts for terms not in any query: "
+            f"{sorted(unused)} — a typo'd boost key would otherwise "
+            "silently no-op"
+        )
     n_buckets = read_index_meta(spark, path)["n_buckets"]
     all_terms = sorted({w for ws in split for w in ws})
     buckets = sorted({term_bucket_py(t, n_buckets) for t in all_terms})
@@ -1444,6 +1451,20 @@ def bm25_index_merge(
 _RTERMS = "rterms"
 
 
+def _terms_snapshot(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(row count, summed df) of the CURRENT term dictionary — the
+    staleness fingerprint for derived dictionaries. One vocabulary-sized
+    aggregate: adds grow both numbers, compaction shrinks df (and usually
+    the count), so a derived artifact built from an older terms/ state
+    almost surely disagrees."""
+    r = (
+        spark.read.parquet(f"{path}/{_TERMS}")
+        .agg(F.count("*").alias("n"), F.sum("df").cast("long").alias("s"))
+        .head()
+    )
+    return int(r["n"]), int(r["s"] or 0)
+
+
 def write_reversed_terms(spark: SparkSession, path: str) -> None:
     """Materialize the REVERSED term dictionary (Lucene's reversed-field
     trick for leading-wildcard queries): ``rterms/`` = (rterm =
@@ -1451,8 +1472,14 @@ def write_reversed_terms(spark: SparkSession, path: str) -> None:
     becomes a PREFIX match on rterm — and because the file is rterm-
     sorted, ``startsWith`` is a sargable range predicate parquet answers
     from row-group min/max stats, where ``endswith(term, ...)`` on the
-    forward dictionary can never skip anything. Pure function of terms/;
-    rebuild after compaction or adds (vocabulary-sized — cheap)."""
+    forward dictionary can never skip anything.
+
+    Pure function of terms/ — rebuild after adds or compaction
+    (vocabulary-sized, cheap). A terms/ SNAPSHOT fingerprint (row count +
+    summed df) is written alongside, and ``suffix_probe`` refuses when
+    the live dictionary no longer matches it: a silently stale reversed
+    dictionary would silently MISS terms added since it was built, the
+    wrong-answer class the positional-sidecar compact bug belonged to."""
     (
         spark.read.parquet(f"{path}/{_TERMS}")
         .select(F.reverse(F.col("term")).alias("rterm"), "term", "df")
@@ -1460,6 +1487,10 @@ def write_reversed_terms(spark: SparkSession, path: str) -> None:
         .write.mode("overwrite")
         .parquet(f"{path}/{_RTERMS}")
     )
+    n, s = _terms_snapshot(spark, path)
+    spark.createDataFrame(
+        [(n, s)], "terms_count bigint, terms_df_sum bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{_RTERMS}__snapshot")
 
 
 def suffix_probe(
@@ -1499,6 +1530,21 @@ def suffix_probe(
             f"suffix_probe: {path} has no reversed dictionary — run "
             "write_reversed_terms(spark, path) first (and re-run it after "
             "adds/compaction; it is a pure function of terms/)"
+        )
+    # staleness guard: the reversed dictionary must have been built from
+    # the CURRENT terms/ state — a stale one silently misses terms added
+    # since it was written (pre-snapshot rterms layouts also refuse)
+    snap_dir = f"{path}/{_RTERMS}__snapshot"
+    snap = (
+        spark.read.parquet(snap_dir).head() if os.path.isdir(snap_dir) else None
+    )
+    if snap is None or (int(snap["terms_count"]), int(snap["terms_df_sum"])) \
+            != _terms_snapshot(spark, path):
+        raise ValueError(
+            f"suffix_probe: the reversed dictionary at {path} is STALE "
+            "(terms/ changed since write_reversed_terms — adds or "
+            "compaction) or predates the snapshot guard; re-run "
+            "write_reversed_terms(spark, path)"
         )
     n_buckets = read_index_meta(spark, path)["n_buckets"]
     rev = {s: s[::-1] for s in suffixes}

@@ -1047,3 +1047,41 @@ def test_bm25_query_boosts(spark, docs, full_index):
         assert contrib[r["doc_id"]] == r["score_fp"]
     with pytest.raises(ValueError, match="non-positive boost"):
         bm25_query_topk(spark, full_index, q, k=5, boosts={"hash": 0})
+
+
+def test_suffix_probe_refuses_stale_reversed_dictionary(spark, docs):
+    """The silent-staleness guard: after an add changes terms/, the
+    reversed dictionary must REFUSE (it would silently miss the new
+    terms), and a rebuild restores service over the full dictionary."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+        suffix_probe,
+        write_reversed_terms,
+    )
+
+    path = tempfile.mkdtemp(prefix="bm25idx_rstale_")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        base = docs.where(F.col("doc_id") % 5 != 3)
+        write_bm25_index(spark, base, path, "doc_id", "text", n_buckets=NB)
+        write_reversed_terms(spark, path)
+        assert suffix_probe(spark, path, ["w"], k=5).count() > 0
+        bm25_index_add(
+            spark, docs.where(F.col("doc_id") % 5 == 3), path, "doc_id", "text"
+        )
+        with pytest.raises(ValueError, match="STALE"):
+            suffix_probe(spark, path, ["w"], k=5)
+        write_reversed_terms(spark, path)
+        assert suffix_probe(spark, path, ["w"], k=5).count() > 0
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_bm25_query_boost_for_absent_term_is_loud(spark, docs, full_index):
+    from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+        bm25_query_topk,
+    )
+
+    with pytest.raises(ValueError, match="not in any query"):
+        bm25_query_topk(
+            spark, full_index, ["slow hash"], k=5, boosts={"hsah": 2000}
+        )
