@@ -1186,6 +1186,25 @@ def bm25_query_topk(
     (score_fp desc, doc_id asc)."""
     from pyspark.sql import Window
 
+    per_doc = _bm25_query_scored(spark, path, queries, require_all, boosts)
+    w = Window.partitionBy("query").orderBy(F.desc("score_fp"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query", "doc_id", "n_terms", "score_fp", "rnk")
+    )
+
+
+def _bm25_query_scored(
+    spark: SparkSession,
+    path: str,
+    queries: list[str],
+    require_all: bool,
+    boosts: dict[str, int] | None,
+) -> DataFrame:
+    """The (query, doc_id, n_terms, score_fp) core shared by
+    bm25_query_topk and bm25_query_page (see bm25_query_topk's docstring
+    for semantics and plan shape)."""
     from .retrieval import B_FP, K1_FP
 
     if not queries:
@@ -1270,12 +1289,7 @@ def bm25_query_topk(
         per_doc = per_doc.join(
             F.broadcast(qtab.select("query", "n_query_terms")), "query"
         ).where(F.col("n_terms") == F.col("n_query_terms"))
-    w = Window.partitionBy("query").orderBy(F.desc("score_fp"), F.asc("doc_id"))
-    return (
-        per_doc.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("query", "doc_id", "n_terms", "score_fp", "rnk")
-    )
+    return per_doc.select("query", "doc_id", "n_terms", "score_fp")
 
 
 def phrase_snippet_probe(
@@ -1642,4 +1656,62 @@ def bm25_facet_counts(
         g.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k_facets)
         .select("query", "facet", "n_docs", "rnk")
+    )
+
+
+def bm25_query_page(
+    spark: SparkSession,
+    path: str,
+    queries: list[str],
+    k: int = 5,
+    after: dict[str, tuple[int, int]] | None = None,
+    require_all: bool = False,
+    boosts: dict[str, int] | None = None,
+) -> DataFrame:
+    """CURSOR pagination for ranked multi-term retrieval — Elasticsearch's
+    ``search_after`` (the deep-paging shape that stays O(page), where
+    offset paging recomputes and discards every earlier page): ``after``
+    maps a query to the (score_fp, doc_id) of the LAST hit it has already
+    seen, and the page returns the next k hits STRICTLY AFTER that cursor
+    in the total order (score_fp desc, doc_id asc — doc_id breaks ties,
+    which is exactly why the cursor is total and pages can never skip or
+    repeat a document). Queries without a cursor get page one. Page ranks
+    restart at 1 (the search_after contract; the caller chains pages by
+    feeding each page's last row back in).
+
+    The cursor applies BEFORE the top-k window as a broadcast per-query
+    filter, so later pages rank strictly fewer rows, not more. Page
+    chaining is exact: page1 + page2(after=page1's last) equals the
+    global top-2k, asserted in tests."""
+    from pyspark.sql import Window
+
+    scored = _bm25_query_scored(spark, path, queries, require_all, boosts)
+    after = after or {}
+    unknown = set(after) - set(queries)
+    if unknown:
+        raise ValueError(
+            f"bm25_query_page: cursors for unknown queries: {sorted(unknown)}"
+        )
+    if after:
+        cur = spark.createDataFrame(
+            [(q, int(s), int(d)) for q, (s, d) in after.items()],
+            "query string, cur_score bigint, cur_doc bigint",
+        )
+        scored = (
+            scored.join(F.broadcast(cur), "query", "left")
+            .where(
+                F.col("cur_score").isNull()
+                | (F.col("score_fp") < F.col("cur_score"))
+                | (
+                    (F.col("score_fp") == F.col("cur_score"))
+                    & (F.col("doc_id") > F.col("cur_doc"))
+                )
+            )
+            .drop("cur_score", "cur_doc")
+        )
+    w = Window.partitionBy("query").orderBy(F.desc("score_fp"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query", "doc_id", "n_terms", "score_fp", "rnk")
     )

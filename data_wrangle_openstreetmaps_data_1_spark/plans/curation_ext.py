@@ -1715,3 +1715,95 @@ def tx_bm25_boosted(spark: SparkSession, sf: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
     return bm25_query_topk(spark, path, _MULTI_QUERIES, k=5, boosts=_BOOSTS)
+
+
+def _bm25_paged_oracle(k: int = 5) -> str:
+    """Two chained search_after pages replayed as one global ranking:
+    the cursor is the exact (score_fp, doc_id) of each query's rank-k
+    hit and the order is total (doc_id ties), so page 2 is exactly
+    global ranks k+1..2k with page-local rank numbering."""
+    from ..operators.retrieval import B_FP, K1_FP
+    from .pipeline import _TOKS_SQL
+
+    all_terms = sorted({w for q in _MULTI_QUERIES for w in q.split()})
+    terms_in = ", ".join(f"'{t}'" for t in all_terms)
+    qt_values = ", ".join(
+        f"('{q}', '{t}')" for q in _MULTI_QUERIES for t in sorted(set(q.split()))
+    )
+    return rf"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    lens AS (SELECT doc_id, len(toks) AS dl FROM d WHERE len(toks) >= 1),
+    stats AS (SELECT count(*) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) * 1000 // count(*) AS avgdl_fp
+              FROM lens),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    post AS (SELECT term, doc_id, count(*) AS tf FROM tok
+             WHERE term IN ({terms_in}) GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+    scored AS (
+      SELECT term, doc_id, tf, df,
+             (n_docs - df) * 1000 // (df + 1) + 1000 AS idf_fp,
+             (1000 - {B_FP}) + ({B_FP} * dl * 1000) // avgdl_fp AS norm_fp
+      FROM post JOIN dfreq USING (term) JOIN lens USING (doc_id)
+      CROSS JOIN stats),
+    s2 AS (SELECT term, doc_id,
+                  (tf * {K1_FP + 1000} * idf_fp)
+                    // (tf * 1000 + ({K1_FP} * norm_fp) // 1000) AS score_fp
+           FROM scored),
+    qt(query, term) AS (VALUES {qt_values}),
+    g AS (SELECT qt.query, s.doc_id,
+                 CAST(count(DISTINCT s.term) AS BIGINT) AS n_terms,
+                 CAST(sum(s.score_fp) AS BIGINT) AS score_fp
+          FROM s2 s JOIN qt ON s.term = qt.term GROUP BY 1, 2),
+    r AS (SELECT query, doc_id, n_terms, score_fp,
+                 row_number() OVER (PARTITION BY query
+                                    ORDER BY score_fp DESC, doc_id ASC) AS grk
+          FROM g)
+    SELECT 1 AS page, query, doc_id, n_terms, score_fp, CAST(grk AS INT) AS rnk
+    FROM r WHERE grk <= {k}
+    UNION ALL
+    SELECT 2 AS page, query, doc_id, n_terms, score_fp,
+           CAST(grk - {k} AS INT) AS rnk
+    FROM r WHERE grk > {k} AND grk <= {2 * k}
+    """
+
+
+@register(
+    "tx_bm25_paged",
+    _bm25_paged_oracle(),
+    doc="CURSOR pagination (Elasticsearch's search_after, operators/"
+    "text_index.py:bm25_query_page): page 2 is served from the page-1 "
+    "cursor — each query's (score_fp, doc_id) at rank k, collected "
+    "driver-side (|queries| scalars) exactly as a serving client would "
+    "chain pages — applied BEFORE the top-k window as a broadcast "
+    "strictly-after filter on the total order (score desc, doc_id asc; "
+    "the doc_id tie-break is what makes the cursor total, so pages can "
+    "never skip or repeat a document). Deep paging stays O(page) where "
+    "offset paging recomputes every earlier page. Both pages in one "
+    "value-checked result: the oracle replays the GLOBAL ranking and "
+    "pins page 2 as exactly ranks k+1..2k with page-local numbering",
+)
+def tx_bm25_paged(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.text_index import bm25_query_page, write_bm25_index
+
+    docs = load_table(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="bm25_paged_")
+    shutil.rmtree(path, ignore_errors=True)
+    write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
+    cols = ["page", "query", "doc_id", "n_terms", "score_fp", "rnk"]
+    p1 = bm25_query_page(spark, path, _MULTI_QUERIES, k=5)
+    p1_rows = p1.collect()  # bounded: |queries| x k — the client's page
+    cursors = {}
+    for r in p1_rows:
+        cur = cursors.get(r["query"])
+        if cur is None or r["rnk"] > cur[2]:
+            cursors[r["query"]] = (int(r["score_fp"]), int(r["doc_id"]), r["rnk"])
+    after = {q: (s, d) for q, (s, d, _) in cursors.items()}
+    p2 = bm25_query_page(spark, path, _MULTI_QUERIES, k=5, after=after)
+    p1_df = spark.createDataFrame(p1_rows, p1.schema).withColumn(
+        "page", F.lit(1).cast("int")
+    ).select(cols)
+    return p1_df.unionByName(p2.withColumn("page", F.lit(2).cast("int")).select(cols))

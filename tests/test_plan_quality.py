@@ -285,7 +285,7 @@ def test_no_unexpected_products_registry_wide(spark):
         # bm25_query_topk / phrase_bm25_probe); the merged-index query
         # probes through bm25_probe (same stats cross)
         "tx_bm25_multiterm", "tx_phrase_bm25", "tx_bm25_merged",
-        "tx_bm25_boosted",
+        "tx_bm25_boosted", "tx_bm25_paged",
         # lexical tier = bm25_probe (1-row stats cross); the stored vector
         # tier assigns clusters driver-side, so it adds no product join
         "sim_hybrid_stored",

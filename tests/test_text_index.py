@@ -1085,3 +1085,38 @@ def test_bm25_query_boost_for_absent_term_is_loud(spark, docs, full_index):
         bm25_query_topk(
             spark, full_index, ["slow hash"], k=5, boosts={"hsah": 2000}
         )
+
+
+def test_bm25_query_page_chaining(spark, docs, full_index):
+    """search_after: chained pages reproduce the global ranking exactly
+    (no skips, no repeats), cursors for unknown queries refuse, and an
+    exhausted ranking yields an empty page."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+        bm25_query_page,
+        bm25_query_topk,
+    )
+
+    q = ["slow hash", "spark window"]
+    full = bm25_query_topk(spark, full_index, q, k=10).collect()
+    p1 = bm25_query_page(spark, full_index, q, k=5).collect()
+    after = {}
+    for r in p1:
+        if r["rnk"] == 5:
+            after[r["query"]] = (int(r["score_fp"]), int(r["doc_id"]))
+    p2 = bm25_query_page(spark, full_index, q, k=5, after=after).collect()
+    chained = sorted(
+        [(r["query"], r["doc_id"], r["score_fp"], r["rnk"]) for r in p1]
+        + [(r["query"], r["doc_id"], r["score_fp"], r["rnk"] + 5) for r in p2]
+    )
+    want = sorted((r["query"], r["doc_id"], r["score_fp"], r["rnk"]) for r in full)
+    assert chained == want
+
+    with pytest.raises(ValueError, match="unknown queries"):
+        bm25_query_page(spark, full_index, q, k=5, after={"nope": (1, 1)})
+    # a cursor past the last hit returns an empty page, not an error
+    last = max((r for r in full if r["query"] == q[0]), key=lambda r: r["rnk"])
+    deep = bm25_query_page(
+        spark, full_index, [q[0]], k=5,
+        after={q[0]: (0, int(last["doc_id"]))},
+    )
+    assert deep.count() == 0
