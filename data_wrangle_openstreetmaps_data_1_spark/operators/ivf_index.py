@@ -512,8 +512,8 @@ def ivf_pq_probe_batched(
     """
     from pyspark.sql import Window
 
-    from .pq import _fold_l2sq
-    import math
+    import numpy as np
+    import pandas as pd
 
     if not queries:
         raise ValueError("ivf_pq_probe_batched: queries must be non-empty")
@@ -521,23 +521,54 @@ def ivf_pq_probe_batched(
     cb, dsub, r = meta["codebooks"], int(meta["dsub"]), int(meta["round_to"])
     m = len(cb)
     qc_rows: list[tuple[int, int]] = []
-    lut_rows: list[list[tuple[int, int, float]]] = [[] for _ in range(m)]
     for qid, qvec in queries:
         for c in _assign_clusters_driver(qvec, meta, nprobe):
             qc_rows.append((int(qid), int(c)))
-        for mi in range(m):
-            qs = qvec[mi * dsub : (mi + 1) * dsub]
-            for code0, cvec in enumerate(cb[mi]):
-                dd = _fold_l2sq(qs, cvec)
-                if not math.isfinite(dd):
-                    raise ValueError(
-                        f"ivf_pq_probe_batched: non-finite distance {dd!r} for "
-                        f"query {qid!r} subspace {mi} — the query vector or "
-                        "codebook contains NaN/inf; clean the embeddings first"
-                    )
-                # codes are 1-based (array_position), same as adc_topk's
-                # element_at indexing
-                lut_rows[mi].append((int(qid), code0 + 1, float(dd)))
+    # LUT build, numpy-vectorized over (queries x ksub): the scalar loop
+    # was O(|queries| * M * ksub) Python iterations (~2M at a 1000-query
+    # batch — bounded but needless). The float ORDER is preserved for
+    # bit-identity with pq._fold_l2sq (the per-query probe's literal
+    # LUTs): accumulate subspace dims one at a time, elementwise IEEE
+    # doubles — acc = acc + (x-y)*(x-y) in the same left-fold sequence per
+    # (query, code) cell, no reduction reordering (np.sum's pairwise
+    # summation would NOT be bit-identical). Pinned by the batched ≡
+    # per-query equality test and by sharing sim_ivf_pq's oracle.
+    qids = np.asarray([int(qid) for qid, _ in queries], dtype=np.int64)
+    qmat = np.asarray([qvec for _, qvec in queries], dtype=np.float64)
+    if qmat.ndim != 2 or qmat.shape[1] != m * dsub:
+        raise ValueError(
+            f"ivf_pq_probe_batched: query vectors must all be length "
+            f"{m * dsub} (m={m} x dsub={dsub}); got shape {qmat.shape}"
+        )
+    lut_pdfs: list[pd.DataFrame] = []
+    for mi in range(m):
+        cmat = np.asarray(cb[mi], dtype=np.float64)  # (ksub, dsub)
+        qs = qmat[:, mi * dsub : (mi + 1) * dsub]  # (nq, dsub)
+        acc = np.zeros((qmat.shape[0], cmat.shape[0]), dtype=np.float64)
+        for j in range(dsub):
+            diff = qs[:, j, None] - cmat[None, :, j]
+            acc += diff * diff
+        if not np.isfinite(acc).all():
+            bad_q = int(qids[np.argwhere(~np.isfinite(acc))[0][0]])
+            raise ValueError(
+                f"ivf_pq_probe_batched: non-finite distance for query "
+                f"{bad_q!r} subspace {mi} — the query vector or codebook "
+                "contains NaN/inf; clean the embeddings first"
+            )
+        ksub_mi = cmat.shape[0]
+        lut_pdfs.append(
+            pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, ksub_mi),
+                    # codes are 1-based (array_position), same as
+                    # adc_topk's element_at indexing
+                    f"code{mi}": np.tile(
+                        np.arange(1, ksub_mi + 1, dtype=np.int32), len(qids)
+                    ),
+                    f"dd{mi}": acc.ravel(),
+                }
+            )
+        )
     union_clusters = sorted({c for _, c in qc_rows})
     codes = spark.read.parquet(f"{path}/{_CODES}").where(
         F.col("cluster").isin(union_clusters)
@@ -556,7 +587,7 @@ def ivf_pq_probe_batched(
     cand = codes.join(F.broadcast(qc), "cluster")
     for mi in range(m):
         lut = spark.createDataFrame(
-            lut_rows[mi], f"query_id long, code{mi} int, dd{mi} double"
+            lut_pdfs[mi], f"query_id long, code{mi} int, dd{mi} double"
         )
         cand = cand.join(F.broadcast(lut), ["query_id", f"code{mi}"])
     acc = F.col("dd0")
@@ -596,6 +627,14 @@ def ivf_pq_index_merge(
 
     if len(in_paths) < 2:
         raise ValueError("ivf_pq_index_merge: need >= 2 input indexes")
+    # same clash guard as bm25_index_merge: overwriting a live input's
+    # codes/ while lazily reading it would corrupt the input segment
+    norm_out = os.path.realpath(out_path)
+    if any(os.path.realpath(p) == norm_out for p in in_paths):
+        raise ValueError(
+            f"ivf_pq_index_merge: out_path {out_path!r} is one of the "
+            "inputs — merge writes to a NEW location; pick a fresh out_path"
+        )
     metas = [read_ivf_pq_meta(spark, p) for p in in_paths]
     canon = [json.dumps(m, sort_keys=True) for m in metas]
     if any(c != canon[0] for c in canon[1:]):

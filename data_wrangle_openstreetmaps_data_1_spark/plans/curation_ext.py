@@ -1807,3 +1807,224 @@ def tx_bm25_paged(spark: SparkSession, sf: str) -> DataFrame:
         "page", F.lit(1).cast("int")
     ).select(cols)
     return p1_df.unionByName(p2.withColumn("page", F.lit(2).cast("int")).select(cols))
+
+
+def _suffix_lifecycle_oracle(k: int = 5) -> str:
+    """Replays build -> ADD -> probe -> DELETE+COMPACT -> probe for the
+    suffix tier. The 'added' phase is the FULL-corpus suffix ranking —
+    value-checking it after an incremental add is what proves the
+    reversed dictionary rode the lifecycle (a stale rterms/ would
+    silently miss terms only the added docs carry; the old contract
+    hard-refused until a manual rebuild). Victims are each suffix's
+    rank-1 doc; the 'compacted' phase is the victims-excluded ranking
+    (suffix results carry no corpus statistics, so exclusion is exact)."""
+    from .pipeline import _TOKS_SQL
+
+    values = ", ".join(f"('{s}')" for s in _SUFFIXES_Q)
+    return rf"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    post AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+    sf(suffix) AS (VALUES {values}),
+    m AS (SELECT sf.suffix, p.term, p.doc_id, p.tf
+          FROM post p JOIN sf ON p.term LIKE '%' || sf.suffix),
+    g AS (SELECT suffix, doc_id,
+                 CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+                 CAST(sum(tf) AS BIGINT) AS total_tf
+          FROM m GROUP BY 1, 2),
+    fr AS (SELECT suffix, doc_id, n_terms, total_tf,
+                  row_number() OVER (PARTITION BY suffix
+                                     ORDER BY total_tf DESC, doc_id ASC) AS rnk
+           FROM g),
+    vict AS (SELECT DISTINCT doc_id FROM fr WHERE rnk = 1),
+    sr AS (SELECT suffix, doc_id, n_terms, total_tf,
+                  row_number() OVER (PARTITION BY suffix
+                                     ORDER BY total_tf DESC, doc_id ASC) AS rnk
+           FROM g WHERE doc_id NOT IN (SELECT doc_id FROM vict))
+    SELECT 'added' AS phase, suffix, doc_id, n_terms, total_tf, rnk
+    FROM fr WHERE rnk <= {k}
+    UNION ALL
+    SELECT 'compacted' AS phase, suffix, doc_id, n_terms, total_tf, rnk
+    FROM sr WHERE rnk <= {k}
+    """
+
+
+@register(
+    "tx_term_suffix_lifecycle",
+    _suffix_lifecycle_oracle(),
+    doc="the reversed dictionary RIDING the index lifecycle (r14: "
+    "operators/text_index.py bm25_index_add/compact/merge rebuild "
+    "rterms/ whenever it exists — it is a pure, vocabulary-sized "
+    "function of terms/): build on 80% of the corpus, write_reversed_"
+    "terms, ADD the rest, then suffix_probe with NO manual rebuild — "
+    "the 'added' phase must equal the full-corpus suffix ranking "
+    "(previously this hard-refused on the staleness guard until a "
+    "manual write_reversed_terms). Then DELETE each suffix's rank-1 doc "
+    "and COMPACT (bucket-selective): the 'compacted' phase must be the "
+    "victims-excluded ranking served through the compact-rebuilt "
+    "reversed dictionary. The snapshot staleness guard stays as the "
+    "backstop for out-of-band mutations",
+)
+def tx_term_suffix_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.text_index import (
+        bm25_index_add,
+        bm25_index_compact,
+        bm25_index_delete,
+        suffix_probe,
+        write_bm25_index,
+        write_reversed_terms,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="suffix_lc_")
+    shutil.rmtree(path, ignore_errors=True)
+    base = docs.where(F.col("doc_id") % 5 != 3)
+    write_bm25_index(spark, base, path, "doc_id", "text", n_buckets=16)
+    write_reversed_terms(spark, path)
+    bm25_index_add(
+        spark, docs.where(F.col("doc_id") % 5 == 3), path, "doc_id", "text"
+    )
+    cols = ["phase", "suffix", "doc_id", "n_terms", "total_tf", "rnk"]
+    added = suffix_probe(spark, path, _SUFFIXES_Q, k=5).withColumn(
+        "phase", F.lit("added")
+    ).select(cols)
+    # collect BEFORE compact rewrites the files a lazy plan would re-read
+    # (bounded: |suffixes| x k rows); victims = each suffix's rank-1 doc
+    added_rows = added.collect()
+    victims = sorted({int(r["doc_id"]) for r in added_rows if r["rnk"] == 1})
+    bm25_index_delete(spark, path, victims)
+    bm25_index_compact(spark, path)
+    compacted = suffix_probe(spark, path, _SUFFIXES_Q, k=5).withColumn(
+        "phase", F.lit("compacted")
+    ).select(cols)
+    return spark.createDataFrame(added_rows, compacted.schema).unionByName(compacted)
+
+
+def _phrase_paged_oracle(k: int = 5) -> str:
+    """Two chained search_after pages over the phrase ranking replayed as
+    one global ranking (the _bm25_paged_oracle contract on phrase_tf):
+    page 2 is exactly global ranks k+1..2k with page-local numbering —
+    the (phrase_tf desc, doc_id asc) order is total, so pages can never
+    skip or repeat a document."""
+    from .pipeline import _TOKS_SQL
+
+    branches = []
+    for p in _PHRASES:
+        words = p.split()
+        n = len(words)
+        conds = " AND ".join(
+            f"toks[i + {j}] = '{w}'" for j, w in enumerate(words)
+        )
+        branches.append(
+            f"SELECT '{p}' AS phrase, doc_id, "
+            f"CASE WHEN len(toks) >= {n} THEN "
+            f"CAST(len(list_filter(range(1, len(toks) - {n} + 2), i -> {conds})) AS BIGINT) "
+            f"ELSE 0 END AS phrase_tf FROM d"
+        )
+    return rf"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    u AS ({' UNION ALL '.join(branches)}),
+    m AS (SELECT phrase, doc_id, phrase_tf FROM u WHERE phrase_tf > 0),
+    r AS (SELECT phrase, doc_id, phrase_tf,
+                 row_number() OVER (PARTITION BY phrase
+                                    ORDER BY phrase_tf DESC, doc_id ASC) AS grk
+          FROM m)
+    SELECT 1 AS page, phrase, doc_id, phrase_tf, CAST(grk AS INT) AS rnk
+    FROM r WHERE grk <= {k}
+    UNION ALL
+    SELECT 2 AS page, phrase, doc_id, phrase_tf, CAST(grk - {k} AS INT) AS rnk
+    FROM r WHERE grk > {k} AND grk <= {2 * k}
+    """
+
+
+@register(
+    "tx_phrase_paged",
+    _phrase_paged_oracle(),
+    doc="CURSOR pagination on the PHRASE ranking (search_after for the "
+    "positional tier — r14, the bm25_query_page contract extended to "
+    "phrase_probe_batched's after=): page 2 is served from each "
+    "phrase's page-1 cursor (its (phrase_tf, doc_id) at rank k, "
+    "collected driver-side exactly as a paging client would), applied "
+    "BEFORE the top-k window as a broadcast strictly-after filter on "
+    "the (phrase_tf desc, doc_id asc) total order — later pages rank "
+    "strictly fewer rows, deep paging stays O(page). Both pages in one "
+    "value-checked result; the oracle replays the GLOBAL phrase ranking "
+    "and pins page 2 as exactly ranks k+1..2k",
+)
+def tx_phrase_paged(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.text_index import (
+        phrase_probe_batched,
+        write_bm25_index,
+        write_phrase_positions,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="phrase_paged_")
+    shutil.rmtree(path, ignore_errors=True)
+    write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
+    write_phrase_positions(spark, docs, path, "doc_id", "text")
+    cols = ["page", "phrase", "doc_id", "phrase_tf", "rnk"]
+    p1 = phrase_probe_batched(spark, path, _PHRASES, k=5)
+    p1_rows = p1.collect()  # bounded: |phrases| x k — the client's page
+    cursors = {}
+    for r in p1_rows:
+        cur = cursors.get(r["phrase"])
+        if cur is None or r["rnk"] > cur[2]:
+            cursors[r["phrase"]] = (int(r["phrase_tf"]), int(r["doc_id"]), r["rnk"])
+    after = {p: (tf, d) for p, (tf, d, _) in cursors.items()}
+    # a phrase with no page-1 hits has no cursor and is not paged further
+    # (the search_after client contract: you page what you saw)
+    p2_phrases = [p for p in _PHRASES if p in after]
+    p1_df = spark.createDataFrame(p1_rows, p1.schema).withColumn(
+        "page", F.lit(1).cast("int")
+    ).select(cols)
+    if not p2_phrases:
+        return p1_df
+    p2 = phrase_probe_batched(spark, path, p2_phrases, k=5, after=after)
+    return p1_df.unionByName(p2.withColumn("page", F.lit(2).cast("int")).select(cols))
+
+
+@register(
+    "tx_bm25_facets_stored",
+    _facet_oracle(),
+    doc="facet counts answered ENTIRELY from index artifacts (r14: "
+    "operators/text_index.py write_doc_facets/bm25_facet_counts_stored "
+    "— Lucene doc values / ES doc_values): the facets/ sidecar stores "
+    "the column-pruned (doc_id, facet...) rows INSIDE the index dir at "
+    "build time, so the serving tier needs no doc-store access at query "
+    "time — tx_bm25_facets' ad-hoc form requires the caller to hand the "
+    "doc store in. The sidecar RIDES the lifecycle: this query builds "
+    "on 75% of the corpus, incrementally adds the rest (bm25_index_add "
+    "+ doc_facets_add — per-document rows, appends touch zero existing "
+    "bytes), then answers facets from the stored artifacts alone under "
+    "the SAME oracle as the ad-hoc form (the lifecycle must be value-"
+    "invisible)",
+)
+def tx_bm25_facets_stored(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.text_index import (
+        bm25_facet_counts_stored,
+        bm25_index_add,
+        doc_facets_add,
+        write_bm25_index,
+        write_doc_facets,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="bm25_facets_st_")
+    shutil.rmtree(path, ignore_errors=True)
+    base = docs.where(F.col("doc_id") % 4 != 1)
+    rest = docs.where(F.col("doc_id") % 4 == 1)
+    write_bm25_index(spark, base, path, "doc_id", "text", n_buckets=16)
+    write_doc_facets(spark, path, base, ["source"])
+    bm25_index_add(spark, rest, path, "doc_id", "text")
+    doc_facets_add(spark, rest, path)
+    return bm25_facet_counts_stored(spark, path, _MULTI_QUERIES, "source", k_facets=10)

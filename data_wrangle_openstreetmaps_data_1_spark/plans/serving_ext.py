@@ -993,3 +993,157 @@ def sim_ivf_pq_merged(spark: SparkSession, sf: str) -> DataFrame:
         for r in emb.where(F.col("vec_id") < _PQ_NQ).orderBy("vec_id").collect()
     ]
     return ivf_pq_probe(spark, out, queries, k=_PQ_TOPK, nprobe=_IVFPQ_NPROBE)
+
+
+def _hybrid_filtered_oracle() -> str:
+    """RRF fusion of the two persisted-index probes under a SHARED
+    metadata filter (id % 3 = 0 standing in for any predicate), with
+    PRE-FILTER semantics on BOTH legs: candidates restrict BEFORE each
+    tier's top-N — the lexical ranking runs over filtered docs but
+    corpus-wide df/avgdl (the Elasticsearch filter-context contract:
+    filters do not change IDF), and the vector ranking is the filtered
+    cand CTE from sim_ivf_pq_filtered. Same CTE skeleton as
+    _hybrid_stored_oracle otherwise."""
+    from ..operators.retrieval import B_FP, K1_FP
+    from .curation_ext import _pq_cte_list
+    from .pipeline import _TOKS_SQL
+    from .pipeline_ext import _TERMS_IN, BM25_TERMS
+
+    n, rk = _HYBRID_STORED_N, _RRF_K
+    map_values = ", ".join(f"({i}, '{t}')" for i, t in enumerate(BM25_TERMS))
+    d2full = (
+        "list_reduce(list_transform(range(1, 65), "
+        "i -> (e.v[i] - c.c_vec[i]) * (e.v[i] - c.c_vec[i])), (a, b) -> a + b)"
+    )
+    lex = rf"""(
+      WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+      lens AS (SELECT doc_id, len(toks) AS dl FROM d WHERE len(toks) >= 1),
+      stats AS (SELECT count(*) AS n_docs,
+                       CAST(sum(dl) AS BIGINT) * 1000 // count(*) AS avgdl_fp
+                FROM lens),
+      tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+      post AS (SELECT term, doc_id, count(*) AS tf FROM tok
+               WHERE term IN ({_TERMS_IN}) GROUP BY 1, 2),
+      dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+      scored AS (
+        SELECT term, doc_id, tf, df,
+               (n_docs - df) * 1000 // (df + 1) + 1000 AS idf_fp,
+               (1000 - {B_FP}) + ({B_FP} * dl * 1000) // avgdl_fp AS norm_fp
+        FROM post JOIN dfreq USING (term) JOIN lens USING (doc_id)
+        CROSS JOIN stats),
+      s2 AS (SELECT term, doc_id,
+                    (tf * {K1_FP + 1000} * idf_fp)
+                      // (tf * 1000 + ({K1_FP} * norm_fp) // 1000) AS score_fp
+             FROM scored),
+      r AS (SELECT term, doc_id, score_fp,
+                   row_number() OVER (PARTITION BY term
+                                      ORDER BY score_fp DESC, doc_id ASC) AS rnk
+            FROM s2 WHERE doc_id % 3 = 0)
+      SELECT term, doc_id, rnk FROM r WHERE rnk <= {n})"""
+    ctes = [f"lexf AS {lex}"] + _pq_cte_list() + [
+        f"cent AS (SELECT vec_id AS c_id, v AS c_vec FROM e WHERE vec_id < {_IVFPQ_NCENT})",
+        "cassign AS (SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id "
+        f"ORDER BY d2full ASC, c_id ASC) AS crk FROM (SELECT e.vec_id, c.c_id, {d2full} "
+        "AS d2full FROM e, cent c))",
+        "tclu AS (SELECT vec_id, c_id AS cluster FROM cassign WHERE crk = 1)",
+        f"qclu AS (SELECT vec_id AS qid, c_id AS cluster FROM cassign "
+        f"WHERE crk <= {_IVFPQ_NPROBE} AND vec_id < {_PQ_NQ})",
+        "cand AS (SELECT a.qid, a.vec_id, a.adc_d2 FROM adc a "
+        "JOIN tclu t USING (vec_id) "
+        "JOIN qclu q ON q.cluster = t.cluster AND q.qid = a.qid "
+        "WHERE a.vec_id % 3 = 0)",
+        "vecr AS (SELECT query_id, doc_id, vec_rank FROM ("
+        "SELECT qid AS query_id, vec_id AS doc_id, "
+        "CAST(row_number() OVER (PARTITION BY qid "
+        "ORDER BY adc_d2 ASC, vec_id ASC) AS BIGINT) AS vec_rank FROM cand) "
+        f"WHERE vec_rank <= {n})",
+        f"m(query_id, term) AS (VALUES {map_values})",
+        "lexr AS (SELECT CAST(m.query_id AS BIGINT) AS query_id, l.doc_id, "
+        "CAST(l.rnk AS BIGINT) AS lex_rank FROM lexf l JOIN m ON l.term = m.term)",
+        "fused AS (SELECT coalesce(l.query_id, v.query_id) AS query_id, "
+        "coalesce(l.doc_id, v.doc_id) AS doc_id, "
+        "coalesce(l.lex_rank, 0) AS lex_rank, "
+        "coalesce(v.vec_rank, 0) AS vec_rank, "
+        f"coalesce(1000000 // ({rk} + l.lex_rank), 0) "
+        f"+ coalesce(1000000 // ({rk} + v.vec_rank), 0) AS rrf_fp "
+        "FROM lexr l FULL OUTER JOIN vecr v "
+        "ON l.query_id = v.query_id AND l.doc_id = v.doc_id)",
+        "rr AS (SELECT query_id, doc_id, lex_rank, vec_rank, rrf_fp, "
+        "row_number() OVER (PARTITION BY query_id "
+        "ORDER BY rrf_fp DESC, doc_id ASC) AS rnk FROM fused)",
+    ]
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT query_id, doc_id, lex_rank, vec_rank, "
+        "CAST(rrf_fp AS BIGINT) AS rrf_fp, rnk FROM rr WHERE rnk <= 10"
+    )
+
+
+@register(
+    "sim_hybrid_filtered",
+    _hybrid_filtered_oracle(),
+    doc="FILTERED hybrid retrieval — the production query 'top-k about X, "
+    "restricted to source=S' served entirely from partition-pruned index "
+    "reads with PRE-FILTER semantics on BOTH legs (r14, composing the "
+    "two r13 primitives): the vector leg is ivf_pq_probe_batched "
+    "allowed= (semi-join on the pruned codes scan) and the lexical leg "
+    "is bm25_query_topk allowed= (the same semi-join on the pruned "
+    "postings read, where the facet path already joins) — so every "
+    "fused hit satisfies the filter and each tier returns k survivors "
+    "whenever k eligible candidates exist, where post-filtering the "
+    "unfiltered top-k silently under-returns on selective filters. "
+    "Corpus statistics stay corpus-wide on the lexical leg (filters do "
+    "not change IDF — the Elasticsearch filter-context contract). "
+    "RRF-fused (k=60 fixed-point), both rankings replayed relationally "
+    "with the same candidate restrictions",
+)
+def sim_hybrid_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.ivf_index import ivf_pq_probe_batched
+    from ..operators.retrieval import rrf_fuse
+    from ..operators.text_index import bm25_query_topk
+    from .pipeline_ext import BM25_TERMS
+
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bm_path = tempfile.mkdtemp(prefix="bm25_hyf_")
+    shutil.rmtree(bm_path, ignore_errors=True)
+    write_bm25_index(spark, docs, bm_path, "doc_id", "text", n_buckets=16)
+    meta = train_ivf_pq_meta(
+        emb, "vec_id", "v",
+        ncent=_IVFPQ_NCENT, m=_PQ_M, dsub=_PQ_DSUB, ksub=_PQ_K,
+        iters=_PQ_ITERS, round_to=_PQ_R,
+    )
+    ivf_path = tempfile.mkdtemp(prefix="ivfpq_hyf_")
+    shutil.rmtree(ivf_path, ignore_errors=True)
+    write_ivf_pq_index(spark, emb, ivf_path, meta, "vec_id", "v")
+    mapping = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(BM25_TERMS)], "query_id long, query string"
+    )
+    # single-word queries make bm25_query_topk a per-term ranking (boost
+    # 1000/1000 is exact integer identity), restricted by the SAME
+    # metadata predicate as the vector leg — pre-filter on both tiers
+    lex = (
+        bm25_query_topk(
+            spark, bm_path, BM25_TERMS, k=_HYBRID_STORED_N,
+            allowed=docs.where(F.col("doc_id") % 3 == 0).select("doc_id"),
+        )
+        .join(F.broadcast(mapping), "query")
+        .select("query_id", "doc_id", F.col("rnk").alias("lex_rank"))
+    )
+    queries = [
+        (r["vec_id"], list(r["v"]))
+        for r in emb.where(F.col("vec_id") < _PQ_NQ).orderBy("vec_id").collect()
+    ]
+    probe = ivf_pq_probe_batched(
+        spark, ivf_path, queries, k=_HYBRID_STORED_N, nprobe=_IVFPQ_NPROBE,
+        allowed=emb.where(F.col("vec_id") % 3 == 0).select("vec_id"),
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("vec_id"))
+    vec = probe.withColumn("vec_rank", F.row_number().over(wv)).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "vec_rank"
+    )
+    return rrf_fuse(lex, vec, k_rrf=_RRF_K, k=10)

@@ -44,9 +44,12 @@ from ..operators.text_index import (
     phrase_positions_add,
     write_bm25_index,
     write_phrase_positions,
+    write_reversed_terms,
 )
 
 _POSTINGS = "postings"
+_POSITIONS = "positions"
+_RTERMS = "rterms"
 
 
 def run_bm25_index_stream(
@@ -57,6 +60,7 @@ def run_bm25_index_stream(
     n_buckets: int = 16,
     checkpoint: str | None = None,
     with_positions: bool = False,
+    with_rterms: bool = False,
 ) -> None:
     """Drain a finite document stream (AvailableNow) into the BM25 index
     at ``path``: first non-empty batch builds, later batches add.
@@ -67,8 +71,34 @@ def run_bm25_index_stream(
     same adds as the scoring postings, or a doc becomes BM25-searchable
     before it is phrase-searchable. Positions are per-document state
     (appends touch zero existing bytes), so the sidecar is as batching-
-    independent as the postings; both duplicate guards fire on replay."""
+    independent as the postings; both duplicate guards fire on replay.
+    Against a PRE-EXISTING index built without the sidecar this raises
+    an actionable error BEFORE the stream starts (the add path cannot
+    conjure past docs' positions): bootstrap with write_phrase_positions
+    over the full corpus first.
+
+    ``with_rterms=True`` keeps the suffix tier's reversed dictionary
+    (``rterms/``) riding the stream: it is bootstrapped here if missing
+    (a pure, vocabulary-sized function of terms/ — unlike positions it
+    CAN be conjured from the index itself), and bm25_index_add then
+    rebuilds it on every later batch, so suffix_probe keeps serving at
+    every commit point instead of hard-refusing on the staleness guard."""
     state = {"initialized": os.path.isdir(os.path.join(path, _POSTINGS))}
+    if state["initialized"]:
+        spark0 = doc_stream.sparkSession
+        if with_positions and not os.path.isdir(os.path.join(path, _POSITIONS)):
+            # the add path appends per-document positions; it can never
+            # backfill docs indexed before the sidecar existed — failing
+            # here beats phrase_positions_add's opaque AnalysisException
+            # on the missing dir mid-stream (r13 ADVICE)
+            raise ValueError(
+                f"run_bm25_index_stream: with_positions=True but the index "
+                f"at {path} has no positions/ sidecar — bootstrap it over "
+                "the FULL corpus with write_phrase_positions(spark, docs, "
+                "path, id_col, text_col) before streaming adds"
+            )
+        if with_rterms and not os.path.isdir(os.path.join(path, _RTERMS)):
+            write_reversed_terms(spark0, path)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -78,6 +108,8 @@ def run_bm25_index_stream(
             write_bm25_index(spark, batch_df, path, id_col, text_col, n_buckets=n_buckets)
             if with_positions:
                 write_phrase_positions(spark, batch_df, path, id_col, text_col)
+            if with_rterms:
+                write_reversed_terms(spark, path)
             state["initialized"] = True
         else:
             bm25_index_add(spark, batch_df, path, id_col, text_col)

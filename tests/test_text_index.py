@@ -1049,10 +1049,46 @@ def test_bm25_query_boosts(spark, docs, full_index):
         bm25_query_topk(spark, full_index, q, k=5, boosts={"hash": 0})
 
 
+def test_reversed_dictionary_rides_the_add_path(spark, docs):
+    """r14 lifecycle contract: once rterms/ exists, bm25_index_add
+    rebuilds it — suffix_probe keeps serving across adds with NO manual
+    rebuild, and the post-add result equals a fresh one-shot build's
+    (the new docs' terms are suffix-searchable immediately)."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+        suffix_probe,
+        write_reversed_terms,
+    )
+
+    path = tempfile.mkdtemp(prefix="bm25idx_radd_")
+    ref = tempfile.mkdtemp(prefix="bm25idx_radd_ref_")
+    for p in (path, ref):
+        shutil.rmtree(p, ignore_errors=True)
+    try:
+        base = docs.where(F.col("doc_id") % 5 != 3)
+        write_bm25_index(spark, base, path, "doc_id", "text", n_buckets=NB)
+        write_reversed_terms(spark, path)
+        assert suffix_probe(spark, path, ["w"], k=5).count() > 0
+        bm25_index_add(
+            spark, docs.where(F.col("doc_id") % 5 == 3), path, "doc_id", "text"
+        )
+        got = suffix_probe(spark, path, ["w", "er"], k=5)  # no manual rebuild
+        write_bm25_index(spark, docs, ref, "doc_id", "text", n_buckets=NB)
+        write_reversed_terms(spark, ref)
+        want = suffix_probe(spark, ref, ["w", "er"], k=5)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(ref, ignore_errors=True)
+
+
 def test_suffix_probe_refuses_stale_reversed_dictionary(spark, docs):
-    """The silent-staleness guard: after an add changes terms/, the
-    reversed dictionary must REFUSE (it would silently miss the new
-    terms), and a rebuild restores service over the full dictionary."""
+    """The staleness BACKSTOP (the lifecycle now rebuilds rterms/ on
+    add/compact/merge, so staleness needs an out-of-band mutation):
+    restoring an old rterms/+snapshot pair from backup over a grown
+    index must REFUSE — it would silently miss the newer terms — and a
+    rebuild restores service."""
+    import os
+
     from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
         suffix_probe,
         write_reversed_terms,
@@ -1064,16 +1100,24 @@ def test_suffix_probe_refuses_stale_reversed_dictionary(spark, docs):
         base = docs.where(F.col("doc_id") % 5 != 3)
         write_bm25_index(spark, base, path, "doc_id", "text", n_buckets=NB)
         write_reversed_terms(spark, path)
-        assert suffix_probe(spark, path, ["w"], k=5).count() > 0
+        # save the base-corpus reversed dictionary aside (the "backup")
+        for d in ("rterms", "rterms__snapshot"):
+            shutil.copytree(os.path.join(path, d), os.path.join(path + "_bak", d))
         bm25_index_add(
             spark, docs.where(F.col("doc_id") % 5 == 3), path, "doc_id", "text"
         )
+        assert suffix_probe(spark, path, ["w"], k=5).count() > 0  # rode the add
+        # out-of-band mutation: restore the stale backup over the live dirs
+        for d in ("rterms", "rterms__snapshot"):
+            shutil.rmtree(os.path.join(path, d))
+            shutil.copytree(os.path.join(path + "_bak", d), os.path.join(path, d))
         with pytest.raises(ValueError, match="STALE"):
             suffix_probe(spark, path, ["w"], k=5)
         write_reversed_terms(spark, path)
         assert suffix_probe(spark, path, ["w"], k=5).count() > 0
     finally:
         shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(path + "_bak", ignore_errors=True)
 
 
 def test_bm25_query_boost_for_absent_term_is_loud(spark, docs, full_index):
