@@ -41,14 +41,17 @@ from pyspark.sql import DataFrame
 
 from ..operators.text_index import (
     bm25_index_add,
+    doc_facets_add,
     phrase_positions_add,
     write_bm25_index,
+    write_doc_facets,
     write_phrase_positions,
     write_reversed_terms,
 )
 
 _POSTINGS = "postings"
 _POSITIONS = "positions"
+_FACETS = "facets"
 _RTERMS = "rterms"
 
 
@@ -61,6 +64,7 @@ def run_bm25_index_stream(
     checkpoint: str | None = None,
     with_positions: bool = False,
     with_rterms: bool = False,
+    with_facets: list[str] | None = None,
 ) -> None:
     """Drain a finite document stream (AvailableNow) into the BM25 index
     at ``path``: first non-empty batch builds, later batches add.
@@ -82,7 +86,13 @@ def run_bm25_index_stream(
     (a pure, vocabulary-sized function of terms/ — unlike positions it
     CAN be conjured from the index itself), and bm25_index_add then
     rebuilds it on every later batch, so suffix_probe keeps serving at
-    every commit point instead of hard-refusing on the staleness guard."""
+    every commit point instead of hard-refusing on the staleness guard.
+
+    ``with_facets`` (a facet-column list) maintains the facet sidecar
+    (``facets/``) in the same foreachBatch — stream rows must carry the
+    columns. Like positions, past docs' facets cannot be conjured from
+    the index, so a pre-existing index without the sidecar fails loudly
+    up front with the write_doc_facets bootstrap instruction."""
     state = {"initialized": os.path.isdir(os.path.join(path, _POSTINGS))}
     if state["initialized"]:
         spark0 = doc_stream.sparkSession
@@ -97,6 +107,13 @@ def run_bm25_index_stream(
                 "the FULL corpus with write_phrase_positions(spark, docs, "
                 "path, id_col, text_col) before streaming adds"
             )
+        if with_facets and not os.path.isdir(os.path.join(path, _FACETS)):
+            raise ValueError(
+                f"run_bm25_index_stream: with_facets={with_facets!r} but the "
+                f"index at {path} has no facets/ sidecar — bootstrap it over "
+                "the FULL corpus with write_doc_facets(spark, docs, path, "
+                "facet_cols) before streaming adds"
+            )
         if with_rterms and not os.path.isdir(os.path.join(path, _RTERMS)):
             write_reversed_terms(spark0, path)
 
@@ -108,6 +125,8 @@ def run_bm25_index_stream(
             write_bm25_index(spark, batch_df, path, id_col, text_col, n_buckets=n_buckets)
             if with_positions:
                 write_phrase_positions(spark, batch_df, path, id_col, text_col)
+            if with_facets:
+                write_doc_facets(spark, path, batch_df, with_facets, id_col)
             if with_rterms:
                 write_reversed_terms(spark, path)
             state["initialized"] = True
@@ -115,6 +134,8 @@ def run_bm25_index_stream(
             bm25_index_add(spark, batch_df, path, id_col, text_col)
             if with_positions:
                 phrase_positions_add(spark, batch_df, path, id_col, text_col)
+            if with_facets:
+                doc_facets_add(spark, batch_df, path, id_col)
 
     q = (
         doc_stream.writeStream.foreachBatch(handle)

@@ -467,6 +467,56 @@ def test_stream_with_rterms_serves_suffix_at_end(spark, docs):
         shutil.rmtree(landing, ignore_errors=True)
 
 
+def test_stream_with_facets(spark, docs):
+    """with_facets: the streamed facet sidecar equals the one-shot build's
+    (batching-independent, per-document rows); a pre-existing index
+    without the sidecar refuses up front."""
+    from data_wrangle_openstreetmaps_data_1_spark.streaming.incremental import (
+        read_documents_stream,
+    )
+    from data_wrangle_openstreetmaps_data_1_spark.streaming.index_maintenance import (
+        run_bm25_index_stream,
+    )
+
+    path = tempfile.mkdtemp(prefix="r14st_fac_")
+    landing = tempfile.mkdtemp(prefix="r14st_facland_")
+    ref = tempfile.mkdtemp(prefix="r14st_facref_")
+    try:
+        shutil.rmtree(path, ignore_errors=True)
+        docs.select("doc_id", "text", "source").repartition(3).write.mode(
+            "overwrite"
+        ).parquet(landing)
+        stream = read_documents_stream(
+            spark, landing, glob="*.parquet", max_files_per_trigger=1
+        ).select("doc_id", "text", "source")
+        run_bm25_index_stream(
+            stream, path, "doc_id", "text", n_buckets=NB, with_facets=["source"]
+        )
+        shutil.rmtree(ref, ignore_errors=True)
+        write_bm25_index(spark, docs, ref, "doc_id", "text", n_buckets=NB)
+        write_doc_facets(spark, ref, docs, ["source"])
+        got = sorted(tuple(r) for r in spark.read.parquet(f"{path}/facets").collect())
+        want = sorted(tuple(r) for r in spark.read.parquet(f"{ref}/facets").collect())
+        assert got == want
+        q = ["slow hash"]
+        gf = sorted(map(tuple, bm25_facet_counts_stored(spark, path, q, "source").collect()))
+        wf = sorted(map(tuple, bm25_facet_counts_stored(spark, ref, q, "source").collect()))
+        assert gf == wf
+        # pre-existing index without the sidecar refuses up front
+        shutil.rmtree(f"{ref}/facets")
+        stream2 = read_documents_stream(
+            spark, landing, glob="*.parquet", max_files_per_trigger=1
+        ).select("doc_id", "text", "source")
+        with pytest.raises(ValueError, match="no facets/ sidecar"):
+            run_bm25_index_stream(
+                stream2, ref, "doc_id", "text", n_buckets=NB, with_facets=["source"]
+            )
+    finally:
+        for p in (path, ref):
+            shutil.rmtree(p, ignore_errors=True)
+        shutil.rmtree(landing, ignore_errors=True)
+
+
 def test_batched_probe_rejects_ragged_query_vectors(spark, sf_small):
     """The numpy LUT build refuses wrong-length query vectors loudly (the
     scalar loop silently zip-truncated them)."""
