@@ -111,7 +111,31 @@ def write_bm25_index(
     """Materialize the index (overwrite): bucketed postings + term
     dictionary + corpus stats. One corpus scan (persisted at the postings
     stage) feeds all three — the derived artifacts come from the SAME
-    materialized frame the write consumed, so they can never disagree."""
+    materialized frame the write consumed, so they can never disagree.
+
+    Refuses a path still holding sidecar state from a previous index
+    (positions/facets/rterms/tombstones): this write only replaces the
+    three core artifacts, so a rebuild over a live index would leave the
+    per-document sidecars SILENTLY describing the old corpus — phrase
+    probes resurrecting vanished docs, facet counts missing new ones
+    (rterms alone would be caught by its staleness guard; the others
+    have no corpus fingerprint to check). Write to a fresh path or
+    delete the old index dir first."""
+    import os
+
+    stale = [
+        d
+        for d in (_POSITIONS, _FACETS, _RTERMS, _TOMBSTONES)
+        if os.path.isdir(f"{path}/{d}")
+    ]
+    if stale:
+        raise ValueError(
+            f"write_bm25_index: {path} already holds sidecar state {stale} "
+            "from a previous index — rebuilding the core artifacts would "
+            "leave them silently stale (they are per-document corpus "
+            "state). Write to a fresh path, or delete the old index dir "
+            "first."
+        )
     post = _postings_with_dl(docs, id_col, text_col, n_buckets).persist()
     try:
         # co-locate each bucket in one shuffle partition before the write:

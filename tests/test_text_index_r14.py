@@ -467,6 +467,23 @@ def test_stream_with_rterms_serves_suffix_at_end(spark, docs):
         shutil.rmtree(landing, ignore_errors=True)
 
 
+def test_rebuild_over_live_index_refuses(spark, docs):
+    """write_bm25_index replaces only the three core artifacts, so a
+    rebuild over a path still holding per-document sidecars would leave
+    them silently describing the OLD corpus — refused loudly."""
+    path = tempfile.mkdtemp(prefix="r14rebuild_")
+    try:
+        _build_full(spark, docs, path)
+        with pytest.raises(ValueError, match="sidecar state"):
+            write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=NB)
+        for d in ("positions", "facets", "rterms"):
+            shutil.rmtree(f"{path}/{d}")
+        # core-only index: rebuild is legal (nothing left to go stale)
+        write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=NB)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def test_stream_with_facets(spark, docs):
     """with_facets: the streamed facet sidecar equals the one-shot build's
     (batching-independent, per-document rows); a pre-existing index
