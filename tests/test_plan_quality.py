@@ -289,6 +289,10 @@ def test_no_unexpected_products_registry_wide(spark):
         # lexical tier = bm25_probe (1-row stats cross); the stored vector
         # tier assigns clusters driver-side, so it adds no product join
         "sim_hybrid_stored",
+        # filtered hybrid: the lexical leg is bm25_query_topk (the same
+        # broadcast 1-row corpus-stats crossJoin); the allowed= semi-joins
+        # on both legs are equi-joins, adding no product shape
+        "sim_hybrid_filtered",
         # broadcast 1-row totals (tot_base/tot_batch/doc stats) crossed
         # onto the O(vocabulary) term join — see vocab_drift_report
         "tx_vocab_drift",
