@@ -1,0 +1,190 @@
+"""Index ADMINISTRATION: the maintenance brain around the persisted
+serving indexes — segment inventory, a tiered merge POLICY (which
+segments to merge, not just how — operators/text_index.py:bm25_index_merge
+is the mechanism), and a one-row describe for dashboards/tests.
+
+Why a policy matters at 100 TB: per-shard / per-day builds leave a long
+tail of small segments; probing S segments costs S pruned scans, but
+merging EVERYTHING into one segment re-writes the whole corpus every
+cycle. Lucene's TieredMergePolicy resolves the tension by merging only
+peers of similar (small) size and never touching segments that already
+reached the max size — rewrite amplification stays logarithmic in corpus
+size. The planner below is that shape, deterministic and pure (unit-
+testable without Spark); execution composes the existing merge op.
+
+Reference scope note: the reference repo (kdivringi/
+data-wrangle-openstreetmaps-data_1) has no serving index at all — its
+query tier is a one-shot MongoDB load (data_wrangler.py / readme.md);
+this module belongs to the LLM-pipeline serving extension the build
+brief asks for beyond the reference surface.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .text_index import (
+    _FACETS,
+    _POSITIONS,
+    _RTERMS,
+    _STATS,
+    _TERMS,
+    _TOMBSTONES,
+    bm25_index_merge,
+    read_index_meta,
+)
+
+
+def plan_segment_merges(
+    segments: dict[str, int],
+    *,
+    max_merge_at_once: int = 4,
+    max_merged_docs: int | None = None,
+    target_segment_count: int = 1,
+) -> list[list[str]]:
+    """Tiered merge PLANNING (Lucene TieredMergePolicy's shape, one
+    pass): given segment name -> live doc count, return the list of
+    merge groups (each a list of >= 2 segment names) a maintenance cycle
+    should execute.
+
+    Policy, deterministic and pure:
+
+    - segments with ``n_docs >= max_merged_docs`` are NEVER merge inputs
+      (they are done growing — rewriting them again is the amplification
+      Lucene's policy exists to avoid). ``None`` disables the ceiling.
+    - remaining segments sort by (n_docs asc, name asc) — smallest-first,
+      so each merge buys the biggest segment-count reduction per byte
+      rewritten.
+    - groups take up to ``max_merge_at_once`` consecutive smallest
+      segments, never letting a group's combined size cross
+      ``max_merged_docs``; a group needs >= 2 members to be a merge.
+    - planning stops once executing the plan would leave
+      <= ``target_segment_count`` segments.
+
+    ONE pass, no cascade: a merged result does not re-enter this plan
+    (real maintenance loops re-plan each cycle on fresh stats — and a
+    cascaded plan would re-write the same docs twice in one cycle, the
+    exact amplification the policy bounds). Callers execute with
+    :func:`execute_merge_plan` and re-plan next cycle."""
+    if max_merge_at_once < 2:
+        raise ValueError(
+            f"plan_segment_merges: max_merge_at_once {max_merge_at_once!r} "
+            "must be >= 2 (a 1-way merge is a copy)"
+        )
+    if target_segment_count < 1:
+        raise ValueError(
+            f"plan_segment_merges: target_segment_count "
+            f"{target_segment_count!r} must be >= 1"
+        )
+    bad = {n: c for n, c in segments.items() if c < 0}
+    if bad:
+        raise ValueError(f"plan_segment_merges: negative doc counts: {bad}")
+    eligible = sorted(
+        (
+            (c, n)
+            for n, c in segments.items()
+            if max_merged_docs is None or c < max_merged_docs
+        ),
+    )
+    plan: list[list[str]] = []
+    remaining_total = len(segments)
+    i = 0
+    while i < len(eligible) and remaining_total > target_segment_count:
+        group = [eligible[i]]
+        j = i + 1
+        while (
+            j < len(eligible)
+            and len(group) < max_merge_at_once
+            # extending to len(group)+1 members leaves
+            # remaining_total - len(group) segments after execution
+            and remaining_total - len(group) >= target_segment_count
+            and (
+                max_merged_docs is None
+                or sum(c for c, _n in group) + eligible[j][0] <= max_merged_docs
+            )
+        ):
+            group.append(eligible[j])
+            j += 1
+        if len(group) < 2:
+            break  # smallest survivor can't pair up under the ceiling
+        plan.append([n for _c, n in group])
+        remaining_total -= len(group) - 1
+        i = j
+    return plan
+
+
+def bm25_segment_stats(spark: SparkSession, paths: list[str]) -> dict[str, int]:
+    """Live doc counts per segment, from each segment's own tiny
+    ``stats/`` row (minus pending tombstones — the planner should see
+    post-compact reality). Input to :func:`plan_segment_merges`."""
+    out: dict[str, int] = {}
+    for p in paths:
+        read_index_meta(spark, p)  # loud if not an index
+        n = int(spark.read.parquet(f"{p}/{_STATS}").collect()[0]["n_docs"])
+        if os.path.isdir(f"{p}/{_TOMBSTONES}"):
+            n -= spark.read.parquet(f"{p}/{_TOMBSTONES}").count()
+        out[p] = n
+    return out
+
+
+def execute_merge_plan(
+    spark: SparkSession,
+    plan: list[list[str]],
+    out_dir: str,
+) -> list[str]:
+    """Execute a :func:`plan_segment_merges` plan: each group merges into
+    ``out_dir/merged_{i}`` via bm25_index_merge (which enforces the
+    disjointness / n_buckets / sidecar-parity contracts). Returns the new
+    segment paths in plan order. The caller retires the inputs once the
+    outputs exist — same publish-then-retire discipline as compaction."""
+    seen: set[str] = set()
+    for g in plan:
+        for p in g:
+            if p in seen:
+                raise ValueError(
+                    f"execute_merge_plan: segment {p!r} appears in two "
+                    "merge groups — a plan must partition its inputs"
+                )
+            seen.add(p)
+    outs = []
+    for i, g in enumerate(plan):
+        out = os.path.join(out_dir, f"merged_{i}")
+        bm25_index_merge(spark, out, g)
+        outs.append(out)
+    return outs
+
+
+def bm25_index_describe(spark: SparkSession, path: str) -> DataFrame:
+    """One-row inventory of an index's artifacts — the `_cat/indices`
+    shape: corpus stats, dictionary size, bucket count, pending
+    tombstones, and which optional sidecars (positions / facets /
+    reversed dictionary) this segment carries. Every input is an
+    index-artifact read (the stats row, the vocabulary-sized dictionary
+    count, directory probes) — nothing corpus-sized."""
+    meta = read_index_meta(spark, path)
+    st = spark.read.parquet(f"{path}/{_STATS}").collect()[0]
+    n_terms = spark.read.parquet(f"{path}/{_TERMS}").count()
+    n_tomb = (
+        spark.read.parquet(f"{path}/{_TOMBSTONES}").count()
+        if os.path.isdir(f"{path}/{_TOMBSTONES}")
+        else 0
+    )
+    row = {
+        "n_docs": int(st["n_docs"]),
+        "avgdl_fp": int(st["avgdl_fp"]),
+        "n_terms": int(n_terms),
+        "n_buckets": int(meta["n_buckets"]),
+        "n_tombstones": int(n_tomb),
+        "has_positions": os.path.isdir(f"{path}/{_POSITIONS}"),
+        "has_facets": os.path.isdir(f"{path}/{_FACETS}"),
+        "has_rterms": os.path.isdir(f"{path}/{_RTERMS}"),
+    }
+    return spark.createDataFrame(
+        [row],
+        "n_docs long, avgdl_fp long, n_terms long, n_buckets int, "
+        "n_tombstones long, has_positions boolean, has_facets boolean, "
+        "has_rterms boolean",
+    )

@@ -2187,3 +2187,399 @@ def bm25_query_page(
         .where(F.col("rnk") <= k)
         .select("query", "doc_id", "n_terms", "score_fp", "rnk")
     )
+
+
+def wildcard_probe(
+    spark: SparkSession,
+    path: str,
+    patterns: list[str],
+    k: int = 5,
+    max_expansions: int = 64,
+) -> DataFrame:
+    """Infix term query — the double-wildcard ``*sub*`` shape (Lucene's
+    WildcardQuery with a leading AND trailing ``*``): expand each pattern
+    against the ``terms/`` dictionary with a ``contains`` predicate, then
+    serve documents from the postings pruned to the expanded terms'
+    buckets, exactly like prefix_probe / suffix_probe.
+
+    Cost, honestly: an infix match is UNSARGABLE — neither the forward
+    dictionary (prefix range) nor the reversed one (suffix range) can
+    skip row groups for it, so the expansion is a full dictionary scan.
+    That is the same deal Lucene's automaton takes on a
+    leading-wildcard pattern, and it is the right trade here because
+    ``terms/`` is VOCABULARY-sized (Heaps-law sublinear in the corpus):
+    the corpus-sized read (postings) still prunes to the matched terms'
+    buckets. Callers who only need prefix/suffix shapes should use those
+    probes and keep the range predicate.
+
+    Same guard contract as the other expansion probes: patterns are
+    [a-z0-9]+ (LIKE-metacharacter-exact oracle replay), duplicate
+    patterns rejected, ``max_expansions`` bounds the driver collect
+    BEFORE it can pull an unbounded term list.
+
+    Output: (pattern, doc_id, n_terms, total_tf, rnk) — top-k per
+    pattern by (total_tf desc, doc_id asc); tombstoned docs anti-joined
+    out. A pattern matching no dictionary term yields no rows."""
+    from functools import reduce
+
+    if not patterns:
+        raise ValueError("wildcard_probe: patterns must be non-empty")
+    if len(set(patterns)) != len(patterns):
+        raise ValueError("wildcard_probe: duplicate patterns in the batch")
+    for p in patterns:
+        if not _PREFIX_OK.fullmatch(p):
+            raise ValueError(
+                f"wildcard_probe: pattern {p!r} must match [a-z0-9]+ "
+                "(tokens are lowercased; '_'/'%' are LIKE metacharacters "
+                "in the oracle replay)"
+            )
+    n_buckets = read_index_meta(spark, path)["n_buckets"]
+    terms = spark.read.parquet(f"{path}/{_TERMS}").select("term")
+    pred = reduce(
+        lambda a, b: a | b, [F.col("term").contains(p) for p in patterns]
+    )
+    cap = max_expansions * len(patterns) + 1
+    rows = terms.where(pred).limit(cap).collect()  # bounded by the cap
+    if len(rows) == cap:
+        raise ValueError(
+            f"wildcard_probe: patterns expand past {max_expansions} terms "
+            f"each at {path} — narrow the patterns or raise max_expansions"
+        )
+    mapping = [
+        (p, r["term"]) for p in patterns for r in rows if p in r["term"]
+    ]
+    per_pattern: dict[str, int] = {}
+    for p, _t in mapping:
+        per_pattern[p] = per_pattern.get(p, 0) + 1
+    over = {p: n for p, n in per_pattern.items() if n > max_expansions}
+    if over:
+        raise ValueError(
+            f"wildcard_probe: patterns expand past max_expansions="
+            f"{max_expansions}: {over} — narrow them or raise the cap"
+        )
+    return _expanded_terms_probe(spark, path, mapping, "pattern", n_buckets, k)
+
+
+def choose_filter_strategy(
+    spark: SparkSession,
+    path: str,
+    facet_col: str,
+    facet_values: list,
+    threshold: float = 0.5,
+) -> dict:
+    """COST-BASED strategy choice for metadata-filtered retrieval — the
+    pre-filter vs post-filter decision every serving engine makes
+    (Elasticsearch filter-context rewriting, Vespa's weakAnd planning):
+
+    - **pre**: semi-join the eligible doc set onto the pruned POSTINGS
+      read, so the per-(query, doc) aggregate only ever sees eligible
+      rows. Wins when the filter is SELECTIVE — the postings-side work
+      shrinks by the selectivity factor.
+    - **post**: score everything, then semi-join the (much smaller,
+      already-aggregated) per-doc rows before the top-k window. Wins
+      when the filter is BROAD — a near-no-op filter doesn't justify
+      joining the corpus-sized postings against an eligible set that
+      contains almost everything.
+
+    Selectivity is estimated from the index's OWN artifacts: one
+    column-pruned aggregate over the ``facets/`` sidecar (doc-count rows
+    of scalar columns — this is exactly what the sidecar is for; no
+    doc-store access). Returns a dict (strategy, eligible, total,
+    selectivity, threshold) so callers and tests can audit the choice.
+
+    The choice is PURELY a performance decision: both strategies filter
+    the same per-doc rows around a per-doc-independent scoring model, so
+    results are value-identical (asserted in tests) — which is what
+    makes an estimate a safe planner input here."""
+    import os
+
+    if not facet_values:
+        raise ValueError("choose_filter_strategy: facet_values must be non-empty")
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(
+            f"choose_filter_strategy: threshold {threshold!r} must be in (0, 1)"
+        )
+    if not os.path.isdir(f"{path}/{_FACETS}"):
+        raise ValueError(
+            f"choose_filter_strategy: {path} has no facet sidecar — "
+            "write_doc_facets(spark, path, docs, facet_cols) first"
+        )
+    sidecar = spark.read.parquet(f"{path}/{_FACETS}")
+    if facet_col not in sidecar.columns:
+        raise ValueError(
+            f"choose_filter_strategy: facet column {facet_col!r} is not in "
+            f"the sidecar at {path} (stored: "
+            f"{sorted(c for c in sidecar.columns if c != 'doc_id')})"
+        )
+    row = sidecar.agg(
+        F.count("*").alias("total"),
+        F.sum(
+            F.when(F.col(facet_col).isin(facet_values), 1).otherwise(0)
+        ).alias("eligible"),
+    ).collect()[0]  # one tiny row: two scalars off a column-pruned scan
+    total, eligible = int(row["total"]), int(row["eligible"] or 0)
+    sel = eligible / total if total else 0.0
+    return {
+        "strategy": "pre" if sel <= threshold else "post",
+        "eligible": eligible,
+        "total": total,
+        "selectivity": sel,
+        "threshold": threshold,
+    }
+
+
+def bm25_query_topk_filtered(
+    spark: SparkSession,
+    path: str,
+    queries: list[str],
+    facet_col: str,
+    facet_values: list,
+    k: int = 5,
+    strategy: str = "auto",
+    require_all: bool = False,
+    boosts: dict[str, int] | None = None,
+) -> DataFrame:
+    """Metadata-filtered ranked retrieval served ENTIRELY from index
+    artifacts, with the pre/post-filter strategy chosen by
+    :func:`choose_filter_strategy` (``strategy="auto"``) or forced
+    (``"pre"`` / ``"post"``, for tests and ledgers).
+
+    Semantics are ALWAYS pre-filter semantics — every returned hit
+    satisfies the filter and k survivors come back whenever k eligible
+    docs match; corpus statistics (df, avgdl) stay corpus-wide (the
+    Elasticsearch filter-context contract). The strategy only moves
+    WHERE the eligible-set join runs: onto the pruned postings scan
+    (pre) or onto the per-(query, doc) aggregate before the window
+    (post). Both are exact, so the planner can act on an estimate
+    without risking a wrong answer.
+
+    Output: (query, doc_id, n_terms, score_fp, rnk) — identical column
+    contract to bm25_query_topk."""
+    from pyspark.sql import Window
+
+    if strategy not in ("auto", "pre", "post"):
+        raise ValueError(
+            f"bm25_query_topk_filtered: unknown strategy {strategy!r} "
+            "(auto | pre | post)"
+        )
+    if strategy == "auto":
+        strategy = choose_filter_strategy(spark, path, facet_col, facet_values)[
+            "strategy"
+        ]
+    else:
+        # forced path still validates the sidecar/col loudly
+        choose_filter_strategy(spark, path, facet_col, facet_values)
+    sidecar = spark.read.parquet(f"{path}/{_FACETS}")
+    eligible = (
+        sidecar.where(F.col(facet_col).isin(facet_values)).select("doc_id")
+    )
+    if strategy == "pre":
+        return bm25_query_topk(
+            spark, path, queries, k=k, require_all=require_all,
+            boosts=boosts, allowed=eligible,
+        )
+    scored = _bm25_query_scored(spark, path, queries, require_all, boosts, None)
+    scored = scored.join(eligible, "doc_id", "semi")
+    w = Window.partitionBy("query").orderBy(F.desc("score_fp"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query", "doc_id", "n_terms", "score_fp", "rnk")
+    )
+
+
+def bm25_query_topk_diverse(
+    spark: SparkSession,
+    path: str,
+    queries: list[str],
+    facet_col: str,
+    k: int = 5,
+    per_facet: int = 2,
+    require_all: bool = False,
+    boosts: dict[str, int] | None = None,
+) -> DataFrame:
+    """DIVERSIFIED ranked retrieval — result diversification by a
+    metadata facet (the search-quality move behind Google's host
+    crowding / Elasticsearch's field collapsing): within each query, at
+    most ``per_facet`` hits per facet value survive (best-scoring ones),
+    and the top-k is ranked over the capped set. Prevents one dominant
+    source from monopolizing the page while keeping the ranking exact
+    and deterministic.
+
+    Served entirely from index artifacts: per-doc scores from the pruned
+    postings scan (shared _bm25_query_scored core), the facet column
+    from the index's OWN ``facets/`` sidecar (doc-count rows, column-
+    pruned — never the doc store). Two stacked windows express the
+    policy declaratively: row_number over (query, facet) by (score desc,
+    doc_id asc) caps each facet, then row_number over (query) re-ranks
+    the survivors — Catalyst runs both in ONE shuffle when the second
+    window's partition keys prefix the first's sort requirement is not
+    met, and at worst two; no driver work, no UDFs.
+
+    Output: (query, doc_id, facet, n_terms, score_fp, facet_rnk, rnk),
+    top-k per query by (score_fp desc, doc_id asc) over the capped set.
+    facet_rnk is the hit's rank WITHIN its facet (<= per_facet) so
+    callers can see why a higher-scoring doc was crowded out."""
+    import os
+
+    from pyspark.sql import Window
+
+    if per_facet < 1:
+        raise ValueError(
+            f"bm25_query_topk_diverse: per_facet {per_facet!r} must be >= 1"
+        )
+    if not os.path.isdir(f"{path}/{_FACETS}"):
+        raise ValueError(
+            f"bm25_query_topk_diverse: {path} has no facet sidecar — "
+            "write_doc_facets(spark, path, docs, facet_cols) first"
+        )
+    sidecar = spark.read.parquet(f"{path}/{_FACETS}")
+    if facet_col not in sidecar.columns:
+        raise ValueError(
+            f"bm25_query_topk_diverse: facet column {facet_col!r} is not in "
+            f"the sidecar at {path} (stored: "
+            f"{sorted(c for c in sidecar.columns if c != 'doc_id')})"
+        )
+    scored = _bm25_query_scored(spark, path, queries, require_all, boosts, None)
+    meta = sidecar.select("doc_id", F.col(facet_col).alias("facet"))
+    # inner join: the sidecar covers every live indexed doc by lifecycle
+    # contract (build/add write it together; compact drops tombstones)
+    sf = scored.join(meta, "doc_id")
+    w_facet = Window.partitionBy("query", "facet").orderBy(
+        F.desc("score_fp"), F.asc("doc_id")
+    )
+    w_all = Window.partitionBy("query").orderBy(
+        F.desc("score_fp"), F.asc("doc_id")
+    )
+    return (
+        sf.withColumn("facet_rnk", F.row_number().over(w_facet))
+        .where(F.col("facet_rnk") <= per_facet)
+        .withColumn("rnk", F.row_number().over(w_all))
+        .where(F.col("rnk") <= k)
+        .select(
+            "query", "doc_id", "facet", "n_terms", "score_fp", "facet_rnk", "rnk"
+        )
+    )
+
+
+def mlt_probe(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    seed_ids: list[int],
+    k: int = 5,
+    max_query_terms: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MORE-LIKE-THIS retrieval (Lucene's MoreLikeThis / Elasticsearch's
+    more_like_this query): for each SEED document, derive a query from
+    the seed's own most-characteristic terms — top ``max_query_terms``
+    by tf x idf, idf in the index's fixed-point form — then rank every
+    OTHER document by summed BM25 over those terms from the stored
+    index. The classic "find related documents" serving shape.
+
+    Plan, honestly: the seed texts are read from the doc store with a
+    pushed doc_id filter, COLUMN-PRUNED to (id, text) — |seeds| rows,
+    the same read Lucene does when it re-analyzes the liked document.
+    Seed term stats collect to the driver (bounded by the seeds' own
+    vocabulary — guarded loudly), df comes from a ``terms/`` read pruned
+    to the candidate terms' buckets, and the ranking itself is the
+    shared batched multi-term core: ONE postings scan pruned to the
+    union of all seeds' selected terms' buckets. Nothing corpus-sized
+    ever reaches the driver.
+
+    Term selection contract (what the DuckDB oracle replays exactly):
+    candidate terms are the seed's tokens restricted to [a-z0-9]+ (the
+    probe charset guard — punctuation-bearing tokens are poor query
+    terms anyway), scored tf * idf_fp with idf_fp = (n_docs - df) * 1000
+    div (df + 1) + 1000, top max_query_terms per seed by (tf*idf_fp
+    desc, term asc). Terms absent from the dictionary (possible only if
+    the index predates the seed) are skipped.
+
+    Output: (seed_id, doc_id, n_terms, score_fp, rnk) — top-k per seed
+    by (score_fp desc, doc_id asc), the seed itself excluded (a doc is
+    trivially most like itself)."""
+    from pyspark.sql import Window
+
+    if not seed_ids:
+        raise ValueError("mlt_probe: seed_ids must be non-empty")
+    if len(set(seed_ids)) != len(seed_ids):
+        raise ValueError("mlt_probe: duplicate seed_ids in the batch")
+    if max_query_terms < 1:
+        raise ValueError(
+            f"mlt_probe: max_query_terms {max_query_terms!r} must be >= 1"
+        )
+    n_buckets = read_index_meta(spark, path)["n_buckets"]
+    seeds = docs.where(F.col(id_col).isin(seed_ids))
+    seed_tf = (
+        _tokenized(seeds, id_col, text_col)
+        .select(F.col("doc_id").alias("seed_id"), F.explode("toks").alias("term"))
+        .where(F.col("term").rlike("^[a-z0-9]+$"))
+        .groupBy("seed_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    cap = 50_000  # seeds-vocabulary-sized collect, guarded
+    tf_rows = seed_tf.limit(cap + 1).collect()
+    if len(tf_rows) > cap:
+        raise ValueError(
+            f"mlt_probe: seed docs carry more than {cap} distinct (seed, "
+            "term) pairs — pass fewer/shorter seeds"
+        )
+    found = {r["seed_id"] for r in tf_rows}
+    missing = sorted(set(seed_ids) - found)
+    if missing:
+        raise ValueError(
+            f"mlt_probe: seed doc_ids {missing} not found in the doc store "
+            "(or carry no [a-z0-9]+ tokens)"
+        )
+    cand_terms = sorted({r["term"] for r in tf_rows})
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in cand_terms})
+    df_map = {
+        r["term"]: int(r["df"])
+        for r in (
+            spark.read.parquet(f"{path}/{_TERMS}")
+            .where(F.col("bucket").isin(buckets) & F.col("term").isin(cand_terms))
+            .select("term", "df")
+            .collect()  # dictionary-pruned: <= |candidate terms| rows
+        )
+    }
+    n_docs = int(
+        spark.read.parquet(f"{path}/{_STATS}").collect()[0]["n_docs"]
+    )  # one row
+    per_seed: dict[int, list[tuple[int, str]]] = {}
+    for r in tf_rows:
+        t = r["term"]
+        df = df_map.get(t)
+        if df is None:  # term not in the dictionary (index predates seed)
+            continue
+        idf_fp = (n_docs - df) * 1000 // (df + 1) + 1000
+        per_seed.setdefault(r["seed_id"], []).append((int(r["tf"]) * idf_fp, t))
+    sel: list[tuple[int, str]] = []  # (seed_id, term)
+    for sid in seed_ids:
+        ranked = sorted(per_seed.get(sid, []), key=lambda x: (-x[0], x[1]))
+        if not ranked:
+            raise ValueError(
+                f"mlt_probe: seed {sid} has no indexed [a-z0-9]+ terms — "
+                "nothing to build a query from"
+            )
+        sel.extend((sid, t) for _s, t in ranked[:max_query_terms])
+    # one query string per distinct term set (two seeds can select the
+    # same terms; _bm25_query_scored rejects duplicate query strings)
+    seed_query = {
+        sid: " ".join(sorted(t for s, t in sel if s == sid)) for sid in seed_ids
+    }
+    uniq = sorted(set(seed_query.values()))
+    scored = _bm25_query_scored(spark, path, uniq, False, None, None)
+    m = spark.createDataFrame(
+        [(q, sid) for sid, q in seed_query.items()],
+        "query string, seed_id long",
+    )
+    w = Window.partitionBy("seed_id").orderBy(F.desc("score_fp"), F.asc("doc_id"))
+    return (
+        scored.join(F.broadcast(m), "query")
+        .where(F.col("doc_id") != F.col("seed_id"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("seed_id", "doc_id", "n_terms", "score_fp", "rnk")
+    )

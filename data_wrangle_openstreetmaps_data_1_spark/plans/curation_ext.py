@@ -2028,3 +2028,409 @@ def tx_bm25_facets_stored(spark: SparkSession, sf: str) -> DataFrame:
     bm25_index_add(spark, rest, path, "doc_id", "text")
     doc_facets_add(spark, rest, path)
     return bm25_facet_counts_stored(spark, path, _MULTI_QUERIES, "source", k_facets=10)
+
+
+# --------------------------------------------------------------------------
+# round-14 serving extensions: wildcard terms, planned filtered retrieval,
+# diversified top-k, more-like-this, tiered segment maintenance
+# --------------------------------------------------------------------------
+
+_WILDCARDS_Q = ["ar", "ou", "qq"]
+
+
+def _wildcard_oracle(k: int = 5) -> str:
+    from .pipeline import _TOKS_SQL
+
+    values = ", ".join(f"('{p}')" for p in _WILDCARDS_Q)
+    return rf"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    post AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+    wc(pattern) AS (VALUES {values}),
+    m AS (SELECT wc.pattern, p.term, p.doc_id, p.tf
+          FROM post p JOIN wc ON p.term LIKE '%' || wc.pattern || '%'),
+    g AS (SELECT pattern, doc_id,
+                 CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+                 CAST(sum(tf) AS BIGINT) AS total_tf
+          FROM m GROUP BY 1, 2),
+    r AS (SELECT pattern, doc_id, n_terms, total_tf,
+                 row_number() OVER (PARTITION BY pattern
+                                    ORDER BY total_tf DESC, doc_id ASC) AS rnk
+          FROM g)
+    SELECT pattern, doc_id, n_terms, total_tf, rnk FROM r WHERE rnk <= {k}
+    """
+
+
+@register(
+    "tx_term_wildcard",
+    _wildcard_oracle(),
+    doc="infix term query — the double-wildcard '*sub*' shape (Lucene "
+    "WildcardQuery with leading AND trailing *) — served from the "
+    "persisted dictionary (operators/text_index.py:wildcard_probe): an "
+    "infix match is UNSARGABLE (neither the forward nor the reversed "
+    "dictionary can range-skip it), so the expansion is honestly a full "
+    "dictionary scan — acceptable because terms/ is VOCABULARY-sized "
+    "(Heaps-law sublinear in the corpus) while the corpus-sized postings "
+    "read still prunes to the matched terms' buckets. Same "
+    "max_expansions driver-collect guard and [a-z0-9]+ charset as "
+    "prefix/suffix (LIKE-metacharacter-exact replay); one pattern "
+    "('qq') matches nothing. The oracle replays expansion with "
+    "LIKE '%'||pattern||'%' over the raw corpus",
+)
+def tx_term_wildcard(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.text_index import wildcard_probe, write_bm25_index
+
+    docs = load_table(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="wildcard_idx_")
+    shutil.rmtree(path, ignore_errors=True)
+    write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
+    return wildcard_probe(spark, path, _WILDCARDS_Q, k=5)
+
+
+def _bm25_scored_ctes(doc_pred: str = "TRUE") -> str:
+    """Shared per-term fixed-point BM25 CTE scaffold over the documents
+    restricted by ``doc_pred`` (corpus stats restrict WITH the predicate —
+    used by the per-segment replay in tx_bm25_tiered): yields s2(term,
+    doc_id, score_fp) for the _MULTI_QUERIES term set, matching the
+    integer forms in operators/retrieval.py exactly."""
+    from ..operators.retrieval import B_FP, K1_FP
+    from .pipeline import _TOKS_SQL
+
+    all_terms = sorted({w for q in _MULTI_QUERIES for w in q.split()})
+    terms_in = ", ".join(f"'{t}'" for t in all_terms)
+    return rf"""
+    d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+          WHERE {doc_pred}),
+    lens AS (SELECT doc_id, len(toks) AS dl FROM d WHERE len(toks) >= 1),
+    stats AS (SELECT count(*) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) * 1000 // count(*) AS avgdl_fp
+              FROM lens),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    post AS (SELECT term, doc_id, count(*) AS tf FROM tok
+             WHERE term IN ({terms_in}) GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+    scored AS (
+      SELECT term, doc_id, tf, df,
+             (n_docs - df) * 1000 // (df + 1) + 1000 AS idf_fp,
+             (1000 - {B_FP}) + ({B_FP} * dl * 1000) // avgdl_fp AS norm_fp
+      FROM post JOIN dfreq USING (term) JOIN lens USING (doc_id)
+      CROSS JOIN stats),
+    s2 AS (SELECT term, doc_id,
+                  (tf * {K1_FP + 1000} * idf_fp)
+                    // (tf * 1000 + ({K1_FP} * norm_fp) // 1000) AS score_fp
+           FROM scored)
+    """
+
+
+def _qt_values() -> str:
+    return ", ".join(
+        f"('{q}', '{t}')" for q in _MULTI_QUERIES for t in sorted(set(q.split()))
+    )
+
+
+_FILTER_SEL = ("source", ["src1", "src3"])
+_FILTER_BROAD = ("lang", ["en", "zh", "es"])
+
+
+def _bm25_filtered_oracle(k: int = 5) -> str:
+    sel_in = ", ".join(f"'{v}'" for v in _FILTER_SEL[1])
+    broad_in = ", ".join(f"'{v}'" for v in _FILTER_BROAD[1])
+    return rf"""
+    WITH {_bm25_scored_ctes()},
+    qt(query, term) AS (VALUES {_qt_values()}),
+    g AS (SELECT qt.query, s.doc_id,
+                 CAST(count(DISTINCT s.term) AS BIGINT) AS n_terms,
+                 CAST(sum(s.score_fp) AS BIGINT) AS score_fp
+          FROM s2 s JOIN qt ON s.term = qt.term GROUP BY 1, 2),
+    f_sel AS (SELECT doc_id FROM documents
+              WHERE {_FILTER_SEL[0]} IN ({sel_in})),
+    f_broad AS (SELECT doc_id FROM documents
+                WHERE {_FILTER_BROAD[0]} IN ({broad_in})),
+    r_sel AS (SELECT query, doc_id, n_terms, score_fp,
+                     row_number() OVER (PARTITION BY query
+                                        ORDER BY score_fp DESC, doc_id ASC) AS rnk
+              FROM g JOIN f_sel USING (doc_id)),
+    r_broad AS (SELECT query, doc_id, n_terms, score_fp,
+                       row_number() OVER (PARTITION BY query
+                                          ORDER BY score_fp DESC, doc_id ASC) AS rnk
+                FROM g JOIN f_broad USING (doc_id))
+    SELECT 'sel' AS mode, query, doc_id, n_terms, score_fp, rnk
+    FROM r_sel WHERE rnk <= {k}
+    UNION ALL
+    SELECT 'broad' AS mode, query, doc_id, n_terms, score_fp, rnk
+    FROM r_broad WHERE rnk <= {k}
+    """
+
+
+@register(
+    "tx_bm25_filtered",
+    _bm25_filtered_oracle(),
+    doc="metadata-FILTERED ranked retrieval with a COST-BASED pre/post "
+    "strategy (operators/text_index.py:bm25_query_topk_filtered + "
+    "choose_filter_strategy — the Elasticsearch filter-context planning "
+    "decision): selectivity is estimated from the index's OWN facets/ "
+    "sidecar (one column-pruned aggregate, no doc-store access), then "
+    "the eligible-set semi-join runs either on the pruned POSTINGS scan "
+    "(selective filter — shrinks the aggregate's input) or on the "
+    "already-aggregated per-doc rows before the window (broad filter — "
+    "skips joining the corpus-sized side). Both strategies are EXACT "
+    "pre-filter semantics around a per-doc-independent scorer, which is "
+    "what lets the planner act on an estimate without risking a wrong "
+    "answer. One value-checked result exercises BOTH paths: mode 'sel' "
+    "(10% of docs -> pre) and 'broad' (~70% -> post), under one oracle "
+    "that replays the filter relationally either way",
+)
+def tx_bm25_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.text_index import (
+        bm25_query_topk_filtered,
+        write_bm25_index,
+        write_doc_facets,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="bm25_filtered_")
+    shutil.rmtree(path, ignore_errors=True)
+    write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
+    write_doc_facets(spark, path, docs, ["source", "lang"])
+    cols = ["mode", "query", "doc_id", "n_terms", "score_fp", "rnk"]
+    s = bm25_query_topk_filtered(
+        spark, path, _MULTI_QUERIES, _FILTER_SEL[0], _FILTER_SEL[1], k=5
+    ).withColumn("mode", F.lit("sel")).select(cols)
+    b = bm25_query_topk_filtered(
+        spark, path, _MULTI_QUERIES, _FILTER_BROAD[0], _FILTER_BROAD[1], k=5
+    ).withColumn("mode", F.lit("broad")).select(cols)
+    return s.unionByName(b)
+
+
+def _bm25_diverse_oracle(k: int = 5, per_facet: int = 2) -> str:
+    return rf"""
+    WITH {_bm25_scored_ctes()},
+    qt(query, term) AS (VALUES {_qt_values()}),
+    g AS (SELECT qt.query, s.doc_id,
+                 CAST(count(DISTINCT s.term) AS BIGINT) AS n_terms,
+                 CAST(sum(s.score_fp) AS BIGINT) AS score_fp
+          FROM s2 s JOIN qt ON s.term = qt.term GROUP BY 1, 2),
+    gf AS (SELECT g.query, g.doc_id, doc.source AS facet, g.n_terms, g.score_fp
+           FROM g JOIN documents doc USING (doc_id)),
+    c AS (SELECT *, row_number() OVER (PARTITION BY query, facet
+                                       ORDER BY score_fp DESC, doc_id ASC)
+                    AS facet_rnk
+          FROM gf),
+    r AS (SELECT query, doc_id, facet, n_terms, score_fp, facet_rnk,
+                 row_number() OVER (PARTITION BY query
+                                    ORDER BY score_fp DESC, doc_id ASC) AS rnk
+          FROM c WHERE facet_rnk <= {per_facet})
+    SELECT query, doc_id, facet, n_terms, score_fp, facet_rnk, rnk
+    FROM r WHERE rnk <= {k}
+    """
+
+
+@register(
+    "tx_bm25_diverse",
+    _bm25_diverse_oracle(),
+    doc="DIVERSIFIED ranked retrieval (operators/text_index.py:"
+    "bm25_query_topk_diverse — Google host-crowding / Elasticsearch "
+    "field collapsing): within each query at most 2 hits per 'source' "
+    "facet survive (best-scoring), and the top-5 ranks over the capped "
+    "set — one dominant source can't monopolize the page. Served "
+    "entirely from index artifacts: scores from the pruned postings "
+    "scan, the facet from the index's own facets/ sidecar (column-"
+    "pruned, never text). The policy is two stacked window functions — "
+    "declarative, no UDFs, no driver work; facet_rnk rides the output "
+    "so callers see why a higher-scoring doc was crowded out. The "
+    "oracle replays both windows over the raw-corpus score replay",
+)
+def tx_bm25_diverse(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.text_index import (
+        bm25_query_topk_diverse,
+        write_bm25_index,
+        write_doc_facets,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="bm25_diverse_")
+    shutil.rmtree(path, ignore_errors=True)
+    write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
+    write_doc_facets(spark, path, docs, ["source"])
+    return bm25_query_topk_diverse(
+        spark, path, _MULTI_QUERIES, "source", k=5, per_facet=2
+    )
+
+
+_MLT_SEEDS = [3, 17, 42]
+
+
+def _mlt_oracle(k: int = 5, m: int = 6) -> str:
+    from ..operators.retrieval import B_FP, K1_FP
+    from .pipeline import _TOKS_SQL
+
+    seed_values = ", ".join(f"({s})" for s in _MLT_SEEDS)
+    return rf"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    lens AS (SELECT doc_id, len(toks) AS dl FROM d WHERE len(toks) >= 1),
+    stats AS (SELECT count(*) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) * 1000 // count(*) AS avgdl_fp
+              FROM lens),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    post_all AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM post_all GROUP BY 1),
+    seeds(seed_id) AS (VALUES {seed_values}),
+    st AS (SELECT s.seed_id, p.term, p.tf
+           FROM post_all p JOIN seeds s ON p.doc_id = s.seed_id
+           WHERE regexp_matches(p.term, '^[a-z0-9]+$')),
+    sel AS (SELECT seed_id, term,
+                   row_number() OVER (
+                     PARTITION BY seed_id
+                     ORDER BY tf * ((n_docs - df) * 1000 // (df + 1) + 1000)
+                              DESC, term ASC) AS trnk
+            FROM st JOIN dfreq USING (term) CROSS JOIN stats),
+    qt AS (SELECT seed_id, term FROM sel WHERE trnk <= {m}),
+    scored AS (
+      SELECT term, doc_id, tf, df,
+             (n_docs - df) * 1000 // (df + 1) + 1000 AS idf_fp,
+             (1000 - {B_FP}) + ({B_FP} * dl * 1000) // avgdl_fp AS norm_fp
+      FROM post_all JOIN dfreq USING (term) JOIN lens USING (doc_id)
+      CROSS JOIN stats
+      WHERE term IN (SELECT term FROM qt)),
+    s2 AS (SELECT term, doc_id,
+                  (tf * {K1_FP + 1000} * idf_fp)
+                    // (tf * 1000 + ({K1_FP} * norm_fp) // 1000) AS score_fp
+           FROM scored),
+    g AS (SELECT CAST(qt.seed_id AS BIGINT) AS seed_id, s.doc_id,
+                 CAST(count(DISTINCT s.term) AS BIGINT) AS n_terms,
+                 CAST(sum(s.score_fp) AS BIGINT) AS score_fp
+          FROM s2 s JOIN qt ON s.term = qt.term
+          WHERE s.doc_id != qt.seed_id GROUP BY 1, 2),
+    r AS (SELECT seed_id, doc_id, n_terms, score_fp,
+                 row_number() OVER (PARTITION BY seed_id
+                                    ORDER BY score_fp DESC, doc_id ASC) AS rnk
+          FROM g)
+    SELECT seed_id, doc_id, n_terms, score_fp, rnk FROM r WHERE rnk <= {k}
+    """
+
+
+@register(
+    "tx_mlt",
+    _mlt_oracle(),
+    doc="MORE-LIKE-THIS retrieval (operators/text_index.py:mlt_probe — "
+    "Lucene MoreLikeThis / Elasticsearch more_like_this): per SEED doc, "
+    "a query is derived from the seed's own top-6 terms by tf x "
+    "fixed-point idf (ties broken term-asc, charset-guarded to "
+    "[a-z0-9]+), then every OTHER doc ranks by summed BM25 over those "
+    "terms from the stored index, seed excluded. Seed texts come from a "
+    "pushed-doc_id column-pruned doc-store read (|seeds| rows); df from "
+    "a dictionary read pruned to the candidate terms' buckets; the "
+    "ranking is the shared batched multi-term core (ONE pruned postings "
+    "scan for all seeds). The oracle replays term selection AND the "
+    "ranking relationally — integer end-to-end, so term choices and "
+    "scores hash bit-identically",
+)
+def tx_mlt(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.text_index import mlt_probe, write_bm25_index
+
+    docs = load_table(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="mlt_idx_")
+    shutil.rmtree(path, ignore_errors=True)
+    write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
+    return mlt_probe(spark, path, docs, _MLT_SEEDS, k=5, max_query_terms=6)
+
+
+def _tiered_oracle(k: int = 5) -> str:
+    seg0 = _bm25_scored_ctes("doc_id % 3 = 0")
+    merged = _bm25_scored_ctes()
+    return rf"""
+    WITH {seg0},
+    qt(query, term) AS (VALUES {_qt_values()}),
+    g0 AS (SELECT qt.query, s.doc_id,
+                  CAST(count(DISTINCT s.term) AS BIGINT) AS n_terms,
+                  CAST(sum(s.score_fp) AS BIGINT) AS score_fp
+           FROM s2 s JOIN qt ON s.term = qt.term GROUP BY 1, 2),
+    r0 AS (SELECT query, doc_id, n_terms, score_fp,
+                  row_number() OVER (PARTITION BY query
+                                     ORDER BY score_fp DESC, doc_id ASC) AS rnk
+           FROM g0),
+    m AS (WITH {merged},
+          g AS (SELECT qt2.query, s.doc_id,
+                       CAST(count(DISTINCT s.term) AS BIGINT) AS n_terms,
+                       CAST(sum(s.score_fp) AS BIGINT) AS score_fp
+                FROM s2 s JOIN (SELECT * FROM qt) qt2 ON s.term = qt2.term
+                GROUP BY 1, 2)
+          SELECT query, doc_id, n_terms, score_fp,
+                 row_number() OVER (PARTITION BY query
+                                    ORDER BY score_fp DESC, doc_id ASC) AS rnk
+          FROM g)
+    SELECT 'seg0' AS mode, query, doc_id, n_terms, score_fp, rnk
+    FROM r0 WHERE rnk <= {k}
+    UNION ALL
+    SELECT 'merged' AS mode, query, doc_id, n_terms, score_fp, rnk
+    FROM m WHERE rnk <= {k}
+    """
+
+
+@register(
+    "tx_bm25_tiered",
+    _tiered_oracle(),
+    doc="TIERED segment maintenance end-to-end (operators/index_admin.py "
+    "— Lucene TieredMergePolicy's planning + the existing merge "
+    "mechanism): three per-shard indexes build independently (doc_id "
+    "mod 3 — the per-source/per-day build pattern), bm25_segment_stats "
+    "reads each segment's own tiny stats row, plan_segment_merges "
+    "(pure, deterministic, smallest-first, ceiling-aware) decides WHAT "
+    "to merge, execute_merge_plan composes bm25_index_merge. Two "
+    "value-checked phases: 'seg0' probes one pre-merge segment (scores "
+    "use SEGMENT-local df/avgdl — the oracle replays stats restricted "
+    "to that shard, pinning that per-segment statistics are honest) "
+    "and 'merged' probes the planned 3-way merge result, which must "
+    "equal a one-shot full-corpus build exactly (union-and-reaggregate "
+    "of already-bucketed rows — no re-tokenization, no retraining)",
+)
+def tx_bm25_tiered(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.index_admin import (
+        bm25_segment_stats,
+        execute_merge_plan,
+        plan_segment_merges,
+    )
+    from ..operators.text_index import bm25_query_topk, write_bm25_index
+
+    docs = load_table(spark, sf, "documents")
+    base = tempfile.mkdtemp(prefix="bm25_tiered_")
+    segs = []
+    for i in range(3):
+        p = os.path.join(base, f"seg{i}")
+        shutil.rmtree(p, ignore_errors=True)
+        write_bm25_index(
+            spark, docs.where(F.col("doc_id") % 3 == i), p, "doc_id", "text",
+            n_buckets=16,
+        )
+        segs.append(p)
+    stats = bm25_segment_stats(spark, segs)
+    plan = plan_segment_merges(stats)
+    if plan != [sorted(segs, key=lambda s: (stats[s], s))]:
+        raise AssertionError(
+            f"tx_bm25_tiered: expected one 3-way merge group, got {plan}"
+        )
+    outs = execute_merge_plan(spark, plan, base)
+    cols = ["mode", "query", "doc_id", "n_terms", "score_fp", "rnk"]
+    s0 = bm25_query_topk(spark, segs[0], _MULTI_QUERIES, k=5).withColumn(
+        "mode", F.lit("seg0")
+    ).select(cols)
+    mg = bm25_query_topk(spark, outs[0], _MULTI_QUERIES, k=5).withColumn(
+        "mode", F.lit("merged")
+    ).select(cols)
+    return s0.unionByName(mg)

@@ -286,6 +286,10 @@ def test_no_unexpected_products_registry_wide(spark):
         # probes through bm25_probe (same stats cross)
         "tx_bm25_multiterm", "tx_phrase_bm25", "tx_bm25_merged",
         "tx_bm25_boosted", "tx_bm25_paged",
+        # r14b: all four rank through _bm25_query_scored — the identical
+        # broadcast 1-row corpus-stats crossJoin; their filter/facet/seed
+        # joins are equi- or semi-joins, adding no product shape
+        "tx_bm25_filtered", "tx_bm25_diverse", "tx_mlt", "tx_bm25_tiered",
         # lexical tier = bm25_probe (1-row stats cross); the stored vector
         # tier assigns clusters driver-side, so it adds no product join
         "sim_hybrid_stored",

@@ -1,0 +1,370 @@
+"""Round-14 serving extensions, part 2: infix wildcard expansion,
+cost-based pre/post filtered retrieval, facet-diversified top-k,
+more-like-this, and the tiered segment-merge policy (operators/
+index_admin.py).
+
+Style follows tests/test_text_index.py: brute-force corpus recomputation
+as the in-suite oracle (the DuckDB driver oracle is the cross-engine
+gate), loud-guard coverage, and lifecycle round-trips.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_wrangle_openstreetmaps_data_1_spark.operators.index_admin import (
+    bm25_index_describe,
+    bm25_segment_stats,
+    execute_merge_plan,
+    plan_segment_merges,
+)
+from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+    bm25_index_delete,
+    bm25_query_topk,
+    bm25_query_topk_diverse,
+    bm25_query_topk_filtered,
+    choose_filter_strategy,
+    mlt_probe,
+    wildcard_probe,
+    write_bm25_index,
+    write_doc_facets,
+)
+from data_wrangle_openstreetmaps_data_1_spark.sources.tables import load_table
+
+NB = 16
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_small):
+    return load_table(spark, sf_small, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def faceted_index(spark, docs):
+    path = tempfile.mkdtemp(prefix="r14b_idx_")
+    shutil.rmtree(path, ignore_errors=True)
+    write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=NB)
+    write_doc_facets(spark, path, docs, ["source", "lang"])
+    yield path
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+# --------------------------------------------------------------------------
+# wildcard (infix) expansion
+# --------------------------------------------------------------------------
+
+
+def test_wildcard_probe_matches_corpus_computation(spark, docs, faceted_index):
+    got = _rows(wildcard_probe(spark, faceted_index, ["ar", "qq"], k=4))
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
+    )
+    exp_rows = []
+    for pat in ["ar", "qq"]:
+        g = (
+            toks.where(F.col("term").contains(pat))
+            .groupBy("doc_id")
+            .agg(
+                F.countDistinct("term").cast("long").alias("n_terms"),
+                F.count("*").cast("long").alias("total_tf"),
+            )
+            .orderBy(F.desc("total_tf"), F.asc("doc_id"))
+            .limit(4)
+            .collect()
+        )
+        exp_rows += [
+            (pat, r["doc_id"], r["n_terms"], r["total_tf"], i + 1)
+            for i, r in enumerate(g)
+        ]
+    assert got == sorted(exp_rows)
+    # 'qq' matches nothing in the synthetic vocab: no rows, not an error
+    assert not [r for r in got if r[0] == "qq"]
+
+
+def test_wildcard_probe_guards(spark, faceted_index):
+    with pytest.raises(ValueError, match="non-empty"):
+        wildcard_probe(spark, faceted_index, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        wildcard_probe(spark, faceted_index, ["ar", "ar"])
+    with pytest.raises(ValueError, match="a-z0-9"):
+        wildcard_probe(spark, faceted_index, ["a%b"])
+    with pytest.raises(ValueError, match="max_expansions"):
+        # single-char pattern hits most of the vocabulary
+        wildcard_probe(spark, faceted_index, ["a"], max_expansions=2)
+
+
+# --------------------------------------------------------------------------
+# cost-based filtered retrieval
+# --------------------------------------------------------------------------
+
+_QUERIES = ["slow hash", "spark window"]
+
+
+def test_filter_strategy_selectivity_thresholds(spark, faceted_index):
+    sel = choose_filter_strategy(spark, faceted_index, "source", ["src1", "src3"])
+    assert sel["strategy"] == "pre" and sel["selectivity"] < 0.2
+    assert sel["eligible"] < sel["total"]
+    broad = choose_filter_strategy(
+        spark, faceted_index, "lang", ["en", "zh", "es"]
+    )
+    assert broad["strategy"] == "post" and broad["selectivity"] > 0.5
+    # threshold is a dial: with a high threshold the broad filter is pre
+    assert (
+        choose_filter_strategy(
+            spark, faceted_index, "lang", ["en", "zh", "es"], threshold=0.9
+        )["strategy"]
+        == "pre"
+    )
+
+
+def test_filtered_strategies_are_value_identical(spark, faceted_index):
+    """The planner acts on an ESTIMATE, which is only safe because both
+    strategies are exact — pinned here for a selective AND a broad
+    filter, auto included."""
+    for col, vals in (("source", ["src1", "src3"]), ("lang", ["en", "zh", "es"])):
+        outs = [
+            _rows(
+                bm25_query_topk_filtered(
+                    spark, faceted_index, _QUERIES, col, vals, k=5, strategy=s
+                )
+            )
+            for s in ("pre", "post", "auto")
+        ]
+        assert outs[0] == outs[1] == outs[2]
+        assert outs[0], f"filter {col} IN {vals} returned nothing"
+
+
+def test_filtered_results_satisfy_the_filter(spark, docs, faceted_index):
+    out = bm25_query_topk_filtered(
+        spark, faceted_index, _QUERIES, "source", ["src1", "src3"], k=5
+    )
+    joined = out.join(docs.select("doc_id", "source"), "doc_id").collect()
+    assert joined and all(r["source"] in ("src1", "src3") for r in joined)
+
+
+def test_filtered_guards(spark, docs, faceted_index):
+    with pytest.raises(ValueError, match="facet_values"):
+        choose_filter_strategy(spark, faceted_index, "source", [])
+    with pytest.raises(ValueError, match="threshold"):
+        choose_filter_strategy(spark, faceted_index, "source", ["src1"], threshold=1.5)
+    with pytest.raises(ValueError, match="not in"):
+        choose_filter_strategy(spark, faceted_index, "nope", ["x"])
+    with pytest.raises(ValueError, match="strategy"):
+        bm25_query_topk_filtered(
+            spark, faceted_index, _QUERIES, "source", ["src1"], strategy="maybe"
+        )
+    bare = tempfile.mkdtemp(prefix="r14b_bare_")
+    shutil.rmtree(bare, ignore_errors=True)
+    write_bm25_index(spark, docs, bare, "doc_id", "text", n_buckets=NB)
+    try:
+        with pytest.raises(ValueError, match="facet sidecar"):
+            choose_filter_strategy(spark, bare, "source", ["src1"])
+    finally:
+        shutil.rmtree(bare, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# diversified top-k
+# --------------------------------------------------------------------------
+
+
+def test_diverse_topk_matches_window_recomputation(spark, docs, faceted_index):
+    got = _rows(
+        bm25_query_topk_diverse(
+            spark, faceted_index, _QUERIES, "source", k=5, per_facet=1
+        )
+    )
+    # recompute from the unconstrained ranking + the doc store
+    big = bm25_query_topk(spark, faceted_index, _QUERIES, k=10_000)
+    sf = big.join(
+        docs.select("doc_id", F.col("source").alias("facet")), "doc_id"
+    )
+    wf = Window.partitionBy("query", "facet").orderBy(
+        F.desc("score_fp"), F.asc("doc_id")
+    )
+    wa = Window.partitionBy("query").orderBy(F.desc("score_fp"), F.asc("doc_id"))
+    exp = _rows(
+        sf.withColumn("facet_rnk", F.row_number().over(wf))
+        .where(F.col("facet_rnk") <= 1)
+        .withColumn("rnk2", F.row_number().over(wa))
+        .where(F.col("rnk2") <= 5)
+        .select(
+            "query", "doc_id", "facet", "n_terms", "score_fp", "facet_rnk", "rnk2"
+        )
+    )
+    assert got == exp
+    # the cap binds: per query, no facet appears more than per_facet times
+    per = {}
+    for q, _d, fct, _n, _s, _fr, _r in got:
+        per[(q, fct)] = per.get((q, fct), 0) + 1
+    assert per and max(per.values()) == 1
+
+
+def test_diverse_topk_guards(spark, faceted_index):
+    with pytest.raises(ValueError, match="per_facet"):
+        bm25_query_topk_diverse(
+            spark, faceted_index, _QUERIES, "source", per_facet=0
+        )
+    with pytest.raises(ValueError, match="not in"):
+        bm25_query_topk_diverse(spark, faceted_index, _QUERIES, "nope")
+
+
+# --------------------------------------------------------------------------
+# more-like-this
+# --------------------------------------------------------------------------
+
+
+def test_mlt_probe_excludes_seed_and_bounds_terms(spark, docs, faceted_index):
+    out = mlt_probe(
+        spark, faceted_index, docs, [3, 17], k=5, max_query_terms=4
+    ).collect()
+    assert out
+    for r in out:
+        assert r["doc_id"] != r["seed_id"]
+        assert 1 <= r["n_terms"] <= 4
+        assert 1 <= r["rnk"] <= 5
+    # deterministic: same seeds, same result
+    again = mlt_probe(
+        spark, faceted_index, docs, [3, 17], k=5, max_query_terms=4
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_mlt_single_term_query_matches_topk(spark, docs, faceted_index):
+    """With max_query_terms=1 the MLT ranking must equal bm25_query_topk
+    on the seed's single best term (minus the seed doc itself)."""
+    one = mlt_probe(spark, faceted_index, docs, [3], k=3, max_query_terms=1)
+    rows = one.collect()
+    assert rows and all(r["n_terms"] == 1 for r in rows)
+    # recover which term was chosen: the top term by tf*idf for seed 3
+    # is whatever single term all scores came from; re-rank via topk on
+    # every candidate term and find the matching ranking
+    seed_toks = (
+        docs.where(F.col("doc_id") == 3)
+        .select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("t"))
+        .where(F.col("t").rlike("^[a-z0-9]+$"))
+        .groupBy("t")
+        .count()
+        .collect()
+    )
+    cands = sorted({r["t"] for r in seed_toks})
+    got = sorted((r["doc_id"], r["score_fp"], r["rnk"]) for r in rows)
+    matches = 0
+    for t in cands:
+        tk = bm25_query_topk(spark, faceted_index, [t], k=4).collect()
+        flt = [r for r in tk if r["doc_id"] != 3][:3]
+        if got == sorted((r["doc_id"], r["score_fp"], i + 1) for i, r in enumerate(flt)):
+            matches += 1
+    assert matches >= 1
+
+
+def test_mlt_guards(spark, docs, faceted_index):
+    with pytest.raises(ValueError, match="non-empty"):
+        mlt_probe(spark, faceted_index, docs, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        mlt_probe(spark, faceted_index, docs, [3, 3])
+    with pytest.raises(ValueError, match="max_query_terms"):
+        mlt_probe(spark, faceted_index, docs, [3], max_query_terms=0)
+    with pytest.raises(ValueError, match="not found"):
+        mlt_probe(spark, faceted_index, docs, [3, 10_000_000])
+
+
+# --------------------------------------------------------------------------
+# tiered merge policy + segment admin
+# --------------------------------------------------------------------------
+
+
+def test_plan_segment_merges_policy():
+    # smallest-first single group
+    assert plan_segment_merges({"a": 10, "b": 20, "c": 30, "d": 40}) == [
+        ["a", "b", "c", "d"]
+    ]
+    # segments at/over the ceiling never merge
+    assert plan_segment_merges(
+        {"a": 10, "b": 20, "c": 30, "big": 1000}, max_merged_docs=500
+    ) == [["a", "b", "c"]]
+    # group sum respects the ceiling
+    assert plan_segment_merges(
+        {"a": 300, "b": 300, "c": 300, "d": 300}, max_merged_docs=650
+    ) == [["a", "b"], ["c", "d"]]
+    # target_segment_count stops planning early
+    assert plan_segment_merges(
+        {"a": 1, "b": 2, "c": 3, "d": 4, "e": 5},
+        target_segment_count=2,
+        max_merge_at_once=3,
+    ) == [["a", "b", "c"], ["d", "e"]]
+    # nothing to do: single segment / no eligible pair
+    assert plan_segment_merges({"a": 10}) == []
+    assert plan_segment_merges({"a": 10, "big": 99}, max_merged_docs=50) == []
+    # one pass, no cascade: two pairs, never a second-level merge
+    assert plan_segment_merges(
+        {"a": 5, "b": 5, "c": 5, "d": 5}, max_merge_at_once=2
+    ) == [["a", "b"], ["c", "d"]]
+    with pytest.raises(ValueError, match="max_merge_at_once"):
+        plan_segment_merges({"a": 1, "b": 2}, max_merge_at_once=1)
+    with pytest.raises(ValueError, match="target_segment_count"):
+        plan_segment_merges({"a": 1, "b": 2}, target_segment_count=0)
+    with pytest.raises(ValueError, match="negative"):
+        plan_segment_merges({"a": -1, "b": 2})
+
+
+def test_tiered_roundtrip_equals_oneshot(spark, docs):
+    base = tempfile.mkdtemp(prefix="r14b_segs_")
+    try:
+        segs = []
+        for i in range(3):
+            p = os.path.join(base, f"seg{i}")
+            write_bm25_index(
+                spark, docs.where(F.col("doc_id") % 3 == i), p,
+                "doc_id", "text", n_buckets=NB,
+            )
+            segs.append(p)
+        stats = bm25_segment_stats(spark, segs)
+        assert sum(stats.values()) == docs.count()
+        plan = plan_segment_merges(stats)
+        assert len(plan) == 1 and sorted(plan[0]) == sorted(segs)
+        outs = execute_merge_plan(spark, plan, base)
+        full = os.path.join(base, "full")
+        write_bm25_index(spark, docs, full, "doc_id", "text", n_buckets=NB)
+        q = ["slow hash", "table merge group"]
+        assert _rows(bm25_query_topk(spark, outs[0], q, k=5)) == _rows(
+            bm25_query_topk(spark, full, q, k=5)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_execute_merge_plan_rejects_overlapping_groups(spark):
+    with pytest.raises(ValueError, match="two merge groups"):
+        execute_merge_plan(spark, [["a", "b"], ["b", "c"]], "/tmp/nowhere")
+
+
+def test_segment_stats_subtract_tombstones(spark, docs):
+    path = tempfile.mkdtemp(prefix="r14b_tomb_")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=NB)
+        n = docs.count()
+        bm25_index_delete(spark, path, [1, 2, 3])
+        assert bm25_segment_stats(spark, [path])[path] == n - 3
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_index_describe_inventory(spark, docs, faceted_index):
+    row = bm25_index_describe(spark, faceted_index).collect()[0]
+    assert row["n_docs"] == docs.count()
+    assert row["n_buckets"] == NB
+    assert row["n_terms"] > 0 and row["avgdl_fp"] > 0
+    assert row["has_facets"] and not row["has_positions"] and not row["has_rterms"]
+    assert row["n_tombstones"] == 0
