@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .text_index import (
+    _FACET_STATS,
     _FACETS,
     _POSITIONS,
     _RTERMS,
@@ -180,11 +181,12 @@ def bm25_index_describe(spark: SparkSession, path: str) -> DataFrame:
         "n_tombstones": int(n_tomb),
         "has_positions": os.path.isdir(f"{path}/{_POSITIONS}"),
         "has_facets": os.path.isdir(f"{path}/{_FACETS}"),
+        "has_facet_stats": os.path.isdir(f"{path}/{_FACET_STATS}"),
         "has_rterms": os.path.isdir(f"{path}/{_RTERMS}"),
     }
     return spark.createDataFrame(
         [row],
         "n_docs long, avgdl_fp long, n_terms long, n_buckets int, "
         "n_tombstones long, has_positions boolean, has_facets boolean, "
-        "has_rterms boolean",
+        "has_facet_stats boolean, has_rterms boolean",
     )

@@ -125,7 +125,7 @@ def write_bm25_index(
 
     stale = [
         d
-        for d in (_POSITIONS, _FACETS, _RTERMS, _TOMBSTONES)
+        for d in (_POSITIONS, _FACETS, _FACET_STATS, _RTERMS, _TOMBSTONES)
         if os.path.isdir(f"{path}/{d}")
     ]
     if stale:
@@ -552,6 +552,9 @@ def bm25_index_compact(
                 .parquet(f_staged)
             )
             _swap_dir(f"{path}/{_FACETS}", f_staged)
+            # histogram: pure function of the just-rewritten sidecar
+            # (the rterms discipline; also heals pre-histogram layouts)
+            write_facet_stats(spark, path)
         if os.path.isdir(f"{path}/{_RTERMS}"):
             # pure function of the just-rewritten terms/ — riding the
             # lifecycle here is what keeps suffix_probe's staleness guard
@@ -619,6 +622,7 @@ def bm25_probe(
 
 _POSITIONS = "positions"
 _FACETS = "facets"
+_FACET_STATS = "facet_stats"
 
 
 def write_phrase_positions(
@@ -1805,6 +1809,8 @@ def bm25_index_merge(
         for q in fac[1:]:
             fu = fu.unionByName(q)
         fu.write.mode("overwrite").parquet(f"{out_path}/{_FACETS}")
+        # histogram for the merged sidecar (pure function of facets/)
+        write_facet_stats(spark, out_path)
     if any(os.path.isdir(f"{p}/{_RTERMS}") for p in in_paths):
         # pure function of the merged terms/ — any input serving suffix
         # queries means the merged index should too (r13 verdict task)
@@ -2050,6 +2056,55 @@ def write_doc_facets(
     read_index_meta(spark, path)  # loud if the index doesn't exist yet
     cols = [F.col(id_col).alias("doc_id")] + [F.col(c) for c in facet_cols]
     docs.select(*cols).write.mode("overwrite").parquet(f"{path}/{_FACETS}")
+    write_facet_stats(spark, path)
+
+
+def _facet_histogram(sidecar: DataFrame) -> DataFrame:
+    """(col, value, n_docs) histogram over every facet column of the
+    sidecar frame — values rendered as strings (one schema for all
+    columns), NULLs kept as their own row so per-column sums equal the
+    doc count."""
+    from functools import reduce
+
+    cols = [c for c in sidecar.columns if c != "doc_id"]
+    parts = [
+        sidecar.groupBy(
+            F.lit(c).alias("col"), F.col(c).cast("string").alias("value")
+        ).agg(F.count("*").cast("long").alias("n_docs"))
+        for c in cols
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def write_facet_stats(spark: SparkSession, path: str) -> None:
+    """Materialize the FACET-VALUE HISTOGRAM ``facet_stats/`` = (col,
+    value, n_docs) — the planner's selectivity source. A pure function
+    of ``facets/`` (the rterms discipline), but VALUES-cardinality-sized
+    where the sidecar is doc-count-sized: at 100 TB,
+    :func:`choose_filter_strategy` must not pay a corpus-cardinality
+    aggregate per planning decision, so the aggregate runs ONCE here at
+    write time and every mutation path (build, add, compact, merge, the
+    streaming maintainer) keeps it current.
+
+    Unlike rterms there is NO staleness guard: a stale histogram can
+    only mis-ESTIMATE (both filter strategies are exact), never produce
+    a wrong answer — so the serve-time contract is fall-back-not-refuse
+    (see choose_filter_strategy)."""
+    import os
+    import shutil
+
+    if not os.path.isdir(f"{path}/{_FACETS}"):
+        raise ValueError(
+            f"write_facet_stats: {path} has no facet sidecar — "
+            "write_doc_facets first"
+        )
+    sidecar = spark.read.parquet(f"{path}/{_FACETS}")
+    staged = f"{path}/{_FACET_STATS}__stage"
+    _facet_histogram(sidecar).coalesce(1).write.mode("overwrite").parquet(staged)
+    if os.path.isdir(f"{path}/{_FACET_STATS}"):
+        _swap_dir(f"{path}/{_FACET_STATS}", staged)
+    else:
+        shutil.move(staged, f"{path}/{_FACET_STATS}")
 
 
 def doc_facets_add(
@@ -2094,7 +2149,24 @@ def doc_facets_add(
             )
     facet_cols = [c for c in existing.columns if c != "doc_id"]
     cols = [F.col(id_col).alias("doc_id")] + [F.col(c) for c in facet_cols]
-    batch.select(*cols).write.mode("append").parquet(f"{path}/{_FACETS}")
+    shaped = batch.select(*cols)
+    shaped.write.mode("append").parquet(f"{path}/{_FACETS}")
+    # histogram maintenance stays O(batch + |values|): stored histogram
+    # UNION the batch's own, re-summed — never a re-aggregate of the
+    # doc-count-sized sidecar. Staged-then-swap avoids a lazy read of the
+    # dir being overwritten. Pre-histogram sidecars heal to a full build.
+    if os.path.isdir(f"{path}/{_FACET_STATS}"):
+        stored_hist = spark.read.parquet(f"{path}/{_FACET_STATS}")
+        merged = (
+            stored_hist.unionByName(_facet_histogram(shaped))
+            .groupBy("col", "value")
+            .agg(F.sum("n_docs").cast("long").alias("n_docs"))
+        )
+        staged = f"{path}/{_FACET_STATS}__add"
+        merged.coalesce(1).write.mode("overwrite").parquet(staged)
+        _swap_dir(f"{path}/{_FACET_STATS}", staged)
+    else:
+        write_facet_stats(spark, path)
 
 
 def bm25_facet_counts_stored(
@@ -2281,11 +2353,16 @@ def choose_filter_strategy(
       joining the corpus-sized postings against an eligible set that
       contains almost everything.
 
-    Selectivity is estimated from the index's OWN artifacts: one
-    column-pruned aggregate over the ``facets/`` sidecar (doc-count rows
-    of scalar columns — this is exactly what the sidecar is for; no
-    doc-store access). Returns a dict (strategy, eligible, total,
-    selectivity, threshold) so callers and tests can audit the choice.
+    Selectivity is estimated from the index's OWN artifacts, cheapest
+    first: the ``facet_stats/`` VALUES-cardinality histogram when the
+    index carries it (every lifecycle path since r14b writes it — at
+    100 TB a planning decision must not pay a corpus-cardinality
+    aggregate), else one column-pruned aggregate over the doc-count-
+    sized ``facets/`` sidecar (pre-histogram indexes; never the doc
+    store). Returns a dict (strategy, eligible, total, selectivity,
+    threshold, estimator='stored'|'scan') so callers and tests can audit
+    the choice and its source. Histogram staleness (pending tombstones)
+    can only mis-estimate, never mis-answer — both strategies are exact.
 
     The choice is PURELY a performance decision: both strategies filter
     the same per-doc rows around a per-doc-independent scoring model, so
@@ -2311,13 +2388,29 @@ def choose_filter_strategy(
             f"the sidecar at {path} (stored: "
             f"{sorted(c for c in sidecar.columns if c != 'doc_id')})"
         )
-    row = sidecar.agg(
-        F.count("*").alias("total"),
-        F.sum(
-            F.when(F.col(facet_col).isin(facet_values), 1).otherwise(0)
-        ).alias("eligible"),
-    ).collect()[0]  # one tiny row: two scalars off a column-pruned scan
-    total, eligible = int(row["total"]), int(row["eligible"] or 0)
+    if os.path.isdir(f"{path}/{_FACET_STATS}"):
+        # histogram keys render values as strings (one schema for every
+        # facet column) — match that render on the probe side
+        wanted = {str(v) for v in facet_values}
+        hist = (
+            spark.read.parquet(f"{path}/{_FACET_STATS}")
+            .where(F.col("col") == facet_col)
+            .collect()  # values-cardinality rows, tiny by construction
+        )
+        total = sum(int(r["n_docs"]) for r in hist)
+        eligible = sum(
+            int(r["n_docs"]) for r in hist if r["value"] in wanted
+        )
+        estimator = "stored"
+    else:
+        row = sidecar.agg(
+            F.count("*").alias("total"),
+            F.sum(
+                F.when(F.col(facet_col).isin(facet_values), 1).otherwise(0)
+            ).alias("eligible"),
+        ).collect()[0]  # one tiny row: two scalars off a column-pruned scan
+        total, eligible = int(row["total"]), int(row["eligible"] or 0)
+        estimator = "scan"
     sel = eligible / total if total else 0.0
     return {
         "strategy": "pre" if sel <= threshold else "post",
@@ -2325,6 +2418,7 @@ def choose_filter_strategy(
         "total": total,
         "selectivity": sel,
         "threshold": threshold,
+        "estimator": estimator,
     }
 
 

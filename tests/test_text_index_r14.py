@@ -476,7 +476,7 @@ def test_rebuild_over_live_index_refuses(spark, docs):
         _build_full(spark, docs, path)
         with pytest.raises(ValueError, match="sidecar state"):
             write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=NB)
-        for d in ("positions", "facets", "rterms"):
+        for d in ("positions", "facets", "facet_stats", "rterms"):
             shutil.rmtree(f"{path}/{d}")
         # core-only index: rebuild is legal (nothing left to go stale)
         write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=NB)

@@ -367,4 +367,109 @@ def test_index_describe_inventory(spark, docs, faceted_index):
     assert row["n_buckets"] == NB
     assert row["n_terms"] > 0 and row["avgdl_fp"] > 0
     assert row["has_facets"] and not row["has_positions"] and not row["has_rterms"]
+    assert row["has_facet_stats"]
     assert row["n_tombstones"] == 0
+
+
+# --------------------------------------------------------------------------
+# facet-value histogram (the planner's stored selectivity source)
+# --------------------------------------------------------------------------
+
+
+def _hist_rows(spark, path):
+    return sorted(
+        map(tuple, spark.read.parquet(f"{path}/facet_stats").collect())
+    )
+
+
+def _hist_recompute(spark, path):
+    """Reference histogram: re-aggregate the doc-count-sized sidecar."""
+    sidecar = spark.read.parquet(f"{path}/facets")
+    out = []
+    for c in [c for c in sidecar.columns if c != "doc_id"]:
+        out += [
+            (c, r[c], r["n"])
+            for r in sidecar.groupBy(F.col(c).cast("string").alias(c))
+            .agg(F.count("*").cast("long").alias("n"))
+            .collect()
+        ]
+    return sorted(out)
+
+
+def test_facet_stats_written_at_build_and_used_by_planner(
+    spark, docs, faceted_index
+):
+    assert _hist_rows(spark, faceted_index) == _hist_recompute(
+        spark, faceted_index
+    )
+    choice = choose_filter_strategy(
+        spark, faceted_index, "source", ["src1", "src3"]
+    )
+    assert choice["estimator"] == "stored"
+    # per-column histogram sums equal the doc count (NULLs kept)
+    by_col = {}
+    for c, _v, n in _hist_rows(spark, faceted_index):
+        by_col[c] = by_col.get(c, 0) + n
+    assert set(by_col.values()) == {docs.count()}
+
+
+def test_facet_stats_fallback_matches_stored_estimate(spark, docs):
+    """Pre-histogram indexes estimate from the sidecar scan — same
+    numbers, estimator='scan'."""
+    path = tempfile.mkdtemp(prefix="r14b_hist_fb_")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=NB)
+        write_doc_facets(spark, path, docs, ["source"])
+        stored = choose_filter_strategy(spark, path, "source", ["src1"])
+        shutil.rmtree(f"{path}/facet_stats")
+        scan = choose_filter_strategy(spark, path, "source", ["src1"])
+        assert scan["estimator"] == "scan" and stored["estimator"] == "stored"
+        for k in ("strategy", "eligible", "total", "selectivity"):
+            assert scan[k] == stored[k]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_facet_stats_ride_add_delete_compact_merge(spark, docs):
+    from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+        bm25_index_compact,
+        bm25_index_merge,
+        doc_facets_add,
+    )
+
+    base = tempfile.mkdtemp(prefix="r14b_hist_lc_")
+    try:
+        # add: incremental histogram == recompute
+        p = os.path.join(base, "idx")
+        d0 = docs.where(F.col("doc_id") % 4 != 1)
+        d1 = docs.where(F.col("doc_id") % 4 == 1)
+        write_bm25_index(spark, d0, p, "doc_id", "text", n_buckets=NB)
+        write_doc_facets(spark, p, d0, ["source", "lang"])
+        from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+            bm25_index_add,
+        )
+
+        bm25_index_add(spark, d1, p, "doc_id", "text")
+        doc_facets_add(spark, d1, p)
+        assert _hist_rows(spark, p) == _hist_recompute(spark, p)
+        # delete + compact: victims leave the histogram
+        victims = [r["doc_id"] for r in d0.select("doc_id").limit(3).collect()]
+        bm25_index_delete(spark, p, victims)
+        bm25_index_compact(spark, p)
+        assert _hist_rows(spark, p) == _hist_recompute(spark, p)
+        total_after = sum(
+            n for c, _v, n in _hist_rows(spark, p) if c == "source"
+        )
+        assert total_after == docs.count() - 3
+        # merge: the merged index carries a correct histogram
+        q0, q1, out = (os.path.join(base, x) for x in ("q0", "q1", "m"))
+        e0 = docs.where(F.col("doc_id") % 2 == 0)
+        e1 = docs.where(F.col("doc_id") % 2 == 1)
+        for dd, qq in ((e0, q0), (e1, q1)):
+            write_bm25_index(spark, dd, qq, "doc_id", "text", n_buckets=NB)
+            write_doc_facets(spark, qq, dd, ["source"])
+        bm25_index_merge(spark, out, [q0, q1])
+        assert _hist_rows(spark, out) == _hist_recompute(spark, out)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
