@@ -1430,6 +1430,7 @@ def bm25_query_topk(
     require_all: bool = False,
     boosts: dict[str, int] | None = None,
     allowed: DataFrame | None = None,
+    min_should_match: int | None = None,
 ) -> DataFrame:
     """RANKED multi-term retrieval from the stored index — the canonical
     IR query shape (what a search box actually issues): a query is a bag
@@ -1441,6 +1442,14 @@ def bm25_query_topk(
     per-TERM rankings; this is the per-QUERY ranking built on the same
     pruned reads and the same fixed-point per-term scores, so the two
     agree exactly on single-word queries.
+
+    ``min_should_match`` (optional) is the dial BETWEEN the two boolean
+    modes — Lucene/Elasticsearch minimum_should_match: only docs
+    carrying at least that many of the query's distinct terms rank
+    (msm=1 is OR; msm=n_query_terms is AND). Mutually exclusive with
+    require_all; a query with fewer distinct terms than the floor is
+    rejected loudly (it could never match — Lucene clamps silently,
+    which hides typos).
 
     ``boosts`` (optional) is query-time TERM BOOSTING — Lucene's
     ``term^2.0`` — as fixed-point integer multipliers per term (1000 =
@@ -1478,12 +1487,65 @@ def bm25_query_topk(
     (score_fp desc, doc_id asc)."""
     from pyspark.sql import Window
 
-    per_doc = _bm25_query_scored(spark, path, queries, require_all, boosts, allowed)
+    per_doc = _bm25_query_scored(
+        spark, path, queries, require_all, boosts, allowed, min_should_match
+    )
     w = Window.partitionBy("query").orderBy(F.desc("score_fp"), F.asc("doc_id"))
     return (
         per_doc.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("query", "doc_id", "n_terms", "score_fp", "rnk")
+    )
+
+
+def _bm25_term_scores(
+    spark: SparkSession,
+    path: str,
+    all_terms: list[str],
+    n_buckets: int,
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """Per-(term, doc) fixed-point BM25 scores for a known term set —
+    the shared scoring read under every ranked probe: ONE postings scan
+    pruned to the terms' buckets, the pruned dictionary for df, the
+    1-row stats broadcast, tombstones anti-joined, optional pre-filter
+    semi-join. Returns (term, doc_id, score_fp)."""
+    from .retrieval import B_FP, K1_FP
+
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in all_terms})
+    post = (
+        spark.read.parquet(f"{path}/{_POSTINGS}")
+        .where(F.col("bucket").isin(buckets) & F.col("term").isin(all_terms))
+    )
+    if allowed is not None:
+        # pre-filter semi-join on the pruned scan (see bm25_query_topk's
+        # docstring); AQE broadcasts a small eligible set, shuffles both
+        # sides when it is corpus-sized — which is when you want it
+        # distributed
+        post = post.join(allowed.select("doc_id"), "doc_id", "semi")
+    ts = _doc_tombstones(spark, path)
+    if ts is not None:
+        post = post.join(F.broadcast(ts), "doc_id", "left_anti")
+    dfreq = (
+        spark.read.parquet(f"{path}/{_TERMS}")
+        .where(F.col("bucket").isin(buckets) & F.col("term").isin(all_terms))
+        .select("term", "df")
+    )
+    stats = spark.read.parquet(f"{path}/{_STATS}")
+    return (
+        post.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("idf_fp", F.expr("(n_docs - df) * 1000 div (df + 1) + 1000"))
+        .withColumn(
+            "norm_fp", F.expr(f"(1000 - {B_FP}) + ({B_FP} * dl * 1000) div avgdl_fp")
+        )
+        .withColumn(
+            "score_fp",
+            F.expr(
+                f"(tf * {K1_FP + 1000} * idf_fp) "
+                f"div (tf * 1000 + ({K1_FP} * norm_fp) div 1000)"
+            ),
+        )
     )
 
 
@@ -1494,12 +1556,11 @@ def _bm25_query_scored(
     require_all: bool,
     boosts: dict[str, int] | None,
     allowed: DataFrame | None = None,
+    min_should_match: int | None = None,
 ) -> DataFrame:
     """The (query, doc_id, n_terms, score_fp) core shared by
     bm25_query_topk and bm25_query_page (see bm25_query_topk's docstring
     for semantics and plan shape)."""
-    from .retrieval import B_FP, K1_FP
-
     if not queries:
         raise ValueError("bm25_query_topk: queries must be non-empty")
     if len(set(queries)) != len(queries):
@@ -1508,6 +1569,30 @@ def _bm25_query_scored(
     if any(not ws for ws in split):
         raise ValueError("bm25_query_topk: each query needs >= 1 word")
     check_query_words([w for ws in split for w in ws], "bm25_query_topk")
+    if min_should_match is not None:
+        if require_all:
+            raise ValueError(
+                "bm25_query_topk: require_all and min_should_match are "
+                "mutually exclusive (require_all IS min_should_match = "
+                "all terms)"
+            )
+        if min_should_match < 1:
+            raise ValueError(
+                f"bm25_query_topk: min_should_match {min_should_match!r} "
+                "must be >= 1 (1 is OR semantics; omit it instead)"
+            )
+        short = {
+            q: len(ws)
+            for q, ws in zip(queries, split)
+            if len(ws) < min_should_match
+        }
+        if short:
+            raise ValueError(
+                f"bm25_query_topk: min_should_match={min_should_match} "
+                f"exceeds these queries' distinct term counts {short} — "
+                "they could never match (Lucene would silently clamp; "
+                "this API is loud instead)"
+            )
     boosts = boosts or {}
     for t, bv in boosts.items():
         # strict int check: a Lucene-style float boost (2.0) would pass an
@@ -1542,7 +1627,6 @@ def _bm25_query_scored(
         )
     n_buckets = read_index_meta(spark, path)["n_buckets"]
     all_terms = sorted({w for ws in split for w in ws})
-    buckets = sorted({term_bucket_py(t, n_buckets) for t in all_terms})
     qtab = spark.createDataFrame(
         [(q, ws, len(ws)) for q, ws in zip(queries, split)],
         "query string, terms array<string>, n_query_terms int",
@@ -1557,40 +1641,7 @@ def _bm25_query_scored(
     qt = qtab.select("query", F.explode("terms").alias("term")).withColumn(
         "boost_fp", boost_col.cast("long")
     )
-    post = (
-        spark.read.parquet(f"{path}/{_POSTINGS}")
-        .where(F.col("bucket").isin(buckets) & F.col("term").isin(all_terms))
-    )
-    if allowed is not None:
-        # pre-filter semi-join on the pruned scan (see bm25_query_topk's
-        # docstring); AQE broadcasts a small eligible set, shuffles both
-        # sides when it is corpus-sized — which is when you want it
-        # distributed
-        post = post.join(allowed.select("doc_id"), "doc_id", "semi")
-    ts = _doc_tombstones(spark, path)
-    if ts is not None:
-        post = post.join(F.broadcast(ts), "doc_id", "left_anti")
-    dfreq = (
-        spark.read.parquet(f"{path}/{_TERMS}")
-        .where(F.col("bucket").isin(buckets) & F.col("term").isin(all_terms))
-        .select("term", "df")
-    )
-    stats = spark.read.parquet(f"{path}/{_STATS}")
-    scored = (
-        post.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("idf_fp", F.expr("(n_docs - df) * 1000 div (df + 1) + 1000"))
-        .withColumn(
-            "norm_fp", F.expr(f"(1000 - {B_FP}) + ({B_FP} * dl * 1000) div avgdl_fp")
-        )
-        .withColumn(
-            "score_fp",
-            F.expr(
-                f"(tf * {K1_FP + 1000} * idf_fp) "
-                f"div (tf * 1000 + ({K1_FP} * norm_fp) div 1000)"
-            ),
-        )
-    )
+    scored = _bm25_term_scores(spark, path, all_terms, n_buckets, allowed)
     per_doc = (
         scored.join(F.broadcast(qt), "term")
         .groupBy("query", "doc_id")
@@ -1605,6 +1656,8 @@ def _bm25_query_scored(
         per_doc = per_doc.join(
             F.broadcast(qtab.select("query", "n_query_terms")), "query"
         ).where(F.col("n_terms") == F.col("n_query_terms"))
+    elif min_should_match is not None:
+        per_doc = per_doc.where(F.col("n_terms") >= min_should_match)
     return per_doc.select("query", "doc_id", "n_terms", "score_fp")
 
 
@@ -2676,4 +2729,107 @@ def mlt_probe(
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("seed_id", "doc_id", "n_terms", "score_fp", "rnk")
+    )
+
+
+def bm25_query_topk_synonyms(
+    spark: SparkSession,
+    path: str,
+    queries: list[str],
+    synonyms: dict[str, list[str]],
+    k: int = 5,
+    min_should_match: int | None = None,
+) -> DataFrame:
+    """Ranked retrieval with query-time SYNONYM EXPANSION — Lucene's
+    SynonymQuery / Elasticsearch's synonym graph, the standard recall
+    lever: each distinct query word becomes a GROUP (the word plus its
+    synonyms), a document's contribution for a group is the MAX of the
+    members' per-term BM25 scores (the SynonymQuery contract: synonyms
+    are the SAME concept, so a doc carrying two spellings must not score
+    the concept twice), and the per-query score is the sum of group
+    contributions. ``min_should_match`` counts GROUPS (concepts), not
+    raw terms — matching three spellings of one concept is still one
+    concept.
+
+    Same batched plan shape as bm25_query_topk: ONE postings scan pruned
+    to the union of every group member's buckets (the shared
+    _bm25_term_scores read), a broadcast (query, group, term) fan-out,
+    a per-(query, group, doc) MAX, a per-(query, doc) sum, one window.
+    Synonyms absent from the corpus simply contribute no rows — adding
+    expansion never removes a match.
+
+    Output: (query, doc_id, n_groups, score_fp, rnk), top-k per query by
+    (score_fp desc, doc_id asc). n_groups = how many of the query's
+    concepts the doc matched."""
+    from pyspark.sql import Window
+
+    if not queries:
+        raise ValueError("bm25_query_topk_synonyms: queries must be non-empty")
+    if len(set(queries)) != len(queries):
+        raise ValueError(
+            "bm25_query_topk_synonyms: duplicate queries in the batch"
+        )
+    split = [sorted(set(q.split())) for q in queries]
+    if any(not ws for ws in split):
+        raise ValueError("bm25_query_topk_synonyms: each query needs >= 1 word")
+    all_words = {w for ws in split for w in ws}
+    unused = set(synonyms) - all_words
+    if unused:
+        raise ValueError(
+            "bm25_query_topk_synonyms: synonyms for words not in any "
+            f"query: {sorted(unused)} — a typo'd synonym key would "
+            "otherwise silently no-op"
+        )
+    for w, alts in synonyms.items():
+        if not alts:
+            raise ValueError(
+                f"bm25_query_topk_synonyms: empty synonym list for {w!r} — "
+                "drop the entry instead"
+            )
+    # (query, group, term): group is the original query word; members are
+    # the word plus its synonyms, deduplicated
+    mapping = [
+        (q, w, t)
+        for q, ws in zip(queries, split)
+        for w in ws
+        for t in sorted({w} | set(synonyms.get(w, [])))
+    ]
+    check_query_words(sorted({t for _q, _w, t in mapping}),
+                      "bm25_query_topk_synonyms")
+    if min_should_match is not None:
+        if min_should_match < 1:
+            raise ValueError(
+                "bm25_query_topk_synonyms: min_should_match "
+                f"{min_should_match!r} must be >= 1"
+            )
+        short = {q: len(ws) for q, ws in zip(queries, split)
+                 if len(ws) < min_should_match}
+        if short:
+            raise ValueError(
+                "bm25_query_topk_synonyms: min_should_match="
+                f"{min_should_match} exceeds these queries' concept "
+                f"counts {short} — they could never match"
+            )
+    n_buckets = read_index_meta(spark, path)["n_buckets"]
+    all_terms = sorted({t for _q, _w, t in mapping})
+    scored = _bm25_term_scores(spark, path, all_terms, n_buckets)
+    m = spark.createDataFrame(
+        mapping, "query string, grp string, term string"
+    )
+    per_group = (
+        scored.join(F.broadcast(m), "term")
+        .groupBy("query", "grp", "doc_id")
+        .agg(F.max("score_fp").alias("g_score"))  # SynonymQuery max-blend
+    )
+    per_doc = per_group.groupBy("query", "doc_id").agg(
+        F.countDistinct("grp").cast("long").alias("n_groups"),
+        F.sum("g_score").cast("long").alias("score_fp"),
+    )
+    if min_should_match is not None:
+        per_doc = per_doc.where(F.col("n_groups") >= min_should_match)
+    w = Window.partitionBy("query").orderBy(F.desc("score_fp"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query", "doc_id", "n_groups", "score_fp", "rnk")
     )

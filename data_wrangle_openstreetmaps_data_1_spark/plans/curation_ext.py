@@ -2090,16 +2090,17 @@ def tx_term_wildcard(spark: SparkSession, sf: str) -> DataFrame:
     return wildcard_probe(spark, path, _WILDCARDS_Q, k=5)
 
 
-def _bm25_scored_ctes(doc_pred: str = "TRUE") -> str:
+def _bm25_scored_ctes(doc_pred: str = "TRUE", terms: list[str] | None = None) -> str:
     """Shared per-term fixed-point BM25 CTE scaffold over the documents
     restricted by ``doc_pred`` (corpus stats restrict WITH the predicate —
     used by the per-segment replay in tx_bm25_tiered): yields s2(term,
-    doc_id, score_fp) for the _MULTI_QUERIES term set, matching the
-    integer forms in operators/retrieval.py exactly."""
+    doc_id, score_fp) for the given term set (default: _MULTI_QUERIES'
+    terms), matching the integer forms in operators/retrieval.py
+    exactly."""
     from ..operators.retrieval import B_FP, K1_FP
     from .pipeline import _TOKS_SQL
 
-    all_terms = sorted({w for q in _MULTI_QUERIES for w in q.split()})
+    all_terms = terms or sorted({w for q in _MULTI_QUERIES for w in q.split()})
     terms_in = ", ".join(f"'{t}'" for t in all_terms)
     return rf"""
     d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
@@ -2434,3 +2435,108 @@ def tx_bm25_tiered(spark: SparkSession, sf: str) -> DataFrame:
         "mode", F.lit("merged")
     ).select(cols)
     return s0.unionByName(mg)
+
+
+def _bm25_msm_oracle(k: int = 5, msm: int = 2) -> str:
+    return rf"""
+    WITH {_bm25_scored_ctes()},
+    qt(query, term) AS (VALUES {_qt_values()}),
+    g AS (SELECT qt.query, s.doc_id,
+                 CAST(count(DISTINCT s.term) AS BIGINT) AS n_terms,
+                 CAST(sum(s.score_fp) AS BIGINT) AS score_fp
+          FROM s2 s JOIN qt ON s.term = qt.term GROUP BY 1, 2),
+    r AS (SELECT query, doc_id, n_terms, score_fp,
+                 row_number() OVER (PARTITION BY query
+                                    ORDER BY score_fp DESC, doc_id ASC) AS rnk
+          FROM g WHERE n_terms >= {msm})
+    SELECT query, doc_id, n_terms, score_fp, rnk FROM r WHERE rnk <= {k}
+    """
+
+
+@register(
+    "tx_bm25_msm",
+    _bm25_msm_oracle(),
+    doc="minimum_should_match retrieval (operators/text_index.py:"
+    "bm25_query_topk(min_should_match=2) — the Lucene/Elasticsearch dial "
+    "BETWEEN the OR and AND boolean modes): only docs carrying at least "
+    "2 of the query's distinct terms rank, which is the standard "
+    "precision lever for long queries where pure OR drowns in one-term "
+    "matches and pure AND returns nothing. Same single pruned postings "
+    "scan and fixed-point scoring as tx_bm25_multiterm; the floor is a "
+    "post-aggregate HAVING on the distinct-term count, and a query with "
+    "fewer terms than the floor is rejected loudly (Lucene clamps "
+    "silently, hiding typos). The oracle replays the HAVING relationally",
+)
+def tx_bm25_msm(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.text_index import bm25_query_topk, write_bm25_index
+
+    docs = load_table(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="bm25_msm_")
+    shutil.rmtree(path, ignore_errors=True)
+    write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
+    return bm25_query_topk(spark, path, _MULTI_QUERIES, k=5, min_should_match=2)
+
+
+_SYN_QUERIES = ["slow join", "big table"]
+_SYNONYMS = {"slow": ["fast"], "big": ["small", "large"]}
+
+
+def _bm25_synonyms_oracle(k: int = 5) -> str:
+    mapping = [
+        (q, w, t)
+        for q in _SYN_QUERIES
+        for w in sorted(set(q.split()))
+        for t in sorted({w} | set(_SYNONYMS.get(w, [])))
+    ]
+    m_values = ", ".join(f"('{q}', '{w}', '{t}')" for q, w, t in mapping)
+    all_terms = sorted({t for _q, _w, t in mapping})
+    return rf"""
+    WITH {_bm25_scored_ctes(terms=all_terms)},
+    m(query, grp, term) AS (VALUES {m_values}),
+    g1 AS (SELECT m.query, m.grp, s.doc_id, max(s.score_fp) AS g_score
+           FROM s2 s JOIN m ON s.term = m.term GROUP BY 1, 2, 3),
+    g2 AS (SELECT query, doc_id,
+                  CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,
+                  CAST(sum(g_score) AS BIGINT) AS score_fp
+           FROM g1 GROUP BY 1, 2),
+    r AS (SELECT query, doc_id, n_groups, score_fp,
+                 row_number() OVER (PARTITION BY query
+                                    ORDER BY score_fp DESC, doc_id ASC) AS rnk
+          FROM g2)
+    SELECT query, doc_id, n_groups, score_fp, rnk FROM r WHERE rnk <= {k}
+    """
+
+
+@register(
+    "tx_bm25_synonyms",
+    _bm25_synonyms_oracle(),
+    doc="query-time SYNONYM EXPANSION (operators/text_index.py:"
+    "bm25_query_topk_synonyms — Lucene SynonymQuery / Elasticsearch "
+    "synonym graph, the standard recall lever): each query word becomes "
+    "a concept GROUP (word + synonyms); a doc's group contribution is "
+    "the MAX of the members' per-term BM25 scores (synonyms are the "
+    "same concept — a doc carrying two spellings must not score it "
+    "twice), and the query score sums group contributions. One synonym "
+    "('large') is absent from the corpus — expansion adds recall, never "
+    "removes a match. Same batched plan as tx_bm25_multiterm with a "
+    "(query, group, term) broadcast fan-out and an extra per-group MAX "
+    "before the per-doc sum. The oracle replays the max-blend "
+    "relationally — integer end-to-end",
+)
+def tx_bm25_synonyms(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.text_index import (
+        bm25_query_topk_synonyms,
+        write_bm25_index,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="bm25_syn_")
+    shutil.rmtree(path, ignore_errors=True)
+    write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
+    return bm25_query_topk_synonyms(spark, path, _SYN_QUERIES, _SYNONYMS, k=5)

@@ -290,6 +290,7 @@ def test_no_unexpected_products_registry_wide(spark):
         # broadcast 1-row corpus-stats crossJoin; their filter/facet/seed
         # joins are equi- or semi-joins, adding no product shape
         "tx_bm25_filtered", "tx_bm25_diverse", "tx_mlt", "tx_bm25_tiered",
+        "tx_bm25_msm", "tx_bm25_synonyms",
         # lexical tier = bm25_probe (1-row stats cross); the stored vector
         # tier assigns clusters driver-side, so it adds no product join
         "sim_hybrid_stored",

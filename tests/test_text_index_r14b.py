@@ -372,6 +372,121 @@ def test_index_describe_inventory(spark, docs, faceted_index):
 
 
 # --------------------------------------------------------------------------
+# minimum_should_match + synonym expansion
+# --------------------------------------------------------------------------
+
+
+def test_min_should_match_spans_or_to_and(spark, faceted_index):
+    q = ["table merge group"]
+    or_rows = _rows(bm25_query_topk(spark, faceted_index, q, k=1000))
+    and_rows = _rows(
+        bm25_query_topk(spark, faceted_index, q, k=1000, require_all=True)
+    )
+    m1 = _rows(
+        bm25_query_topk(spark, faceted_index, q, k=1000, min_should_match=1)
+    )
+    m3 = _rows(
+        bm25_query_topk(spark, faceted_index, q, k=1000, min_should_match=3)
+    )
+    assert m1 == or_rows
+    assert m3 == and_rows
+    m2 = _rows(
+        bm25_query_topk(spark, faceted_index, q, k=1000, min_should_match=2)
+    )
+    # monotone: OR >= msm2 >= AND, and msm2 keeps only n_terms >= 2
+    assert len(or_rows) >= len(m2) >= len(and_rows)
+    assert all(r[2] >= 2 for r in m2)  # n_terms column
+
+
+def test_min_should_match_guards(spark, faceted_index):
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        bm25_query_topk(
+            spark, faceted_index, ["slow hash"], require_all=True,
+            min_should_match=1,
+        )
+    with pytest.raises(ValueError, match=">= 1"):
+        bm25_query_topk(
+            spark, faceted_index, ["slow hash"], min_should_match=0
+        )
+    with pytest.raises(ValueError, match="could never match"):
+        bm25_query_topk(
+            spark, faceted_index, ["slow hash"], min_should_match=3
+        )
+
+
+def test_synonyms_max_blend_and_recall_only(spark, faceted_index):
+    from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+        bm25_query_topk_synonyms,
+    )
+
+    # no synonyms: groups are single terms, so the synonym probe must
+    # equal the plain multiterm ranking exactly (columns renamed)
+    plain = _rows(bm25_query_topk(spark, faceted_index, ["slow join"], k=50))
+    as_groups = _rows(
+        bm25_query_topk_synonyms(spark, faceted_index, ["slow join"], {}, k=50)
+    )
+    assert plain == as_groups
+    # expansion: matched doc set only grows (recall lever, never a loss)
+    expanded = bm25_query_topk_synonyms(
+        spark, faceted_index, ["slow join"], {"slow": ["fast"]}, k=100_000
+    )
+    plain_docs = {r[1] for r in plain}
+    exp_rows = expanded.collect()
+    assert plain_docs <= {r["doc_id"] for r in exp_rows}
+    # max-blend: a group's contribution is the max member score, so a
+    # doc's synonym score never exceeds plain score + best alt score
+    # and never drops below its plain score for the same matched groups.
+    # Verify against a brute recomputation of the blend:
+    slow = {r["doc_id"]: r["score_fp"]
+            for r in bm25_query_topk(spark, faceted_index, ["slow"], k=100_000).collect()}
+    fast = {r["doc_id"]: r["score_fp"]
+            for r in bm25_query_topk(spark, faceted_index, ["fast"], k=100_000).collect()}
+    join = {r["doc_id"]: r["score_fp"]
+            for r in bm25_query_topk(spark, faceted_index, ["join"], k=100_000).collect()}
+    for r in exp_rows:
+        d = r["doc_id"]
+        want = max(slow.get(d, 0), fast.get(d, 0)) + join.get(d, 0)
+        assert r["score_fp"] == want, d
+    # an out-of-corpus synonym is a no-op
+    noop = _rows(
+        bm25_query_topk_synonyms(
+            spark, faceted_index, ["slow join"],
+            {"slow": ["fast", "zzzznotaterm"]}, k=100_000,
+        )
+    )
+    assert noop == _rows(
+        bm25_query_topk_synonyms(
+            spark, faceted_index, ["slow join"], {"slow": ["fast"]},
+            k=100_000,
+        )
+    )
+
+
+def test_synonyms_guards(spark, faceted_index):
+    from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+        bm25_query_topk_synonyms,
+    )
+
+    with pytest.raises(ValueError, match="not in any"):
+        bm25_query_topk_synonyms(
+            spark, faceted_index, ["slow join"], {"nope": ["x"]}
+        )
+    with pytest.raises(ValueError, match="empty synonym list"):
+        bm25_query_topk_synonyms(
+            spark, faceted_index, ["slow join"], {"slow": []}
+        )
+    with pytest.raises(ValueError, match="valid token"):
+        bm25_query_topk_synonyms(
+            spark, faceted_index, ["slow join"], {"slow": ["a b"]}
+        )
+    with pytest.raises(ValueError, match="could never match"):
+        bm25_query_topk_synonyms(
+            spark, faceted_index, ["slow join"], {"slow": ["fast"]},
+            min_should_match=3,
+        )
+
+
+# --------------------------------------------------------------------------
 # facet-value histogram (the planner's stored selectivity source)
 # --------------------------------------------------------------------------
 
