@@ -190,3 +190,51 @@ def bm25_index_describe(spark: SparkSession, path: str) -> DataFrame:
         "n_tombstones long, has_positions boolean, has_facets boolean, "
         "has_facet_stats boolean, has_rterms boolean",
     )
+
+
+def ivf_segment_stats(spark: SparkSession, paths: list[str]) -> dict[str, int]:
+    """Live VECTOR counts per IVF-PQ segment (codes rows minus pending
+    tombstones) — the vector-tier twin of :func:`bm25_segment_stats`, so
+    :func:`plan_segment_merges` plans both tiers with one policy.
+    ``count()`` on a parquet path resolves from row-group metadata, not
+    a data scan."""
+    from .ivf_index import _CODES as IVF_CODES
+    from .ivf_index import _TOMBSTONES as IVF_TOMBSTONES
+    from .ivf_index import read_ivf_pq_meta
+
+    out: dict[str, int] = {}
+    for p in paths:
+        read_ivf_pq_meta(spark, p)  # loud if not an IVF-PQ index
+        n = spark.read.parquet(f"{p}/{IVF_CODES}").count()
+        if os.path.isdir(f"{p}/{IVF_TOMBSTONES}"):
+            n -= spark.read.parquet(f"{p}/{IVF_TOMBSTONES}").count()
+        out[p] = n
+    return out
+
+
+def execute_ivf_merge_plan(
+    spark: SparkSession,
+    plan: list[list[str]],
+    out_dir: str,
+) -> list[str]:
+    """Execute a :func:`plan_segment_merges` plan on the VECTOR tier:
+    each group merges into ``out_dir/merged_{i}`` via ivf_pq_index_merge
+    (which enforces the shared-meta / disjoint-ids / no-tombstones
+    contracts). Same publish-then-retire discipline as the text twin."""
+    seen: set[str] = set()
+    for g in plan:
+        for p in g:
+            if p in seen:
+                raise ValueError(
+                    f"execute_ivf_merge_plan: segment {p!r} appears in two "
+                    "merge groups — a plan must partition its inputs"
+                )
+            seen.add(p)
+    from .ivf_index import ivf_pq_index_merge
+
+    outs = []
+    for i, g in enumerate(plan):
+        out = os.path.join(out_dir, f"merged_{i}")
+        ivf_pq_index_merge(spark, out, g)
+        outs.append(out)
+    return outs

@@ -349,6 +349,84 @@ def test_execute_merge_plan_rejects_overlapping_groups(spark):
         execute_merge_plan(spark, [["a", "b"], ["b", "c"]], "/tmp/nowhere")
 
 
+def test_ivf_tiered_roundtrip_equals_oneshot(spark, sf_small):
+    """The SAME planner drives the vector tier: per-shard IVF-PQ segments
+    (shared trained meta — the FAISS merge_from contract) -> stats ->
+    plan -> execute; the planned merge must probe identically to a
+    one-shot build on the union corpus."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.index_admin import (
+        execute_ivf_merge_plan,
+        ivf_segment_stats,
+    )
+    from data_wrangle_openstreetmaps_data_1_spark.operators.ivf_index import (
+        ivf_pq_index_delete,
+        ivf_pq_probe,
+        train_ivf_pq_meta,
+        write_ivf_pq_index,
+    )
+    from data_wrangle_openstreetmaps_data_1_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    meta = train_ivf_pq_meta(
+        emb, "vec_id", "v", ncent=16, m=8, dsub=8, ksub=16, iters=1, round_to=6
+    )
+    base = tempfile.mkdtemp(prefix="r14b_ivfsegs_")
+    try:
+        segs = []
+        for i in range(3):
+            p = os.path.join(base, f"seg{i}")
+            write_ivf_pq_index(
+                spark, emb.where(F.col("vec_id") % 3 == i), p, meta,
+                "vec_id", "v",
+            )
+            segs.append(p)
+        stats = ivf_segment_stats(spark, segs)
+        assert sum(stats.values()) == emb.count()
+        # tombstones subtract from the planner's view
+        victim = [
+            r["vec_id"]
+            for r in emb.where(F.col("vec_id") % 3 == 0)
+            .select("vec_id").limit(2).collect()
+        ]
+        ivf_pq_index_delete(spark, segs[0], victim)
+        stats2 = ivf_segment_stats(spark, segs)
+        assert stats2[segs[0]] == stats[segs[0]] - 2
+        # merge refuses pending tombstones, so compact seg0 first
+        from data_wrangle_openstreetmaps_data_1_spark.operators.ivf_index import (
+            ivf_pq_index_compact,
+        )
+
+        ivf_pq_index_compact(spark, segs[0])
+        plan = plan_segment_merges(stats2)
+        assert len(plan) == 1 and sorted(plan[0]) == sorted(segs)
+        outs = execute_ivf_merge_plan(spark, plan, base)
+        full = os.path.join(base, "full")
+        survivors = emb.where(~F.col("vec_id").isin(victim))
+        write_ivf_pq_index(spark, survivors, full, meta, "vec_id", "v")
+        qs = [
+            (r["vec_id"], list(r["v"]))
+            for r in emb.where(F.col("vec_id") < 3).orderBy("vec_id").collect()
+        ]
+        got = sorted(map(tuple, ivf_pq_probe(spark, outs[0], qs, k=5, nprobe=2).collect()))
+        want = sorted(map(tuple, ivf_pq_probe(spark, full, qs, k=5, nprobe=2).collect()))
+        assert got == want
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_execute_ivf_merge_plan_rejects_overlapping_groups(spark):
+    from data_wrangle_openstreetmaps_data_1_spark.operators.index_admin import (
+        execute_ivf_merge_plan,
+    )
+
+    with pytest.raises(ValueError, match="two merge groups"):
+        execute_ivf_merge_plan(spark, [["a", "b"], ["b", "c"]], "/tmp/nowhere")
+
+
 def test_segment_stats_subtract_tombstones(spark, docs):
     path = tempfile.mkdtemp(prefix="r14b_tomb_")
     shutil.rmtree(path, ignore_errors=True)

@@ -37,6 +37,8 @@ NAMES = [
     "tx_bm25_diverse",
     "tx_mlt",
     "tx_bm25_tiered",
+    "tx_bm25_msm",
+    "tx_bm25_synonyms",
 ]
 
 
