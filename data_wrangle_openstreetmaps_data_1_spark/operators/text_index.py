@@ -2502,6 +2502,8 @@ def bm25_query_topk_filtered(
 
     Output: (query, doc_id, n_terms, score_fp, rnk) — identical column
     contract to bm25_query_topk."""
+    import os
+
     from pyspark.sql import Window
 
     if strategy not in ("auto", "pre", "post"):
@@ -2514,8 +2516,24 @@ def bm25_query_topk_filtered(
             "strategy"
         ]
     else:
-        # forced path still validates the sidecar/col loudly
-        choose_filter_strategy(spark, path, facet_col, facet_values)
+        # forced path validates the sidecar/col loudly WITHOUT paying the
+        # estimate (on a pre-histogram index the estimate is an aggregate)
+        if not facet_values:
+            raise ValueError(
+                "bm25_query_topk_filtered: facet_values must be non-empty"
+            )
+        if not os.path.isdir(f"{path}/{_FACETS}"):
+            raise ValueError(
+                f"bm25_query_topk_filtered: {path} has no facet sidecar — "
+                "write_doc_facets(spark, path, docs, facet_cols) first"
+            )
+        cols = spark.read.parquet(f"{path}/{_FACETS}").columns
+        if facet_col not in cols:
+            raise ValueError(
+                f"bm25_query_topk_filtered: facet column {facet_col!r} is "
+                f"not in the sidecar at {path} (stored: "
+                f"{sorted(c for c in cols if c != 'doc_id')})"
+            )
     sidecar = spark.read.parquet(f"{path}/{_FACETS}")
     eligible = (
         sidecar.where(F.col(facet_col).isin(facet_values)).select("doc_id")
