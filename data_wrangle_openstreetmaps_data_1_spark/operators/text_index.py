@@ -2264,6 +2264,7 @@ def bm25_query_page(
     after: dict[str, tuple[int, int]] | None = None,
     require_all: bool = False,
     boosts: dict[str, int] | None = None,
+    min_should_match: int | None = None,
 ) -> DataFrame:
     """CURSOR pagination for ranked multi-term retrieval — Elasticsearch's
     ``search_after`` (the deep-paging shape that stays O(page), where
@@ -2282,7 +2283,9 @@ def bm25_query_page(
     global top-2k, asserted in tests."""
     from pyspark.sql import Window
 
-    scored = _bm25_query_scored(spark, path, queries, require_all, boosts)
+    scored = _bm25_query_scored(
+        spark, path, queries, require_all, boosts, None, min_should_match
+    )
     after = after or {}
     unknown = set(after) - set(queries)
     if unknown:

@@ -492,6 +492,34 @@ def test_min_should_match_guards(spark, faceted_index):
         )
 
 
+def test_min_should_match_rides_pagination(spark, faceted_index):
+    """Cursor paging under an msm floor: page1 + page2(after=page1's
+    last) must equal the global msm top-2k — the floor applies before
+    the cursor, so pages never resurrect filtered docs."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+        bm25_query_page,
+    )
+
+    q = ["table merge group"]
+    k = 3
+    top2k = _rows(
+        bm25_query_topk(spark, faceted_index, q, k=2 * k, min_should_match=2)
+    )
+    p1 = bm25_query_page(spark, faceted_index, q, k=k, min_should_match=2)
+    rows1 = sorted(p1.collect(), key=lambda r: r["rnk"])
+    last = rows1[-1]
+    p2 = bm25_query_page(
+        spark, faceted_index, q, k=k, min_should_match=2,
+        after={q[0]: (last["score_fp"], last["doc_id"])},
+    )
+    rows2 = sorted(p2.collect(), key=lambda r: r["rnk"])
+    chained = [
+        (r["query"], r["doc_id"], r["n_terms"], r["score_fp"], i + 1)
+        for i, r in enumerate(rows1 + rows2)
+    ]
+    assert sorted(chained) == top2k
+
+
 def test_synonyms_max_blend_and_recall_only(spark, faceted_index):
     from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
         bm25_query_topk_synonyms,
