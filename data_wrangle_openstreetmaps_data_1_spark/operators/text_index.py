@@ -2854,3 +2854,83 @@ def bm25_query_topk_synonyms(
         .where(F.col("rnk") <= k)
         .select("query", "doc_id", "n_groups", "score_fp", "rnk")
     )
+
+
+def bm25_stats_facet(
+    spark: SparkSession,
+    path: str,
+    queries: list[str],
+    num_col: str,
+) -> DataFrame:
+    """Numeric STATS aggregation over each query's WHOLE matching set —
+    Elasticsearch's stats agg (the sidebar "avg price / length range"
+    panel), the numeric sibling of bm25_facet_counts: per query,
+    count/min/max/sum and a fixed-point mean of a numeric doc-values
+    column, served entirely from index artifacts (matching doc ids from
+    the pruned postings scan, the numeric column from the ``facets/``
+    sidecar — never the doc store).
+
+    Same OR-semantics whole-set contract as the counts facet (stats
+    summarize the matching set, not the top-k page). The mean is
+    ``sum * 1000 div count`` — integer end-to-end so both engines hash
+    bit-identically. Docs whose sidecar value is NULL are excluded from
+    all five stats (the Elasticsearch missing-value contract) but still
+    count as matches for other facets.
+
+    Output: (query, n_docs, min_v, max_v, sum_v, avg_fp), one row per
+    query; a query matching nothing (or only NULL-valued docs) yields no
+    row."""
+    import os
+
+    if not os.path.isdir(f"{path}/{_FACETS}"):
+        raise ValueError(
+            f"bm25_stats_facet: {path} has no facet sidecar — "
+            "write_doc_facets(spark, path, docs, facet_cols) first"
+        )
+    sidecar = spark.read.parquet(f"{path}/{_FACETS}")
+    if num_col not in sidecar.columns:
+        raise ValueError(
+            f"bm25_stats_facet: column {num_col!r} is not in the sidecar "
+            f"at {path} (stored: "
+            f"{sorted(c for c in sidecar.columns if c != 'doc_id')})"
+        )
+    if not queries:
+        raise ValueError("bm25_stats_facet: queries must be non-empty")
+    if len(set(queries)) != len(queries):
+        raise ValueError("bm25_stats_facet: duplicate queries in the batch")
+    split = [sorted(set(q.split())) for q in queries]
+    if any(not ws for ws in split):
+        raise ValueError("bm25_stats_facet: each query needs >= 1 word")
+    check_query_words([w for ws in split for w in ws], "bm25_stats_facet")
+    n_buckets = read_index_meta(spark, path)["n_buckets"]
+    all_terms = sorted({w for ws in split for w in ws})
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in all_terms})
+    qt = spark.createDataFrame(
+        [(q, t) for q, ws in zip(queries, split) for t in ws],
+        "query string, term string",
+    )
+    post = (
+        spark.read.parquet(f"{path}/{_POSTINGS}")
+        .where(F.col("bucket").isin(buckets) & F.col("term").isin(all_terms))
+    )
+    ts = _doc_tombstones(spark, path)
+    if ts is not None:
+        post = post.join(F.broadcast(ts), "doc_id", "left_anti")
+    matched = (
+        post.join(F.broadcast(qt), "term").select("query", "doc_id").distinct()
+    )
+    vals = sidecar.select(
+        "doc_id", F.col(num_col).cast("long").alias("v")
+    ).where(F.col("v").isNotNull())
+    return (
+        matched.join(vals, "doc_id")
+        .groupBy("query")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("v").cast("long").alias("min_v"),
+            F.max("v").cast("long").alias("max_v"),
+            F.sum("v").cast("long").alias("sum_v"),
+        )
+        .withColumn("avg_fp", F.expr("sum_v * 1000 div n_docs"))
+        .select("query", "n_docs", "min_v", "max_v", "sum_v", "avg_fp")
+    )

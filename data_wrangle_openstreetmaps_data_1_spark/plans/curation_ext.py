@@ -2540,3 +2540,60 @@ def tx_bm25_synonyms(spark: SparkSession, sf: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
     return bm25_query_topk_synonyms(spark, path, _SYN_QUERIES, _SYNONYMS, k=5)
+
+
+def _stats_facet_oracle() -> str:
+    from .pipeline import _TOKS_SQL
+
+    all_terms = sorted({w for q in _MULTI_QUERIES for w in q.split()})
+    terms_in = ", ".join(f"'{t}'" for t in all_terms)
+    return rf"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    post AS (SELECT DISTINCT term, doc_id FROM tok WHERE term IN ({terms_in})),
+    qt(query, term) AS (VALUES {_qt_values()}),
+    m AS (SELECT DISTINCT qt.query, p.doc_id FROM post p JOIN qt ON p.term = qt.term),
+    g AS (SELECT m.query,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(min(doc.n_chars) AS BIGINT) AS min_v,
+                 CAST(max(doc.n_chars) AS BIGINT) AS max_v,
+                 CAST(sum(doc.n_chars) AS BIGINT) AS sum_v
+          FROM m JOIN documents doc ON doc.doc_id = m.doc_id
+          WHERE doc.n_chars IS NOT NULL
+          GROUP BY 1)
+    SELECT query, n_docs, min_v, max_v, sum_v,
+           sum_v * 1000 // n_docs AS avg_fp
+    FROM g
+    """
+
+
+@register(
+    "tx_bm25_statsfacet",
+    _stats_facet_oracle(),
+    doc="numeric STATS aggregation over each query's whole matching set "
+    "(operators/text_index.py:bm25_stats_facet — Elasticsearch's stats "
+    "agg, the numeric sibling of the counts facet): count/min/max/sum "
+    "and a fixed-point mean of the n_chars doc-values column, served "
+    "entirely from index artifacts (matching ids from the pruned "
+    "postings scan, the numeric column from the facets/ sidecar — "
+    "never text). OR semantics over the WHOLE matching set (stats "
+    "don't change as you paginate); NULL values excluded per the "
+    "Elasticsearch missing-value contract; mean = sum*1000 div count, "
+    "integer end-to-end. The oracle replays the rollup relationally",
+)
+def tx_bm25_statsfacet(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.text_index import (
+        bm25_stats_facet,
+        write_bm25_index,
+        write_doc_facets,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="bm25_statsf_")
+    shutil.rmtree(path, ignore_errors=True)
+    write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
+    write_doc_facets(spark, path, docs, ["source", "n_chars"])
+    return bm25_stats_facet(spark, path, _MULTI_QUERIES, "n_chars")

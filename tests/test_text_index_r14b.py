@@ -593,6 +593,85 @@ def test_synonyms_guards(spark, faceted_index):
 
 
 # --------------------------------------------------------------------------
+# numeric stats facet
+# --------------------------------------------------------------------------
+
+
+def test_stats_facet_matches_recomputation_and_tombstones(spark, docs):
+    from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+        bm25_stats_facet,
+    )
+
+    path = tempfile.mkdtemp(prefix="r14b_statsf_")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=NB)
+        write_doc_facets(spark, path, docs, ["n_chars"])
+        got = {r["query"]: r for r in
+               bm25_stats_facet(spark, path, ["slow hash"], "n_chars").collect()}
+        toks = docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("t"),
+        )
+        matched = (
+            toks.where(F.col("t").isin(["slow", "hash"]))
+            .select("doc_id").distinct()
+            .join(docs.select("doc_id", "n_chars"), "doc_id")
+        )
+        exp = matched.agg(
+            F.count("*").alias("n"), F.min("n_chars").alias("mn"),
+            F.max("n_chars").alias("mx"), F.sum("n_chars").alias("sm"),
+        ).collect()[0]
+        r = got["slow hash"]
+        assert (r["n_docs"], r["min_v"], r["max_v"], r["sum_v"]) == (
+            exp["n"], exp["mn"], exp["mx"], exp["sm"]
+        )
+        assert r["avg_fp"] == exp["sm"] * 1000 // exp["n"]
+        # tombstoned docs leave the stats
+        victim = matched.select("doc_id").limit(1).collect()[0]["doc_id"]
+        bm25_index_delete(spark, path, [int(victim)])
+        after = bm25_stats_facet(spark, path, ["slow hash"], "n_chars").collect()[0]
+        assert after["n_docs"] == r["n_docs"] - 1
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_stats_facet_excludes_nulls_and_guards(spark):
+    from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+        bm25_stats_facet,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta", 10), (2, "alpha", None), (3, "beta alpha", 30)],
+        "doc_id long, text string, n_chars long",
+    )
+    path = tempfile.mkdtemp(prefix="r14b_statsn_")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        write_bm25_index(spark, df, path, "doc_id", "text", n_buckets=NB)
+        write_doc_facets(spark, path, df, ["n_chars"])
+        r = bm25_stats_facet(spark, path, ["alpha"], "n_chars").collect()[0]
+        # doc 2 matches but its NULL value is excluded from all stats
+        assert (r["n_docs"], r["min_v"], r["max_v"], r["sum_v"]) == (2, 10, 30, 40)
+        # a query whose only match is the NULL-valued doc yields no row
+        df3 = spark.createDataFrame(
+            [(9, "omega", None)], "doc_id long, text string, n_chars long"
+        )
+        p3 = tempfile.mkdtemp(prefix="r14b_statsn3_")
+        shutil.rmtree(p3, ignore_errors=True)
+        write_bm25_index(spark, df3, p3, "doc_id", "text", n_buckets=NB)
+        write_doc_facets(spark, p3, df3, ["n_chars"])
+        assert bm25_stats_facet(spark, p3, ["omega"], "n_chars").count() == 0
+        shutil.rmtree(p3, ignore_errors=True)
+        with pytest.raises(ValueError, match="not in the sidecar"):
+            bm25_stats_facet(spark, path, ["alpha"], "nope")
+        with pytest.raises(ValueError, match="non-empty"):
+            bm25_stats_facet(spark, path, [], "n_chars")
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
 # facet-value histogram (the planner's stored selectivity source)
 # --------------------------------------------------------------------------
 
