@@ -39,6 +39,7 @@ NAMES = [
     "tx_bm25_tiered",
     "tx_bm25_msm",
     "tx_bm25_synonyms",
+    "tx_bm25_statsfacet",
 ]
 
 
