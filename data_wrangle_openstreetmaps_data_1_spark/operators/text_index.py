@@ -2934,3 +2934,103 @@ def bm25_stats_facet(
         .withColumn("avg_fp", F.expr("sum_v * 1000 div n_docs"))
         .select("query", "n_docs", "min_v", "max_v", "sum_v", "avg_fp")
     )
+
+
+def bm25_stats_by_facet(
+    spark: SparkSession,
+    path: str,
+    queries: list[str],
+    facet_col: str,
+    num_col: str,
+    k_facets: int = 10,
+) -> DataFrame:
+    """Per-FACET numeric stats over each query's matching set — the
+    Elasticsearch terms-agg with a stats SUB-aggregation (the full
+    sidebar panel: per source, how many matches and what do their
+    lengths look like), composing the counts facet and the stats facet:
+    matching (query, doc_id) pairs from the pruned postings scan join
+    the sidecar ONCE for both the bucketing column and the numeric
+    column, then one grouped aggregate emits count/min/max/sum and the
+    fixed-point mean per (query, facet), top-k_facets per query by
+    (n_docs desc, facet asc) — the counts facet's ranking, so the two
+    panels paginate identically.
+
+    NULL numeric values follow the Elasticsearch missing-value contract:
+    the doc still counts in its facet's ``n_docs``, but contributes to
+    none of the numeric stats (``n_vals`` says how many did); a facet
+    whose matches are all NULL-valued carries NULL stats rather than
+    lying with zeros. Integer end-to-end (avg = sum * 1000 div n_vals).
+
+    Output: (query, facet, n_docs, n_vals, min_v, max_v, sum_v, avg_fp,
+    rnk)."""
+    import os
+
+    from pyspark.sql import Window
+
+    if not os.path.isdir(f"{path}/{_FACETS}"):
+        raise ValueError(
+            f"bm25_stats_by_facet: {path} has no facet sidecar — "
+            "write_doc_facets(spark, path, docs, facet_cols) first"
+        )
+    sidecar = spark.read.parquet(f"{path}/{_FACETS}")
+    missing = [c for c in (facet_col, num_col) if c not in sidecar.columns]
+    if missing:
+        raise ValueError(
+            f"bm25_stats_by_facet: columns {missing} not in the sidecar at "
+            f"{path} (stored: "
+            f"{sorted(c for c in sidecar.columns if c != 'doc_id')})"
+        )
+    if not queries:
+        raise ValueError("bm25_stats_by_facet: queries must be non-empty")
+    if len(set(queries)) != len(queries):
+        raise ValueError("bm25_stats_by_facet: duplicate queries in the batch")
+    split = [sorted(set(q.split())) for q in queries]
+    if any(not ws for ws in split):
+        raise ValueError("bm25_stats_by_facet: each query needs >= 1 word")
+    check_query_words([w for ws in split for w in ws], "bm25_stats_by_facet")
+    n_buckets = read_index_meta(spark, path)["n_buckets"]
+    all_terms = sorted({w for ws in split for w in ws})
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in all_terms})
+    qt = spark.createDataFrame(
+        [(q, t) for q, ws in zip(queries, split) for t in ws],
+        "query string, term string",
+    )
+    post = (
+        spark.read.parquet(f"{path}/{_POSTINGS}")
+        .where(F.col("bucket").isin(buckets) & F.col("term").isin(all_terms))
+    )
+    ts = _doc_tombstones(spark, path)
+    if ts is not None:
+        post = post.join(F.broadcast(ts), "doc_id", "left_anti")
+    matched = (
+        post.join(F.broadcast(qt), "term").select("query", "doc_id").distinct()
+    )
+    meta = sidecar.select(
+        "doc_id",
+        F.col(facet_col).alias("facet"),
+        F.col(num_col).cast("long").alias("v"),
+    )
+    g = (
+        matched.join(meta, "doc_id")
+        .groupBy("query", "facet")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count("v").cast("long").alias("n_vals"),
+            F.min("v").cast("long").alias("min_v"),
+            F.max("v").cast("long").alias("max_v"),
+            F.sum("v").cast("long").alias("sum_v"),
+        )
+        .withColumn(
+            "avg_fp",
+            F.expr("CASE WHEN n_vals > 0 THEN sum_v * 1000 div n_vals END"),
+        )
+    )
+    w = Window.partitionBy("query").orderBy(F.desc("n_docs"), F.asc("facet"))
+    return (
+        g.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k_facets)
+        .select(
+            "query", "facet", "n_docs", "n_vals", "min_v", "max_v", "sum_v",
+            "avg_fp", "rnk",
+        )
+    )

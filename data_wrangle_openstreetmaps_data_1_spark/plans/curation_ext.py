@@ -2597,3 +2597,66 @@ def tx_bm25_statsfacet(spark: SparkSession, sf: str) -> DataFrame:
     write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
     write_doc_facets(spark, path, docs, ["source", "n_chars"])
     return bm25_stats_facet(spark, path, _MULTI_QUERIES, "n_chars")
+
+
+def _stats_by_facet_oracle(k_facets: int = 10) -> str:
+    from .pipeline import _TOKS_SQL
+
+    all_terms = sorted({w for q in _MULTI_QUERIES for w in q.split()})
+    terms_in = ", ".join(f"'{t}'" for t in all_terms)
+    return rf"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    post AS (SELECT DISTINCT term, doc_id FROM tok WHERE term IN ({terms_in})),
+    qt(query, term) AS (VALUES {_qt_values()}),
+    m AS (SELECT DISTINCT qt.query, p.doc_id FROM post p JOIN qt ON p.term = qt.term),
+    g AS (SELECT m.query, doc.source AS facet,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(doc.n_chars) AS BIGINT) AS n_vals,
+                 CAST(min(doc.n_chars) AS BIGINT) AS min_v,
+                 CAST(max(doc.n_chars) AS BIGINT) AS max_v,
+                 CAST(sum(doc.n_chars) AS BIGINT) AS sum_v
+          FROM m JOIN documents doc ON doc.doc_id = m.doc_id
+          GROUP BY 1, 2),
+    r AS (SELECT query, facet, n_docs, n_vals, min_v, max_v, sum_v,
+                 CASE WHEN n_vals > 0 THEN sum_v * 1000 // n_vals END AS avg_fp,
+                 row_number() OVER (PARTITION BY query
+                                    ORDER BY n_docs DESC, facet ASC) AS rnk
+          FROM g)
+    SELECT query, facet, n_docs, n_vals, min_v, max_v, sum_v, avg_fp, rnk
+    FROM r WHERE rnk <= {k_facets}
+    """
+
+
+@register(
+    "tx_bm25_statsbyfacet",
+    _stats_by_facet_oracle(),
+    doc="per-FACET numeric stats over each query's matching set "
+    "(operators/text_index.py:bm25_stats_by_facet — Elasticsearch "
+    "terms-agg + stats SUB-aggregation, composing tx_bm25_facets and "
+    "tx_bm25_statsfacet into the full sidebar panel): per (query, "
+    "source), match count plus count/min/max/sum and fixed-point mean "
+    "of n_chars, ONE sidecar join feeding both the bucketing and the "
+    "numeric column, ranked like the counts facet so the two panels "
+    "paginate identically. NULL numerics count in n_docs but none of "
+    "the stats (n_vals reports how many did). The oracle replays the "
+    "grouped rollup relationally",
+)
+def tx_bm25_statsbyfacet(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.text_index import (
+        bm25_stats_by_facet,
+        write_bm25_index,
+        write_doc_facets,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="bm25_statsbf_")
+    shutil.rmtree(path, ignore_errors=True)
+    write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
+    write_doc_facets(spark, path, docs, ["source", "n_chars"])
+    return bm25_stats_by_facet(
+        spark, path, _MULTI_QUERIES, "source", "n_chars", k_facets=10
+    )

@@ -671,6 +671,58 @@ def test_stats_facet_excludes_nulls_and_guards(spark):
         shutil.rmtree(path, ignore_errors=True)
 
 
+def test_stats_by_facet_composes_counts_and_stats(spark, docs):
+    """The grouped panel must agree with its two parents: per-facet
+    n_docs == the counts facet, and summing per-facet sums == the global
+    stats facet's sum."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+        bm25_facet_counts_stored,
+        bm25_stats_by_facet,
+        bm25_stats_facet,
+    )
+
+    path = tempfile.mkdtemp(prefix="r14b_statsbf_")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=NB)
+        write_doc_facets(spark, path, docs, ["source", "n_chars"])
+        q = ["slow hash"]
+        grouped = bm25_stats_by_facet(
+            spark, path, q, "source", "n_chars", k_facets=100_000
+        ).collect()
+        counts = {
+            (r["query"], r["facet"]): r["n_docs"]
+            for r in bm25_facet_counts_stored(
+                spark, path, q, "source", k_facets=100_000
+            ).collect()
+        }
+        assert {(r["query"], r["facet"]): r["n_docs"] for r in grouped} == counts
+        total = bm25_stats_facet(spark, path, q, "n_chars").collect()[0]
+        assert sum(r["sum_v"] for r in grouped) == total["sum_v"]
+        assert sum(r["n_vals"] for r in grouped) == total["n_docs"]
+        # NULL-valued numerics: count in n_docs, not in stats
+        df = spark.createDataFrame(
+            [(1, "alpha", "s1", 10), (2, "alpha", "s1", None),
+             (3, "alpha", "s2", 7)],
+            "doc_id long, text string, source string, n_chars long",
+        )
+        p2 = tempfile.mkdtemp(prefix="r14b_statsbf2_")
+        shutil.rmtree(p2, ignore_errors=True)
+        write_bm25_index(spark, df, p2, "doc_id", "text", n_buckets=NB)
+        write_doc_facets(spark, p2, df, ["source", "n_chars"])
+        rows = {r["facet"]: r for r in bm25_stats_by_facet(
+            spark, p2, ["alpha"], "source", "n_chars"
+        ).collect()}
+        assert rows["s1"]["n_docs"] == 2 and rows["s1"]["n_vals"] == 1
+        assert rows["s1"]["sum_v"] == 10 and rows["s1"]["avg_fp"] == 10_000
+        assert rows["s2"]["n_docs"] == 1 and rows["s2"]["avg_fp"] == 7_000
+        shutil.rmtree(p2, ignore_errors=True)
+        with pytest.raises(ValueError, match="not in the sidecar"):
+            bm25_stats_by_facet(spark, path, q, "source", "nope")
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 # --------------------------------------------------------------------------
 # facet-value histogram (the planner's stored selectivity source)
 # --------------------------------------------------------------------------

@@ -40,6 +40,7 @@ NAMES = [
     "tx_bm25_msm",
     "tx_bm25_synonyms",
     "tx_bm25_statsfacet",
+    "tx_bm25_statsbyfacet",
 ]
 
 
