@@ -3034,3 +3034,81 @@ def bm25_stats_by_facet(
             "avg_fp", "rnk",
         )
     )
+
+
+def bm25_snippet_probe(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    queries: list[str],
+    k: int = 5,
+    ctx: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Ranked multi-term retrieval WITH SNIPPETS — the Lucene highlighter
+    over bm25_query_topk (phrase_snippet_probe is the phrase twin): each
+    top-k hit carries the token window around the first occurrence of
+    its BEST term — the matched query term with the highest per-term
+    BM25 contribution for that document (ties broken term-asc), which is
+    the term the highlighter should anchor on because it is why the doc
+    ranked.
+
+    Plan shape: ranking and best-term selection ride the SAME pruned
+    per-(term, doc) score read (one postings scan); the per-term rows
+    restrict to the top-k winners (a broadcast of |queries| x k ids)
+    before the max/arg-min, so the anchor work is page-sized. Text is
+    touched only after ranking: the winners broadcast against the doc
+    store, the window is cut from the index's own tokenization
+    (lowercased whitespace split), and the corpus is never shuffled.
+
+    Output: (query, doc_id, score_fp, best_term, first_pos, snippet,
+    rnk) — first_pos is the 1-based token position of the best term's
+    first occurrence; snippet joins the clamped ``ctx``-token window
+    with single spaces."""
+    from pyspark.sql import Window
+
+    if ctx < 0:
+        raise ValueError(f"bm25_snippet_probe: negative ctx {ctx}")
+    topk = bm25_query_topk(spark, path, queries, k=k)
+    split = [sorted(set(q.split())) for q in queries]
+    qt = spark.createDataFrame(
+        [(q, t) for q, ws in zip(queries, split) for t in ws],
+        "query string, term string",
+    )
+    n_buckets = read_index_meta(spark, path)["n_buckets"]
+    all_terms = sorted({w for ws in split for w in ws})
+    sw = (
+        _bm25_term_scores(spark, path, all_terms, n_buckets)
+        .select("term", "doc_id", F.col("score_fp").alias("t_score"))
+        .join(F.broadcast(qt), "term")
+        .join(
+            F.broadcast(topk.select("query", "doc_id", "score_fp", "rnk")),
+            ["query", "doc_id"],
+        )
+    )
+    w_best = Window.partitionBy("query", "doc_id").orderBy(
+        F.desc("t_score"), F.asc("term")
+    )
+    bt = (
+        sw.withColumn("t_rnk", F.row_number().over(w_best))
+        .where(F.col("t_rnk") == 1)
+        .select("query", "doc_id", "score_fp", "rnk", F.col("term").alias("best_term"))
+    )
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    )
+    snip = (
+        toked.join(F.broadcast(bt), "doc_id")
+        .withColumn(
+            "first_pos", F.expr("array_position(toks, best_term)").cast("long")
+        )
+        .withColumn("lo", F.expr(f"greatest(1, first_pos - {ctx})"))
+        .withColumn("hi", F.expr(f"least(size(toks), first_pos + {ctx})"))
+        .withColumn(
+            "snippet", F.expr("concat_ws(' ', slice(toks, lo, hi - lo + 1))")
+        )
+    )
+    return snip.select(
+        "query", "doc_id", "score_fp", "best_term", "first_pos", "snippet", "rnk"
+    )

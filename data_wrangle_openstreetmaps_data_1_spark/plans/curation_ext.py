@@ -2660,3 +2660,73 @@ def tx_bm25_statsbyfacet(spark: SparkSession, sf: str) -> DataFrame:
     return bm25_stats_by_facet(
         spark, path, _MULTI_QUERIES, "source", "n_chars", k_facets=10
     )
+
+
+def _bm25_snippet_oracle(k: int = 5, ctx: int = 3) -> str:
+    return rf"""
+    WITH {_bm25_scored_ctes()},
+    qt(query, term) AS (VALUES {_qt_values()}),
+    g AS (SELECT qt.query, s.doc_id,
+                 CAST(sum(s.score_fp) AS BIGINT) AS score_fp
+          FROM s2 s JOIN qt ON s.term = qt.term GROUP BY 1, 2),
+    r AS (SELECT query, doc_id, score_fp,
+                 row_number() OVER (PARTITION BY query
+                                    ORDER BY score_fp DESC, doc_id ASC) AS rnk
+          FROM g),
+    win AS (SELECT query, doc_id, score_fp, rnk FROM r WHERE rnk <= {k}),
+    sw AS (SELECT qt.query, s.doc_id, s.term, s.score_fp AS t_score
+           FROM s2 s JOIN qt ON s.term = qt.term
+           JOIN win ON win.query = qt.query AND win.doc_id = s.doc_id),
+    best AS (SELECT query, doc_id, max(t_score) AS b FROM sw GROUP BY 1, 2),
+    bt AS (SELECT sw.query, sw.doc_id, min(sw.term) AS best_term
+           FROM sw JOIN best ON best.query = sw.query
+                            AND best.doc_id = sw.doc_id
+                            AND sw.t_score = best.b
+           GROUP BY 1, 2),
+    pos AS (SELECT win.query, win.doc_id, win.score_fp, win.rnk,
+                   bt.best_term,
+                   CAST(list_position(d.toks, bt.best_term) AS BIGINT)
+                     AS first_pos,
+                   d.toks
+            FROM win JOIN bt ON bt.query = win.query
+                            AND bt.doc_id = win.doc_id
+            JOIN d ON d.doc_id = win.doc_id),
+    cut AS (SELECT query, doc_id, score_fp, best_term, first_pos, rnk,
+                   greatest(1, first_pos - {ctx}) AS lo,
+                   least(len(toks), first_pos + {ctx}) AS hi,
+                   toks
+            FROM pos)
+    SELECT query, doc_id, score_fp, best_term, first_pos,
+           array_to_string(toks[lo:hi], ' ') AS snippet, rnk
+    FROM cut
+    """
+
+
+@register(
+    "tx_bm25_snippets",
+    _bm25_snippet_oracle(),
+    doc="ranked multi-term retrieval WITH SNIPPETS (operators/"
+    "text_index.py:bm25_snippet_probe — the Lucene highlighter over "
+    "bm25_query_topk; tx_phrase_snippets is the phrase twin): each "
+    "top-5 hit carries the token window around the first occurrence of "
+    "its BEST term — the matched term with the highest per-term "
+    "fixed-point BM25 contribution for that doc (ties term-asc), i.e. "
+    "why the doc ranked. Ranking and anchor selection ride ONE pruned "
+    "per-(term, doc) score read; per-term rows restrict to the "
+    "broadcast top-k winners before the arg-max, so anchor work is "
+    "page-sized; text is touched only for winners AFTER ranking, never "
+    "shuffled. The oracle replays the arg-max, list_position, and the "
+    "clamped slice with DuckDB list ops — snippet STRINGS hash "
+    "bit-identically",
+)
+def tx_bm25_snippets(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.text_index import bm25_snippet_probe, write_bm25_index
+
+    docs = load_table(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="bm25_snip_")
+    shutil.rmtree(path, ignore_errors=True)
+    write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
+    return bm25_snippet_probe(spark, path, docs, _MULTI_QUERIES, k=5, ctx=3)

@@ -291,6 +291,9 @@ def test_no_unexpected_products_registry_wide(spark):
         # joins are equi- or semi-joins, adding no product shape
         "tx_bm25_filtered", "tx_bm25_diverse", "tx_mlt", "tx_bm25_tiered",
         "tx_bm25_msm", "tx_bm25_synonyms",
+        # highlighter: ranking + anchor selection share the scored read
+        # (same 1-row stats cross), winners broadcast for the snippet cut
+        "tx_bm25_snippets",
         # lexical tier = bm25_probe (1-row stats cross); the stored vector
         # tier assigns clusters driver-side, so it adds no product join
         "sim_hybrid_stored",

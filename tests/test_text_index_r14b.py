@@ -520,6 +520,38 @@ def test_min_should_match_rides_pagination(spark, faceted_index):
     assert sorted(chained) == top2k
 
 
+def test_bm25_snippets_anchor_and_window(spark, docs, faceted_index):
+    """Highlighter invariants: hit set == bm25_query_topk's; the anchor
+    term is a query term present in the doc at first_pos; the snippet is
+    the clamped window and always contains the anchor."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+        bm25_snippet_probe,
+    )
+
+    q = ["slow hash"]
+    snips = bm25_snippet_probe(spark, faceted_index, docs, q, k=4, ctx=2).collect()
+    tk = bm25_query_topk(spark, faceted_index, q, k=4).collect()
+    assert {(r["query"], r["doc_id"], r["score_fp"], r["rnk"]) for r in snips} == {
+        (r["query"], r["doc_id"], r["score_fp"], r["rnk"]) for r in tk
+    }
+    toks_by_id = {
+        r["doc_id"]: r["t"]
+        for r in docs.select(
+            "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("t")
+        ).collect()
+    }
+    for r in snips:
+        toks = toks_by_id[r["doc_id"]]
+        assert r["best_term"] in ("slow", "hash")
+        fp = r["first_pos"]
+        assert toks[fp - 1] == r["best_term"]  # 1-based first occurrence
+        assert r["best_term"] not in toks[: fp - 1]
+        lo, hi = max(1, fp - 2), min(len(toks), fp + 2)
+        assert r["snippet"] == " ".join(toks[lo - 1:hi])
+    with pytest.raises(ValueError, match="negative ctx"):
+        bm25_snippet_probe(spark, faceted_index, docs, q, ctx=-1)
+
+
 def test_synonyms_max_blend_and_recall_only(spark, faceted_index):
     from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
         bm25_query_topk_synonyms,

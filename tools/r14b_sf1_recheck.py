@@ -41,6 +41,7 @@ NAMES = [
     "tx_bm25_synonyms",
     "tx_bm25_statsfacet",
     "tx_bm25_statsbyfacet",
+    "tx_bm25_snippets",
 ]
 
 
