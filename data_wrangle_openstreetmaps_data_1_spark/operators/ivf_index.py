@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .pq import _fold_l2sq, encode_pq, train_pq_codebooks
+from .topk import topk_per_key
 
 _CODES = "codes"
 _META = "meta"
@@ -502,16 +503,15 @@ def ivf_pq_probe_batched(
       its ``element_at`` chain — bit-identical adc_d2, pinned by sharing
       sim_ivf_pq's oracle and by the equality test against the per-query
       probe;
-    - takes top-k with ONE window partitioned by query_id (same
-      (adc_d2, id) tie-break as the per-query ``orderBy(...).limit(k)``).
+    - takes top-k with the two-stage per-query rank (operators/topk.py —
+      same (adc_d2, id) tie-break as the per-query ``orderBy(...).limit(k)``,
+      value-identical, no single-reducer funnel).
 
     Broadcast sizes: (queries x nprobe) cluster pairs + M x (queries x
     ksub) LUT rows — a 1000-query batch at M=8, ksub=256 is ~2M tiny rows,
     comfortably broadcastable; the corpus-sized side never shuffles.
     Tombstones are honored identically to ivf_pq_probe.
     """
-    from pyspark.sql import Window
-
     import numpy as np
     import pandas as pd
 
@@ -596,12 +596,16 @@ def ivf_pq_probe_batched(
     scored = cand.where(F.col(id_col) != F.col("query_id")).select(
         "query_id", id_col, F.round(acc, r).alias("adc_d2")
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc(id_col))
-    return (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") <= k)
-        .drop("__rk")
-    )
+    # two-stage top-k (operators/topk.py): one query probing hot clusters
+    # must not funnel every ADC candidate through a single reducer
+    return topk_per_key(
+        scored,
+        ["query_id"],
+        [F.asc("adc_d2"), F.asc(id_col)],
+        k,
+        id_col,
+        rank_col="__rk",
+    ).drop("__rk")
 
 
 def ivf_pq_index_merge(

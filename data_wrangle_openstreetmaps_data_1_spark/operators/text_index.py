@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash64
 from ..functions.text import tokens
+from .topk import topk_per_key
 
 _POSTINGS = "postings"
 _TERMS = "terms"
@@ -144,8 +145,18 @@ def write_bm25_index(
         post.repartition("bucket").write.partitionBy("bucket").mode("overwrite").parquet(
             f"{path}/{_POSTINGS}"
         )
-        post.groupBy("term").agg(F.count("*").alias("df")).select(
-            "term", "df", _bucket_col(F.col("term"), n_buckets).alias("bucket")
+        # (max_tf, min_dl) are the per-term IMPACT BOUNDS (Lucene's
+        # competitive impacts): pure postings facts the MaxScore probe
+        # upper-bounds scores with. They merge exactly on add (max/min),
+        # recompute exactly on compact, and stay conservative (never
+        # under-bound) while deletes are only tombstoned.
+        post.groupBy("term").agg(
+            F.count("*").alias("df"),
+            F.max("tf").cast("long").alias("max_tf"),
+            F.min("dl").cast("long").alias("min_dl"),
+        ).select(
+            "term", "df", "max_tf", "min_dl",
+            _bucket_col(F.col("term"), n_buckets).alias("bucket"),
         ).repartition("bucket").write.partitionBy("bucket").mode("overwrite").parquet(
             f"{path}/{_TERMS}"
         )
@@ -246,20 +257,43 @@ def bm25_index_add(
             f"{path}/{_POSTINGS}"
         )
         # df-merge only the touched buckets (dynamic partition overwrite)
-        delta_df = new_post.groupBy("term").agg(F.count("*").alias("df")).select(
-            "term", "df", _bucket_col(F.col("term"), n_buckets).alias("bucket")
+        delta_df = new_post.groupBy("term").agg(
+            F.count("*").alias("df"),
+            F.max("tf").cast("long").alias("max_tf"),
+            F.min("dl").cast("long").alias("min_dl"),
+        ).select(
+            "term", "df", "max_tf", "min_dl",
+            _bucket_col(F.col("term"), n_buckets).alias("bucket"),
         )
         touched = [r["bucket"] for r in delta_df.select("bucket").distinct().collect()]
         old_terms = spark.read.parquet(f"{path}/{_TERMS}").where(
             F.col("bucket").isin(touched)
         )
-        merged = (
-            old_terms.select("term", "df", "bucket")
-            .unionByName(delta_df)
-            .groupBy("term", "bucket")
-            .agg(F.sum("df").cast("long").alias("df"))
-            .select("term", "df", "bucket")
-        )
+        # impact bounds merge exactly: max over the union is the max of
+        # maxes (min_dl dually). A LEGACY dictionary (no impact columns)
+        # merges in the legacy shape — writing v2 columns for only the
+        # touched buckets would leave terms/ with per-bucket schema skew;
+        # rebuild_bm25_terms is the upgrade path.
+        if "max_tf" in old_terms.columns:
+            merged = (
+                old_terms.select("term", "df", "max_tf", "min_dl", "bucket")
+                .unionByName(delta_df)
+                .groupBy("term", "bucket")
+                .agg(
+                    F.sum("df").cast("long").alias("df"),
+                    F.max("max_tf").cast("long").alias("max_tf"),
+                    F.min("min_dl").cast("long").alias("min_dl"),
+                )
+                .select("term", "df", "max_tf", "min_dl", "bucket")
+            )
+        else:
+            merged = (
+                old_terms.select("term", "df", "bucket")
+                .unionByName(delta_df.select("term", "df", "bucket"))
+                .groupBy("term", "bucket")
+                .agg(F.sum("df").cast("long").alias("df"))
+                .select("term", "df", "bucket")
+            )
         # stage the merged buckets, THEN overwrite from the staged copy:
         # the merge reads the table being replaced, so an un-staged
         # dynamic overwrite would race its own input's commit window
@@ -269,7 +303,7 @@ def bm25_index_add(
         merged.repartition("bucket").write.partitionBy("bucket").mode("overwrite").parquet(
             staged_path
         )
-        staged = spark.read.parquet(staged_path).select("term", "df", "bucket")
+        staged = spark.read.parquet(staged_path).select(*merged.columns)
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
@@ -306,8 +340,13 @@ def rebuild_bm25_terms(spark: SparkSession, path: str) -> None:
     postings made it; this restores the derived state to match."""
     n_buckets = read_index_meta(spark, path)["n_buckets"]
     post = spark.read.parquet(f"{path}/{_POSTINGS}")
-    post.groupBy("term").agg(F.count("*").alias("df")).select(
-        "term", "df", _bucket_col(F.col("term"), n_buckets).alias("bucket")
+    post.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.max("tf").cast("long").alias("max_tf"),
+        F.min("dl").cast("long").alias("min_dl"),
+    ).select(
+        "term", "df", "max_tf", "min_dl",
+        _bucket_col(F.col("term"), n_buckets).alias("bucket"),
     ).repartition("bucket").write.partitionBy("bucket").mode("overwrite").parquet(
         f"{path}/{_TERMS}"
     )
@@ -498,13 +537,24 @@ def bm25_index_compact(
         # affected term's df row lives in the dirty set; a term whose
         # last doc died simply vanishes from its bucket)
         t_staged = f"{path}/{_TERMS}__compact"
+        v2 = "max_tf" in spark.read.parquet(f"{path}/{_TERMS}").columns
+        impact_aggs = (
+            [
+                F.max("tf").cast("long").alias("max_tf"),
+                F.min("dl").cast("long").alias("min_dl"),
+            ]
+            if v2
+            else []
+        )
+        impact_cols = ["max_tf", "min_dl"] if v2 else []
         (
             spark.read.parquet(f"{path}/{_POSTINGS}")
             .where(F.col("bucket").isin(dirty))
             .groupBy("term")
-            .agg(F.count("*").alias("df"))
+            .agg(F.count("*").alias("df"), *impact_aggs)
             .select(
-                "term", "df", _bucket_col(F.col("term"), n_buckets).alias("bucket")
+                "term", "df", *impact_cols,
+                _bucket_col(F.col("term"), n_buckets).alias("bucket"),
             )
             .repartition("bucket")
             .write.partitionBy("bucket")
@@ -612,12 +662,9 @@ def bm25_probe(
             ),
         )
     )
-    w = Window.partitionBy("term").orderBy(F.desc("score_fp"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("term", "doc_id", "tf", "df", "score_fp", "rnk")
-    )
+    return topk_per_key(
+        scored, ["term"], [F.desc("score_fp"), F.asc("doc_id")], k, "doc_id"
+    ).select("term", "doc_id", "tf", "df", "score_fp", "rnk")
 
 
 _POSITIONS = "positions"
@@ -799,12 +846,9 @@ def phrase_probe_batched(
     out = _apply_search_after(
         spark, out, "phrase", "phrase_tf", phrases, after, "phrase_probe"
     )
-    w = Window.partitionBy("phrase").orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
-    return (
-        out.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("phrase", "doc_id", "phrase_tf", "rnk")
-    )
+    return topk_per_key(
+        out, ["phrase"], [F.desc("phrase_tf"), F.asc("doc_id")], k, "doc_id"
+    ).select("phrase", "doc_id", "phrase_tf", "rnk")
 
 
 def _apply_search_after(
@@ -957,12 +1001,9 @@ def phrase_probe_per_phrase(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    w = Window.partitionBy("phrase").orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
-    return (
-        out.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("phrase", "doc_id", "phrase_tf", "rnk")
-    )
+    return topk_per_key(
+        out, ["phrase"], [F.desc("phrase_tf"), F.asc("doc_id")], k, "doc_id"
+    ).select("phrase", "doc_id", "phrase_tf", "rnk")
 
 
 def proximity_probe(
@@ -1097,14 +1138,13 @@ def proximity_probe_batched(
             )
             .drop("cur_score", "cur_doc")
         )
-    w = Window.partitionBy("w1", "w2", "slop").orderBy(
-        F.desc("prox_tf"), F.asc("doc_id")
-    )
-    return (
-        out.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("w1", "w2", "slop", "doc_id", "prox_tf", "rnk")
-    )
+    return topk_per_key(
+        out,
+        ["w1", "w2", "slop"],
+        [F.desc("prox_tf"), F.asc("doc_id")],
+        k,
+        "doc_id",
+    ).select("w1", "w2", "slop", "doc_id", "prox_tf", "rnk")
 
 
 def proximity_probe_per_pair(
@@ -1157,14 +1197,13 @@ def proximity_probe_per_pair(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    w = Window.partitionBy("w1", "w2", "slop").orderBy(
-        F.desc("prox_tf"), F.asc("doc_id")
-    )
-    return (
-        out.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("w1", "w2", "slop", "doc_id", "prox_tf", "rnk")
-    )
+    return topk_per_key(
+        out,
+        ["w1", "w2", "slop"],
+        [F.desc("prox_tf"), F.asc("doc_id")],
+        k,
+        "doc_id",
+    ).select("w1", "w2", "slop", "doc_id", "prox_tf", "rnk")
 
 
 def phrase_bm25_probe(
@@ -1225,12 +1264,9 @@ def phrase_bm25_probe(
             ),
         )
     )
-    w = Window.partitionBy("phrase").orderBy(F.desc("score_fp"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("phrase", "doc_id", "phrase_tf", "df", "score_fp", "rnk")
-    )
+    return topk_per_key(
+        scored, ["phrase"], [F.desc("score_fp"), F.asc("doc_id")], k, "doc_id"
+    ).select("phrase", "doc_id", "phrase_tf", "df", "score_fp", "rnk")
 
 
 _PREFIX_OK = re.compile(r"[a-z0-9]+")
@@ -1343,12 +1379,9 @@ def _expanded_terms_probe(
             F.sum("tf").cast("long").alias("total_tf"),
         )
     )
-    w = Window.partitionBy(label_col).orderBy(F.desc("total_tf"), F.asc("doc_id"))
-    return (
-        g.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select(label_col, "doc_id", "n_terms", "total_tf", "rnk")
-    )
+    return topk_per_key(
+        g, [label_col], [F.desc("total_tf"), F.asc("doc_id")], k, "doc_id"
+    ).select(label_col, "doc_id", "n_terms", "total_tf", "rnk")
 
 
 def _del1_py(s: str) -> list[str]:
@@ -1412,14 +1445,13 @@ def fuzzy_term_probe(
         .withColumn("dist", F.levenshtein("query", "term"))
         .where(F.col("dist") <= 1)
     )
-    w = Window.partitionBy("query").orderBy(
-        F.asc("dist"), F.desc("df"), F.asc("term")
-    )
-    return (
-        cand.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("query", "term", "dist", "df", "rnk")
-    )
+    return topk_per_key(
+        cand,
+        ["query"],
+        [F.asc("dist"), F.desc("df"), F.asc("term")],
+        k,
+        "term",
+    ).select("query", "term", "dist", "df", "rnk")
 
 
 def bm25_query_topk(
@@ -1490,12 +1522,9 @@ def bm25_query_topk(
     per_doc = _bm25_query_scored(
         spark, path, queries, require_all, boosts, allowed, min_should_match
     )
-    w = Window.partitionBy("query").orderBy(F.desc("score_fp"), F.asc("doc_id"))
-    return (
-        per_doc.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("query", "doc_id", "n_terms", "score_fp", "rnk")
-    )
+    return topk_per_key(
+        per_doc, ["query"], [F.desc("score_fp"), F.asc("doc_id")], k, "doc_id"
+    ).select("query", "doc_id", "n_terms", "score_fp", "rnk")
 
 
 def _bm25_term_scores(
@@ -1661,6 +1690,163 @@ def _bm25_query_scored(
     return per_doc.select("query", "doc_id", "n_terms", "score_fp")
 
 
+def bm25_query_topk_maxscore(
+    spark: SparkSession,
+    path: str,
+    queries: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """MaxScore / WAND-lite ranked retrieval — VALUE-IDENTICAL to
+    ``bm25_query_topk(queries, k=k)`` (OR semantics, neutral boosts;
+    asserted in tests and sharing its DuckDB oracle), with the classic
+    Lucene ``MAXSCORE``/BlockMaxWAND candidate bounding: a stop-word-like
+    query term must not make candidate generation corpus-sized.
+
+    The dictionary stores per-term IMPACT BOUNDS (``max_tf``, ``min_dl``
+    — pure postings facts written by build/add/compact/merge; see
+    write_bm25_index). At query time each term's score UPPER BOUND is
+    computed in the SAME fixed-point arithmetic as the scoring path from
+    the LIVE df/stats (so bound and score share the index's documented
+    df-staleness contract; floor is monotone, so ub(t) >= every actual
+    posting score of t — conservative under tombstoned deletes too,
+    where the stored bounds can only be loose, never tight).
+
+    Two tiny driver round-trips precede the main plan (bounded: |terms|
+    dictionary rows + 1 stats row, then |queries| x k threshold rows):
+
+    1. ub(t) per query term from the pruned dictionary read;
+    2. theta(q) = the kth-best SINGLE-TERM score of q's highest-ub term
+       (one postings read pruned to those terms) — a valid lower bound
+       on the final kth total score, because those k docs' totals are
+       >= their single-term scores.
+
+    MaxScore partition per query: sort terms by ub asc; the maximal
+    prefix with cumulative ub-sum STRICTLY below theta is non-essential —
+    a doc carrying only non-essential terms scores < theta <= kth-best,
+    so it cannot enter the top-k even on the (score desc, doc_id asc)
+    tie-break. Candidate docs = docs carrying >= 1 ESSENTIAL term (a
+    postings read pruned to essential terms only — the rare terms);
+    exact scores then aggregate ALL query terms but ONLY for candidate
+    rows (semi-join before the group-by), so the common term's
+    corpus-sized postings never feed the aggregate. Fewer than k
+    postings under the best term => no valid theta => no pruning (every
+    term essential) — exactness always wins over pruning.
+
+    Output: (query, doc_id, n_terms, score_fp, rnk), identical to
+    bm25_query_topk. Measured postings-row reduction on a mixed
+    rare+common query: WAND_WIN.json."""
+    from .retrieval import B_FP, K1_FP
+
+    if not queries:
+        raise ValueError("bm25_query_topk_maxscore: queries must be non-empty")
+    if len(set(queries)) != len(queries):
+        raise ValueError("bm25_query_topk_maxscore: duplicate queries in the batch")
+    split = [sorted(set(q.split())) for q in queries]
+    if any(not ws for ws in split):
+        raise ValueError("bm25_query_topk_maxscore: each query needs >= 1 word")
+    check_query_words([w for ws in split for w in ws], "bm25_query_topk_maxscore")
+    n_buckets = read_index_meta(spark, path)["n_buckets"]
+    all_terms = sorted({w for ws in split for w in ws})
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in all_terms})
+    tdict = spark.read.parquet(f"{path}/{_TERMS}")
+    if "max_tf" not in tdict.columns:
+        raise ValueError(
+            f"bm25_query_topk_maxscore: the dictionary at {path} predates "
+            "impact bounds (no max_tf/min_dl columns) — run "
+            "rebuild_bm25_terms(spark, path) to upgrade it"
+        )
+    drows = (
+        tdict.where(F.col("bucket").isin(buckets) & F.col("term").isin(all_terms))
+        .select("term", "df", "max_tf", "min_dl")
+        .collect()  # |query terms| rows — the planning read
+    )
+    st = spark.read.parquet(f"{path}/{_STATS}").head()  # 1 row
+    n_docs, avgdl_fp = int(st["n_docs"]), int(st["avgdl_fp"])
+
+    def _ub(df_: int, max_tf: int, min_dl: int) -> int:
+        # the scoring path's fixed-point formula at (max_tf, min_dl):
+        # score is increasing in tf and decreasing in dl, and floor is
+        # monotone, so this bounds every posting of the term from above
+        idf_fp = (n_docs - df_) * 1000 // (df_ + 1) + 1000
+        norm_fp = (1000 - B_FP) + (B_FP * min_dl * 1000) // avgdl_fp
+        return (max_tf * (K1_FP + 1000) * idf_fp) // (
+            max_tf * 1000 + (K1_FP * norm_fp) // 1000
+        )
+
+    ub = {r["term"]: _ub(int(r["df"]), int(r["max_tf"]), int(r["min_dl"])) for r in drows}
+    present = [[t for t in ws if t in ub] for ws in split]
+    star = {
+        q: max(ts, key=lambda t: (ub[t], t))
+        for q, ts in zip(queries, present)
+        if ts
+    }
+    theta: dict[str, int] = {}
+    if star:
+        star_terms = sorted(set(star.values()))
+        th = (
+            topk_per_key(
+                _bm25_term_scores(spark, path, star_terms, n_buckets).select(
+                    "term", "doc_id", "score_fp"
+                ),
+                ["term"],
+                [F.desc("score_fp"), F.asc("doc_id")],
+                k,
+                "doc_id",
+            )
+            .groupBy("term")
+            .agg(F.count("*").alias("n"), F.min("score_fp").alias("kth"))
+            .collect()  # |star terms| rows, k-bounded input
+        )
+        kth = {r["term"]: int(r["kth"]) for r in th if int(r["n"]) == k}
+        theta = {q: kth[t] for q, t in star.items() if t in kth}
+    ess_pairs: list[tuple[str, str]] = []
+    for q, ts in zip(queries, present):
+        if not ts:
+            continue  # no dictionary term matches: the query returns no rows
+        th_q = theta.get(q)
+        if th_q is None:
+            ess_pairs.extend((q, t) for t in ts)  # no pruning without a bound
+            continue
+        cum, cut = 0, 0
+        for t in sorted(ts, key=lambda t: (ub[t], t)):
+            if cum + ub[t] < th_q:
+                cum += ub[t]
+                cut += 1
+            else:
+                break
+        ess = sorted(ts, key=lambda t: (ub[t], t))[cut:]
+        ess_pairs.extend((q, t) for t in ess)
+    if not ess_pairs:
+        return spark.createDataFrame(
+            [],
+            "query string, doc_id long, n_terms long, score_fp long, rnk int",
+        )
+    ess_terms = sorted({t for _, t in ess_pairs})
+    qt_ess = spark.createDataFrame(ess_pairs, "query string, term string")
+    cand = (
+        _bm25_term_scores(spark, path, ess_terms, n_buckets)
+        .join(F.broadcast(qt_ess), "term")
+        .select("query", "doc_id")
+        .distinct()
+    )
+    qt_all = spark.createDataFrame(
+        [(q, t) for q, ts in zip(queries, present) for t in ts],
+        "query string, term string",
+    )
+    rows = (
+        _bm25_term_scores(spark, path, all_terms, n_buckets)
+        .join(F.broadcast(qt_all), "term")
+        .join(cand, ["query", "doc_id"], "semi")
+    )
+    per_doc = rows.groupBy("query", "doc_id").agg(
+        F.countDistinct("term").cast("long").alias("n_terms"),
+        F.sum("score_fp").cast("long").alias("score_fp"),
+    )
+    return topk_per_key(
+        per_doc, ["query"], [F.desc("score_fp"), F.asc("doc_id")], k, "doc_id"
+    ).select("query", "doc_id", "n_terms", "score_fp", "rnk")
+
+
 def phrase_snippet_probe(
     spark: SparkSession,
     path: str,
@@ -1694,12 +1880,9 @@ def phrase_snippet_probe(
     if ctx < 0:
         raise ValueError(f"phrase_snippet_probe: negative ctx {ctx}")
     matched = _phrase_matches(spark, path, phrases, "phrase_snippet_probe")
-    w = Window.partitionBy("phrase").orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
-    topk = (
-        matched.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("phrase", "doc_id", "phrase_tf", "first_pos", "n_words", "rnk")
-    )
+    topk = topk_per_key(
+        matched, ["phrase"], [F.desc("phrase_tf"), F.asc("doc_id")], k, "doc_id"
+    ).select("phrase", "doc_id", "phrase_tf", "first_pos", "n_words", "rnk")
     toked = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
     )
@@ -1800,16 +1983,30 @@ def bm25_index_merge(
     union.select("term", "doc_id", "tf", "dl", "bucket").repartition(
         "bucket"
     ).write.partitionBy("bucket").mode("overwrite").parquet(f"{out_path}/{_POSTINGS}")
-    terms = [
-        spark.read.parquet(f"{p}/{_TERMS}").select("term", "df", "bucket")
-        for p in in_paths
-    ]
-    tu = terms[0]
-    for t in terms[1:]:
-        tu = tu.unionByName(t)
-    tu.groupBy("term", "bucket").agg(F.sum("df").cast("long").alias("df")).select(
-        "term", "df", "bucket"
-    ).repartition("bucket").write.partitionBy("bucket").mode("overwrite").parquet(
+    raw_terms = [spark.read.parquet(f"{p}/{_TERMS}") for p in in_paths]
+    # impact bounds merge exactly across disjoint segments (max of maxes /
+    # min of mins) — but only when EVERY input carries them; a legacy
+    # segment would otherwise contribute NULL bounds that max/min silently
+    # skip, under-bounding the merged dictionary. Mixed inputs fall back
+    # to the legacy shape (rebuild_bm25_terms upgrades the output).
+    v2 = all("max_tf" in t.columns for t in raw_terms)
+    cols = ["term", "df", "max_tf", "min_dl", "bucket"] if v2 else ["term", "df", "bucket"]
+    tu = raw_terms[0].select(*cols)
+    for t in raw_terms[1:]:
+        tu = tu.unionByName(t.select(*cols))
+    impact_aggs = (
+        [
+            F.max("max_tf").cast("long").alias("max_tf"),
+            F.min("min_dl").cast("long").alias("min_dl"),
+        ]
+        if v2
+        else []
+    )
+    tu.groupBy("term", "bucket").agg(
+        F.sum("df").cast("long").alias("df"), *impact_aggs
+    ).select(*cols).repartition("bucket").write.partitionBy("bucket").mode(
+        "overwrite"
+    ).parquet(
         f"{out_path}/{_TERMS}"
     )
     rows = [spark.read.parquet(f"{p}/{_STATS}").head() for p in in_paths]
@@ -2074,12 +2271,17 @@ def _facet_counts_core(
         .groupBy("query", "facet")
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
-    w = Window.partitionBy("query").orderBy(F.desc("n_docs"), F.asc("facet"))
-    return (
-        g.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k_facets)
-        .select("query", "facet", "n_docs", "rnk")
-    )
+    # NULLS LAST on the facet tie-break: Spark's plain asc sorts NULL
+    # first while the DuckDB oracle's ORDER BY defaults to NULLS LAST —
+    # a NULL facet tying on n_docs at the k_facets boundary must rank
+    # identically across engines (oracles pin NULLS LAST explicitly)
+    return topk_per_key(
+        g,
+        ["query"],
+        [F.desc("n_docs"), F.asc_nulls_last("facet")],
+        k_facets,
+        "facet",
+    ).select("query", "facet", "n_docs", "rnk")
 
 
 def write_doc_facets(
@@ -2309,12 +2511,9 @@ def bm25_query_page(
             )
             .drop("cur_score", "cur_doc")
         )
-    w = Window.partitionBy("query").orderBy(F.desc("score_fp"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("query", "doc_id", "n_terms", "score_fp", "rnk")
-    )
+    return topk_per_key(
+        scored, ["query"], [F.desc("score_fp"), F.asc("doc_id")], k, "doc_id"
+    ).select("query", "doc_id", "n_terms", "score_fp", "rnk")
 
 
 def wildcard_probe(
@@ -2446,8 +2645,16 @@ def choose_filter_strategy(
         )
     if os.path.isdir(f"{path}/{_FACET_STATS}"):
         # histogram keys render values as strings (one schema for every
-        # facet column) — match that render on the probe side
-        wanted = {str(v) for v in facet_values}
+        # facet column) — match the probe values with the SAME Spark
+        # cast('string') render the writer used (line 2125), not Python's
+        # str(): bool renders 'true'/'True' differently, and timestamps/
+        # decimals diverge too. A probe-values-sized local frame is tiny.
+        wanted = {
+            r["v"]
+            for r in spark.createDataFrame([(v,) for v in facet_values], ["v"])
+            .select(F.col("v").cast("string").alias("v"))
+            .collect()
+        }
         hist = (
             spark.read.parquet(f"{path}/{_FACET_STATS}")
             .where(F.col("col") == facet_col)
@@ -2548,12 +2755,9 @@ def bm25_query_topk_filtered(
         )
     scored = _bm25_query_scored(spark, path, queries, require_all, boosts, None)
     scored = scored.join(eligible, "doc_id", "semi")
-    w = Window.partitionBy("query").orderBy(F.desc("score_fp"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("query", "doc_id", "n_terms", "score_fp", "rnk")
-    )
+    return topk_per_key(
+        scored, ["query"], [F.desc("score_fp"), F.asc("doc_id")], k, "doc_id"
+    ).select("query", "doc_id", "n_terms", "score_fp", "rnk")
 
 
 def bm25_query_topk_diverse(
@@ -2613,20 +2817,12 @@ def bm25_query_topk_diverse(
     # inner join: the sidecar covers every live indexed doc by lifecycle
     # contract (build/add write it together; compact drops tombstones)
     sf = scored.join(meta, "doc_id")
-    w_facet = Window.partitionBy("query", "facet").orderBy(
-        F.desc("score_fp"), F.asc("doc_id")
+    order = [F.desc("score_fp"), F.asc("doc_id")]
+    per_f = topk_per_key(
+        sf, ["query", "facet"], order, per_facet, "doc_id", rank_col="facet_rnk"
     )
-    w_all = Window.partitionBy("query").orderBy(
-        F.desc("score_fp"), F.asc("doc_id")
-    )
-    return (
-        sf.withColumn("facet_rnk", F.row_number().over(w_facet))
-        .where(F.col("facet_rnk") <= per_facet)
-        .withColumn("rnk", F.row_number().over(w_all))
-        .where(F.col("rnk") <= k)
-        .select(
-            "query", "doc_id", "facet", "n_terms", "score_fp", "facet_rnk", "rnk"
-        )
+    return topk_per_key(per_f, ["query"], order, k, "doc_id").select(
+        "query", "doc_id", "facet", "n_terms", "score_fp", "facet_rnk", "rnk"
     )
 
 
@@ -2743,14 +2939,12 @@ def mlt_probe(
         [(q, sid) for sid, q in seed_query.items()],
         "query string, seed_id long",
     )
-    w = Window.partitionBy("seed_id").orderBy(F.desc("score_fp"), F.asc("doc_id"))
-    return (
-        scored.join(F.broadcast(m), "query")
-        .where(F.col("doc_id") != F.col("seed_id"))
-        .withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("seed_id", "doc_id", "n_terms", "score_fp", "rnk")
+    cand = scored.join(F.broadcast(m), "query").where(
+        F.col("doc_id") != F.col("seed_id")
     )
+    return topk_per_key(
+        cand, ["seed_id"], [F.desc("score_fp"), F.asc("doc_id")], k, "doc_id"
+    ).select("seed_id", "doc_id", "n_terms", "score_fp", "rnk")
 
 
 def bm25_query_topk_synonyms(
@@ -2848,12 +3042,9 @@ def bm25_query_topk_synonyms(
     )
     if min_should_match is not None:
         per_doc = per_doc.where(F.col("n_groups") >= min_should_match)
-    w = Window.partitionBy("query").orderBy(F.desc("score_fp"), F.asc("doc_id"))
-    return (
-        per_doc.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("query", "doc_id", "n_groups", "score_fp", "rnk")
-    )
+    return topk_per_key(
+        per_doc, ["query"], [F.desc("score_fp"), F.asc("doc_id")], k, "doc_id"
+    ).select("query", "doc_id", "n_groups", "score_fp", "rnk")
 
 
 def bm25_stats_facet(
@@ -3025,14 +3216,19 @@ def bm25_stats_by_facet(
             F.expr("CASE WHEN n_vals > 0 THEN sum_v * 1000 div n_vals END"),
         )
     )
-    w = Window.partitionBy("query").orderBy(F.desc("n_docs"), F.asc("facet"))
-    return (
-        g.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k_facets)
-        .select(
-            "query", "facet", "n_docs", "n_vals", "min_v", "max_v", "sum_v",
-            "avg_fp", "rnk",
-        )
+    # NULLS LAST on the facet tie-break: Spark's plain asc sorts NULL
+    # first while the DuckDB oracle's ORDER BY defaults to NULLS LAST —
+    # a NULL facet tying on n_docs at the k_facets boundary must rank
+    # identically across engines (oracles pin NULLS LAST explicitly)
+    return topk_per_key(
+        g,
+        ["query"],
+        [F.desc("n_docs"), F.asc_nulls_last("facet")],
+        k_facets,
+        "facet",
+    ).select(
+        "query", "facet", "n_docs", "n_vals", "min_v", "max_v", "sum_v",
+        "avg_fp", "rnk",
     )
 
 
@@ -3055,46 +3251,57 @@ def bm25_snippet_probe(
     ranked.
 
     Plan shape: ranking and best-term selection ride the SAME pruned
-    per-(term, doc) score read (one postings scan); the per-term rows
-    restrict to the top-k winners (a broadcast of |queries| x k ids)
-    before the max/arg-min, so the anchor work is page-sized. Text is
-    touched only after ranking: the winners broadcast against the doc
-    store, the window is cut from the index's own tokenization
-    (lowercased whitespace split), and the corpus is never shuffled.
+    per-(term, doc) score read — genuinely ONE postings scan: the
+    (query, doc) aggregation computes the score sum AND the arg-max term
+    (a min-of-struct over (-t_score, term), the integer-safe argmax with
+    term-asc tie-break) in the same GROUP BY, so no second read and no
+    per-doc window. The top-k then rides the two-stage per-query rank and
+    winners already carry their anchor. Text is touched only after
+    ranking: the winners broadcast against the doc store, the window is
+    cut from the index's own tokenization (lowercased whitespace split),
+    and the corpus is never shuffled.
+
+    Scores are identical to ``bm25_query_topk`` (neutral boosts: the
+    per-doc score is the plain per-term sum) — asserted in tests.
 
     Output: (query, doc_id, score_fp, best_term, first_pos, snippet,
     rnk) — first_pos is the 1-based token position of the best term's
     first occurrence; snippet joins the clamped ``ctx``-token window
     with single spaces."""
-    from pyspark.sql import Window
-
     if ctx < 0:
         raise ValueError(f"bm25_snippet_probe: negative ctx {ctx}")
-    topk = bm25_query_topk(spark, path, queries, k=k)
+    if not queries:
+        raise ValueError("bm25_snippet_probe: queries must be non-empty")
+    if len(set(queries)) != len(queries):
+        raise ValueError("bm25_snippet_probe: duplicate queries in the batch")
     split = [sorted(set(q.split())) for q in queries]
+    if any(not ws for ws in split):
+        raise ValueError("bm25_snippet_probe: each query needs >= 1 word")
+    check_query_words([w for ws in split for w in ws], "bm25_snippet_probe")
     qt = spark.createDataFrame(
         [(q, t) for q, ws in zip(queries, split) for t in ws],
         "query string, term string",
     )
     n_buckets = read_index_meta(spark, path)["n_buckets"]
     all_terms = sorted({w for ws in split for w in ws})
-    sw = (
+    per_doc = (
         _bm25_term_scores(spark, path, all_terms, n_buckets)
         .select("term", "doc_id", F.col("score_fp").alias("t_score"))
         .join(F.broadcast(qt), "term")
-        .join(
-            F.broadcast(topk.select("query", "doc_id", "score_fp", "rnk")),
-            ["query", "doc_id"],
+        .groupBy("query", "doc_id")
+        .agg(
+            F.sum("t_score").cast("long").alias("score_fp"),
+            F.min(
+                F.struct(
+                    (-F.col("t_score")).alias("neg_score"),
+                    F.col("term").alias("t"),
+                )
+            ).alias("best"),
         )
     )
-    w_best = Window.partitionBy("query", "doc_id").orderBy(
-        F.desc("t_score"), F.asc("term")
-    )
-    bt = (
-        sw.withColumn("t_rnk", F.row_number().over(w_best))
-        .where(F.col("t_rnk") == 1)
-        .select("query", "doc_id", "score_fp", "rnk", F.col("term").alias("best_term"))
-    )
+    bt = topk_per_key(
+        per_doc, ["query"], [F.desc("score_fp"), F.asc("doc_id")], k, "doc_id"
+    ).select("query", "doc_id", "score_fp", "rnk", F.col("best.t").alias("best_term"))
     toked = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
     )

@@ -1603,7 +1603,7 @@ def _facet_oracle(k_facets: int = 10) -> str:
           GROUP BY 1, 2),
     r AS (SELECT query, facet, n_docs,
                  row_number() OVER (PARTITION BY query
-                                    ORDER BY n_docs DESC, facet ASC) AS rnk
+                                    ORDER BY n_docs DESC, facet ASC NULLS LAST) AS rnk
           FROM g)
     SELECT query, facet, n_docs, rnk FROM r WHERE rnk <= {k_facets}
     """
@@ -2621,7 +2621,7 @@ def _stats_by_facet_oracle(k_facets: int = 10) -> str:
     r AS (SELECT query, facet, n_docs, n_vals, min_v, max_v, sum_v,
                  CASE WHEN n_vals > 0 THEN sum_v * 1000 // n_vals END AS avg_fp,
                  row_number() OVER (PARTITION BY query
-                                    ORDER BY n_docs DESC, facet ASC) AS rnk
+                                    ORDER BY n_docs DESC, facet ASC NULLS LAST) AS rnk
           FROM g)
     SELECT query, facet, n_docs, n_vals, min_v, max_v, sum_v, avg_fp, rnk
     FROM r WHERE rnk <= {k_facets}

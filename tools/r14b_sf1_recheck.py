@@ -86,8 +86,11 @@ def main() -> int:
     }
     bench_path = os.path.join(REPO, "BENCH_sf1_local.json")
     doc = json.load(open(bench_path))
-    if sys.argv[1:] and "r14b_new_ops" in doc:  # subset run: merge
-        doc["r14b_new_ops"]["queries"].update(table)
+    if sys.argv[1:]:
+        # subset run: always MERGE into the section (creating it if absent)
+        # — overwriting would silently drop the other operators' recorded
+        # rehearsal rows (r14 ADVICE)
+        doc.setdefault("r14b_new_ops", payload)["queries"].update(table)
     else:
         doc["r14b_new_ops"] = payload
     with open(bench_path, "w") as f:
