@@ -1690,51 +1690,22 @@ def _bm25_query_scored(
     return per_doc.select("query", "doc_id", "n_terms", "score_fp")
 
 
-def bm25_query_topk_maxscore(
+def maxscore_plan(
     spark: SparkSession,
     path: str,
     queries: list[str],
-    k: int = 5,
-) -> DataFrame:
-    """MaxScore / WAND-lite ranked retrieval — VALUE-IDENTICAL to
-    ``bm25_query_topk(queries, k=k)`` (OR semantics, neutral boosts;
-    asserted in tests and sharing its DuckDB oracle), with the classic
-    Lucene ``MAXSCORE``/BlockMaxWAND candidate bounding: a stop-word-like
-    query term must not make candidate generation corpus-sized.
-
-    The dictionary stores per-term IMPACT BOUNDS (``max_tf``, ``min_dl``
-    — pure postings facts written by build/add/compact/merge; see
-    write_bm25_index). At query time each term's score UPPER BOUND is
-    computed in the SAME fixed-point arithmetic as the scoring path from
-    the LIVE df/stats (so bound and score share the index's documented
-    df-staleness contract; floor is monotone, so ub(t) >= every actual
-    posting score of t — conservative under tombstoned deletes too,
-    where the stored bounds can only be loose, never tight).
-
-    Two tiny driver round-trips precede the main plan (bounded: |terms|
-    dictionary rows + 1 stats row, then |queries| x k threshold rows):
-
-    1. ub(t) per query term from the pruned dictionary read;
-    2. theta(q) = the kth-best SINGLE-TERM score of q's highest-ub term
-       (one postings read pruned to those terms) — a valid lower bound
-       on the final kth total score, because those k docs' totals are
-       >= their single-term scores.
-
-    MaxScore partition per query: sort terms by ub asc; the maximal
-    prefix with cumulative ub-sum STRICTLY below theta is non-essential —
-    a doc carrying only non-essential terms scores < theta <= kth-best,
-    so it cannot enter the top-k even on the (score desc, doc_id asc)
-    tie-break. Candidate docs = docs carrying >= 1 ESSENTIAL term (a
-    postings read pruned to essential terms only — the rare terms);
-    exact scores then aggregate ALL query terms but ONLY for candidate
-    rows (semi-join before the group-by), so the common term's
-    corpus-sized postings never feed the aggregate. Fewer than k
-    postings under the best term => no valid theta => no pruning (every
-    term essential) — exactness always wins over pruning.
-
-    Output: (query, doc_id, n_terms, score_fp, rnk), identical to
-    bm25_query_topk. Measured postings-row reduction on a mixed
-    rare+common query: WAND_WIN.json."""
+    k: int,
+) -> dict:
+    """The PLANNING phase of bm25_query_topk_maxscore (shared with the
+    WAND_WIN ledger tool and tests so the essential split is computed in
+    exactly one place): validates the batch, reads the pruned dictionary
+    (impact bounds) + 1-row stats, computes each term's fixed-point
+    score upper bound, lower-bounds each query's kth final score with
+    its best term's kth single-term score, and partitions terms into
+    essential/non-essential (MaxScore: maximal ub-asc prefix whose
+    cumulative bound stays STRICTLY below theta). Returns a dict with
+    queries, present (dictionary-attested terms per query), ub, theta,
+    ess_pairs, all_terms, n_buckets."""
     from .retrieval import B_FP, K1_FP
 
     if not queries:
@@ -1816,6 +1787,66 @@ def bm25_query_topk_maxscore(
                 break
         ess = sorted(ts, key=lambda t: (ub[t], t))[cut:]
         ess_pairs.extend((q, t) for t in ess)
+    return {
+        "queries": queries,
+        "present": present,
+        "ub": ub,
+        "theta": theta,
+        "ess_pairs": ess_pairs,
+        "all_terms": all_terms,
+        "n_buckets": n_buckets,
+    }
+
+
+def bm25_query_topk_maxscore(
+    spark: SparkSession,
+    path: str,
+    queries: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """MaxScore / WAND-lite ranked retrieval — VALUE-IDENTICAL to
+    ``bm25_query_topk(queries, k=k)`` (OR semantics, neutral boosts;
+    asserted in tests and sharing its DuckDB oracle), with the classic
+    Lucene ``MAXSCORE``/BlockMaxWAND candidate bounding: a stop-word-like
+    query term must not make candidate generation corpus-sized.
+
+    The dictionary stores per-term IMPACT BOUNDS (``max_tf``, ``min_dl``
+    — pure postings facts written by build/add/compact/merge; see
+    write_bm25_index). At query time each term's score UPPER BOUND is
+    computed in the SAME fixed-point arithmetic as the scoring path from
+    the LIVE df/stats (so bound and score share the index's documented
+    df-staleness contract; floor is monotone, so ub(t) >= every actual
+    posting score of t — conservative under tombstoned deletes too,
+    where the stored bounds can only be loose, never tight).
+
+    Two tiny driver round-trips precede the main plan (bounded: |terms|
+    dictionary rows + 1 stats row, then |queries| x k threshold rows):
+
+    1. ub(t) per query term from the pruned dictionary read;
+    2. theta(q) = the kth-best SINGLE-TERM score of q's highest-ub term
+       (one postings read pruned to those terms) — a valid lower bound
+       on the final kth total score, because those k docs' totals are
+       >= their single-term scores.
+
+    MaxScore partition per query: sort terms by ub asc; the maximal
+    prefix with cumulative ub-sum STRICTLY below theta is non-essential —
+    a doc carrying only non-essential terms scores < theta <= kth-best,
+    so it cannot enter the top-k even on the (score desc, doc_id asc)
+    tie-break. Candidate docs = docs carrying >= 1 ESSENTIAL term (a
+    postings read pruned to essential terms only — the rare terms);
+    exact scores then aggregate ALL query terms but ONLY for candidate
+    rows (semi-join before the group-by), so the common term's
+    corpus-sized postings never feed the aggregate. Fewer than k
+    postings under the best term => no valid theta => no pruning (every
+    term essential) — exactness always wins over pruning.
+
+    Output: (query, doc_id, n_terms, score_fp, rnk), identical to
+    bm25_query_topk. Measured postings-row reduction on a mixed
+    rare+common query: WAND_WIN.json."""
+    plan = maxscore_plan(spark, path, queries, k)
+    queries = plan["queries"]
+    present, ess_pairs = plan["present"], plan["ess_pairs"]
+    n_buckets, all_terms = plan["n_buckets"], plan["all_terms"]
     if not ess_pairs:
         return spark.createDataFrame(
             [],

@@ -1355,11 +1355,13 @@ def tx_term_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
 _MULTI_QUERIES = ["slow hash", "table merge group", "spark window"]
 
 
-def _bm25_multi_oracle(k: int = 5) -> str:
+def _bm25_multi_oracle(k: int = 5, modes: tuple = ("or", "and")) -> str:
     """Replays ranked multi-term retrieval: per-term fixed-point BM25
     (the shared integer forms), summed per (query, doc), OR semantics
     ranked as-is and AND semantics ranked over docs carrying every query
-    term — both modes in one result under a mode column."""
+    term — the requested ``modes`` branches under a mode column
+    (tx_bm25_maxscore shares the OR branch verbatim: the MaxScore probe
+    is value-identical to the exact OR ranking by contract)."""
     from ..operators.retrieval import B_FP, K1_FP
     from .pipeline import _TOKS_SQL
 
@@ -1370,6 +1372,11 @@ def _bm25_multi_oracle(k: int = 5) -> str:
     )
     nq_values = ", ".join(
         f"('{q}', {len(set(q.split()))})" for q in _MULTI_QUERIES
+    )
+    branches = " UNION ALL ".join(
+        f"""SELECT '{m}' AS mode, query, doc_id, n_terms, score_fp, rnk
+    FROM r_{m} WHERE rnk <= {k}"""
+        for m in modes
     )
     return rf"""
     WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
@@ -1405,11 +1412,7 @@ def _bm25_multi_oracle(k: int = 5) -> str:
                      row_number() OVER (PARTITION BY g.query
                                         ORDER BY g.score_fp DESC, g.doc_id ASC) AS rnk
               FROM g JOIN nq ON g.query = nq.query AND g.n_terms = nq.n)
-    SELECT 'or' AS mode, query, doc_id, n_terms, score_fp, rnk
-    FROM r_or WHERE rnk <= {k}
-    UNION ALL
-    SELECT 'and' AS mode, query, doc_id, n_terms, score_fp, rnk
-    FROM r_and WHERE rnk <= {k}
+    {branches}
     """
 
 
@@ -1448,6 +1451,42 @@ def tx_bm25_multiterm(spark: SparkSession, sf: str) -> DataFrame:
         "mode", F.lit("and")
     ).select(cols)
     return o.unionByName(a)
+
+
+@register(
+    "tx_bm25_maxscore",
+    _bm25_multi_oracle(modes=("or",)),
+    doc="MaxScore / WAND-lite ranked retrieval "
+    "(operators/text_index.py:bm25_query_topk_maxscore) — the candidate "
+    "bounding every serving engine applies when a query mixes rare and "
+    "stop-word-like terms (Lucene MAXSCORE/BlockMaxWAND): the dictionary "
+    "stores per-term impact bounds (max_tf, min_dl — maintained through "
+    "build/add/compact/merge), the probe computes fixed-point score "
+    "upper bounds from LIVE df/stats, lower-bounds the kth final score "
+    "with the best term's kth single-term score, and generates "
+    "candidates from ESSENTIAL terms only — the common term's "
+    "corpus-sized postings never feed the aggregate (WAND_WIN.json "
+    "measures the row cut). The bound must never change answers: this "
+    "query shares tx_bm25_multiterm's OR-branch oracle verbatim, so the "
+    "driver value-checks identity with exact BM25, and "
+    "tests/test_text_index_r15.py pins equality across the "
+    "add/delete/compact/merge lifecycle",
+)
+def tx_bm25_maxscore(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.text_index import bm25_query_topk_maxscore, write_bm25_index
+
+    docs = load_table(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="bm25_wand_")
+    shutil.rmtree(path, ignore_errors=True)
+    write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
+    return (
+        bm25_query_topk_maxscore(spark, path, _MULTI_QUERIES, k=5)
+        .withColumn("mode", F.lit("or"))
+        .select("mode", "query", "doc_id", "n_terms", "score_fp", "rnk")
+    )
 
 
 def _snippet_oracle(k: int = 5, ctx: int = 3) -> str:

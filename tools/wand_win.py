@@ -1,0 +1,165 @@
+"""Measure the MaxScore/WAND-lite candidate-bounding win (r15).
+
+Fixture: /tmp/sf1_freq documents (frequency-faithful 10x replication, the
+FILTERPLAN_WIN fixture — probed terms match 10x docs, so postings-side
+work actually scales). A mixed rare+common query is built FROM the
+corpus's own dictionary: the highest-df term (the stop-word stand-in)
+plus a low-df term, so the measurement is honest about what a skewed
+real-world query does.
+
+What is recorded per query shape:
+
+- ``ub`` / ``theta`` / ``essential`` — the probe's own planning output
+  (operators/text_index.py:maxscore_plan, the exact code the probe runs);
+- ``cand_gen_rows_maxscore`` vs ``cand_gen_rows_exhaustive`` — postings
+  rows feeding CANDIDATE GENERATION: essential terms only vs every query
+  term (the exact probe's fan-out). This is the scale cost model — at
+  corpus scale the (query, doc) aggregate input is the shuffle;
+- ``agg_input_rows_pruned`` — exact-scoring rows after the candidate
+  semi-join (what actually enters the final aggregate);
+- best-of-``reps`` wall times for bm25_query_topk vs
+  bm25_query_topk_maxscore, with VALUE EQUALITY asserted per rep (the
+  bound must never change answers).
+
+Writes WAND_WIN.json at the repo root.
+
+Usage: python tools/wand_win.py [reps]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FREQ_DIR = "/tmp/sf1_freq"
+
+
+def main() -> int:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    from tools.filterplan_win import ensure_freq_fixture
+
+    ensure_freq_fixture()
+
+    from pyspark.sql import functions as F
+
+    from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+        _bm25_term_scores,
+        bm25_query_topk,
+        bm25_query_topk_maxscore,
+        maxscore_plan,
+        write_bm25_index,
+    )
+    from data_wrangle_openstreetmaps_data_1_spark.session import get_spark
+
+    spark = get_spark("wand_win")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{FREQ_DIR}/documents.parquet")
+
+    path = tempfile.mkdtemp(prefix="wand_win_")
+    shutil.rmtree(path, ignore_errors=True)
+    write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=64)
+
+    # build the query shapes from the corpus's own dictionary
+    terms = spark.read.parquet(f"{path}/terms").select("term", "df")
+    top = terms.orderBy(F.desc("df"), F.asc("term")).limit(1).collect()[0]
+    common = top["term"]
+    # "rare" = the corpus's lowest-df term that can still seed a valid
+    # theta (>= 2k postings); the synthetic vocab is small and near-
+    # uniform, so this picks its one genuinely skewed term
+    rare = (
+        terms.where(F.col("df") >= 2 * 10)
+        .orderBy(F.asc("df"), F.asc("term"))
+        .limit(1)
+        .collect()[0]["term"]
+    )
+    shapes = {
+        "mixed_rare_common": f"{rare} {common}",
+        "common_only": common,
+        "rare_only": rare,
+    }
+    out: dict = {
+        "comment": f"MaxScore candidate bounding at 10x (sf1_freq), best of "
+        f"{reps} reps, local[32]; value-equality asserted per rep",
+        "fixture": f"{FREQ_DIR}/documents.parquet",
+        "n_docs": docs.count(),
+        "honesty_note": (
+            "at this 50k-doc scale the probe's two extra driver round-trips "
+            "(planning read + theta probe) dominate wall time, so "
+            "wall_maxscore > wall_exact here; the scale quantity is the "
+            "candidate-generation/aggregate row cut — at corpus scale those "
+            "rows are the shuffle, the round-trips stay O(|terms|+k)"
+        ),
+        "common_term": {"term": common, "df": int(top["df"])},
+        "rare_term": rare,
+        "queries": {},
+    }
+    k = 10
+    for label, q in shapes.items():
+        plan = maxscore_plan(spark, path, [q], k)
+        ess = sorted(t for _, t in plan["ess_pairs"])
+        nb = plan["n_buckets"]
+        all_t = plan["all_terms"]
+        qt_all = spark.createDataFrame(
+            [(q, t) for t in all_t], "query string, term string"
+        )
+        qt_ess = spark.createDataFrame(
+            [(q, t) for t in ess], "query string, term string"
+        )
+        exhaustive = (
+            _bm25_term_scores(spark, path, all_t, nb)
+            .join(F.broadcast(qt_all), "term")
+        )
+        cand_gen = (
+            _bm25_term_scores(spark, path, ess, nb)
+            .join(F.broadcast(qt_ess), "term")
+        )
+        cand = cand_gen.select("query", "doc_id").distinct()
+        pruned = exhaustive.join(cand, ["query", "doc_id"], "semi")
+        cell: dict = {
+            "query": q,
+            "ub": {t: plan["ub"][t] for t in all_t if t in plan["ub"]},
+            "theta": plan["theta"].get(q),
+            "essential": ess,
+            "non_essential": sorted(set(all_t) - set(ess)),
+            "cand_gen_rows_exhaustive": exhaustive.count(),
+            "cand_gen_rows_maxscore": cand_gen.count(),
+            "agg_input_rows_pruned": pruned.count(),
+        }
+        times: dict[str, float] = {"exact": float("inf"), "maxscore": float("inf")}
+        for _ in range(reps):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            a = sorted(map(tuple, bm25_query_topk(spark, path, [q], k=k).collect()))
+            times["exact"] = min(times["exact"], time.time() - t0)
+            t0 = time.time()
+            b = sorted(
+                map(tuple, bm25_query_topk_maxscore(spark, path, [q], k=k).collect())
+            )
+            times["maxscore"] = min(times["maxscore"], time.time() - t0)
+            assert a == b, f"VALUE MISMATCH on {label}: bound changed answers"
+        cell["wall_exact_s"] = round(times["exact"], 3)
+        cell["wall_maxscore_s"] = round(times["maxscore"], 3)
+        cell["cand_gen_row_cut"] = (
+            round(cell["cand_gen_rows_exhaustive"] / cell["cand_gen_rows_maxscore"], 2)
+            if cell["cand_gen_rows_maxscore"]
+            else None
+        )
+        out["queries"][label] = cell
+        print(json.dumps({label: cell}), flush=True)
+    shutil.rmtree(path, ignore_errors=True)
+    with open(os.path.join(REPO, "WAND_WIN.json"), "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    print("wrote WAND_WIN.json")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
