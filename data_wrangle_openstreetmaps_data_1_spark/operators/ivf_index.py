@@ -52,6 +52,7 @@ from .topk import topk_per_key
 _CODES = "codes"
 _META = "meta"
 _TOMBSTONES = "tombstones"
+_CLUSTER_STATS = "cluster_stats"
 
 
 def train_ivf_pq_meta(
@@ -183,6 +184,12 @@ def write_ivf_pq_index(
             F.count("*").alias("n_base"),
             F.sum("resid_fp").cast("long").alias("sum_resid_fp"),
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{_DRIFT_BASE}")
+        # LIVE cluster-cardinality histogram (unlike the drift baseline,
+        # which deliberately snapshots training time): ncent tiny rows the
+        # filter-strategy planner reads instead of paying a corpus count
+        assigned.groupBy("cluster").agg(
+            F.count("*").cast("long").alias("n_vecs")
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{_CLUSTER_STATS}")
     finally:
         assigned.unpersist()
     spark.createDataFrame([(json.dumps(meta),)], "value string").coalesce(1).write.mode(
@@ -331,9 +338,14 @@ def ivf_pq_index_add(
                 f"index at {path} — adds must be new vectors (use overwrite to "
                 "rebuild, or dedupe the batch first)"
             )
-    _assign_encode(batch, id_col, vec_col, meta).write.partitionBy("cluster").mode(
-        "append"
-    ).parquet(f"{path}/{_CODES}")
+    enc = _assign_encode(batch, id_col, vec_col, meta).persist()
+    try:
+        enc.write.partitionBy("cluster").mode("append").parquet(f"{path}/{_CODES}")
+        _cluster_stats_apply_delta(
+            spark, path, enc.groupBy("cluster").agg(F.count("*").cast("long").alias("d"))
+        )
+    finally:
+        enc.unpersist()
 
 
 def ivf_pq_index_delete(spark: SparkSession, path: str, ids: list[int]) -> None:
@@ -388,6 +400,13 @@ def ivf_pq_index_compact(spark: SparkSession, path: str, id_col: str = "vec_id")
             "dynamic partition overwrite cannot express an empty partition; "
             "rebuild the index (write_ivf_pq_index) for full-cluster deletes"
         )
+    # collect the per-cluster delete counts BEFORE the rewrite: dead reads
+    # the codes table being overwritten, so a lazy read after the swap
+    # would see the survivors and compute a zero delta (ncent-bounded rows)
+    dead_counts = [
+        (int(r["cluster"]), -int(r["n"]))
+        for r in dead.groupBy("cluster").agg(F.count("*").alias("n")).collect()
+    ]
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -396,6 +415,9 @@ def ivf_pq_index_compact(spark: SparkSession, path: str, id_col: str = "vec_id")
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    _cluster_stats_apply_delta(
+        spark, path, spark.createDataFrame(dead_counts, "cluster int, d long")
+    )
     _clear_tombstones(spark, path)
     return len(dirty)
 
@@ -608,6 +630,219 @@ def ivf_pq_probe_batched(
     ).drop("__rk")
 
 
+def write_cluster_stats(spark: SparkSession, path: str) -> None:
+    """(Re)build the live cluster-cardinality histogram from the codes
+    table — one column-pruned aggregate, ncent tiny output rows. The
+    lifecycle maintains the histogram incrementally (write/add/compact/
+    merge); this full rebuild is the upgrade path for pre-r15 indexes
+    and the recovery after a partial commit."""
+    (
+        spark.read.parquet(f"{path}/{_CODES}")
+        .groupBy("cluster")
+        .agg(F.count("*").cast("long").alias("n_vecs"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/{_CLUSTER_STATS}")
+    )
+
+
+def _cluster_stats_apply_delta(
+    spark: SparkSession, path: str, delta: DataFrame
+) -> None:
+    """Merge a (cluster, d) count delta into the histogram sidecar —
+    O(ncent) rows collected driver-side BEFORE the overwrite (never a
+    lazy read of the dir being replaced). Missing sidecar (pre-r15
+    index): full rebuild — the histogram is a pure function of codes/."""
+    import os
+
+    if not os.path.isdir(f"{path}/{_CLUSTER_STATS}"):
+        write_cluster_stats(spark, path)
+        return
+    stored = {
+        int(r["cluster"]): int(r["n_vecs"])
+        for r in spark.read.parquet(f"{path}/{_CLUSTER_STATS}").collect()
+    }
+    for r in delta.collect():
+        stored[int(r["cluster"])] = stored.get(int(r["cluster"]), 0) + int(r["d"])
+    rows = [(c, n) for c, n in sorted(stored.items()) if n > 0]
+    spark.createDataFrame(rows, "cluster int, n_vecs long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/{_CLUSTER_STATS}")
+
+
+def choose_vector_filter_strategy(
+    spark: SparkSession,
+    path: str,
+    allowed: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+) -> dict:
+    """COST-BASED pre/post decision for metadata-filtered vector search —
+    the vector twin of text_index.choose_filter_strategy (r14 verdict
+    task): estimate the filter's selectivity from the index's OWN
+    histogram sidecar (corpus total = sum of the live per-cluster counts
+    — never a corpus-cardinality aggregate at plan time) plus one
+    column-pruned count of the eligible set, then:
+
+    - **pre** (selective filter): semi-join eligibility onto the pruned
+      codes scan — LUT joins and ADC scoring only ever see eligible rows;
+    - **post** (broad filter): rank UNFILTERED top-k' cheaply (no
+      corpus-sized eligibility join at all), filter the k'-bounded page,
+      refill if short — see ivf_pq_probe_filtered for the exact,
+      bounded-rounds contract. Unlike text, naive post-filtering CHANGES
+      ANN results (under-returns on selective filters), so the refill
+      loop is what makes post exact here.
+
+    The histogram can be stale only between a partial commit and its
+    recovery (write_cluster_stats); a mis-estimate can only mis-COST,
+    never mis-answer — both strategies are exact. Returns (strategy,
+    eligible, total, selectivity, threshold, estimator)."""
+    import os
+
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(
+            f"choose_vector_filter_strategy: threshold {threshold!r} must be in (0, 1)"
+        )
+    if os.path.isdir(f"{path}/{_CLUSTER_STATS}"):
+        hist = spark.read.parquet(f"{path}/{_CLUSTER_STATS}").collect()  # ncent rows
+        total = sum(int(r["n_vecs"]) for r in hist)
+        estimator = "stored"
+    else:
+        total = spark.read.parquet(f"{path}/{_CODES}").count()
+        estimator = "scan"
+    eligible = allowed.select(id_col).distinct().count()
+    sel = eligible / total if total else 0.0
+    return {
+        "strategy": "pre" if sel <= threshold else "post",
+        "eligible": eligible,
+        "total": total,
+        "selectivity": sel,
+        "threshold": threshold,
+        "estimator": estimator,
+    }
+
+
+def ivf_pq_probe_filtered(
+    spark: SparkSession,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    *,
+    k: int,
+    nprobe: int,
+    allowed: DataFrame,
+    strategy: str = "auto",
+    threshold: float = 0.5,
+    refill_factor: int = 4,
+    max_refill_rounds: int = 3,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Metadata-filtered batched ANN with a COST-BASED strategy — exact
+    under BOTH strategies (value-equality asserted in tests; the
+    candidate universe is always the probed clusters minus tombstones,
+    so pre and post rank the same eligible set):
+
+    - **pre**: ivf_pq_probe_batched(allowed=...) — eligibility semi-join
+      on the pruned codes scan. Right when the filter is selective.
+    - **post**: rank the UNFILTERED top-k' (k' = k * refill_factor),
+      semi-join eligibility against that k'-bounded page, and accept a
+      query's page when it either yields >= k eligible hits or the
+      unfiltered ranking returned fewer than k' rows (the probed
+      clusters are exhausted — nothing below the page can exist). Short
+      queries REFILL with k' *= refill_factor up to ``max_refill_rounds``
+      rounds; anything still short falls back to the exact pre path for
+      just those queries. Right when the filter is broad: the corpus-
+      sized eligibility join disappears — the filter touches only
+      |queries| x k' ranked rows.
+
+    ``strategy='auto'`` consults choose_vector_filter_strategy (stored
+    histogram + one eligible count). Output is ivf_pq_probe_batched's
+    (query_id, id, adc_d2) shape, top-k eligible per query."""
+    if strategy not in ("auto", "pre", "post"):
+        raise ValueError(
+            f"ivf_pq_probe_filtered: unknown strategy {strategy!r} "
+            "(auto | pre | post)"
+        )
+    if refill_factor < 2:
+        raise ValueError(
+            f"ivf_pq_probe_filtered: refill_factor {refill_factor!r} must be >= 2"
+        )
+    if max_refill_rounds < 0:
+        raise ValueError(
+            f"ivf_pq_probe_filtered: max_refill_rounds {max_refill_rounds!r} "
+            "must be >= 0"
+        )
+    if strategy == "auto":
+        strategy = choose_vector_filter_strategy(
+            spark, path, allowed, threshold, id_col
+        )["strategy"]
+    if strategy == "pre":
+        return ivf_pq_probe_batched(
+            spark, path, queries, k=k, nprobe=nprobe, id_col=id_col, allowed=allowed
+        )
+    remaining = {int(qid) for qid, _ in queries}
+    done_rows: list[tuple[int, int, float]] = []
+    kp = k * refill_factor
+    for _ in range(max_refill_rounds + 1):
+        batch = [(qid, v) for qid, v in queries if int(qid) in remaining]
+        if not batch:
+            break
+        page = ivf_pq_probe_batched(
+            spark, path, batch, k=kp, nprobe=nprobe, id_col=id_col
+        ).persist()
+        # bookkeeping reads are k'-bounded by construction (a serving
+        # page, never the corpus): |queries| count rows, then the
+        # eligible survivors themselves
+        unfiltered_n = {
+            int(r["query_id"]): int(r["n"])
+            for r in page.groupBy("query_id").agg(F.count("*").alias("n")).collect()
+        }
+        surv_rows = (
+            page.join(allowed.select(F.col(id_col)), id_col, "semi")
+            .select("query_id", id_col, "adc_d2")
+            .collect()
+        )
+        page.unpersist()
+        surv_by_q: dict[int, list] = {}
+        for r in surv_rows:
+            surv_by_q.setdefault(int(r["query_id"]), []).append(
+                (float(r["adc_d2"]), int(r[id_col]))
+            )
+        complete = {
+            q
+            for q in remaining
+            if len(surv_by_q.get(q, [])) >= k or unfiltered_n.get(q, 0) < kp
+        }
+        for q in sorted(complete):
+            # the same (adc_d2 asc, id asc) total order the probe ranks by
+            for d2, vid in sorted(surv_by_q.get(q, []))[:k]:
+                done_rows.append((q, vid, d2))
+        remaining -= complete
+        kp *= refill_factor
+    parts: list[DataFrame] = []
+    if done_rows:
+        parts.append(
+            spark.createDataFrame(
+                done_rows, f"query_id long, {id_col} long, adc_d2 double"
+            )
+        )
+    if remaining:
+        # bounded rounds exhausted: exact pre fallback for the stragglers
+        batch = [(qid, v) for qid, v in queries if int(qid) in remaining]
+        parts.append(
+            ivf_pq_probe_batched(
+                spark, path, batch, k=k, nprobe=nprobe, id_col=id_col, allowed=allowed
+            )
+        )
+    if not parts:
+        return spark.createDataFrame(
+            [], f"query_id long, {id_col} long, adc_d2 double"
+        )
+    out = parts[0]
+    for d in parts[1:]:
+        out = out.unionByName(d)
+    return out
+
+
 def ivf_pq_index_merge(
     spark: SparkSession, out_path: str, in_paths: list[str], id_col: str = "vec_id"
 ) -> None:
@@ -689,3 +924,18 @@ def ivf_pq_index_merge(
     spark.createDataFrame([(json.dumps(metas[0]),)], "value string").coalesce(
         1
     ).write.mode("overwrite").text(f"{out_path}/{_META}")
+    stats = []
+    for p in in_paths:
+        if not os.path.isdir(f"{p}/{_CLUSTER_STATS}"):
+            stats = None
+            break
+        stats.append(spark.read.parquet(f"{p}/{_CLUSTER_STATS}"))
+    if stats is not None:
+        su = stats[0]
+        for x in stats[1:]:
+            su = su.unionByName(x)
+        su.groupBy("cluster").agg(
+            F.sum("n_vecs").cast("long").alias("n_vecs")
+        ).coalesce(1).write.mode("overwrite").parquet(f"{out_path}/{_CLUSTER_STATS}")
+    else:
+        write_cluster_stats(spark, out_path)

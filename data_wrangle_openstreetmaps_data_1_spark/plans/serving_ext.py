@@ -955,6 +955,52 @@ def sim_ivf_pq_filtered(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "sim_ivf_pq_filtered_auto",
+    _ivf_pq_oracle(" WHERE a.vec_id % 10 != 3"),
+    doc="COST-BASED filtered vector search "
+    "(operators/ivf_index.py:ivf_pq_probe_filtered, r15): the pre/post "
+    "strategy decision the text tier already makes "
+    "(choose_filter_strategy), brought to the vector leg. Selectivity is "
+    "estimated from the index's LIVE cluster-cardinality histogram "
+    "sidecar (maintained incrementally through write/add/compact/merge — "
+    "never a corpus count at plan time) plus one column-pruned eligible "
+    "count; a broad filter (here vec_id % 10 != 3, ~90% eligible) picks "
+    "POST: rank the unfiltered top-k' page (k' = 4k), filter that "
+    "k'-bounded page, and REFILL with bounded rounds if short — naive "
+    "post-filtering under-returns on ANN, so the refill/exhausted-page "
+    "acceptance rule is what keeps post exact (pre == post == auto "
+    "asserted in tests/test_ivf_index_r15.py across selective and broad "
+    "filters). The corpus-sized eligibility join disappears under post: "
+    "the filter touches |queries| x k' ranked rows. This query runs "
+    "strategy='auto' end-to-end against the shared IVF-PQ oracle with "
+    "the same predicate in the cand CTE",
+)
+def sim_ivf_pq_filtered_auto(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.ivf_index import ivf_pq_probe_filtered
+
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    meta = train_ivf_pq_meta(
+        emb, "vec_id", "v",
+        ncent=_IVFPQ_NCENT, m=_PQ_M, dsub=_PQ_DSUB, ksub=_PQ_K,
+        iters=_PQ_ITERS, round_to=_PQ_R,
+    )
+    path = tempfile.mkdtemp(prefix="ivfpq_filtauto_")
+    shutil.rmtree(path, ignore_errors=True)
+    write_ivf_pq_index(spark, emb, path, meta, "vec_id", "v")
+    queries = [
+        (r["vec_id"], list(r["v"]))
+        for r in emb.where(F.col("vec_id") < _PQ_NQ).orderBy("vec_id").collect()
+    ]
+    allowed = emb.where(F.col("vec_id") % 10 != 3).select("vec_id")
+    return ivf_pq_probe_filtered(
+        spark, path, queries, k=_PQ_TOPK, nprobe=_IVFPQ_NPROBE, allowed=allowed,
+        strategy="auto",
+    )
+
+
+@register(
     "sim_ivf_pq_merged",
     _ivf_pq_oracle(),
     doc="SEGMENT MERGE for the vector serving tier (operators/ivf_index"
