@@ -238,3 +238,232 @@ def execute_ivf_merge_plan(
         ivf_pq_index_merge(spark, out, g)
         outs.append(out)
     return outs
+
+
+def maintain_bm25_segment(
+    spark: SparkSession,
+    path: str,
+    *,
+    tombstone_ratio: float = 0.1,
+    force_compact: bool = False,
+) -> dict:
+    """ONE idempotent maintenance pass over a single BM25 segment — the
+    per-segment half of :func:`maintain_bm25`:
+
+    1. **compaction trigger**: pending tombstones / stored n_docs >=
+       ``tombstone_ratio`` (or ``force_compact``) runs the
+       bucket-selective :func:`~.text_index.bm25_index_compact` — which
+       already heals the doc-keyed sidecars (positions/facets/rterms/
+       facet_stats) it touches;
+    2. **sidecar heals** for drift left by pre-lifecycle code paths or
+       partial commits, each a pure function of index artifacts:
+       rterms/ stale against the terms/ snapshot -> write_reversed_terms;
+       facets/ present but facet_stats/ missing -> write_facet_stats.
+
+    Idempotent by construction: a second immediate run finds no
+    tombstones over threshold and no stale sidecars, and reports all
+    no-ops. Returns {compacted, postings_rows_removed, healed,
+    n_tombstones_before, n_docs}."""
+    from .text_index import (
+        _terms_snapshot,
+        bm25_index_compact,
+        write_facet_stats,
+        write_reversed_terms,
+    )
+
+    if not 0.0 < tombstone_ratio <= 1.0:
+        raise ValueError(
+            f"maintain_bm25_segment: tombstone_ratio {tombstone_ratio!r} "
+            "must be in (0, 1]"
+        )
+    read_index_meta(spark, path)  # loud if not an index
+    n_docs = int(spark.read.parquet(f"{path}/{_STATS}").collect()[0]["n_docs"])
+    n_tomb = (
+        spark.read.parquet(f"{path}/{_TOMBSTONES}").count()
+        if os.path.isdir(f"{path}/{_TOMBSTONES}")
+        else 0
+    )
+    report = {
+        "compacted": False,
+        "postings_rows_removed": 0,
+        "healed": [],
+        "n_tombstones_before": n_tomb,
+        "n_docs": n_docs,
+    }
+    if n_tomb and (force_compact or n_docs == 0 or n_tomb / n_docs >= tombstone_ratio):
+        report["postings_rows_removed"] = bm25_index_compact(spark, path)
+        report["compacted"] = True
+    if os.path.isdir(f"{path}/{_RTERMS}"):
+        snap_dir = f"{path}/{_RTERMS}__snapshot"
+        snap = (
+            spark.read.parquet(snap_dir).head()
+            if os.path.isdir(snap_dir)
+            else None
+        )
+        if snap is None or (
+            int(snap["terms_count"]),
+            int(snap["terms_df_sum"]),
+        ) != _terms_snapshot(spark, path):
+            write_reversed_terms(spark, path)
+            report["healed"].append("rterms")
+    if os.path.isdir(f"{path}/{_FACETS}") and not os.path.isdir(
+        f"{path}/{_FACET_STATS}"
+    ):
+        write_facet_stats(spark, path)
+        report["healed"].append("facet_stats")
+    return report
+
+
+def maintain_bm25(
+    spark: SparkSession,
+    segments: list[str],
+    out_dir: str,
+    *,
+    tombstone_ratio: float = 0.1,
+    max_merge_at_once: int = 4,
+    max_merged_docs: int | None = None,
+    target_segment_count: int = 1,
+) -> dict:
+    """ONE maintenance cycle over a BM25 segment set — the single entry a
+    deployment schedules (r14 verdict task 5), composing the pieces that
+    already exist: per-segment tombstone-triggered compaction + sidecar
+    heals (:func:`maintain_bm25_segment`), then the tiered merge policy
+    (:func:`plan_segment_merges` on post-compact live counts) executed
+    with :func:`execute_merge_plan`. Segments entering a merge group are
+    force-compacted first — both merge ops refuse pending tombstones
+    (Lucene's merges-drop-deletes, made explicit).
+
+    Rewrite amplification stays bounded by the policy: compaction
+    rewrites only dirty buckets, merges only group peers of similar
+    (small) size and never re-enter segments at ``max_merged_docs``
+    (asserted over a long add/delete lifecycle in
+    tests/test_maintain_cycle.py).
+
+    Returns {per_segment, plan, merged_out, segments} where ``segments``
+    is the post-cycle serving set (unmerged survivors + merge outputs, in
+    that order). The CALLER retires merged inputs once it has republished
+    the serving set — publish-then-retire, same as compaction's swap
+    discipline. Idempotent: run again on the returned set, it plans
+    nothing new (unless the set still exceeds ``target_segment_count``
+    under the size ceiling, in which case the next cycle continues the
+    tiering — one pass never cascades by design)."""
+    if len(set(segments)) != len(segments):
+        raise ValueError("maintain_bm25: duplicate segment paths")
+    per = {
+        p: maintain_bm25_segment(spark, p, tombstone_ratio=tombstone_ratio)
+        for p in segments
+    }
+    stats = bm25_segment_stats(spark, segments)
+    plan = plan_segment_merges(
+        stats,
+        max_merge_at_once=max_merge_at_once,
+        max_merged_docs=max_merged_docs,
+        target_segment_count=target_segment_count,
+    )
+    for group in plan:
+        for p in group:
+            if os.path.isdir(f"{p}/{_TOMBSTONES}"):
+                rep = maintain_bm25_segment(
+                    spark, p, tombstone_ratio=tombstone_ratio, force_compact=True
+                )
+                per[p]["postings_rows_removed"] += rep["postings_rows_removed"]
+                per[p]["compacted"] = per[p]["compacted"] or rep["compacted"]
+    outs = execute_merge_plan(spark, plan, out_dir)
+    merged_inputs = {p for g in plan for p in g}
+    final = [p for p in segments if p not in merged_inputs] + outs
+    return {"per_segment": per, "plan": plan, "merged_out": outs, "segments": final}
+
+
+def maintain_ivf_segment(
+    spark: SparkSession,
+    path: str,
+    *,
+    tombstone_ratio: float = 0.1,
+    force_compact: bool = False,
+) -> dict:
+    """Vector-tier twin of :func:`maintain_bm25_segment`: tombstone-ratio
+    triggered :func:`~.ivf_index.ivf_pq_index_compact` (partition-
+    selective) plus the cluster-histogram heal (missing sidecar on a
+    pre-r15 index -> write_cluster_stats; the lifecycle maintains it
+    incrementally otherwise). Idempotent; same report shape with
+    ``partitions_rewritten`` instead of postings rows."""
+    from .ivf_index import _CLUSTER_STATS as IVF_CSTATS
+    from .ivf_index import _CODES as IVF_CODES
+    from .ivf_index import _TOMBSTONES as IVF_TOMBSTONES
+    from .ivf_index import (
+        ivf_pq_index_compact,
+        read_ivf_pq_meta,
+        write_cluster_stats,
+    )
+
+    if not 0.0 < tombstone_ratio <= 1.0:
+        raise ValueError(
+            f"maintain_ivf_segment: tombstone_ratio {tombstone_ratio!r} "
+            "must be in (0, 1]"
+        )
+    read_ivf_pq_meta(spark, path)  # loud if not an IVF-PQ index
+    n_vecs = spark.read.parquet(f"{path}/{IVF_CODES}").count()
+    n_tomb = (
+        spark.read.parquet(f"{path}/{IVF_TOMBSTONES}").count()
+        if os.path.isdir(f"{path}/{IVF_TOMBSTONES}")
+        else 0
+    )
+    report = {
+        "compacted": False,
+        "partitions_rewritten": 0,
+        "healed": [],
+        "n_tombstones_before": n_tomb,
+        "n_vecs": n_vecs,
+    }
+    if n_tomb and (
+        force_compact or n_vecs == 0 or n_tomb / n_vecs >= tombstone_ratio
+    ):
+        report["partitions_rewritten"] = ivf_pq_index_compact(spark, path)
+        report["compacted"] = True
+    if not os.path.isdir(f"{path}/{IVF_CSTATS}"):
+        write_cluster_stats(spark, path)
+        report["healed"].append("cluster_stats")
+    return report
+
+
+def maintain_ivf(
+    spark: SparkSession,
+    segments: list[str],
+    out_dir: str,
+    *,
+    tombstone_ratio: float = 0.1,
+    max_merge_at_once: int = 4,
+    max_merged_docs: int | None = None,
+    target_segment_count: int = 1,
+) -> dict:
+    """Vector-tier twin of :func:`maintain_bm25`: per-segment maintenance,
+    tiered merge plan over live vector counts, merge-forced compaction
+    (ivf_pq_index_merge refuses pending tombstones), publish-then-retire.
+    Same report shape."""
+    if len(set(segments)) != len(segments):
+        raise ValueError("maintain_ivf: duplicate segment paths")
+    from .ivf_index import _TOMBSTONES as IVF_TOMBSTONES
+
+    per = {
+        p: maintain_ivf_segment(spark, p, tombstone_ratio=tombstone_ratio)
+        for p in segments
+    }
+    stats = ivf_segment_stats(spark, segments)
+    plan = plan_segment_merges(
+        stats,
+        max_merge_at_once=max_merge_at_once,
+        max_merged_docs=max_merged_docs,
+        target_segment_count=target_segment_count,
+    )
+    for group in plan:
+        for p in group:
+            if os.path.isdir(f"{p}/{IVF_TOMBSTONES}"):
+                rep = maintain_ivf_segment(
+                    spark, p, tombstone_ratio=tombstone_ratio, force_compact=True
+                )
+                per[p]["partitions_rewritten"] += rep["partitions_rewritten"]
+                per[p]["compacted"] = per[p]["compacted"] or rep["compacted"]
+    outs = execute_ivf_merge_plan(spark, plan, out_dir)
+    merged_inputs = {p for g in plan for p in g}
+    final = [p for p in segments if p not in merged_inputs] + outs
+    return {"per_segment": per, "plan": plan, "merged_out": outs, "segments": final}

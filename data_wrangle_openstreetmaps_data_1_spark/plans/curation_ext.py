@@ -1355,7 +1355,9 @@ def tx_term_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
 _MULTI_QUERIES = ["slow hash", "table merge group", "spark window"]
 
 
-def _bm25_multi_oracle(k: int = 5, modes: tuple = ("or", "and")) -> str:
+def _bm25_multi_oracle(
+    k: int = 5, modes: tuple = ("or", "and"), doc_where: str = ""
+) -> str:
     """Replays ranked multi-term retrieval: per-term fixed-point BM25
     (the shared integer forms), summed per (query, doc), OR semantics
     ranked as-is and AND semantics ranked over docs carrying every query
@@ -1379,7 +1381,7 @@ def _bm25_multi_oracle(k: int = 5, modes: tuple = ("or", "and")) -> str:
         for m in modes
     )
     return rf"""
-    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents {doc_where}),
     lens AS (SELECT doc_id, len(toks) AS dl FROM d WHERE len(toks) >= 1),
     stats AS (SELECT count(*) AS n_docs,
                      CAST(sum(dl) AS BIGINT) * 1000 // count(*) AS avgdl_fp

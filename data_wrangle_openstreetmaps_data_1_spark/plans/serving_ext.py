@@ -665,6 +665,75 @@ def tx_bm25_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
     return stale_df.unionByName(compacted)
 
 
+def _maintain_cycle_oracle() -> str:
+    from .curation_ext import _bm25_multi_oracle
+
+    return _bm25_multi_oracle(
+        modes=("or",), doc_where="WHERE doc_id % 7 != 3"
+    )
+
+
+@register(
+    "tx_maintain_cycle",
+    _maintain_cycle_oracle(),
+    doc="ONE maintenance cycle driving the whole segment lifecycle "
+    "(operators/index_admin.py:maintain_bm25, r15): two per-shard "
+    "segment builds, deletes (doc_id % 7 == 3, ~14% per segment — past "
+    "the 10% tombstone-ratio trigger), then the single idempotent entry "
+    "composes tombstone-triggered bucket-selective compaction, "
+    "merge-forced compaction, and the tiered merge plan "
+    "(plan_segment_merges, Lucene TieredMergePolicy shape) down to ONE "
+    "serving segment — which must answer EXACTLY like a one-shot index "
+    "over the live corpus (global df/avgdl: segment merge is "
+    "value-invisible by the bit-identity contract). The oracle replays "
+    "the OR-mode ranked retrieval over documents minus the deleted set; "
+    "tests/test_maintain_cycle.py additionally pins idempotence, the "
+    "size-ceiling bound, sidecar heals, and the streaming variant",
+)
+def tx_maintain_cycle(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+
+    from ..operators.index_admin import maintain_bm25
+    from ..operators.text_index import bm25_index_delete, bm25_query_topk
+    from .curation_ext import _MULTI_QUERIES
+
+    docs = load_table(spark, sf, "documents")
+    base = tempfile.mkdtemp(prefix="bm25_maint_")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    segs = []
+    for i in range(2):
+        p = f"{base}/seg{i}"
+        write_bm25_index(
+            spark, docs.where(F.col("doc_id") % 2 == i), p, "doc_id", "text",
+            n_buckets=16,
+        )
+        segs.append(p)
+    for i, p in enumerate(segs):
+        victims = [
+            int(r["doc_id"])
+            for r in docs.where(
+                (F.col("doc_id") % 2 == i) & (F.col("doc_id") % 7 == 3)
+            ).select("doc_id").collect()  # bounded: the per-segment delete batch
+        ]
+        if victims:
+            bm25_index_delete(spark, p, victims)
+    report = maintain_bm25(
+        spark, segs, f"{base}/merged", tombstone_ratio=0.1,
+        max_merge_at_once=4, target_segment_count=1,
+    )
+    if len(report["segments"]) != 1:
+        raise ValueError(
+            f"tx_maintain_cycle: expected convergence to 1 segment, got "
+            f"{report['segments']!r}"
+        )
+    return (
+        bm25_query_topk(spark, report["segments"][0], _MULTI_QUERIES, k=5)
+        .withColumn("mode", F.lit("or"))
+        .select("mode", "query", "doc_id", "n_terms", "score_fp", "rnk")
+    )
+
+
 @register(
     "sim_hybrid_stored",
     _hybrid_stored_oracle(),

@@ -65,7 +65,8 @@ def run_bm25_index_stream(
     with_positions: bool = False,
     with_rterms: bool = False,
     with_facets: list[str] | None = None,
-) -> None:
+    maintain: dict | None = None,
+) -> dict | None:
     """Drain a finite document stream (AvailableNow) into the BM25 index
     at ``path``: first non-empty batch builds, later batches add.
 
@@ -92,7 +93,15 @@ def run_bm25_index_stream(
     (``facets/``) in the same foreachBatch — stream rows must carry the
     columns. Like positions, past docs' facets cannot be conjured from
     the index, so a pre-existing index without the sidecar fails loudly
-    up front with the write_doc_facets bootstrap instruction."""
+    up front with the write_doc_facets bootstrap instruction.
+
+    ``maintain`` (optional kwargs for
+    operators/index_admin.maintain_bm25_segment; pass ``{}`` for the
+    defaults) runs ONE idempotent maintenance pass after the stream
+    drains — the streaming deployment shape where ingestion and
+    maintenance share a schedule: drain the landing zone, then compact
+    if accumulated deletes crossed the tombstone-ratio trigger and heal
+    any stale sidecar. Returns that report dict, else None."""
     state = {"initialized": os.path.isdir(os.path.join(path, _POSTINGS))}
     if state["initialized"]:
         spark0 = doc_stream.sparkSession
@@ -147,6 +156,11 @@ def run_bm25_index_stream(
         .start()
     )
     q.awaitTermination()
+    if maintain is not None and state["initialized"]:
+        from ..operators.index_admin import maintain_bm25_segment
+
+        return maintain_bm25_segment(doc_stream.sparkSession, path, **maintain)
+    return None
 
 
 def run_ivf_index_stream(
