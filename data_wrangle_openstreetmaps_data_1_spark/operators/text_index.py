@@ -2726,6 +2726,8 @@ def bm25_query_topk_filtered(
     strategy: str = "auto",
     require_all: bool = False,
     boosts: dict[str, int] | None = None,
+    min_should_match: int | None = None,
+    after: dict[str, tuple[int, int]] | None = None,
 ) -> DataFrame:
     """Metadata-filtered ranked retrieval served ENTIRELY from index
     artifacts, with the pre/post-filter strategy chosen by
@@ -2741,11 +2743,14 @@ def bm25_query_topk_filtered(
     (post). Both are exact, so the planner can act on an estimate
     without risking a wrong answer.
 
+    ``min_should_match``, ``boosts`` and ``after`` compose exactly as on
+    bm25_query_topk / bm25_query_page — per-doc-independent dials around
+    the same scoring model (matrix: COVERAGE.md; msm and require_all stay
+    mutually exclusive, validated downstream).
+
     Output: (query, doc_id, n_terms, score_fp, rnk) — identical column
     contract to bm25_query_topk."""
     import os
-
-    from pyspark.sql import Window
 
     if strategy not in ("auto", "pre", "post"):
         raise ValueError(
@@ -2780,12 +2785,19 @@ def bm25_query_topk_filtered(
         sidecar.where(F.col(facet_col).isin(facet_values)).select("doc_id")
     )
     if strategy == "pre":
-        return bm25_query_topk(
-            spark, path, queries, k=k, require_all=require_all,
-            boosts=boosts, allowed=eligible,
+        scored = _bm25_query_scored(
+            spark, path, queries, require_all, boosts, eligible,
+            min_should_match,
         )
-    scored = _bm25_query_scored(spark, path, queries, require_all, boosts, None)
-    scored = scored.join(eligible, "doc_id", "semi")
+    else:
+        scored = _bm25_query_scored(
+            spark, path, queries, require_all, boosts, None, min_should_match
+        )
+        scored = scored.join(eligible, "doc_id", "semi")
+    scored = _apply_search_after(
+        spark, scored, "query", "score_fp", queries, after,
+        "bm25_query_topk_filtered",
+    )
     return topk_per_key(
         scored, ["query"], [F.desc("score_fp"), F.asc("doc_id")], k, "doc_id"
     ).select("query", "doc_id", "n_terms", "score_fp", "rnk")
@@ -2985,6 +2997,8 @@ def bm25_query_topk_synonyms(
     synonyms: dict[str, list[str]],
     k: int = 5,
     min_should_match: int | None = None,
+    allowed: DataFrame | None = None,
+    after: dict[str, tuple[int, int]] | None = None,
 ) -> DataFrame:
     """Ranked retrieval with query-time SYNONYM EXPANSION — Lucene's
     SynonymQuery / Elasticsearch's synonym graph, the standard recall
@@ -3004,11 +3018,20 @@ def bm25_query_topk_synonyms(
     Synonyms absent from the corpus simply contribute no rows — adding
     expansion never removes a match.
 
+    ``allowed`` composes the metadata PRE-FILTER exactly like
+    bm25_query_topk's: the eligible doc_ids semi-join onto the pruned
+    postings read before any scoring, corpus statistics stay corpus-wide.
+    ``after`` composes search_after pagination exactly like
+    bm25_query_page's: the (score_fp, doc_id) cursor filters the scored
+    per-doc rows before the top-k, on the same total order the ranking
+    uses — both dials are per-doc-independent restrictions around the
+    same scoring model, which is why they compose with each other and
+    with min_should_match (the 3-dial cell is driver-value-checked by
+    tx_bm25_composed; the full matrix lives in COVERAGE.md).
+
     Output: (query, doc_id, n_groups, score_fp, rnk), top-k per query by
     (score_fp desc, doc_id asc). n_groups = how many of the query's
     concepts the doc matched."""
-    from pyspark.sql import Window
-
     if not queries:
         raise ValueError("bm25_query_topk_synonyms: queries must be non-empty")
     if len(set(queries)) != len(queries):
@@ -3058,7 +3081,7 @@ def bm25_query_topk_synonyms(
             )
     n_buckets = read_index_meta(spark, path)["n_buckets"]
     all_terms = sorted({t for _q, _w, t in mapping})
-    scored = _bm25_term_scores(spark, path, all_terms, n_buckets)
+    scored = _bm25_term_scores(spark, path, all_terms, n_buckets, allowed)
     m = spark.createDataFrame(
         mapping, "query string, grp string, term string"
     )
@@ -3073,6 +3096,10 @@ def bm25_query_topk_synonyms(
     )
     if min_should_match is not None:
         per_doc = per_doc.where(F.col("n_groups") >= min_should_match)
+    per_doc = _apply_search_after(
+        spark, per_doc, "query", "score_fp", queries, after,
+        "bm25_query_topk_synonyms",
+    )
     return topk_per_key(
         per_doc, ["query"], [F.desc("score_fp"), F.asc("doc_id")], k, "doc_id"
     ).select("query", "doc_id", "n_groups", "score_fp", "rnk")

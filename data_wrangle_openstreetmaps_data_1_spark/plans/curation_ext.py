@@ -2583,6 +2583,107 @@ def tx_bm25_synonyms(spark: SparkSession, sf: str) -> DataFrame:
     return bm25_query_topk_synonyms(spark, path, _SYN_QUERIES, _SYNONYMS, k=5)
 
 
+_COMPOSED_LANGS = ["en", "zh"]
+_COMPOSED_PAGE = 3
+
+
+def _bm25_composed_oracle() -> str:
+    """Replays the 3-dial composition relationally: synonym group-max
+    scoring over the corpus-wide stats CTEs, the facet PRE-filter as a
+    candidate semi-join (stats stay corpus-wide — the filter-context
+    contract), and search_after as global ranks (page, 2*page] re-ranked
+    from 1 (the cursor is page 1's last hit, so page 2 is exactly the
+    next ranks in the same total order)."""
+    mapping = [
+        (q, w, t)
+        for q in _SYN_QUERIES
+        for w in sorted(set(q.split()))
+        for t in sorted({w} | set(_SYNONYMS.get(w, [])))
+    ]
+    m_values = ", ".join(f"('{q}', '{w}', '{t}')" for q, w, t in mapping)
+    all_terms = sorted({t for _q, _w, t in mapping})
+    langs_in = ", ".join(f"'{x}'" for x in _COMPOSED_LANGS)
+    p = _COMPOSED_PAGE
+    return rf"""
+    WITH {_bm25_scored_ctes(terms=all_terms)},
+    m(query, grp, term) AS (VALUES {m_values}),
+    elig AS (SELECT doc_id FROM documents WHERE lang IN ({langs_in})),
+    g1 AS (SELECT m.query, m.grp, s.doc_id, max(s.score_fp) AS g_score
+           FROM s2 s
+           JOIN m ON s.term = m.term
+           JOIN elig e ON s.doc_id = e.doc_id
+           GROUP BY 1, 2, 3),
+    g2 AS (SELECT query, doc_id,
+                  CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,
+                  CAST(sum(g_score) AS BIGINT) AS score_fp
+           FROM g1 GROUP BY 1, 2),
+    r AS (SELECT query, doc_id, n_groups, score_fp,
+                 row_number() OVER (PARTITION BY query
+                                    ORDER BY score_fp DESC, doc_id ASC) AS rnk
+          FROM g2)
+    SELECT query, doc_id, n_groups, score_fp, rnk - {p} AS rnk
+    FROM r WHERE rnk > {p} AND rnk <= {2 * p}
+    """
+
+
+@register(
+    "tx_bm25_composed",
+    _bm25_composed_oracle(),
+    doc="THREE query dials composed in one serving call (the r14 verdict's "
+    "composability-matrix cell, COVERAGE.md): synonym expansion x "
+    "metadata pre-filter x search_after pagination — "
+    "operators/text_index.py:bm25_query_topk_synonyms(allowed=, after=). "
+    "The dials compose because each is a per-doc-independent restriction "
+    "around the same scoring model: the facet filter semi-joins the "
+    "pruned postings read (corpus statistics stay corpus-wide), the "
+    "synonym groups max-blend per concept, and the cursor filters the "
+    "scored rows on the SAME (score desc, doc_id asc) total order the "
+    "rank uses — so page 2 under filter+synonyms is exactly global ranks "
+    "4..6 re-ranked from 1, which is what the oracle replays. Page 1's "
+    "last hits (the cursors) are collected driver-side — |queries| "
+    "bounded rows, the search_after serving shape",
+)
+def tx_bm25_composed(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.text_index import (
+        bm25_query_topk_synonyms,
+        write_bm25_index,
+        write_doc_facets,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="bm25_composed_")
+    shutil.rmtree(path, ignore_errors=True)
+    write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
+    write_doc_facets(spark, path, docs, ["lang"])
+    eligible = (
+        spark.read.parquet(f"{path}/facets")
+        .where(F.col("lang").isin(_COMPOSED_LANGS))
+        .select("doc_id")
+    )
+    page1 = bm25_query_topk_synonyms(
+        spark, path, _SYN_QUERIES, _SYNONYMS, k=_COMPOSED_PAGE, allowed=eligible
+    ).collect()  # bounded: |queries| x page rows — the cursor read
+    last = {
+        r["query"]: (int(r["score_fp"]), int(r["doc_id"]))
+        for r in page1
+        if r["rnk"] == _COMPOSED_PAGE
+    }
+    short = [q for q in _SYN_QUERIES if q not in last]
+    if short:
+        raise ValueError(
+            f"tx_bm25_composed: queries {short} have fewer than "
+            f"{_COMPOSED_PAGE} eligible hits at this sf — the page-2 "
+            "cursor would be undefined"
+        )
+    return bm25_query_topk_synonyms(
+        spark, path, _SYN_QUERIES, _SYNONYMS, k=_COMPOSED_PAGE,
+        allowed=eligible, after=last,
+    )
+
+
 def _stats_facet_oracle() -> str:
     from .pipeline import _TOKS_SQL
 
