@@ -126,7 +126,7 @@ def write_bm25_index(
 
     stale = [
         d
-        for d in (_POSITIONS, _FACETS, _FACET_STATS, _RTERMS, _TOMBSTONES)
+        for d in (_POSITIONS, _FACETS, _FACET_STATS, _RTERMS, _DOCSTORE, _TOMBSTONES)
         if os.path.isdir(f"{path}/{d}")
     ]
     if stale:
@@ -320,6 +320,14 @@ def bm25_index_add(
         _write_stats_incremental(spark, path, new_post)
         import os
 
+        if os.path.isdir(f"{path}/{_DOCSTORE}"):
+            # the stored-fields sidecar RIDES the lifecycle: an O(batch)
+            # append keeps the snippet probes' staleness guard green
+            # (a silently missing new doc would DROP it from snippets —
+            # the inner-join wrong-answer class)
+            batch.select(
+                F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+            ).write.mode("append").parquet(f"{path}/{_DOCSTORE}")
         if os.path.isdir(f"{path}/{_RTERMS}"):
             # the reversed dictionary RIDES the lifecycle (r13 verdict):
             # it is a pure, vocabulary-sized function of terms/ (Heaps-law
@@ -605,6 +613,16 @@ def bm25_index_compact(
             # histogram: pure function of the just-rewritten sidecar
             # (the rterms discipline; also heals pre-histogram layouts)
             write_facet_stats(spark, path)
+        if os.path.isdir(f"{path}/{_DOCSTORE}"):
+            # doc-keyed like facets: drop victims before the clear
+            d_staged = f"{path}/{_DOCSTORE}__compact"
+            (
+                spark.read.parquet(f"{path}/{_DOCSTORE}")
+                .join(F.broadcast(ts), "doc_id", "left_anti")
+                .write.mode("overwrite")
+                .parquet(d_staged)
+            )
+            _swap_dir(f"{path}/{_DOCSTORE}", d_staged)
         if os.path.isdir(f"{path}/{_RTERMS}"):
             # pure function of the just-rewritten terms/ — riding the
             # lifecycle here is what keeps suffix_probe's staleness guard
@@ -1911,12 +1929,20 @@ def phrase_snippet_probe(
     if ctx < 0:
         raise ValueError(f"phrase_snippet_probe: negative ctx {ctx}")
     matched = _phrase_matches(spark, path, phrases, "phrase_snippet_probe")
-    topk = topk_per_key(
-        matched, ["phrase"], [F.desc("phrase_tf"), F.asc("doc_id")], k, "doc_id"
-    ).select("phrase", "doc_id", "phrase_tf", "first_pos", "n_words", "rnk")
     toked = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
     )
+    return _phrase_snippets_finish(matched, toked, k, ctx)
+
+
+def _phrase_snippets_finish(
+    matched: DataFrame, toked: DataFrame, k: int, ctx: int
+) -> DataFrame:
+    """Rank + cut shared by the docs= and stored forms of the phrase
+    highlighter."""
+    topk = topk_per_key(
+        matched, ["phrase"], [F.desc("phrase_tf"), F.asc("doc_id")], k, "doc_id"
+    ).select("phrase", "doc_id", "phrase_tf", "first_pos", "n_words", "rnk")
     snip = (
         toked.join(F.broadcast(topk), "doc_id")
         .withColumn("lo", F.expr(f"greatest(1, first_pos - {ctx})"))
@@ -1931,6 +1957,99 @@ def phrase_snippet_probe(
     return snip.select(
         "phrase", "doc_id", "phrase_tf", "first_pos", "snippet", "rnk"
     )
+
+
+def write_doc_store(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Materialize the STORED-FIELDS sidecar (Lucene's stored fields /
+    Elasticsearch's _source, the r14-verdict task 7 shape): ``docstore/``
+    = (doc_id, toks) with the index's OWN tokenization, so the snippet
+    probes can serve highlights entirely from index artifacts instead of
+    taking the document store as an argument. Opt-in — an index without
+    it keeps the documented post-ranking doc-store-lookup form.
+
+    Rides the lifecycle once present: bm25_index_add appends the batch's
+    rows (O(batch)), compact drops tombstoned docs before clearing
+    tombstones, merge unions all-or-none. Docs that tokenize to NOTHING
+    are excluded — the index itself never sees them (the stats CTE's
+    ``len(toks) >= 1`` contract), and the staleness guard compares row
+    counts against stats/."""
+    (
+        docs.select(
+            F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+        )
+        .where(F.size("toks") >= 1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/{_DOCSTORE}")
+    )
+
+
+def _stored_tokens(spark: SparkSession, path: str, caller: str) -> DataFrame:
+    """The guarded docstore read under the stored snippet probes: loud on
+    a missing sidecar, loud on a STALE one (row count != stats n_docs —
+    both include tombstoned docs until compact, so the counts agree
+    exactly on a lifecycle-maintained index; a doc missing here would be
+    silently DROPPED from snippets by the join, the wrong-answer class
+    the rterms snapshot guard exists for)."""
+    import os
+
+    if not os.path.isdir(f"{path}/{_DOCSTORE}"):
+        raise ValueError(
+            f"{caller}: {path} has no stored-fields sidecar — run "
+            "write_doc_store(spark, path, docs) first (or pass the doc "
+            "store explicitly via the docs= form)"
+        )
+    stored = spark.read.parquet(f"{path}/{_DOCSTORE}")
+    n_docs = int(spark.read.parquet(f"{path}/{_STATS}").head()["n_docs"])
+    n_stored = stored.count()  # parquet row-group metadata, not a scan
+    if n_stored != n_docs:
+        raise ValueError(
+            f"{caller}: the docstore at {path} is STALE ({n_stored} rows "
+            f"vs {n_docs} indexed docs) — docs were indexed past it by a "
+            "pre-lifecycle code path; re-run write_doc_store over the "
+            "full corpus"
+        )
+    return stored.select("doc_id", "toks")
+
+
+def bm25_snippet_probe_stored(
+    spark: SparkSession,
+    path: str,
+    queries: list[str],
+    k: int = 5,
+    ctx: int = 3,
+) -> DataFrame:
+    """:func:`bm25_snippet_probe` served ENTIRELY from index artifacts —
+    the ranked read is identical; only the token source differs (the
+    ``docstore/`` sidecar instead of a caller-supplied doc store), so the
+    two forms are value-identical by construction (asserted in tests and
+    by the shared driver oracle)."""
+    if ctx < 0:
+        raise ValueError(f"bm25_snippet_probe_stored: negative ctx {ctx}")
+    toked = _stored_tokens(spark, path, "bm25_snippet_probe_stored")
+    per_doc = _bm25_snippets_scored(spark, path, queries)
+    return _bm25_snippets_finish(per_doc, toked, k, ctx)
+
+
+def phrase_snippet_probe_stored(
+    spark: SparkSession,
+    path: str,
+    phrases: list[str],
+    k: int = 5,
+    ctx: int = 3,
+) -> DataFrame:
+    """:func:`phrase_snippet_probe` served entirely from index artifacts
+    (same contract as bm25_snippet_probe_stored)."""
+    if ctx < 0:
+        raise ValueError(f"phrase_snippet_probe_stored: negative ctx {ctx}")
+    toked = _stored_tokens(spark, path, "phrase_snippet_probe_stored")
+    matched = _phrase_matches(spark, path, phrases, "phrase_snippet_probe_stored")
+    return _phrase_snippets_finish(matched, toked, k, ctx)
 
 
 def bm25_index_merge(
@@ -2096,9 +2215,23 @@ def bm25_index_merge(
         # pure function of the merged terms/ — any input serving suffix
         # queries means the merged index should too (r13 verdict task)
         write_reversed_terms(spark, out_path)
+    have_store = [os.path.isdir(f"{p}/{_DOCSTORE}") for p in in_paths]
+    if any(have_store) and not all(have_store):
+        raise ValueError(
+            "bm25_index_merge: docstore/ present on only some inputs — a "
+            "merged index must serve stored snippets for all of the corpus "
+            "or none of it (write_doc_store on the missing inputs first)"
+        )
+    if all(have_store):
+        st = [spark.read.parquet(f"{p}/{_DOCSTORE}") for p in in_paths]
+        su = st[0]
+        for q in st[1:]:
+            su = su.unionByName(q)
+        su.write.mode("overwrite").parquet(f"{out_path}/{_DOCSTORE}")
 
 
 _RTERMS = "rterms"
+_DOCSTORE = "docstore"
 
 
 def _terms_snapshot(spark: SparkSession, path: str) -> tuple[int, int]:
@@ -3328,6 +3461,19 @@ def bm25_snippet_probe(
     with single spaces."""
     if ctx < 0:
         raise ValueError(f"bm25_snippet_probe: negative ctx {ctx}")
+    per_doc = _bm25_snippets_scored(spark, path, queries)
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    )
+    return _bm25_snippets_finish(per_doc, toked, k, ctx)
+
+
+def _bm25_snippets_scored(
+    spark: SparkSession, path: str, queries: list[str]
+) -> DataFrame:
+    """The single-scan scoring core shared by the docs= and stored forms
+    of the BM25 highlighter: per-(query, doc) score sum AND best-term
+    argmax in ONE aggregation (see bm25_snippet_probe's docstring)."""
     if not queries:
         raise ValueError("bm25_snippet_probe: queries must be non-empty")
     if len(set(queries)) != len(queries):
@@ -3342,7 +3488,7 @@ def bm25_snippet_probe(
     )
     n_buckets = read_index_meta(spark, path)["n_buckets"]
     all_terms = sorted({w for ws in split for w in ws})
-    per_doc = (
+    return (
         _bm25_term_scores(spark, path, all_terms, n_buckets)
         .select("term", "doc_id", F.col("score_fp").alias("t_score"))
         .join(F.broadcast(qt), "term")
@@ -3357,12 +3503,17 @@ def bm25_snippet_probe(
             ).alias("best"),
         )
     )
+
+
+def _bm25_snippets_finish(
+    per_doc: DataFrame, toked: DataFrame, k: int, ctx: int
+) -> DataFrame:
+    """Rank + cut shared by the docs= and stored forms of the BM25
+    highlighter: two-stage top-k over the scored (query, doc) frame, then
+    the winners broadcast against the token source and the window cut."""
     bt = topk_per_key(
         per_doc, ["query"], [F.desc("score_fp"), F.asc("doc_id")], k, "doc_id"
     ).select("query", "doc_id", "score_fp", "rnk", F.col("best.t").alias("best_term"))
-    toked = docs.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
-    )
     snip = (
         toked.join(F.broadcast(bt), "doc_id")
         .withColumn(

@@ -2872,3 +2872,47 @@ def tx_bm25_snippets(spark: SparkSession, sf: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
     return bm25_snippet_probe(spark, path, docs, _MULTI_QUERIES, k=5, ctx=3)
+
+
+@register(
+    "tx_bm25_snippets_stored",
+    _bm25_snippet_oracle(),
+    doc="the highlighter served ENTIRELY from index artifacts "
+    "(operators/text_index.py:bm25_snippet_probe_stored, r15): an opt-in "
+    "STORED-FIELDS sidecar (write_doc_store -> docstore/ = (doc_id, "
+    "toks), Lucene's stored fields / Elasticsearch _source) replaces the "
+    "caller-supplied doc store, so snippets come off index artifacts "
+    "like facets do. The sidecar RIDES the lifecycle (add appends "
+    "O(batch), compact drops victims before clearing tombstones, merge "
+    "unions all-or-none) and a count-vs-stats staleness guard refuses a "
+    "sidecar that missed an add — a silently missing doc would DROP "
+    "from snippets via the join, the rterms wrong-answer class. Shares "
+    "tx_bm25_snippets' oracle verbatim: the stored form must be "
+    "value-identical to the docs= form",
+)
+def tx_bm25_snippets_stored(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.text_index import (
+        bm25_snippet_probe_stored,
+        write_bm25_index,
+        write_doc_store,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="bm25_snipstore_")
+    shutil.rmtree(path, ignore_errors=True)
+    # base/delta split exercises the sidecar's lifecycle ride inside the
+    # value-checked query (the tx_bm25_stored discipline)
+    from ..operators.text_index import bm25_index_add
+
+    write_bm25_index(
+        spark, docs.where(F.col("doc_id") % 5 != 3), path, "doc_id", "text",
+        n_buckets=16,
+    )
+    write_doc_store(spark, path, docs.where(F.col("doc_id") % 5 != 3))
+    bm25_index_add(
+        spark, docs.where(F.col("doc_id") % 5 == 3), path, "doc_id", "text"
+    )
+    return bm25_snippet_probe_stored(spark, path, _MULTI_QUERIES, k=5, ctx=3)

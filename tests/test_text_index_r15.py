@@ -256,3 +256,126 @@ def test_maxscore_prunes_common_term_from_candidate_generation(spark):
         assert ub_common < kth
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_stored_snippets_match_docstore_form(spark, docs):
+    """The stored-fields sidecar (r15): bm25/phrase snippet probes served
+    entirely from index artifacts are value-identical to the docs= forms,
+    across the add/delete/compact lifecycle, and the staleness guard
+    fires on a sidecar that missed an add."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+        bm25_snippet_probe,
+        bm25_snippet_probe_stored,
+        phrase_snippet_probe,
+        phrase_snippet_probe_stored,
+        write_doc_store,
+        write_phrase_positions,
+    )
+
+    path = tempfile.mkdtemp(prefix="docstore_idx_")
+    shutil.rmtree(path, ignore_errors=True)
+    base = docs.where(F.col("doc_id") % 5 != 3)
+    delta = docs.where(F.col("doc_id") % 5 == 3)
+    write_bm25_index(spark, base, path, "doc_id", "text", n_buckets=NB)
+    write_phrase_positions(spark, base, path, "doc_id", "text")
+    write_doc_store(spark, path, base)
+    queries = ["spark hash", "window"]
+    a = sorted(map(tuple, bm25_snippet_probe(
+        spark, path, base, queries, k=5
+    ).collect()))
+    b = sorted(map(tuple, bm25_snippet_probe_stored(
+        spark, path, queries, k=5
+    ).collect()))
+    assert a == b and len(a) > 0
+    # add rides the lifecycle: docstore stays fresh
+    from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+        bm25_index_add,
+    )
+
+    bm25_index_add(spark, delta, path, "doc_id", "text")
+    a2 = sorted(map(tuple, bm25_snippet_probe(
+        spark, path, docs, queries, k=5
+    ).collect()))
+    b2 = sorted(map(tuple, bm25_snippet_probe_stored(
+        spark, path, queries, k=5
+    ).collect()))
+    assert a2 == b2
+    # phrase twin (positions were built on base only — rebuild fresh)
+    ph = sorted(map(tuple, phrase_snippet_probe(
+        spark, path, base, ["spark hash"], k=5
+    ).collect()))
+    ps = sorted(map(tuple, phrase_snippet_probe_stored(
+        spark, path, ["spark hash"], k=5
+    ).collect()))
+    # NOTE: positions cover base only while docstore covers base+delta —
+    # both forms rank from the SAME positions sidecar, so they agree
+    assert ph == ps
+    # delete + compact: victims leave the docstore with the tombstones
+    victims = [r["doc_id"] for r in bm25_query_topk(
+        spark, path, ["spark"], k=2
+    ).collect()]
+    bm25_index_delete(spark, path, victims)
+    bm25_index_compact(spark, path)
+    live = docs.where(~F.col("doc_id").isin(victims))
+    a3 = sorted(map(tuple, bm25_snippet_probe(
+        spark, path, live, queries, k=5
+    ).collect()))
+    b3 = sorted(map(tuple, bm25_snippet_probe_stored(
+        spark, path, queries, k=5
+    ).collect()))
+    assert a3 == b3
+    stored_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{path}/docstore").select("doc_id").collect()
+    }
+    assert not (stored_ids & set(victims))
+    # staleness guard: a sidecar that missed an add refuses loudly
+    half = spark.read.parquet(f"{path}/docstore").limit(10)
+    half.write.mode("overwrite").parquet(f"{path}/docstore__trunc")
+    shutil.rmtree(f"{path}/docstore")
+    shutil.move(f"{path}/docstore__trunc", f"{path}/docstore")
+    with pytest.raises(ValueError, match="STALE"):
+        bm25_snippet_probe_stored(spark, path, queries, k=5)
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_docstore_merge_all_or_none(spark, docs):
+    from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+        write_doc_store,
+    )
+
+    seg_a = tempfile.mkdtemp(prefix="ds_seg_a_")
+    seg_b = tempfile.mkdtemp(prefix="ds_seg_b_")
+    out = tempfile.mkdtemp(prefix="ds_merged_") + "/out"
+    try:
+        shutil.rmtree(seg_a, ignore_errors=True)
+        shutil.rmtree(seg_b, ignore_errors=True)
+        da = docs.where(F.col("doc_id") % 2 == 0)
+        db = docs.where(F.col("doc_id") % 2 == 1)
+        write_bm25_index(spark, da, seg_a, "doc_id", "text", n_buckets=NB)
+        write_bm25_index(spark, db, seg_b, "doc_id", "text", n_buckets=NB)
+        write_doc_store(spark, seg_a, da)
+        with pytest.raises(ValueError, match="docstore/ present on only some"):
+            bm25_index_merge(spark, out, [seg_a, seg_b])
+        write_doc_store(spark, seg_b, db)
+        bm25_index_merge(spark, out, [seg_a, seg_b])
+        from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+            bm25_snippet_probe_stored,
+        )
+
+        a = sorted(map(tuple, bm25_snippet_probe_stored(
+            spark, out, ["spark hash"], k=5
+        ).collect()))
+        one = tempfile.mkdtemp(prefix="ds_oneshot_")
+        shutil.rmtree(one, ignore_errors=True)
+        write_bm25_index(spark, docs, one, "doc_id", "text", n_buckets=NB)
+        write_doc_store(spark, one, docs)
+        b = sorted(map(tuple, bm25_snippet_probe_stored(
+            spark, one, ["spark hash"], k=5
+        ).collect()))
+        shutil.rmtree(one, ignore_errors=True)
+        assert a == b
+    finally:
+        shutil.rmtree(seg_a, ignore_errors=True)
+        shutil.rmtree(seg_b, ignore_errors=True)
+        shutil.rmtree(out.rsplit("/", 1)[0], ignore_errors=True)
