@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .topk import topk_per_key
+
 from ..functions.text import tokens
 
 # BM25 constants, pre-scaled by 1000 (k1 = 1.2, b = 0.75).
@@ -92,12 +94,9 @@ def bm25_topk(
             F.expr(f"(tf * {K1_FP + 1000} * idf_fp) div (tf * 1000 + ({K1_FP} * norm_fp) div 1000)"),
         )
     )
-    w = Window.partitionBy("term").orderBy(F.desc("score_fp"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("term", "doc_id", "tf", "df", "score_fp", "rnk")
-    )
+    return topk_per_key(
+        scored, ["term"], [F.desc("score_fp"), F.asc("doc_id")], k, "doc_id"
+    ).select("term", "doc_id", "tf", "df", "score_fp", "rnk")
 
 
 def rrf_fuse(
@@ -143,10 +142,10 @@ def rrf_fuse(
             ).cast("long").alias("rrf_fp"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_fp"), F.asc("doc_id"))
     return (
-        fused.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
+        topk_per_key(
+            fused, ["query_id"], [F.desc("rrf_fp"), F.asc("doc_id")], k, "doc_id"
+        )
         .select("query_id", "doc_id", "lex_rank", "vec_rank", "rrf_fp", "rnk")
     )
 def _phrase_tf_expr(phrase_words: list[str], toks: str = "toks") -> str:
@@ -215,9 +214,6 @@ def phrase_topk(
     long = wide.selectExpr(
         "doc_id", f"stack({len(phrases)}, {stack_args}) AS (phrase, phrase_tf)"
     ).where(F.col("phrase_tf") > 0)
-    w = Window.partitionBy("phrase").orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
-    return (
-        long.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("phrase", "doc_id", "phrase_tf", "rnk")
-    )
+    return topk_per_key(
+        long, ["phrase"], [F.desc("phrase_tf"), F.asc("doc_id")], k, "doc_id"
+    ).select("phrase", "doc_id", "phrase_tf", "rnk")

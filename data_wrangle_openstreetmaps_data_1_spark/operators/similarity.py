@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .topk import topk_per_key
+
 from ..functions.vectors import cosine, literal_fold_sql
 from ..partitioning import spread, truncate_lineage
 
@@ -51,12 +53,14 @@ def knn_brute(targets: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
             cosine(F.col("q_vec"), F.col("t_vec")).alias("cos_raw"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"))
-    )
+    return topk_per_key(
+        scored,
+        ["query_id"],
+        [F.desc("cos_raw"), F.asc("neighbor_id")],
+        k,
+        "neighbor_id",
+        rank_col="rk",
+    ).select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"))
 
 
 def lsh_bucket_sql(vec_col: str, planes: list[list[float]]) -> str:
@@ -93,12 +97,14 @@ def ann_lsh(targets: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("t_vec")).alias("cos_raw"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"))
-    )
+    return topk_per_key(
+        scored,
+        ["query_id"],
+        [F.desc("cos_raw"), F.asc("neighbor_id")],
+        k,
+        "neighbor_id",
+        rank_col="rk",
+    ).select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"))
 
 
 def ann_lsh_multiband(
@@ -142,12 +148,14 @@ def ann_lsh_multiband(
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"))
-    )
+    return topk_per_key(
+        scored,
+        ["query_id"],
+        [F.desc("cos_raw"), F.asc("neighbor_id")],
+        k,
+        "neighbor_id",
+        rank_col="rk",
+    ).select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"))
 
 
 def recall_at_k(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
@@ -235,12 +243,14 @@ def ivf_search(
         .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("t_vec")).alias("cos_raw"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"))
-    )
+    return topk_per_key(
+        scored,
+        ["query_id"],
+        [F.desc("cos_raw"), F.asc("neighbor_id")],
+        k,
+        "neighbor_id",
+        rank_col="rk",
+    ).select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"))
 
 
 NORMALIZE_EXPR = (
@@ -312,12 +322,14 @@ def knn_quantized(
             ).alias("qscore"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("qscore"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "qscore")
-    )
+    return topk_per_key(
+        scored,
+        ["query_id"],
+        [F.desc("qscore"), F.asc("neighbor_id")],
+        k,
+        "neighbor_id",
+        rank_col="rk",
+    ).select("query_id", "neighbor_id", "qscore")
 
 
 def neardup_band_planes(

@@ -952,12 +952,16 @@ def sim_rerank_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         .join(tv, "neighbor_id")
         .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("t_vec")).alias("cos_raw"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 10)
-        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"))
-    )
+    from ..operators.topk import topk_per_key
+
+    return topk_per_key(
+        scored,
+        ["query_id"],
+        [F.desc("cos_raw"), F.asc("neighbor_id")],
+        10,
+        "neighbor_id",
+        rank_col="rk",
+    ).select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"))
 
 
 def _neardup_oracle(tau: float = 0.45, dim: int = 64, n_planes: int = 8, bands: int = 4) -> str:
