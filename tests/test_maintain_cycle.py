@@ -272,10 +272,14 @@ def test_streaming_maintain_report(spark, docs):
                                     maintain={})
         assert rep is not None and not rep["compacted"]  # nothing to do yet
         # accumulate deletes past the trigger, then drain the second half
+        # — the ratio is checked against the FULL post-drain corpus, so
+        # size the batch at 12% of the whole docs table
+        n_total = docs.count()
         victims = [
             r["doc_id"]
             for r in spark.read.parquet(f"{path}/postings")
-            .select("doc_id").distinct().orderBy("doc_id").limit(20).collect()
+            .select("doc_id").distinct().orderBy("doc_id")
+            .limit(int(n_total * 0.12) + 1).collect()
         ]
         bm25_index_delete(spark, path, victims)
         landing2 = tempfile.mkdtemp(prefix="mt_stream_landing2_")
