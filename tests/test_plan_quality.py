@@ -294,6 +294,16 @@ def test_no_unexpected_products_registry_wide(spark):
         # highlighter: ranking + anchor selection share the scored read
         # (same 1-row stats cross), winners broadcast for the snippet cut
         "tx_bm25_snippets",
+        # r15: all four rank through _bm25_term_scores — the identical
+        # broadcast 1-row corpus-stats crossJoin. maxscore adds only
+        # equi-/semi-joins around it (essential-term candidates); the
+        # composed query's filter/cursor joins are equi-/semi-joins; the
+        # stored highlighter swaps the docs= join for the docstore read;
+        # the maintain-cycle row probes the merged segment via
+        # bm25_query_topk (sim_ivf_pq_filtered_auto is NOT here: the IVF
+        # probe's LUT joins are all equi-joins, no product shape)
+        "tx_bm25_maxscore", "tx_bm25_composed", "tx_bm25_snippets_stored",
+        "tx_maintain_cycle",
         # lexical tier = bm25_probe (1-row stats cross); the stored vector
         # tier assigns clusters driver-side, so it adds no product join
         "sim_hybrid_stored",
