@@ -1713,6 +1713,7 @@ def maxscore_plan(
     path: str,
     queries: list[str],
     k: int,
+    allowed: DataFrame | None = None,
 ) -> dict:
     """The PLANNING phase of bm25_query_topk_maxscore (shared with the
     WAND_WIN ledger tool and tests so the essential split is computed in
@@ -1723,7 +1724,13 @@ def maxscore_plan(
     essential/non-essential (MaxScore: maximal ub-asc prefix whose
     cumulative bound stays STRICTLY below theta). Returns a dict with
     queries, present (dictionary-attested terms per query), ub, theta,
-    ess_pairs, all_terms, n_buckets."""
+    ess_pairs, all_terms, n_buckets.
+
+    ``allowed`` composes the metadata PRE-FILTER (Lucene's WAND inside a
+    filter context): theta must come from the FILTERED single-term
+    ranking (an unfiltered kth score could over-bound and wrongly prune),
+    while ub stays the global dictionary bound — valid for any subset,
+    just looser, so pruning weakens but never lies."""
     from .retrieval import B_FP, K1_FP
 
     if not queries:
@@ -1774,9 +1781,9 @@ def maxscore_plan(
         star_terms = sorted(set(star.values()))
         th = (
             topk_per_key(
-                _bm25_term_scores(spark, path, star_terms, n_buckets).select(
-                    "term", "doc_id", "score_fp"
-                ),
+                _bm25_term_scores(
+                    spark, path, star_terms, n_buckets, allowed
+                ).select("term", "doc_id", "score_fp"),
                 ["term"],
                 [F.desc("score_fp"), F.asc("doc_id")],
                 k,
@@ -1821,6 +1828,7 @@ def bm25_query_topk_maxscore(
     path: str,
     queries: list[str],
     k: int = 5,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """MaxScore / WAND-lite ranked retrieval — VALUE-IDENTICAL to
     ``bm25_query_topk(queries, k=k)`` (OR semantics, neutral boosts;
@@ -1858,10 +1866,17 @@ def bm25_query_topk_maxscore(
     postings under the best term => no valid theta => no pruning (every
     term essential) — exactness always wins over pruning.
 
+    ``allowed`` composes the metadata PRE-FILTER exactly as on
+    bm25_query_topk (value-identical to its allowed= form — the
+    filter-context WAND): theta comes from the filtered ranking, the
+    global impact bounds stay valid-but-looser upper bounds on the
+    eligible subset, and both candidate generation and exact scoring
+    semi-join eligibility (matrix: COVERAGE.md).
+
     Output: (query, doc_id, n_terms, score_fp, rnk), identical to
     bm25_query_topk. Measured postings-row reduction on a mixed
     rare+common query: WAND_WIN.json."""
-    plan = maxscore_plan(spark, path, queries, k)
+    plan = maxscore_plan(spark, path, queries, k, allowed)
     queries = plan["queries"]
     present, ess_pairs = plan["present"], plan["ess_pairs"]
     n_buckets, all_terms = plan["n_buckets"], plan["all_terms"]
@@ -1873,7 +1888,7 @@ def bm25_query_topk_maxscore(
     ess_terms = sorted({t for _, t in ess_pairs})
     qt_ess = spark.createDataFrame(ess_pairs, "query string, term string")
     cand = (
-        _bm25_term_scores(spark, path, ess_terms, n_buckets)
+        _bm25_term_scores(spark, path, ess_terms, n_buckets, allowed)
         .join(F.broadcast(qt_ess), "term")
         .select("query", "doc_id")
         .distinct()
@@ -1883,7 +1898,7 @@ def bm25_query_topk_maxscore(
         "query string, term string",
     )
     rows = (
-        _bm25_term_scores(spark, path, all_terms, n_buckets)
+        _bm25_term_scores(spark, path, all_terms, n_buckets, allowed)
         .join(F.broadcast(qt_all), "term")
         .join(cand, ["query", "doc_id"], "semi")
     )

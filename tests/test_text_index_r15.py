@@ -379,3 +379,59 @@ def test_docstore_merge_all_or_none(spark, docs):
         shutil.rmtree(seg_a, ignore_errors=True)
         shutil.rmtree(seg_b, ignore_errors=True)
         shutil.rmtree(out.rsplit("/", 1)[0], ignore_errors=True)
+
+
+def test_maxscore_filtered_value_identical(spark, docs, index):
+    """maxscore x allowed (the filter-context WAND): identical to
+    bm25_query_topk(allowed=...) on selective AND broad filters, and the
+    theta that drives pruning comes from the FILTERED ranking."""
+    for mod, rem in ((10, 0), (3, 1)):
+        allowed = docs.where(F.col("doc_id") % mod == rem).select("doc_id")
+        a = rows_of(
+            bm25_query_topk_maxscore(spark, index, QUERIES, k=5, allowed=allowed)
+        )
+        b = rows_of(
+            bm25_query_topk(spark, index, QUERIES, k=5, allowed=allowed)
+        )
+        assert a == b, (mod, rem)
+        # every hit eligible
+        elig = {r["doc_id"] for r in allowed.collect()}
+        assert {t[1] for t in a} <= elig
+    # empty eligible set: both forms return nothing
+    empty = docs.where(F.col("doc_id") < 0).select("doc_id")
+    assert (
+        bm25_query_topk_maxscore(spark, index, QUERIES, k=5, allowed=empty).count()
+        == 0
+    )
+
+
+def test_maxscore_filtered_theta_is_filtered(spark, docs, index):
+    """The plan's theta under a filter must equal the kth FILTERED
+    single-term score of the best-ub term — an unfiltered theta could
+    over-bound and wrongly prune."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.text_index import (
+        maxscore_plan,
+    )
+
+    allowed = docs.where(F.col("doc_id") % 3 == 1).select("doc_id")
+    k = 5
+    plan_f = maxscore_plan(spark, index, ["spark hash"], k, allowed)
+    plan_u = maxscore_plan(spark, index, ["spark hash"], k)
+    q = "spark hash"
+    # recompute the filtered kth score of the star term by brute force
+    ub = plan_f["ub"]
+    star = max(plan_f["present"][0], key=lambda t: (ub[t], t))
+    nb = plan_f["n_buckets"]
+    scores = sorted(
+        (
+            r["score_fp"]
+            for r in _bm25_term_scores(spark, index, [star], nb, allowed).collect()
+        ),
+        reverse=True,
+    )
+    want = scores[k - 1] if len(scores) >= k else None
+    assert plan_f["theta"].get(q) == want
+    # and it differs from the unfiltered theta on this fixture (the
+    # filter removed high scorers, so the filtered bound is lower)
+    if plan_u["theta"].get(q) is not None and want is not None:
+        assert want <= plan_u["theta"][q]
