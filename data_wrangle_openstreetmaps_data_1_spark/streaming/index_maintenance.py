@@ -170,14 +170,20 @@ def run_ivf_index_stream(
     id_col: str = "vec_id",
     vec_col: str = "v",
     checkpoint: str | None = None,
-) -> None:
+    maintain: dict | None = None,
+) -> dict | None:
     """Vector twin: drain a finite embedding stream into the IVF-PQ index
     at ``path``. ``meta`` (codebooks + centroids) is TRAINED BEFOREHAND on
     a sample — the FAISS train-once-add-forever contract; streams only
     ever assign + encode, so the final index is the same batching-
     independent function of the corpus as the BM25 case. First non-empty
     batch materializes the index (codes + meta sidecar), later batches
-    append into their cluster partitions."""
+    append into their cluster partitions.
+
+    ``maintain`` (optional kwargs for
+    operators/index_admin.maintain_ivf_segment; ``{}`` for defaults) runs
+    one idempotent post-drain maintenance pass — the same drain-then-
+    maintain schedule as the BM25 stream — and returns its report."""
     from ..operators.ivf_index import ivf_pq_index_add, write_ivf_pq_index
 
     state = {"initialized": os.path.isdir(os.path.join(path, "codes"))}
@@ -202,6 +208,11 @@ def run_ivf_index_stream(
         .start()
     )
     q.awaitTermination()
+    if maintain is not None and state["initialized"]:
+        from ..operators.index_admin import maintain_ivf_segment
+
+        return maintain_ivf_segment(vec_stream.sparkSession, path, **maintain)
+    return None
 
 
 def run_hybrid_index_stream(
