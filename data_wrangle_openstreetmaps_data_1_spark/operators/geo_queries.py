@@ -19,6 +19,8 @@ import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from .topk import topk_per_key
 from pyspark.sql.window import Window
 
 from ..partitioning import truncate_lineage
@@ -315,14 +317,24 @@ def grid_knn_join(
                 F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")
             ).alias("dist"),
         )
-        w = Window.partitionBy("lat_a", "lon_a").orderBy(F.asc("dist"), F.asc("id_b"))
-        wp = Window.partitionBy("lat_a", "lon_a")
-        return (
-            cand.withColumn("rk", F.row_number().over(w))
-            .withColumn("n_cand", F.count("*").over(wp))
-            .withColumn("dk", F.max(F.when(F.col("rk") <= k, F.col("dist"))).over(wp))
-            .where(F.col("rk") <= k)
+        # two-stage top-k (operators/topk.py): a dense city ring must not
+        # funnel its whole candidate set through one reducer. The
+        # certification inputs derive from the k-BOUNDED page alone:
+        # n_top == k iff the ring held >= k candidates, and dk (the kth
+        # distance) is the page's max — so the old corpus-wide
+        # count/max window aggregates are gone entirely
+        t = topk_per_key(
+            cand,
+            ["lat_a", "lon_a"],
+            [F.asc("dist"), F.asc("id_b")],
+            k,
+            "id_b",
+            rank_col="rk",
         )
+        gstats = t.groupBy("lat_a", "lon_a").agg(
+            F.count("*").alias("n_top"), F.max("dist").alias("dk")
+        )
+        return t.join(gstats, ["lat_a", "lon_a"])
 
     # kNN is a function of the COORDINATES, not the row: compute per
     # DISTINCT (lat, lon) and join ids back at the end. Real point data
@@ -346,7 +358,7 @@ def grid_knn_join(
         # STRICT dk < g: an outside-ring point at exactly the guarantee
         # distance could win the (dist, id_b) tie-break; a kth distance
         # equal to the guarantee escalates one more ring instead
-        certified = t.where((F.col("n_cand") >= k) & (F.col("dk") < g))
+        certified = t.where((F.col("n_top") == k) & (F.col("dk") < g))
         # per-round lineage truncation: without it the final action and
         # every later round's gating count would re-execute ALL previous
         # rounds' exploded ring joins (the iterative-plan class
@@ -360,7 +372,7 @@ def grid_knn_join(
         # uncertified = short/far points in t, plus points whose ring held
         # no b at all (absent from t entirely)
         uncert_pos = (
-            t.where((F.col("n_cand") < k) | (F.col("dk") >= g))
+            t.where((F.col("n_top") < k) | (F.col("dk") >= g))
             .select(F.col("lat_a").alias("lat"), F.col("lon_a").alias("lon"))
             .unionByName(
                 remaining.join(
