@@ -143,12 +143,19 @@ def w_rank_topn_per_group(spark: SparkSession, sf: str) -> DataFrame:
     j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
         F.col("c_mktsegment").alias("segment"), "o_orderkey", "o_totalprice"
     )
-    w = Window.partitionBy("segment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
-        j.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 3)
-        .select("segment", "o_orderkey", F.round("o_totalprice", 2).alias("total"), "rk")
-    )
+    # two-stage top-k (operators/topk.py): 5 market segments = 5 hot keys
+    # — the single-window form would route every order of a segment
+    # through one reducer
+    from ..operators.topk import topk_per_key
+
+    return topk_per_key(
+        j,
+        ["segment"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        3,
+        "o_orderkey",
+        rank_col="rk",
+    ).select("segment", "o_orderkey", F.round("o_totalprice", 2).alias("total"), "rk")
 
 
 @register(

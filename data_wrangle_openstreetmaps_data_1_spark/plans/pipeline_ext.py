@@ -2427,17 +2427,18 @@ def t_ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
         "ts",
         "event_id",
     )
-    w_open = Window.partitionBy("event_type", "h").orderBy(F.asc("ts"), F.asc("event_id"))
-    w_close = Window.partitionBy("event_type", "h").orderBy(F.desc("ts"), F.desc("event_id"))
+    # open/close are argmin/argmax by (ts, event_id) — min_by/max_by in
+    # ONE hash aggregation with map-side partial combine, replacing the
+    # two sort-windows that routed every tick of a (type, hour) group
+    # through one reducer (same tie-break: struct comparison is
+    # field-ordered, ts then event_id)
     return (
-        ev.withColumn("rk_open", F.row_number().over(w_open))
-        .withColumn("rk_close", F.row_number().over(w_close))
-        .groupBy("event_type", F.col("h").cast("string").alias("hour"))
+        ev.groupBy("event_type", F.col("h").cast("string").alias("hour"))
         .agg(
-            F.round(F.max(F.when(F.col("rk_open") == 1, F.col("value"))), 2).alias("open"),
+            F.round(F.min_by("value", F.struct("ts", "event_id")), 2).alias("open"),
             F.round(F.max("value"), 2).alias("high"),
             F.round(F.min("value"), 2).alias("low"),
-            F.round(F.max(F.when(F.col("rk_close") == 1, F.col("value"))), 2).alias("close"),
+            F.round(F.max_by("value", F.struct("ts", "event_id")), 2).alias("close"),
             F.count("*").alias("n_ticks"),
         )
         .orderBy("event_type", "hour")
