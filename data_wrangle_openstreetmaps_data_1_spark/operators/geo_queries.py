@@ -322,14 +322,20 @@ def grid_knn_join(
         # certification inputs derive from the k-BOUNDED page alone:
         # n_top == k iff the ring held >= k candidates, and dk (the kth
         # distance) is the page's max — so the old corpus-wide
-        # count/max window aggregates are gone entirely
-        t = topk_per_key(
-            cand,
-            ["lat_a", "lon_a"],
-            [F.asc("dist"), F.asc("id_b")],
-            k,
-            "id_b",
-            rank_col="rk",
+        # count/max window aggregates are gone entirely. The page is
+        # materialized (k rows per position) BEFORE the gstats self-join:
+        # without the barrier the exploded ring join and both ranking
+        # stages replay once for gstats and again for t — the recompute
+        # class every other iterative site here truncates away.
+        t = truncate_lineage(
+            topk_per_key(
+                cand,
+                ["lat_a", "lon_a"],
+                [F.asc("dist"), F.asc("id_b")],
+                k,
+                "id_b",
+                rank_col="rk",
+            )
         )
         gstats = t.groupBy("lat_a", "lon_a").agg(
             F.count("*").alias("n_top"), F.max("dist").alias("dk")

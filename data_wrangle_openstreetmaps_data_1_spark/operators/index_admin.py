@@ -423,6 +423,26 @@ def maintain_ivf_segment(
     if not os.path.isdir(f"{path}/{IVF_CSTATS}"):
         write_cluster_stats(spark, path)
         report["healed"].append("cluster_stats")
+    else:
+        # staleness cross-check: the histogram counts logical rows of
+        # codes/ (tombstones included until compact), so sum(n_vecs) must
+        # equal the live codes count EXACTLY. A crash between
+        # ivf_pq_index_add's codes append and its histogram rewrite leaves
+        # the sidecar silently stale — it only mis-COSTS (the filter
+        # planner), never mis-answers, which is exactly why nothing else
+        # would ever notice; the maintenance pass is where it heals.
+        live = (
+            spark.read.parquet(f"{path}/{IVF_CODES}").count()
+            if report["compacted"]
+            else n_vecs
+        )
+        hist_sum = sum(
+            int(r["n_vecs"])
+            for r in spark.read.parquet(f"{path}/{IVF_CSTATS}").collect()
+        )
+        if hist_sum != live:
+            write_cluster_stats(spark, path)
+            report["healed"].append("cluster_stats")
     return report
 
 

@@ -308,6 +308,14 @@ def ivf_pq_index_add(
     ``drift_guard=True`` runs :func:`ivf_pq_drift_report` on the batch
     first and refuses (raises) if any cluster warrants retraining — the
     batch never lands, so the index's recall contract is preserved.
+
+    Partial-commit story: the codes append and the histogram rewrite are
+    two separate commits; a crash between them leaves cluster_stats/
+    STALE — which mis-COSTS the filter planner but never mis-answers
+    (both filter strategies are exact). Recovery is
+    :func:`write_cluster_stats`, and :func:`~.index_admin.maintain_ivf_segment`
+    cross-checks sum(n_vecs) against the live codes count on every
+    maintenance pass and heals automatically.
     """
     meta = read_ivf_pq_meta(spark, path)
     if drift_guard:
@@ -619,7 +627,22 @@ def ivf_pq_probe_batched(
         "query_id", id_col, F.round(acc, r).alias("adc_d2")
     )
     # two-stage top-k (operators/topk.py): one query probing hot clusters
-    # must not funnel every ADC candidate through a single reducer
+    # must not funnel every ADC candidate through a single reducer. The
+    # histogram sidecar gives a FREE per-query candidate bound (sum of
+    # the probed clusters' live counts — tombstones/allowed only shrink
+    # it), so small serving probes skip the salted stage entirely.
+    approx = None
+    import os as _os
+
+    if _os.path.isdir(f"{path}/{_CLUSTER_STATS}"):
+        sizes = {
+            int(rr["cluster"]): int(rr["n_vecs"])
+            for rr in spark.read.parquet(f"{path}/{_CLUSTER_STATS}").collect()
+        }
+        per_q: dict[int, int] = {}
+        for qid, c in qc_rows:
+            per_q[qid] = per_q.get(qid, 0) + sizes.get(c, 0)
+        approx = max(per_q.values(), default=None)
     return topk_per_key(
         scored,
         ["query_id"],
@@ -627,6 +650,7 @@ def ivf_pq_probe_batched(
         k,
         id_col,
         rank_col="__rk",
+        approx_candidates_per_key=approx,
     ).drop("__rk")
 
 
@@ -676,6 +700,7 @@ def choose_vector_filter_strategy(
     allowed: DataFrame,
     threshold: float = 0.5,
     id_col: str = "vec_id",
+    small_corpus_floor: int = 65_536,
 ) -> dict:
     """COST-BASED pre/post decision for metadata-filtered vector search —
     the vector twin of text_index.choose_filter_strategy (r14 verdict
@@ -693,10 +718,20 @@ def choose_vector_filter_strategy(
       ANN results (under-returns on selective filters), so the refill
       loop is what makes post exact here.
 
+    Corpus-size floor (r15 verdict task): below ``small_corpus_floor``
+    live vectors — read from the stored histogram, free — the answer is
+    always **pre**, whatever the selectivity: the post path's refill
+    bookkeeping costs 2+ extra driver round-trips that cannot pay for
+    themselves when the "corpus-sized" eligibility join is itself tiny
+    (VECFILTERPLAN_WIN measured pre faster on BOTH cells at 20k vectors;
+    the selectivity crossover is real only once the corpus dwarfs the
+    serving page).
+
     The histogram can be stale only between a partial commit and its
-    recovery (write_cluster_stats); a mis-estimate can only mis-COST,
-    never mis-answer — both strategies are exact. Returns (strategy,
-    eligible, total, selectivity, threshold, estimator)."""
+    recovery (write_cluster_stats / the maintain_ivf_segment heal); a
+    mis-estimate can only mis-COST, never mis-answer — both strategies
+    are exact. Returns (strategy, eligible, total, selectivity,
+    threshold, estimator, floor_applied)."""
     import os
 
     if not 0.0 < threshold < 1.0:
@@ -712,14 +747,24 @@ def choose_vector_filter_strategy(
         estimator = "scan"
     eligible = allowed.select(id_col).distinct().count()
     sel = eligible / total if total else 0.0
+    floor_applied = total < small_corpus_floor
     return {
-        "strategy": "pre" if sel <= threshold else "post",
+        "strategy": "pre" if floor_applied or sel <= threshold else "post",
         "eligible": eligible,
         "total": total,
         "selectivity": sel,
         "threshold": threshold,
         "estimator": estimator,
+        "floor_applied": floor_applied,
     }
+
+
+# Driver-side row cap for the post-filter path's page assembly: the worst
+# refill round collects |queries| x k' rows (3 numeric columns) — 1M rows
+# is ~30 MB on the driver, a comfortable serving-batch ceiling. Bigger
+# batches must chunk or take the pre path; the guard below makes that an
+# up-front error, not a silent driver OOM.
+_POST_FILTER_PAGE_MAX = 1_000_000
 
 
 def ivf_pq_probe_filtered(
@@ -778,6 +823,20 @@ def ivf_pq_probe_filtered(
     if strategy == "pre":
         return ivf_pq_probe_batched(
             spark, path, queries, k=k, nprobe=nprobe, id_col=id_col, allowed=allowed
+        )
+    # loud input-contract guard (the check_query_words pattern): the post
+    # path assembles pages DRIVER-side, and k' grows refill_factor x per
+    # round — the worst single round collects |queries| x k_final rows.
+    # Reject an oversized batch up front instead of silently materializing
+    # it; chunk the query batch or force strategy='pre' (exact either way).
+    worst_rows = len(queries) * k * refill_factor ** (max_refill_rounds + 1)
+    if worst_rows > _POST_FILTER_PAGE_MAX:
+        raise ValueError(
+            f"ivf_pq_probe_filtered: post-filter page bound exceeded — "
+            f"|queries|={len(queries)} x k'={k * refill_factor ** (max_refill_rounds + 1)} "
+            f"= {worst_rows} rows > {_POST_FILTER_PAGE_MAX} driver-side cap. "
+            "Chunk the query batch, lower refill_factor/max_refill_rounds, "
+            "or pass strategy='pre' (value-identical)"
         )
     remaining = {int(qid) for qid, _ in queries}
     done_rows: list[tuple[int, int, float]] = []

@@ -53,6 +53,7 @@ def bm25_topk(
     text_col: str,
     terms: list[str],
     k: int = 5,
+    approx_doc_count: int | None = None,
 ) -> DataFrame:
     """Per-term BM25 top-k documents, fixed-point integer scoring.
 
@@ -67,6 +68,10 @@ def bm25_topk(
 
     Output: (term, doc_id, tf, df, score_fp, rnk), rnk <= k, ties broken
     by doc_id for cross-engine determinism.
+
+    ``approx_doc_count``: optional free upper bound on |df| (parquet footer
+    count) — a term's postings can't exceed the corpus, so it bounds the
+    per-term candidates for topk_per_key's cost-based shard sizing.
     """
     docs = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
     lens = docs.select("doc_id", F.size("toks").alias("dl")).where(F.col("dl") >= 1)
@@ -95,7 +100,12 @@ def bm25_topk(
         )
     )
     return topk_per_key(
-        scored, ["term"], [F.desc("score_fp"), F.asc("doc_id")], k, "doc_id"
+        scored,
+        ["term"],
+        [F.desc("score_fp"), F.asc("doc_id")],
+        k,
+        "doc_id",
+        approx_candidates_per_key=approx_doc_count,
     ).select("term", "doc_id", "tf", "df", "score_fp", "rnk")
 
 
@@ -104,6 +114,7 @@ def rrf_fuse(
     vec: DataFrame,
     k_rrf: int = 60,
     k: int = 10,
+    approx_candidates_per_key: int | None = None,
 ) -> DataFrame:
     """Reciprocal-rank fusion of a lexical and a vector ranking — the
     standard production hybrid-retrieval combiner (Cormack/Clarke/Buettcher
@@ -120,6 +131,9 @@ def rrf_fuse(
 
     Output: (query_id, doc_id, lex_rank, vec_rank, rrf_fp, rnk), top-k
     per query by rrf_fp desc, ties by doc_id asc.
+    ``approx_candidates_per_key``: optional per-query candidate bound —
+    both inputs are per-query top-N pages, so lex_N + vec_N is exact and
+    free for the caller; feeds topk_per_key's cost-based shard sizing.
 
     100 TB shape: both inputs are already per-query top-N (tiny relative
     to the corpus — N rows per query, not corpus-sized), so the full-outer
@@ -144,7 +158,12 @@ def rrf_fuse(
     )
     return (
         topk_per_key(
-            fused, ["query_id"], [F.desc("rrf_fp"), F.asc("doc_id")], k, "doc_id"
+            fused,
+            ["query_id"],
+            [F.desc("rrf_fp"), F.asc("doc_id")],
+            k,
+            "doc_id",
+            approx_candidates_per_key=approx_candidates_per_key,
         )
         .select("query_id", "doc_id", "lex_rank", "vec_rank", "rrf_fp", "rnk")
     )
@@ -170,6 +189,7 @@ def phrase_topk(
     text_col: str,
     phrases: list[str],
     k: int = 5,
+    approx_doc_count: int | None = None,
 ) -> DataFrame:
     """Per-phrase top-k documents by EXACT-ADJACENCY phrase frequency —
     the positional query BM25's bag-of-words postings cannot answer
@@ -215,5 +235,10 @@ def phrase_topk(
         "doc_id", f"stack({len(phrases)}, {stack_args}) AS (phrase, phrase_tf)"
     ).where(F.col("phrase_tf") > 0)
     return topk_per_key(
-        long, ["phrase"], [F.desc("phrase_tf"), F.asc("doc_id")], k, "doc_id"
+        long,
+        ["phrase"],
+        [F.desc("phrase_tf"), F.asc("doc_id")],
+        k,
+        "doc_id",
+        approx_candidates_per_key=approx_doc_count,
     ).select("phrase", "doc_id", "phrase_tf", "rnk")

@@ -36,11 +36,22 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 11) -> list[list[float]]:
     return planes
 
 
-def knn_brute(targets: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int = 10) -> DataFrame:
+def knn_brute(
+    targets: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    approx_target_count: int | None = None,
+) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Output: (query_id, neighbor_id, cos_sim rounded to 6), k rows per query,
     ties broken by neighbor id. ``queries`` must be small (it is broadcast).
+    ``approx_target_count``: optional free upper bound on |targets| (parquet
+    footer count) — per-query candidates of the broadcast crossJoin are
+    exactly |targets|, so it feeds topk_per_key's cost-based shard sizing
+    (single window below SINGLE_STAGE_MAX_CANDIDATES; value-identical).
     """
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     t = spread(targets).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("t_vec"))
@@ -60,6 +71,7 @@ def knn_brute(targets: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
         k,
         "neighbor_id",
         rank_col="rk",
+        approx_candidates_per_key=approx_target_count,
     ).select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"))
 
 
@@ -76,10 +88,21 @@ def lsh_bucket_sql(vec_col: str, planes: list[list[float]]) -> str:
     return "concat(" + ", ".join(bits) + ")"
 
 
-def ann_lsh(targets: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int = 10, dim: int = 64, n_planes: int = 8) -> DataFrame:
+def ann_lsh(
+    targets: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 8,
+    approx_target_count: int | None = None,
+) -> DataFrame:
     """Approximate top-k: only candidates in the query's LSH bucket are
     scored. Recall < 1 by design; the bucket join replaces the full scan.
-    Output schema matches :func:`knn_brute`."""
+    Output schema matches :func:`knn_brute`. ``approx_target_count``:
+    optional free |targets| bound (>= any bucket's size) for topk_per_key's
+    cost-based shard sizing."""
     planes = _hyperplanes(dim, n_planes)
     bucket = F.expr(lsh_bucket_sql(vec_col, planes))
     q = queries.select(
@@ -104,6 +127,7 @@ def ann_lsh(targets: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k
         k,
         "neighbor_id",
         rank_col="rk",
+        approx_candidates_per_key=approx_target_count,
     ).select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"))
 
 
@@ -116,6 +140,7 @@ def ann_lsh_multiband(
     dim: int = 64,
     n_planes: int = 8,
     bands: int = 4,
+    approx_target_count: int | None = None,
 ) -> DataFrame:
     """Multi-probe sign-LSH ANN: candidates = union over ``bands``
     independent hyperplane sets of same-bucket rows, then exact-cosine
@@ -155,6 +180,7 @@ def ann_lsh_multiband(
         k,
         "neighbor_id",
         rank_col="rk",
+        approx_candidates_per_key=approx_target_count,
     ).select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"))
 
 
@@ -222,6 +248,7 @@ def ivf_search(
     vec_col: str,
     k: int = 10,
     nprobe: int = 2,
+    approx_target_count: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k cosine: targets live in their single nearest
     cluster; each query probes its ``nprobe`` nearest clusters and scores
@@ -250,6 +277,7 @@ def ivf_search(
         k,
         "neighbor_id",
         rank_col="rk",
+        approx_candidates_per_key=approx_target_count,
     ).select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"))
 
 
@@ -287,7 +315,12 @@ def quantize_q8_expr(vec_col: str) -> str:
 
 
 def knn_quantized(
-    targets: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int = 10
+    targets: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    approx_target_count: int | None = None,
 ) -> DataFrame:
     """Top-k neighbors by integer dot product over int8-quantized vectors
     (4x memory/bandwidth compression — the standard first move when the
@@ -329,6 +362,7 @@ def knn_quantized(
         k,
         "neighbor_id",
         rank_col="rk",
+        approx_candidates_per_key=approx_target_count,
     ).select("query_id", "neighbor_id", "qscore")
 
 

@@ -324,10 +324,16 @@ def bm25_index_add(
             # the stored-fields sidecar RIDES the lifecycle: an O(batch)
             # append keeps the snippet probes' staleness guard green
             # (a silently missing new doc would DROP it from snippets —
-            # the inner-join wrong-answer class)
+            # the inner-join wrong-answer class). Same ``>= 1`` filter as
+            # write_doc_store: a doc that tokenizes to NOTHING never
+            # enters postings or stats, so appending it here would break
+            # _stored_tokens' count-vs-n_docs guard on a correctly
+            # maintained index.
             batch.select(
                 F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
-            ).write.mode("append").parquet(f"{path}/{_DOCSTORE}")
+            ).where(F.size("toks") >= 1).write.mode("append").parquet(
+                f"{path}/{_DOCSTORE}"
+            )
         if os.path.isdir(f"{path}/{_RTERMS}"):
             # the reversed dictionary RIDES the lifecycle (r13 verdict):
             # it is a pure, vocabulary-sized function of terms/ (Heaps-law
@@ -2828,12 +2834,20 @@ def choose_filter_strategy(
         # cast('string') render the writer used (line 2125), not Python's
         # str(): bool renders 'true'/'True' differently, and timestamps/
         # decimals diverge too. A probe-values-sized local frame is tiny.
-        wanted = {
-            r["v"]
-            for r in spark.createDataFrame([(v,) for v in facet_values], ["v"])
-            .select(F.col("v").cast("string").alias("v"))
-            .collect()
-        }
+        # One single-typed frame PER Python type: a heterogeneous list
+        # (mixed int/str) would make createDataFrame's type merge raise.
+        wanted: set = {None} if any(v is None for v in facet_values) else set()
+        by_type: dict[type, list] = {}
+        for v in facet_values:
+            if v is not None:
+                by_type.setdefault(type(v), []).append(v)
+        for vals in by_type.values():
+            wanted |= {
+                r["v"]
+                for r in spark.createDataFrame([(v,) for v in vals], ["v"])
+                .select(F.col("v").cast("string").alias("v"))
+                .collect()
+            }
         hist = (
             spark.read.parquet(f"{path}/{_FACET_STATS}")
             .where(F.col("col") == facet_col)

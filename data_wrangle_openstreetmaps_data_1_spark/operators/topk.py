@@ -27,12 +27,33 @@ Shuffle accounting vs the window form: stage 1 moves the same rows the
 single window moved but keyed by (keys, salt) so no reducer sees more than
 ~1/shards of a hot key's candidates; stage 2 moves <= shards * k rows per
 key. Same volume, no hotspot.
+
+Cost-based fallback (round-16): stage 1 is pure overhead when no key is
+hot — the r15 quiet window measured sim_knn_brute +77% / sim_hybrid_rrf
++36% wall from the extra shuffle+window pass at ~3k-60k candidates per
+key. Callers that KNOW an upper bound on per-key candidates (a parquet
+footer count, |targets| of a broadcast crossJoin, n_docs from the index
+stats sidecar) pass ``approx_candidates_per_key``; shards is then sized
+to ceil(bound / SINGLE_STAGE_MAX_CANDIDATES), and at 1 shard stage 1 is
+skipped entirely — the plain single window, which IS the reference
+semantics, so the fallback is value-identical by construction (pinned in
+tests/test_topk_two_stage.py). Without an estimate behavior is unchanged
+(two-stage at full reduce parallelism — the scale-safe default).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# Per-key candidate bound below which ONE reducer ranks the whole group:
+# row_number over ~1e5 rows is milliseconds of CPU on one core, while the
+# salted stage costs a full extra shuffle + window pass over ALL rows. The
+# hot-key pathology stage 1 exists for (a stop-word term funneling a
+# corpus-sized posting list through one partition) starts orders of
+# magnitude above this. 2**17 keeps stage-1 reducers comfortably inside
+# executor memory when shards are sized as ceil(candidates / this).
+SINGLE_STAGE_MAX_CANDIDATES = 131_072
 
 
 def topk_per_key(
@@ -43,6 +64,7 @@ def topk_per_key(
     salt_col: str,
     rank_col: str = "rnk",
     shards: int | None = None,
+    approx_candidates_per_key: int | None = None,
 ) -> DataFrame:
     """Top-``k`` rows per ``keys`` group under ``order`` (must be a total
     order within each group — tie-break to a unique column), with the
@@ -53,18 +75,46 @@ def topk_per_key(
     vec_id / term / facet). NULL values hash to xxhash64's seed — a
     stable shard, not an error. ``shards`` defaults to the session's
     ``spark.sql.shuffle.partitions`` (the cluster's reduce parallelism —
-    the natural spread at any scale)."""
+    the natural spread at any scale); a non-numeric value there (e.g.
+    ``'auto'`` under externally-managed AQE shuffle) degrades to the
+    context's default parallelism instead of crashing every probe.
+
+    ``approx_candidates_per_key``: optional UPPER BOUND on this frame's
+    per-key row count, when the caller has one for free. Sizes shards to
+    ceil(bound / SINGLE_STAGE_MAX_CANDIDATES) — and at 1 shard skips the
+    salted stage entirely (the plain per-key window). Never pay a count
+    job to obtain this: a wrong-but-real bound only mis-tunes shard
+    count, but the point is that it must be FREE (footer count, stats
+    sidecar, broadcast-side size)."""
     if k < 1:
         raise ValueError(f"topk_per_key: k {k!r} must be >= 1")
     if not keys:
         raise ValueError("topk_per_key: keys must be non-empty")
     if shards is None:
-        shards = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+        raw = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        try:
+            shards = int(raw)
+        except (TypeError, ValueError):
+            shards = df.sparkSession.sparkContext.defaultParallelism or 200
     if shards < 1:
         raise ValueError(f"topk_per_key: shards {shards!r} must be >= 1")
+    if approx_candidates_per_key is not None:
+        if approx_candidates_per_key < 0:
+            raise ValueError(
+                f"topk_per_key: approx_candidates_per_key {approx_candidates_per_key!r}"
+                " must be >= 0"
+            )
+        needed = -(-int(approx_candidates_per_key) // SINGLE_STAGE_MAX_CANDIDATES)
+        shards = min(shards, max(1, needed))
+    w_final = Window.partitionBy(*[F.col(c) for c in keys]).orderBy(*order)
+    if shards == 1:
+        # single-stage: one reducer per key is cheap at this bound, and the
+        # two-stage form is DEFINED as value-identical to this window
+        return df.withColumn(rank_col, F.row_number().over(w_final)).where(
+            F.col(rank_col) <= k
+        )
     salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(int(shards)))
     w_shard = Window.partitionBy(*[F.col(c) for c in keys], salt).orderBy(*order)
-    w_final = Window.partitionBy(*[F.col(c) for c in keys]).orderBy(*order)
     survivors = (
         df.withColumn("__shard_rnk", F.row_number().over(w_shard))
         .where(F.col("__shard_rnk") <= k)

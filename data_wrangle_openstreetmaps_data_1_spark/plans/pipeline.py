@@ -57,7 +57,7 @@ from ..operators.similarity import (
     ivf_search,
     knn_brute,
 )
-from ..sources.tables import load_table
+from ..sources.tables import load_table, table_row_bound
 from .registry import register
 
 # --------------------------------------------------------------------------
@@ -848,7 +848,10 @@ def sim_knn_brute(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     queries = emb.where(F.col("vec_id") < 5)
-    return knn_brute(emb, queries, "vec_id", "embedding", k=10)
+    return knn_brute(
+        emb, queries, "vec_id", "embedding", k=10,
+        approx_target_count=table_row_bound(sf, "embeddings"),
+    )
 
 
 _QUANT_SQL = """
@@ -896,7 +899,10 @@ def sim_quantized(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     queries = emb.where(F.col("vec_id") < 5)
-    return knn_quantized(emb, queries, "vec_id", "embedding", k=10)
+    return knn_quantized(
+        emb, queries, "vec_id", "embedding", k=10,
+        approx_target_count=table_row_bound(sf, "embeddings"),
+    )
 
 
 _QUANT50_SQL = _QUANT_SQL.replace("rk <= 10", "rk <= 50")
@@ -940,9 +946,10 @@ def sim_rerank_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     queries = emb.where(F.col("vec_id") < 5)
-    cand = knn_quantized(emb, queries, "vec_id", "embedding", k=50).select(
-        "query_id", "neighbor_id"
-    )
+    cand = knn_quantized(
+        emb, queries, "vec_id", "embedding", k=50,
+        approx_target_count=table_row_bound(sf, "embeddings"),
+    ).select("query_id", "neighbor_id")
     # broadcast the QUERY vectors only (5 rows) — broadcasting the full
     # embeddings table would ship the corpus to every executor
     qv = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
@@ -961,6 +968,7 @@ def sim_rerank_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         10,
         "neighbor_id",
         rank_col="rk",
+        approx_candidates_per_key=50,  # exact: re-rank page is the quantized top-50
     ).select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"))
 
 
@@ -1079,7 +1087,10 @@ def sim_ivf(spark: SparkSession, sf: str) -> DataFrame:
     )
     centroids = emb.where(F.col("vec_id") < 16)
     queries = emb.where(F.col("vec_id") < 5)
-    return ivf_search(emb, queries, centroids, "vec_id", "embedding", k=10, nprobe=2)
+    return ivf_search(
+        emb, queries, centroids, "vec_id", "embedding", k=10, nprobe=2,
+        approx_target_count=table_row_bound(sf, "embeddings"),
+    )
 
 
 @register(
@@ -1094,7 +1105,10 @@ def sim_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     queries = emb.where(F.col("vec_id") < 5)
-    return ann_lsh(emb, queries, "vec_id", "embedding", k=10, dim=64, n_planes=8)
+    return ann_lsh(
+        emb, queries, "vec_id", "embedding", k=10, dim=64, n_planes=8,
+        approx_target_count=table_row_bound(sf, "embeddings"),
+    )
 
 
 def _ann_multiband_oracle(dim: int = 64, n_planes: int = 8, bands: int = 4, k: int = 10) -> str:
@@ -1147,7 +1161,10 @@ def sim_ann_multiband(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     queries = emb.where(F.col("vec_id") < 5)
-    return ann_lsh_multiband(emb, queries, "vec_id", "embedding", k=10, n_planes=6, bands=8)
+    return ann_lsh_multiband(
+        emb, queries, "vec_id", "embedding", k=10, n_planes=6, bands=8,
+        approx_target_count=table_row_bound(sf, "embeddings"),
+    )
 
 
 @register(
@@ -1200,11 +1217,23 @@ def sim_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
     )
     queries = emb.where(F.col("vec_id") < 5)
     centroids = emb.where(F.col("vec_id") < 16)
-    exact = knn_brute(emb, queries, "vec_id", "embedding", k=10)
-    ann = ann_lsh(emb, queries, "vec_id", "embedding", k=10, dim=64, n_planes=8)
-    annmb = ann_lsh_multiband(emb, queries, "vec_id", "embedding", k=10, n_planes=6, bands=8)
-    ivf = ivf_search(emb, queries, centroids, "vec_id", "embedding", k=10, nprobe=2)
-    quant = knn_quantized(emb, queries, "vec_id", "embedding", k=10)
+    n_emb = table_row_bound(sf, "embeddings")
+    exact = knn_brute(emb, queries, "vec_id", "embedding", k=10, approx_target_count=n_emb)
+    ann = ann_lsh(
+        emb, queries, "vec_id", "embedding", k=10, dim=64, n_planes=8,
+        approx_target_count=n_emb,
+    )
+    annmb = ann_lsh_multiband(
+        emb, queries, "vec_id", "embedding", k=10, n_planes=6, bands=8,
+        approx_target_count=n_emb,
+    )
+    ivf = ivf_search(
+        emb, queries, centroids, "vec_id", "embedding", k=10, nprobe=2,
+        approx_target_count=n_emb,
+    )
+    quant = knn_quantized(
+        emb, queries, "vec_id", "embedding", k=10, approx_target_count=n_emb
+    )
     out = (
         recall_at_k(exact, ann, 10)
         .withColumn("method", F.lit("ann_lsh"))

@@ -29,7 +29,7 @@ from ..operators.quality import (
     quality_gates,
 )
 from ..operators.retrieval import B_FP, K1_FP, bm25_topk
-from ..sources.tables import load_table
+from ..sources.tables import load_table, table_row_bound
 from .pipeline import (
     _CORPUS_SQL,
     _HASH64_SQL,
@@ -91,7 +91,10 @@ def _bm25_oracle(terms_in: str, k: int) -> str:
     "postings = one explode + (term, doc) groupBy; df/avgdl broadcast",
 )
 def tx_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
-    return bm25_topk(load_table(spark, sf, "documents"), "doc_id", "text", BM25_TERMS, k=5)
+    return bm25_topk(
+        load_table(spark, sf, "documents"), "doc_id", "text", BM25_TERMS, k=5,
+        approx_doc_count=table_row_bound(sf, "documents"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -173,12 +176,16 @@ def sim_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
         [(i, t) for i, t in enumerate(HYBRID_TERMS)], "query_id long, term string"
     )
     lex = (
-        bm25_topk(docs, "doc_id", "text", HYBRID_TERMS, k=_HYBRID_N)
+        bm25_topk(
+            docs, "doc_id", "text", HYBRID_TERMS, k=_HYBRID_N,
+            approx_doc_count=table_row_bound(sf, "documents"),
+        )
         .join(F.broadcast(mapping), "term")
         .select("query_id", "doc_id", F.col("rnk").alias("lex_rank"))
     )
     vec20 = knn_brute(
-        emb, emb.where(F.col("vec_id") < len(HYBRID_TERMS)), "vec_id", "embedding", k=_HYBRID_N
+        emb, emb.where(F.col("vec_id") < len(HYBRID_TERMS)), "vec_id", "embedding",
+        k=_HYBRID_N, approx_target_count=table_row_bound(sf, "embeddings"),
     )
     # re-rank on the PUBLISHED rounded cos_sim (ties by neighbor_id) so the
     # rank is reproducible from the operator's public output on any engine
@@ -186,7 +193,8 @@ def sim_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
     vec = vec20.withColumn("vec_rank", F.row_number().over(wv)).select(
         "query_id", F.col("neighbor_id").alias("doc_id"), "vec_rank"
     )
-    return rrf_fuse(lex, vec, k_rrf=_RRF_K, k=10)
+    # fused candidates per query are exactly the two tier pages: free bound
+    return rrf_fuse(lex, vec, k_rrf=_RRF_K, k=10, approx_candidates_per_key=2 * _HYBRID_N)
 
 
 @register(
@@ -218,7 +226,8 @@ def sim_hybrid_recall(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     exact = knn_brute(
-        emb, emb.where(F.col("vec_id") < len(HYBRID_TERMS)), "vec_id", "embedding", k=10
+        emb, emb.where(F.col("vec_id") < len(HYBRID_TERMS)), "vec_id", "embedding", k=10,
+        approx_target_count=table_row_bound(sf, "embeddings"),
     )
     approx = sim_hybrid_rrf(spark, sf).select(
         "query_id", F.col("doc_id").alias("neighbor_id")

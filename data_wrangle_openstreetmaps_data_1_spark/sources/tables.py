@@ -53,6 +53,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_row_bound(sf_dir: str, name: str) -> int | None:
+    """Exact row count of one synthetic table from parquet FOOTER metadata —
+    driver-side pyarrow, zero Spark jobs. This is the "free upper bound"
+    operators/topk.py's cost-based shard sizing asks for: per-key candidate
+    counts of the scan-form retrieval/similarity probes are bounded by the
+    table size. Returns None (caller keeps the scale-safe two-stage
+    default) if the path is missing or unreadable — never raises, because a
+    missing estimate must only cost performance, not correctness."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += pq.read_metadata(os.path.join(root, f)).num_rows
+            return total
+        return pq.read_metadata(path).num_rows
+    except Exception:
+        return None
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every synthetic table (lazy — nothing is scanned until an action)."""
     return {name: load_table(spark, sf_dir, name) for name in TABLES}

@@ -98,6 +98,65 @@ def test_helper_rejects_bad_args(spark):
         topk_per_key(df, ["query"], [F.asc("doc_id")], 1, "doc_id", shards=0)
 
 
+def test_helper_cost_fallback_matches_window_form(spark):
+    """r16: approx_candidates_per_key below SINGLE_STAGE_MAX_CANDIDATES
+    must produce the SINGLE-window plan (no salted exchange) and, at any
+    bound, stay value-identical to the window form."""
+    from data_wrangle_openstreetmaps_data_1_spark.operators.topk import (
+        SINGLE_STAGE_MAX_CANDIDATES,
+    )
+
+    df = _synth(spark)
+    order = [F.desc("score"), F.asc_nulls_last("doc_id")]
+    for bound in (0, 42, SINGLE_STAGE_MAX_CANDIDATES - 1):
+        got = topk_per_key(
+            df, ["query"], order, 5, "doc_id", approx_candidates_per_key=bound
+        )
+        assert_same(got, window_topk(df, ["query"], order, 5))
+        # single-stage: no salted exchange anywhere in the plan
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "xxhash64" not in plan
+    # above the threshold the salted stage comes back, sized to the bound
+    big = topk_per_key(
+        df,
+        ["query"],
+        order,
+        5,
+        "doc_id",
+        approx_candidates_per_key=10 * SINGLE_STAGE_MAX_CANDIDATES,
+    )
+    assert_same(big, window_topk(df, ["query"], order, 5))
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan  # the salted stage is back
+    with pytest.raises(ValueError, match="approx_candidates_per_key"):
+        topk_per_key(
+            df, ["query"], order, 5, "doc_id", approx_candidates_per_key=-1
+        )
+
+
+def test_helper_non_numeric_shuffle_partitions_degrades(spark, monkeypatch):
+    """r15 ADVICE: a platform-managed non-numeric shuffle-partitions conf
+    ('auto' under AQE-managed shuffle) must degrade to defaultParallelism,
+    not crash every ranked probe. This runtime's conf.set validates the
+    value (so the Databricks state can't be reproduced by set); intercept
+    the read instead."""
+    from pyspark.sql.conf import RuntimeConfig
+
+    df = _synth(spark)
+    order = [F.desc("score"), F.asc_nulls_last("doc_id")]
+    real_get = RuntimeConfig.get
+
+    def fake_get(self, key, *args, **kwargs):
+        if key == "spark.sql.shuffle.partitions":
+            return "auto"
+        return real_get(self, key, *args, **kwargs)
+
+    monkeypatch.setattr(RuntimeConfig, "get", fake_get)
+    got = topk_per_key(df, ["query"], order, 5, "doc_id")
+    monkeypatch.undo()
+    assert_same(got, window_topk(df, ["query"], order, 5))
+
+
 def test_helper_stage2_input_is_k_bounded_per_shard(spark):
     """The scale contract: after stage 1, no (key, shard) carries more
     than k rows — the final window's input is <= shards * k per key no
