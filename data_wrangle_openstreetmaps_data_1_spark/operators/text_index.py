@@ -48,9 +48,18 @@ from ..functions.hashing import portable_hash64
 from ..functions.text import tokens
 from .topk import topk_per_key
 
+from ..partitioning import truncate_lineage
+
 _POSTINGS = "postings"
 _TERMS = "terms"
 _STATS = "stats"
+_BLOCKMAX = "blockmax"
+# Docs per BMW block: block(doc) = doc_id div _BLOCK_DOCS. 128 is Lucene's
+# skip/impact block size — big enough that the sidecar is ~postings/128
+# rows, small enough that one hot doc can't poison a wide doc range's
+# bound. Persisted in meta (block_docs) so probes always use the size the
+# sidecar was built with.
+_BLOCK_DOCS = 128
 
 # Query words reaching the probes are data (broadcast DataFrame rows in the
 # batched forms), but the reference per-phrase forms and the scan-form
@@ -99,6 +108,43 @@ def _postings_with_dl(docs: DataFrame, id_col: str, text_col: str, n_buckets: in
     return post.join(lens, "doc_id").select(
         "term", "doc_id", "tf", "dl", _bucket_col(F.col("term"), n_buckets).alias("bucket")
     )
+
+
+def _block_max_rows(post: DataFrame, n_buckets: int, block_docs: int) -> DataFrame:
+    """(term, block, bmax_tf, bmin_dl, bucket) — the BLOCK-MAX sidecar rows
+    (Ding & Suel's Block-Max WAND / Lucene's per-block competitive
+    impacts) from a postings frame: per (term, doc-block) maxima of the
+    exact quantities the scorer is monotone in (tf up, dl down). A doc
+    lives in exactly ONE block (block = doc_id div block_docs), so a
+    doc's whole score is bounded by the sum of its own block's per-term
+    bounds — the pruning inequality bm25_query_topk_maxscore uses. Term
+    routing (bucket) matches postings/terms, so compaction's dirty-bucket
+    discipline carries over unchanged."""
+    return (
+        post.withColumn("block", F.expr(f"doc_id div {int(block_docs)}"))
+        .groupBy("term", "block")
+        .agg(
+            F.max("tf").cast("long").alias("bmax_tf"),
+            F.min("dl").cast("long").alias("bmin_dl"),
+        )
+        .select(
+            "term", "block", "bmax_tf", "bmin_dl",
+            _bucket_col(F.col("term"), n_buckets).alias("bucket"),
+        )
+    )
+
+
+def _write_index_meta(spark: SparkSession, path: str, n_buckets: int, block_docs: int | None) -> None:
+    """The meta row: n_buckets always; block_docs when the index carries
+    the blockmax/ sidecar (readers must use the size the sidecar was
+    built with — a constant drift would silently mis-prune)."""
+    if block_docs is None:
+        df = spark.createDataFrame([(int(n_buckets),)], "n_buckets int")
+    else:
+        df = spark.createDataFrame(
+            [(int(n_buckets), int(block_docs))], "n_buckets int, block_docs int"
+        )
+    df.coalesce(1).write.mode("overwrite").json(f"{path}/meta")
 
 
 def write_bm25_index(
@@ -160,12 +206,17 @@ def write_bm25_index(
         ).repartition("bucket").write.partitionBy("bucket").mode("overwrite").parquet(
             f"{path}/{_TERMS}"
         )
+        # BMW sidecar: per-(term, doc-block) impact bounds, written from
+        # the same persisted frame as terms/ so they can never disagree
+        _block_max_rows(post, n_buckets, _BLOCK_DOCS).repartition(
+            "bucket"
+        ).write.partitionBy("bucket").mode("overwrite").parquet(
+            f"{path}/{_BLOCKMAX}"
+        )
         _write_stats(spark, path, post)
     finally:
         post.unpersist()
-    spark.createDataFrame([(int(n_buckets),)], "n_buckets int").coalesce(1).write.mode(
-        "overwrite"
-    ).json(f"{path}/meta")
+    _write_index_meta(spark, path, n_buckets, _BLOCK_DOCS)
 
 
 def _write_stats(spark: SparkSession, path: str, post: DataFrame | None = None) -> None:
@@ -213,8 +264,11 @@ def _write_stats_incremental(spark: SparkSession, path: str, new_post: DataFrame
 
 
 def read_index_meta(spark: SparkSession, path: str) -> dict:
-    r = spark.read.json(f"{path}/meta").head()
-    return {"n_buckets": int(r["n_buckets"])}
+    d = spark.read.json(f"{path}/meta").head().asDict()
+    out = {"n_buckets": int(d["n_buckets"])}
+    if d.get("block_docs") is not None:
+        out["block_docs"] = int(d["block_docs"])
+    return out
 
 
 def bm25_index_add(
@@ -239,7 +293,8 @@ def bm25_index_add(
     crash while postings were already appended). If a crash still lands
     between the postings append and the terms swap, ``rebuild_bm25_terms``
     is the recovery: terms/ and stats/ are pure functions of postings/."""
-    n_buckets = read_index_meta(spark, path)["n_buckets"]
+    meta = read_index_meta(spark, path)
+    n_buckets = meta["n_buckets"]
     new_post = _postings_with_dl(batch, id_col, text_col, n_buckets)
     if check_duplicates:
         existing = spark.read.parquet(f"{path}/{_POSTINGS}").select("doc_id").distinct()
@@ -253,6 +308,26 @@ def bm25_index_add(
             )
     new_post = new_post.persist()
     try:
+        import os as _os
+
+        if _os.path.isdir(f"{path}/{_BLOCKMAX}"):
+            # O(batch) append of the BATCH's own per-(term, block) maxima;
+            # readers aggregate max(bmax_tf)/min(bmin_dl) across coexisting
+            # rows (max-of-maxes is exact), compact re-canonicalizes.
+            # ORDER MATTERS: blockmax lands BEFORE the postings append —
+            # a crash in between leaves PHANTOM bound rows, which can only
+            # RAISE block bounds (pruning weakens, answers unchanged, and
+            # the replayed add just re-appends the same maxima); the
+            # reverse order would leave blocks whose new postings have no
+            # bound rows, an UNDER-bounded state that could prune a true
+            # top-k doc (the one wrong-answer partial-commit state in this
+            # index's lifecycle; tests/test_text_index_r16.py pins the
+            # phantom-rows direction).
+            _block_max_rows(
+                new_post, n_buckets, meta.get("block_docs", _BLOCK_DOCS)
+            ).repartition("bucket").write.partitionBy("bucket").mode(
+                "append"
+            ).parquet(f"{path}/{_BLOCKMAX}")
         new_post.repartition("bucket").write.partitionBy("bucket").mode("append").parquet(
             f"{path}/{_POSTINGS}"
         )
@@ -506,7 +581,8 @@ def bm25_index_compact(
         return 0
     _guard_no_partial_compact(path, "bm25_index_compact")
     ts = ts.distinct()  # double-deleted docs must not double the stats delta
-    n_buckets = read_index_meta(spark, path)["n_buckets"]
+    meta = read_index_meta(spark, path)
+    n_buckets = meta["n_buckets"]
     post = spark.read.parquet(f"{path}/{_POSTINGS}")
     # the column-pruned dirty scan: victims' rows name their buckets and
     # carry the dl the stats roll-back needs
@@ -590,6 +666,19 @@ def bm25_index_compact(
                 [(n_docs, sum_dl, (sum_dl * 1000) // n_docs)],
                 "n_docs bigint, sum_dl bigint, avgdl_fp bigint",
             ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{_STATS}")
+        if os.path.isdir(f"{path}/{_BLOCKMAX}"):
+            # same dirty-bucket discipline as terms/: blockmax routing is
+            # the term bucket, so every affected (term, block) row lives
+            # in the dirty set; recomputing from the survivors also
+            # re-canonicalizes any add-appended multi-rows to one row per
+            # (term, block) and re-tightens bounds loosened by deletes
+            bm_staged = f"{path}/{_BLOCKMAX}__compact"
+            _block_max_rows(
+                survivors, n_buckets, meta.get("block_docs", _BLOCK_DOCS)
+            ).repartition("bucket").write.partitionBy("bucket").mode(
+                "overwrite"
+            ).parquet(bm_staged)
+            _swap_partition_dirs(f"{path}/{_BLOCKMAX}", bm_staged, dirty)
         if os.path.isdir(f"{path}/{_POSITIONS}"):
             # positions rows share the postings' (term, doc) key set and
             # term routing — the SAME dirty set. MUST land before the
@@ -1721,9 +1810,12 @@ def maxscore_plan(
     k: int,
     allowed: DataFrame | None = None,
 ) -> dict:
-    """The PLANNING phase of bm25_query_topk_maxscore (shared with the
-    WAND_WIN ledger tool and tests so the essential split is computed in
-    exactly one place): validates the batch, reads the pruned dictionary
+    """The driver-side AUDIT TWIN of bm25_query_topk_maxscore's planning
+    (r16: the probe computes theta and the split IN-PLAN for a
+    single-round-trip retrieval; this function exposes the same
+    quantities driver-side for the WAND_WIN ledger tool and tests —
+    split equality between the two is pinned in
+    tests/test_text_index_r16.py): validates the batch, reads the pruned dictionary
     (impact bounds) + 1-row stats, computes each term's fixed-point
     score upper bound, lower-bounds each query's kth final score with
     its best term's kth single-term score, and partitions terms into
@@ -1829,12 +1921,102 @@ def maxscore_plan(
     }
 
 
+def _blockmax_dead_blocks(
+    spark: SparkSession,
+    path: str,
+    all_terms: list[str],
+    dfs: dict[str, int],
+    n_docs: int,
+    avgdl_fp: int,
+    qt_all: DataFrame,
+    theta_q: DataFrame,
+    n_buckets: int,
+) -> DataFrame:
+    """(query, __blk) cells Block-Max WAND can PROVE dead: a doc in block
+    b scores at most the sum of its query's per-term block-b bounds
+    (terms absent from b contribute nothing — the doc cannot carry them),
+    so cells whose summed bound falls strictly below theta cannot hold a
+    top-k candidate. Bounds use the LIVE df/stats in the same fixed-point
+    arithmetic as scoring (monotone in bmax_tf up / bmin_dl down), so
+    they are conservative under the same staleness contract as the global
+    ub; add-appended multi-rows aggregate max-of-maxes. Shared by the
+    probe and tools/wand_win.py so the ledger measures the exact frame
+    the probe prunes with."""
+    from .retrieval import B_FP, K1_FP
+
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in all_terms})
+    bmx = (
+        spark.read.parquet(f"{path}/{_BLOCKMAX}")
+        .where(F.col("bucket").isin(buckets) & F.col("term").isin(all_terms))
+        .groupBy("term", "block")
+        .agg(
+            F.max("bmax_tf").alias("bmax_tf"),
+            F.min("bmin_dl").alias("bmin_dl"),
+        )
+    )
+    dfq = spark.createDataFrame(sorted(dfs.items()), "term string, df long")
+    ub_blk = (
+        f"(bmax_tf * {K1_FP + 1000} * "
+        f"(({n_docs} - df) * 1000 div (df + 1) + 1000)) "
+        f"div (bmax_tf * 1000 + ({K1_FP} * ((1000 - {B_FP}) + "
+        f"({B_FP} * bmin_dl * 1000) div {avgdl_fp})) div 1000)"
+    )
+    return (
+        bmx.join(F.broadcast(dfq), "term")
+        .withColumn("ub_blk", F.expr(ub_blk))
+        .join(F.broadcast(qt_all), "term")
+        .groupBy("query", "block")
+        .agg(F.sum("ub_blk").alias("bound"))
+        .join(theta_q, "query")  # theta-less queries: nothing dead
+        .where(F.col("bound") < F.col("theta"))
+        .select("query", F.col("block").alias("__blk"))
+    )
+
+
+def _maxscore_ess(ub_df: DataFrame, theta_q: DataFrame) -> DataFrame:
+    """The in-plan MaxScore essential split: inclusive ub-cumsum per query
+    over (ub asc, term asc); a term is NON-essential iff its inclusive
+    cumsum stays STRICTLY below theta — the same maximal-prefix rule
+    maxscore_plan applies driver-side (equality of the two splits is
+    pinned in tests/test_text_index_r16.py). A query with no theta row
+    (star term has < k postings) keeps every term: exactness beats
+    pruning. The last term's cumsum is the full ub-sum >= kth final >=
+    theta, so every query keeps >= 1 essential term.
+
+    ``ub_df`` = (query, term, ub); ``theta_q`` = (query, theta), <= 1 row
+    per query. Returns (query, term) essential pairs."""
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy("query")
+        .orderBy(F.asc("ub"), F.asc("term"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ub_df.withColumn("cum", F.sum("ub").over(wcum))
+        .join(theta_q, "query", "left")
+        .where(F.col("theta").isNull() | (F.col("cum") >= F.col("theta")))
+        .select("query", "term")
+    )
+
+
+# Corpus floor for MaxScore/BMW dispatch: below this many live docs the
+# pruning machinery's extra planning reads + theta job + candidate
+# distinct cost more wall than they save (WAND_WIN measured 2-3x exact at
+# 50k docs even with the r16 single-job fold), while the quantity pruning
+# protects — the candidate-generation shuffle — is not yet a bottleneck.
+# The same cost-model pattern as topk_per_key's single-stage fallback and
+# choose_vector_filter_strategy's small-corpus floor.
+_MAXSCORE_MIN_DOCS = 1_000_000
+
+
 def bm25_query_topk_maxscore(
     spark: SparkSession,
     path: str,
     queries: list[str],
     k: int = 5,
     allowed: DataFrame | None = None,
+    min_docs_for_pruning: int = _MAXSCORE_MIN_DOCS,
 ) -> DataFrame:
     """MaxScore / WAND-lite ranked retrieval — VALUE-IDENTICAL to
     ``bm25_query_topk(queries, k=k)`` (OR semantics, neutral boosts;
@@ -1851,24 +2033,22 @@ def bm25_query_topk_maxscore(
     posting score of t — conservative under tombstoned deletes too,
     where the stored bounds can only be loose, never tight).
 
-    Two tiny driver round-trips precede the main plan (bounded: |terms|
-    dictionary rows + 1 stats row, then |queries| x k threshold rows):
-
-    1. ub(t) per query term from the pruned dictionary read;
-    2. theta(q) = the kth-best SINGLE-TERM score of q's highest-ub term
-       (one postings read pruned to those terms) — a valid lower bound
-       on the final kth total score, because those k docs' totals are
-       >= their single-term scores.
+    ONE tiny driver round-trip precedes the main plan (|terms|
+    dictionary rows + 1 stats row): ub(t) per query term. theta(q) — the
+    kth-best SINGLE-TERM score of q's highest-ub term, a valid lower
+    bound on the final kth total score because those k docs' totals are
+    >= their single-term scores — is computed in-plan (r16; see below).
 
     MaxScore partition per query: sort terms by ub asc; the maximal
     prefix with cumulative ub-sum STRICTLY below theta is non-essential —
     a doc carrying only non-essential terms scores < theta <= kth-best,
     so it cannot enter the top-k even on the (score desc, doc_id asc)
-    tie-break. Candidate docs = docs carrying >= 1 ESSENTIAL term (a
-    postings read pruned to essential terms only — the rare terms);
+    tie-break. Candidate docs = docs carrying >= 1 ESSENTIAL term,
+    filtered map-side before the candidate exchange (the rare terms);
     exact scores then aggregate ALL query terms but ONLY for candidate
     rows (semi-join before the group-by), so the common term's
-    corpus-sized postings never feed the aggregate. Fewer than k
+    corpus-sized postings never feed the candidate or aggregate
+    shuffles. Fewer than k
     postings under the best term => no valid theta => no pruning (every
     term essential) — exactness always wins over pruning.
 
@@ -1879,41 +2059,164 @@ def bm25_query_topk_maxscore(
     eligible subset, and both candidate generation and exact scoring
     semi-join eligibility (matrix: COVERAGE.md).
 
+    r16 upgrades, both value-invisible:
+
+    - **single round-trip**: theta and the essential split are computed
+      IN-PLAN (the kth single-term page feeds a tiny cumulative-sum
+      window over the driver-known ub literals), so the whole retrieval
+      is one pruned-dictionary collect plus ONE job — the r15 form's two
+      extra driver round-trips (theta probe + split) dominated wall at
+      small corpora (WAND_WIN's old honesty note). maxscore_plan remains
+      the driver-side audit twin; tests pin that its split equals the
+      in-plan one.
+    - **BLOCK-MAX pruning** (Ding & Suel SIGIR'11; Lucene's per-block
+      competitive impacts): when the index carries the ``blockmax/``
+      sidecar (per-(term, doc-block) bmax_tf/bmin_dl, maintained by
+      build/add/compact/merge; ``write_block_max`` upgrades old
+      indexes), candidate generation additionally drops (query, block)
+      cells whose summed per-term block bounds fall below theta. A doc
+      lives in exactly one block, so its total score is bounded by its
+      own block's bound — one hot posting no longer neuters pruning
+      corpus-wide the way a global max_tf does.
+
     Output: (query, doc_id, n_terms, score_fp, rnk), identical to
     bm25_query_topk. Measured postings-row reduction on a mixed
     rare+common query: WAND_WIN.json."""
-    plan = maxscore_plan(spark, path, queries, k, allowed)
-    queries = plan["queries"]
-    present, ess_pairs = plan["present"], plan["ess_pairs"]
-    n_buckets, all_terms = plan["n_buckets"], plan["all_terms"]
-    if not ess_pairs:
+    import os
+
+    from pyspark.sql import Window
+
+    from .retrieval import B_FP, K1_FP
+
+    # ---- validation + the ONE planning round-trip (pruned dictionary +
+    # 1-row stats — maxscore_plan's phase 1, inlined; |terms| + 1 rows)
+    if not queries:
+        raise ValueError("bm25_query_topk_maxscore: queries must be non-empty")
+    if len(set(queries)) != len(queries):
+        raise ValueError("bm25_query_topk_maxscore: duplicate queries in the batch")
+    split = [sorted(set(q.split())) for q in queries]
+    if any(not ws for ws in split):
+        raise ValueError("bm25_query_topk_maxscore: each query needs >= 1 word")
+    check_query_words([w for ws in split for w in ws], "bm25_query_topk_maxscore")
+    meta = read_index_meta(spark, path)
+    n_buckets = meta["n_buckets"]
+    all_terms = sorted({w for ws in split for w in ws})
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in all_terms})
+    tdict = spark.read.parquet(f"{path}/{_TERMS}")
+    if "max_tf" not in tdict.columns:
+        raise ValueError(
+            f"bm25_query_topk_maxscore: the dictionary at {path} predates "
+            "impact bounds (no max_tf/min_dl columns) — run "
+            "rebuild_bm25_terms(spark, path) to upgrade it"
+        )
+    drows = (
+        tdict.where(F.col("bucket").isin(buckets) & F.col("term").isin(all_terms))
+        .select("term", "df", "max_tf", "min_dl")
+        .collect()  # |query terms| rows — the planning read
+    )
+    st = spark.read.parquet(f"{path}/{_STATS}").head()  # 1 row
+    n_docs, avgdl_fp = int(st["n_docs"]), int(st["avgdl_fp"])
+    if n_docs < min_docs_for_pruning:
+        # cost-based dispatch (value-identical by this probe's defining
+        # contract): at a small corpus the exact probe's single job beats
+        # any pruning; pass min_docs_for_pruning=0 to force the machinery
+        # (the registered driver query and the equality tests do, so the
+        # pruning path stays value-checked end-to-end)
+        return bm25_query_topk(spark, path, queries, k=k, allowed=allowed)
+
+    def _ub(df_: int, max_tf: int, min_dl: int) -> int:
+        idf_fp = (n_docs - df_) * 1000 // (df_ + 1) + 1000
+        norm_fp = (1000 - B_FP) + (B_FP * min_dl * 1000) // avgdl_fp
+        return (max_tf * (K1_FP + 1000) * idf_fp) // (
+            max_tf * 1000 + (K1_FP * norm_fp) // 1000
+        )
+
+    dfs = {r["term"]: int(r["df"]) for r in drows}
+    ub = {
+        r["term"]: _ub(int(r["df"]), int(r["max_tf"]), int(r["min_dl"]))
+        for r in drows
+    }
+    present = [[t for t in ws if t in ub] for ws in split]
+    star = {
+        q: max(ts, key=lambda t: (ub[t], t))
+        for q, ts in zip(queries, present)
+        if ts
+    }
+    if not star:  # no query has a dictionary-attested term: no rows
         return spark.createDataFrame(
             [],
             "query string, doc_id long, n_terms long, score_fp long, rnk int",
         )
-    ess_terms = sorted({t for _, t in ess_pairs})
-    qt_ess = spark.createDataFrame(ess_pairs, "query string, term string")
-    cand = (
-        _bm25_term_scores(spark, path, ess_terms, n_buckets, allowed)
-        .join(F.broadcast(qt_ess), "term")
-        .select("query", "doc_id")
-        .distinct()
+    # ---- everything below is ONE job. theta(q) = the kth single-term
+    # score of q's star term, as a k-bounded frame (never collected):
+    star_terms = sorted(set(star.values()))
+    th = (
+        topk_per_key(
+            _bm25_term_scores(spark, path, star_terms, n_buckets, allowed)
+            .select("term", "doc_id", "score_fp"),
+            ["term"],
+            [F.desc("score_fp"), F.asc("doc_id")],
+            k,
+            "doc_id",
+            approx_candidates_per_key=n_docs,  # free bound from stats
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("n"), F.min("score_fp").alias("kth"))
+        .where(F.col("n") == k)  # < k postings => no valid bound
+        .select("term", F.col("kth").alias("theta"))
     )
+    # materialized once (<= |queries| rows): theta feeds BOTH the
+    # essential split and the dead-block bound — without the barrier the
+    # star-term ranking subtree replays per consumer (no common-subplan
+    # elimination across join branches)
+    theta_q = truncate_lineage(
+        spark.createDataFrame(sorted(star.items()), "query string, term string")
+        .join(th, "term")
+        .select("query", "theta")
+    )
+    ub_df = spark.createDataFrame(
+        [(q, t, int(ub[t])) for q, ts in zip(queries, present) for t in ts],
+        "query string, term string, ub long",
+    )
+    ess = _maxscore_ess(ub_df, theta_q)
     qt_all = spark.createDataFrame(
         [(q, t) for q, ts in zip(queries, present) for t in ts],
         "query string, term string",
     )
-    rows = (
-        _bm25_term_scores(spark, path, all_terms, n_buckets, allowed)
-        .join(F.broadcast(qt_all), "term")
-        .join(cand, ["query", "doc_id"], "semi")
+    base = _bm25_term_scores(spark, path, all_terms, n_buckets, allowed).join(
+        F.broadcast(qt_all), "term"
     )
+    # candidate generation: essential (query, term) rows only. The ess
+    # semi-join filters MAP-side before the distinct's shuffle, so the
+    # common term's corpus-sized postings never enter the candidate
+    # exchange (the scan itself reads all query terms' buckets — the same
+    # bytes the exact-scoring pass reads anyway).
+    cand = base.join(ess, ["query", "term"], "semi")
+    bs = meta.get("block_docs")
+    if bs and os.path.isdir(f"{path}/{_BLOCKMAX}"):
+        dead = _blockmax_dead_blocks(
+            spark, path, all_terms, dfs, n_docs, avgdl_fp, qt_all, theta_q, n_buckets
+        )
+        # no broadcast hint on dead: at corpus scale MOST blocks are dead
+        # (that is the point) — a keyed equi-anti-join lets AQE choose
+        cand = (
+            cand.withColumn("__blk", F.expr(f"doc_id div {int(bs)}"))
+            .join(dead, ["query", "__blk"], "left_anti")
+            .drop("__blk")
+        )
+    cand = cand.select("query", "doc_id").distinct()
+    rows = base.join(cand, ["query", "doc_id"], "semi")
     per_doc = rows.groupBy("query", "doc_id").agg(
         F.countDistinct("term").cast("long").alias("n_terms"),
         F.sum("score_fp").cast("long").alias("score_fp"),
     )
     return topk_per_key(
-        per_doc, ["query"], [F.desc("score_fp"), F.asc("doc_id")], k, "doc_id"
+        per_doc,
+        ["query"],
+        [F.desc("score_fp"), F.asc("doc_id")],
+        k,
+        "doc_id",
+        approx_candidates_per_key=n_docs,  # free bound from stats
     ).select("query", "doc_id", "n_terms", "score_fp", "rnk")
 
 
@@ -1978,6 +2281,24 @@ def _phrase_snippets_finish(
     return snip.select(
         "phrase", "doc_id", "phrase_tf", "first_pos", "snippet", "rnk"
     )
+
+
+def write_block_max(spark: SparkSession, path: str) -> None:
+    """(Re)build the BLOCK-MAX sidecar from postings/ — the upgrade path
+    for pre-r16 indexes (new builds write it automatically) and the
+    recovery after a partial commit; blockmax/ is a pure function of the
+    postings multiset, like terms/. Also stamps ``block_docs`` into the
+    index meta so probes compute block membership with the size the
+    sidecar was built with."""
+    meta = read_index_meta(spark, path)
+    n_buckets = meta["n_buckets"]
+    bs = meta.get("block_docs", _BLOCK_DOCS)
+    _block_max_rows(
+        spark.read.parquet(f"{path}/{_POSTINGS}"), n_buckets, bs
+    ).repartition("bucket").write.partitionBy("bucket").mode(
+        "overwrite"
+    ).parquet(f"{path}/{_BLOCKMAX}")
+    _write_index_meta(spark, path, n_buckets, bs)
 
 
 def write_doc_store(
@@ -2249,6 +2570,37 @@ def bm25_index_merge(
         for q in st[1:]:
             su = su.unionByName(q)
         su.write.mode("overwrite").parquet(f"{out_path}/{_DOCSTORE}")
+    have_bm = [os.path.isdir(f"{p}/{_BLOCKMAX}") for p in in_paths]
+    if any(have_bm) and not all(have_bm):
+        raise ValueError(
+            "bm25_index_merge: blockmax/ present on only some inputs — a "
+            "merged index must block-prune for all of the corpus or none "
+            "of it (write_block_max on the missing inputs first)"
+        )
+    if all(have_bm):
+        bss = [m.get("block_docs") for m in metas]
+        if any(b is None or b != bss[0] for b in bss):
+            raise ValueError(
+                f"bm25_index_merge: block_docs disagree across inputs "
+                f"({bss}) — block membership must be computed with one "
+                "size; rebuild with write_block_max first"
+            )
+        # disjoint doc sets: per-(term, block) maxima merge exactly
+        # (max of maxes / min of mins), and re-aggregating canonicalizes
+        # to one row per key — bit-identical to a one-shot build
+        bm = [spark.read.parquet(f"{p}/{_BLOCKMAX}") for p in in_paths]
+        bu = bm[0]
+        for q in bm[1:]:
+            bu = bu.unionByName(q)
+        bu.groupBy("term", "block", "bucket").agg(
+            F.max("bmax_tf").cast("long").alias("bmax_tf"),
+            F.min("bmin_dl").cast("long").alias("bmin_dl"),
+        ).select(
+            "term", "block", "bmax_tf", "bmin_dl", "bucket"
+        ).repartition("bucket").write.partitionBy("bucket").mode(
+            "overwrite"
+        ).parquet(f"{out_path}/{_BLOCKMAX}")
+        _write_index_meta(spark, out_path, n_buckets, int(bss[0]))
 
 
 _RTERMS = "rterms"

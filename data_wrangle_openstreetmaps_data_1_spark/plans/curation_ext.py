@@ -1485,7 +1485,11 @@ def tx_bm25_maxscore(spark: SparkSession, sf: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
     return (
-        bm25_query_topk_maxscore(spark, path, _MULTI_QUERIES, k=5)
+        # min_docs_for_pruning=0 forces the MaxScore/BMW machinery even at
+        # driver scale (the cost dispatch would delegate to the exact
+        # probe below 1M docs) so the driver value-checks the pruning
+        # path itself, not its bypass
+        bm25_query_topk_maxscore(spark, path, _MULTI_QUERIES, k=5, min_docs_for_pruning=0)
         .withColumn("mode", F.lit("or"))
         .select("mode", "query", "doc_id", "n_terms", "score_fp", "rnk")
     )

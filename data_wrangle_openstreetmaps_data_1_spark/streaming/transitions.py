@@ -15,8 +15,9 @@ transition FROM the frontier rather than spliced into already-emitted
 history (the batch twin would re-thread it). When input files split on
 time boundaries (the harness case; pinned by the multi-batch test) the
 stream is exactly equal to the batch matrix; under genuine disorder,
-bound lateness with ``withWatermark`` upstream to make the approximation
-a stated guarantee.
+use ``transition_stream_watermarked`` (r16): watermark + TTL eviction +
+a ('LATE', type, n) side output make the approximation a stated
+guarantee with bounded state.
 """
 
 from __future__ import annotations
@@ -91,6 +92,78 @@ def _transition_group(
         state.update(new_frontier)
     if rows:
         yield pd.DataFrame(rows, columns=["prev_type", "next_type", "n"])
+
+
+def _transition_group_wm(
+    key: tuple[Any, ...],
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+    ttl_us: int,
+) -> Iterator[pd.DataFrame]:
+    """Watermarked transition core: rows older than the operator-visible
+    watermark are routed to the side output as ('LATE', event_type, n)
+    pseudo-transitions (reserved prev state, like 'START') instead of
+    silently corrupting the chain; an event-time timer EVICTS a user's
+    frontier once the watermark passes last_event + ttl (bounded state —
+    the next event after eviction counts START -> type, the documented
+    TTL trade)."""
+    if state.hasTimedOut:
+        state.remove()  # forget the frontier; emit nothing
+        return
+    wm_ms = state.getCurrentWatermarkMs()
+    chunks = list(pdf_iter)
+    pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+    if wm_ms > 0:
+        late_mask = pdf["ts_us"] < wm_ms * 1000
+        late, ok = pdf[late_mask], pdf[~late_mask]
+    else:
+        late, ok = pdf.iloc[0:0], pdf
+    frontier = tuple(state.get) if state.exists else None
+    if len(ok):
+        rows, new_frontier = transition_walk(iter([ok]), frontier)
+    else:  # every row late: chain untouched (transition_walk would
+        rows, new_frontier = [], frontier  # fabricate a None frontier)
+    rows += [
+        ("LATE", et, int(n)) for et, n in late["event_type"].value_counts().items()
+    ]
+    if new_frontier is not None:
+        state.update(new_frontier)
+        state.setTimeoutTimestamp(
+            max(new_frontier[0] // 1000 + ttl_us // 1000 + 1, wm_ms + 1)
+        )
+    if rows:
+        yield pd.DataFrame(rows, columns=["prev_type", "next_type", "n"])
+
+
+def transition_stream_watermarked(
+    events: DataFrame, delay: str = "1 hour", idle_ttl_minutes: float = 1440.0
+) -> DataFrame:
+    """Transition counting with a REAL late-data bound (r15 verdict task
+    6): ``withWatermark`` + event-time timers. Late rows surface as
+    ('LATE', event_type, n) side-output rows — reconcilable downstream,
+    never silently dropped or mis-chained; frontiers of users idle past
+    ``idle_ttl_minutes`` are EVICTED (state stays bounded at any corpus
+    size; a post-eviction event counts from START — the explicit TTL
+    contract, vs the unbounded form's grow-forever state). On in-order
+    replays with gaps under the TTL the emitted matrix equals the
+    unbounded form's exactly (pinned in tests/test_streaming_r16.py)."""
+    ttl_us = int(idle_ttl_minutes * 60 * 1_000_000)
+    # the watermarked ts column must survive into the operator input
+    # (EventTimeTimeout's analyzer requirement); the group fn reads ts_us
+    prepared = events.withWatermark("ts", delay).select(
+        "user_id",
+        "ts",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        lambda key, it, state: _transition_group_wm(key, it, state, ttl_us),
+        outputStructType=TRANS_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
 
 
 def transition_stream(events: DataFrame) -> DataFrame:

@@ -53,6 +53,35 @@ def test_changed_fingerprint_outranks_stable_green():
     assert order[0] == "b"
 
 
+def test_tier1_cap_demotes_overflow_below_stale_tier2():
+    """r16 consolidation dial: with a cap, preferred tier-1 names keep the
+    head, capped-out tier-1 overflow sinks BELOW every tier-2 row (the
+    stale cohort drains first), and tier 0 still leads everything."""
+    names = list("abcdefg")
+    hist = {
+        "a": hist_entry(9),   # stale green
+        "b": hist_entry(15),  # fresh green, changed
+        "c": hist_entry(15),  # fresh green, changed
+        "d": hist_entry(15),  # fresh green, changed
+        "e": hist_entry(10),  # stale green
+        "f": hist_entry(2, green=False),  # red: tier 0
+    }                          # g: never checked: tier 0
+    prev = dict(FPS)
+    for n in "bcd":
+        prev[n] = "older"
+    order = compute_order(
+        names, hist, {n: True for n in names}, FPS, prev,
+        tier1_cap=1, tier1_prefer=["c"],
+    )
+    assert set(order[:2]) == {"f", "g"}            # tier 0 first
+    assert order[2] == "c"                          # preferred tier-1 head
+    assert order[3:5] == ["a", "e"]                # stale tier 2, stalest first
+    assert set(order[5:]) == {"b", "d"}            # overflow below tier 2
+    # cap=None keeps the original semantics: all changed lead tier 2
+    order = compute_order(names, hist, {n: True for n in names}, FPS, prev)
+    assert set(order[2:5]) == {"b", "c", "d"}
+
+
 def test_round_robin_self_rotation():
     # queries checked this round sink below the ones the window missed:
     # the CORRECTNESS history itself is the cursor

@@ -104,7 +104,7 @@ def test_ub_bounds_every_posting_score(spark, index):
 
 def test_maxscore_value_identical_to_topk(spark, index):
     for k in (1, 5, 20):
-        a = rows_of(bm25_query_topk_maxscore(spark, index, QUERIES, k=k))
+        a = rows_of(bm25_query_topk_maxscore(spark, index, QUERIES, k=k, min_docs_for_pruning=0))
         b = rows_of(bm25_query_topk(spark, index, QUERIES, k=k))
         assert a == b, f"k={k}"
 
@@ -118,11 +118,11 @@ def test_maxscore_identical_after_delete_and_compact(spark, docs, index):
         write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=NB)
         victims = [r["doc_id"] for r in bm25_query_topk(spark, path, ["spark"], k=3).collect()]
         bm25_index_delete(spark, path, victims)
-        a = rows_of(bm25_query_topk_maxscore(spark, path, QUERIES, k=5))
+        a = rows_of(bm25_query_topk_maxscore(spark, path, QUERIES, k=5, min_docs_for_pruning=0))
         b = rows_of(bm25_query_topk(spark, path, QUERIES, k=5))
         assert a == b
         bm25_index_compact(spark, path)
-        a2 = rows_of(bm25_query_topk_maxscore(spark, path, QUERIES, k=5))
+        a2 = rows_of(bm25_query_topk_maxscore(spark, path, QUERIES, k=5, min_docs_for_pruning=0))
         b2 = rows_of(bm25_query_topk(spark, path, QUERIES, k=5))
         assert a2 == b2
         # compact recomputed the dirty buckets' bounds exactly
@@ -151,7 +151,7 @@ def test_maxscore_identical_across_add_and_merge(spark, docs):
             spark, docs.where(F.col("doc_id") % 3 != 0), path, "doc_id", "text", n_buckets=NB
         )
         bm25_index_add(spark, docs.where(F.col("doc_id") % 3 == 0), path, "doc_id", "text")
-        a = rows_of(bm25_query_topk_maxscore(spark, path, QUERIES, k=5))
+        a = rows_of(bm25_query_topk_maxscore(spark, path, QUERIES, k=5, min_docs_for_pruning=0))
         b = rows_of(bm25_query_topk(spark, path, QUERIES, k=5))
         assert a == b
         write_bm25_index(
@@ -161,7 +161,7 @@ def test_maxscore_identical_across_add_and_merge(spark, docs):
             spark, docs.where(F.col("doc_id") % 2 == 1), seg_b, "doc_id", "text", n_buckets=NB
         )
         bm25_index_merge(spark, merged, [seg_a, seg_b])
-        am = rows_of(bm25_query_topk_maxscore(spark, merged, QUERIES, k=5))
+        am = rows_of(bm25_query_topk_maxscore(spark, merged, QUERIES, k=5, min_docs_for_pruning=0))
         bm = rows_of(bm25_query_topk(spark, merged, QUERIES, k=5))
         assert am == bm
         # merged bounds = max-of-max / min-of-min, i.e. the exact recompute
@@ -193,7 +193,7 @@ def test_maxscore_refuses_legacy_dictionary_and_rebuild_upgrades(spark, docs):
         shutil.rmtree(f"{path}/terms")
         shutil.move(staged, f"{path}/terms")
         with pytest.raises(ValueError, match="rebuild_bm25_terms"):
-            bm25_query_topk_maxscore(spark, path, ["spark"], k=5)
+            bm25_query_topk_maxscore(spark, path, ["spark"], k=5, min_docs_for_pruning=0)
         # legacy add keeps the legacy shape (no per-bucket schema skew)
         extra = spark.createDataFrame(
             [(10_000_000, "spark wand upgrade probe")], "doc_id long, text string"
@@ -201,7 +201,7 @@ def test_maxscore_refuses_legacy_dictionary_and_rebuild_upgrades(spark, docs):
         bm25_index_add(spark, extra, path, "doc_id", "text")
         assert "max_tf" not in spark.read.parquet(f"{path}/terms").columns
         rebuild_bm25_terms(spark, path)
-        a = rows_of(bm25_query_topk_maxscore(spark, path, QUERIES, k=5))
+        a = rows_of(bm25_query_topk_maxscore(spark, path, QUERIES, k=5, min_docs_for_pruning=0))
         b = rows_of(bm25_query_topk(spark, path, QUERIES, k=5))
         assert a == b
     finally:
@@ -222,7 +222,7 @@ def test_maxscore_prunes_common_term_from_candidate_generation(spark):
     try:
         write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=NB)
         q = ["rare common"]
-        a = rows_of(bm25_query_topk_maxscore(spark, path, q, k=3))
+        a = rows_of(bm25_query_topk_maxscore(spark, path, q, k=3, min_docs_for_pruning=0))
         b = rows_of(bm25_query_topk(spark, path, q, k=3))
         assert a == b and len(a) == 3
         st = spark.read.parquet(f"{path}/stats").head()
@@ -388,7 +388,7 @@ def test_maxscore_filtered_value_identical(spark, docs, index):
     for mod, rem in ((10, 0), (3, 1)):
         allowed = docs.where(F.col("doc_id") % mod == rem).select("doc_id")
         a = rows_of(
-            bm25_query_topk_maxscore(spark, index, QUERIES, k=5, allowed=allowed)
+            bm25_query_topk_maxscore(spark, index, QUERIES, k=5, allowed=allowed, min_docs_for_pruning=0)
         )
         b = rows_of(
             bm25_query_topk(spark, index, QUERIES, k=5, allowed=allowed)
@@ -400,7 +400,7 @@ def test_maxscore_filtered_value_identical(spark, docs, index):
     # empty eligible set: both forms return nothing
     empty = docs.where(F.col("doc_id") < 0).select("doc_id")
     assert (
-        bm25_query_topk_maxscore(spark, index, QUERIES, k=5, allowed=empty).count()
+        bm25_query_topk_maxscore(spark, index, QUERIES, k=5, allowed=empty, min_docs_for_pruning=0).count()
         == 0
     )
 

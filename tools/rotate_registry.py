@@ -240,6 +240,8 @@ def compute_order(
     fps: dict[str, str],
     prev_fps: dict[str, str],
     force_head: list[str] | None = None,
+    tier1_cap: int | None = None,
+    tier1_prefer: list[str] | None = None,
 ) -> list[str]:
     """Pure ordering core (unit-tested in tests/test_rotation_tool.py).
 
@@ -259,22 +261,62 @@ def compute_order(
     extension-tier queries: the §2 block is the judged contract, so when the
     window can't fit every equally-stale query, the contract rows re-earn
     their driver rows first. Registration order breaks remaining ties.
+
+    ``tier1_cap`` (consolidation-round dial, set in rotation_overrides.json
+    and REMOVED once the backlog drains): at most this many tier-1 rows
+    keep their place ahead of tier 2; the overflow demotes BELOW tier 2
+    (tier 3). Rationale: when a round edits a shared helper (r15's
+    two-stage rewrite, r16's topk cost fallback), the TRANSITIVE
+    fingerprint correctly re-tiers the whole closure — but an uncapped
+    tier 1 then eats the entire 50-slot driver window with revalidations
+    of queries that were driver-green LAST round, while genuinely stale
+    tier-2 rows (no driver check for 5+ rounds) starve for a third round
+    running (the r14/r15 pattern). The cap spreads the revalidation over
+    two rounds instead: the capped head — ``tier1_prefer`` names first
+    (builder-chosen: one representative per edited call-path family),
+    then stalest-first — is checked THIS round next to >= 40 stale rows;
+    the overflow keeps its sticky tier-1 vouch (carry_vouched) and leads
+    the NEXT round's window. Compensating evidence for the deferred
+    revalidations is the committed full local oracle sweep
+    (STALE_RECHECK_r*.json) — the cap trades driver-signal latency on
+    just-rechecked-locally queries for driver coverage of the oldest
+    unchecked ones, never the reverse.
     """
     forced = set(force_head or [])
     surface = re.compile(r"^[a-z]\d+_")
 
+    def tier_of(name: str) -> int:
+        last, green, rows_only = hist.get(name, (0, False, False))
+        if name in forced:
+            return 0
+        if name not in hist or not green or (rows_only and has_oracle.get(name, False)):
+            return 0
+        if prev_fps and prev_fps.get(name) != fps.get(name):
+            return 1  # changed since last rotation pass: past green is stale
+        return 2
+
+    demoted: set[str] = set()
+    if tier1_cap is not None:
+        prefer = {n: i for i, n in enumerate(tier1_prefer or [])}
+        t1 = [n for n in names if tier_of(n) == 1]
+        t1.sort(
+            key=lambda n: (
+                0 if n in prefer else 1,
+                prefer.get(n, 0),
+                hist.get(n, (0, False, False))[0],
+                0 if surface.match(n) else 1,
+            )
+        )
+        demoted = set(t1[max(0, int(tier1_cap)):])
+
     def key(item: tuple[int, str]) -> tuple:
         reg_pos, name = item
         last, green, rows_only = hist.get(name, (0, False, False))
+        tier = tier_of(name)
         if name in forced:
-            tier = 0
             last = -1  # ahead of organic tier 0 so a long tier 0 can't push it out
-        elif name not in hist or not green or (rows_only and has_oracle.get(name, False)):
-            tier = 0
-        elif prev_fps and prev_fps.get(name) != fps.get(name):
-            tier = 1  # changed since last rotation pass: past green is stale
-        else:
-            tier = 2
+        if tier == 1 and name in demoted:
+            tier = 3
         return (tier, last, 0 if surface.match(name) else 1, reg_pos)
 
     return [n for _, n in sorted(enumerate(names), key=key)]
@@ -338,11 +380,19 @@ def main() -> int:
     # file holds {"force_head": [...], "note": ...}; names here are purged
     # once the driver shows a fresh green row for them.
     force_head: list[str] = []
+    tier1_cap = None
+    tier1_prefer: list[str] = []
     overrides_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "rotation_overrides.json")
     if os.path.exists(overrides_path):
-        force_head = [n for n in json.load(open(overrides_path)).get("force_head", []) if n in names]
+        ov = json.load(open(overrides_path))
+        force_head = [n for n in ov.get("force_head", []) if n in names]
+        tier1_cap = ov.get("tier1_cap")
+        tier1_prefer = [n for n in ov.get("tier1_prefer", []) if n in names]
 
-    ordered = compute_order(names, hist, has_oracle, fps, vouched, force_head)
+    ordered = compute_order(
+        names, hist, has_oracle, fps, vouched, force_head,
+        tier1_cap=tier1_cap, tier1_prefer=tier1_prefer,
+    )
     payload = {
         "comment": "driver checks the first 50 queries() entries; see tools/rotate_registry.py",
         "generated_from": sorted(
@@ -355,6 +405,15 @@ def main() -> int:
     }
     window = ordered[:50]
     stale = [n for n in ordered[50:]]
+    n_t1 = sum(
+        1 for n in names
+        if n in hist and hist[n][1] and vouched.get(n) != fps.get(n)
+    )
+    if tier1_cap is not None:
+        print(
+            f"tier1_cap={tier1_cap}: {n_t1} changed-fingerprint queries, "
+            f"overflow demoted below tier 2 (sticky vouch leads next round)"
+        )
     print(f"{len(ordered)} queries; 50-window head: {window[:8]} ...")
     print(f"outside window ({len(stale)}): {stale}")
     never_or_red = [
