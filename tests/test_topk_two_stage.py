@@ -180,6 +180,18 @@ def test_helper_stage2_input_is_k_bounded_per_shard(spark):
     assert missing.count() == 0
 
 
+def test_table_row_bound_footer_count(spark, sf_small):
+    """The 'free upper bound' feeding the cost fallback: pyarrow footer
+    count == an actual Spark count, zero jobs; missing paths -> None."""
+    from data_wrangle_openstreetmaps_data_1_spark.sources.tables import (
+        table_row_bound,
+    )
+
+    n = table_row_bound(sf_small, "embeddings")
+    assert n == load_table(spark, sf_small, "embeddings").count()
+    assert table_row_bound("/nonexistent", "embeddings") is None
+
+
 def test_bm25_query_topk_matches_window_form(spark, index):
     queries = ["spark hash", "window", "hash window spark"]
     per_doc = _bm25_query_scored(spark, index, queries, False, None, None)

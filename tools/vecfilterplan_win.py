@@ -121,11 +121,14 @@ def main() -> int:
         "fixture": f"{VEC_DIR}/embeddings.parquet",
         "n_vecs": emb.count(),
         "honesty_note": (
-            "at this 20k-vector scale pre wins wall time on both cells "
-            "(post pays 2+ driver round-trips of refill bookkeeping); the "
-            "scale quantity is eligibility-join input rows — pre joins the "
-            "probed clusters' corpus-side rows, post touches a "
-            "|queries| x k' page regardless of corpus size"
+            "r16: the small-corpus floor (always-pre below 65536 live "
+            "vectors) encodes what this ledger measured in r15 — at 20k "
+            "vectors post's refill bookkeeping round-trips cost more than "
+            "the whole pre semi-join, whatever the selectivity. "
+            "choice_without_floor records the raw selectivity model (the "
+            "behavior above the floor): selective->pre, broad->post — the "
+            "crossover is preserved, the floor only short-circuits it "
+            "where the corpus is too small for it to matter"
         ),
         "k": TOPK,
         "nprobe": NPROBE,
@@ -138,9 +141,17 @@ def main() -> int:
     for label, pred in filters.items():
         allowed = emb.where(pred).select("vec_id")
         choice = choose_vector_filter_strategy(spark, path, allowed)
+        # the selectivity crossover with the r16 small-corpus floor
+        # DISABLED — the dial production sets at large corpora, recorded
+        # so the floor's shortcut is auditable against the raw model
+        unfloored = choose_vector_filter_strategy(
+            spark, path, allowed, small_corpus_floor=0
+        )
         cell: dict = {
             "selectivity": round(choice["selectivity"], 3),
             "auto_choice": choice["strategy"],
+            "floor_applied": choice["floor_applied"],
+            "choice_without_floor": unfloored["strategy"],
             "estimator": choice["estimator"],
             "eligibility_join_rows_pre": probed_codes.join(
                 allowed, "vec_id", "semi"
