@@ -30,6 +30,10 @@ def main() -> int:
     steps = [
         [sys.executable, os.path.join(REPO, "tools", "r11_osm_scale.py"),
          "266875", f"r{rnd}_osm_scale"],
+        # r16 promotion: the J2 relation->way->node ring path (order
+        # golden + sublinear reconstruction + PIP e2e at 10x relations)
+        [sys.executable, os.path.join(REPO, "tools", "r16_rings_scale.py"),
+         "1000", f"r{rnd}_rings_scale"],
     ]
     for cmd in steps:
         print("round_sweep:", " ".join(cmd), flush=True)
