@@ -219,3 +219,44 @@ def test_watermarked_transitions_late_side_output_and_ttl_eviction(spark, tmp_pa
     assert agg[("START", "z")] == 1  # frontier evicted between y and z
     assert agg[("y", "z")] == 0
     assert agg[("START", "x")] == 1 and agg[("x", "y")] == 1
+
+
+def test_watermarked_sessionizer_on_real_events_multibatch(
+    spark, sf_small, tmp_path
+):
+    """The batch-equivalence oracle on REAL data: sf0.001 events split
+    into 4 time-ordered files (in-order replay, so zero late rows), the
+    watermarked stream's sessions ⊆ the batch sessionizer's and ⊇ the
+    unwatermarked stream's emissions."""
+    from data_wrangle_openstreetmaps_data_1_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_small, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us"),
+        F.lit(0.0).alias("value"),
+    )
+    bounds = events.select(
+        F.expr("percentile(ts_us, array(0.25, 0.5, 0.75))").alias("p")
+    ).collect()[0]["p"]
+    out = str(tmp_path / "ev")
+    lo = float("-inf")
+    for hi in [*bounds, float("inf")]:
+        events.where((F.col("ts_us") > lo) & (F.col("ts_us") <= hi)).coalesce(
+            1
+        ).write.mode("append").parquet(out)
+        lo = hi
+    wm = _drain(
+        spark, sessionize_stream_watermarked(_stream(spark, out), 30.0, "30 minutes")
+    )
+    assert wm and all(r["kind"] == "session" for r in wm)
+    plain = _drain(spark, sessionize_stream(_stream(spark, out), 30.0))
+    key = lambda r: (  # noqa: E731
+        r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"]
+    )
+    assert Counter(key(r) for r in plain) <= Counter(key(r) for r in wm)
+    batch_src = spark.read.parquet(out).withColumn("ts", F.timestamp_micros("ts_us"))
+    batch = Counter(
+        (r["user_id"], r["n_events"], r["duration_ms"])
+        for r in session_stats(batch_src, "user_id", "ts", gap_minutes=30.0).collect()
+    )
+    got = Counter((r["user_id"], r["n_events"], r["duration_ms"]) for r in wm)
+    assert got <= batch

@@ -136,6 +136,25 @@ def test_compact_recanonicalizes_dirty_buckets(spark, docs):
         shutil.rmtree(path, ignore_errors=True)
 
 
+def test_probe_exact_with_pending_tombstones(spark, docs):
+    """Delete WITHOUT compact: blockmax keeps the victims' maxima (bounds
+    go loose, never tight) and scoring anti-joins tombstones — the pruned
+    probe must still equal the exact probe on the tombstoned index."""
+    path = tempfile.mkdtemp(prefix="bmw_ts_")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=NB)
+        victims = [r["doc_id"] for r in docs.select("doc_id").limit(9).collect()]
+        bm25_index_delete(spark, path, victims)
+        # no compact: tombstones pending, sidecar deliberately stale-loose
+        a = rows_of(bm25_query_topk_maxscore(spark, path, QUERIES, k=5, min_docs_for_pruning=0))
+        b = rows_of(bm25_query_topk(spark, path, QUERIES, k=5))
+        assert a == b and len(a) > 0
+        assert not {t[1] for t in a} & set(victims)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def test_merge_all_or_none_and_block_docs_agreement(spark, docs):
     base = tempfile.mkdtemp(prefix="bmw_mrg_")
     p1, p2, out = f"{base}/a", f"{base}/b", f"{base}/m"

@@ -269,3 +269,45 @@ def test_snippet_probe_scores_equal_query_topk(spark, docs, index):
         }
         best = min(scores, key=lambda t: (-scores[t], t))
         assert r["best_term"] == best, (r["query"], r["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# property test: any bound, any shard count — identical to the window form
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),     # key
+        st.integers(min_value=0, max_value=50),    # salt/id (ties allowed)
+        st.integers(min_value=-5, max_value=5),    # score (heavy ties)
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=_rows,
+    k=st.integers(min_value=1, max_value=7),
+    bound=st.sampled_from([None, 0, 3, 1000, 10**7]),
+    shards=st.sampled_from([None, 1, 2, 7]),
+)
+def test_topk_property_any_bound_matches_window(spark, rows, k, bound, shards):
+    """The r16 cost fallback must be invisible: for random frames with
+    heavy ties, ANY (approx_candidates_per_key, shards) combination gives
+    exactly the single-window ranking. doc_id ties are broken by a unique
+    rid so the order is total (the helper's documented precondition)."""
+    df = spark.createDataFrame(
+        [(key, doc, score, i) for i, (key, doc, score) in enumerate(rows)],
+        "key long, doc_id long, score long, rid long",
+    )
+    order = [F.desc("score"), F.asc("doc_id"), F.asc("rid")]
+    got = topk_per_key(
+        df, ["key"], order, k, "rid",
+        shards=shards, approx_candidates_per_key=bound,
+    )
+    assert_same(got, window_topk(df, ["key"], order, k))
