@@ -106,6 +106,22 @@ def run_scale(spark, n: int, tmp: str) -> dict:
         f"conservation invariant broken at n={n}: "
         f"{state['wa_nodes']} + {state['id_nodes']} != {state['all_nodes']}"
     )
+    # r17 (VERDICT r16 task 6): the invariant must also hold THROUGH the
+    # planet-scale split reader — row-count parity alone would not catch a
+    # boundary-scan bug that duplicates/drops nodes while preserving totals
+    # across types, or that corrupts lat/lon on chunk edges. Assert the
+    # split-ingested store yields the exact same box partition, not just
+    # the same row count, so the split ingest path can't silently rot.
+    split_state = query_battery(osm_split_df)["state_boxes"].collect()[0]
+    assert (
+        split_state["wa_nodes"] == state["wa_nodes"]
+        and split_state["id_nodes"] == state["id_nodes"]
+        and split_state["all_nodes"] == state["all_nodes"]
+    ), (
+        f"split-reader conservation diverged from native at n={n}: "
+        f"split {dict(split_state.asDict())} vs native wa={state['wa_nodes']} "
+        f"id={state['id_nodes']} all={state['all_nodes']}"
+    )
     return {
         "n_elements": n,
         "xml_mb": round(size / 1e6, 2),
@@ -163,7 +179,9 @@ def main() -> int:
         "ingest_split_reader_sec vs the single-task ingest). docs at 10x == "
         "10 x docs at 1x (deterministic gen) proves the boundary-scanning "
         "extraction drops/duplicates nothing; conservation (wa+id==all) "
-        "asserted at both scales.",
+        "asserted at both scales on BOTH ingest paths (native and split "
+        "reader), with the split-path box counts required to equal the "
+        "native ones exactly.",
         "1x": one,
         "10x": ten,
         "ratios": {
