@@ -230,3 +230,38 @@ def test_helper_edit_alone_changes_caller_fingerprint(tmp_path):
         sys.path.remove(str(tmp_path))
         for m in [m for m in sys.modules if m == "tpkg" or m.startswith("tpkg.")]:
             del sys.modules[m]
+
+
+def test_r17_overrides_are_cap_free():
+    """r17 backlog-retirement: the r16 consolidation cap deliberately held 48
+    re-tiered tier-1 queries out of the driver window (sticky vouch); its own
+    note said REMOVE once they lead a round. r17 removed it — pin the file so
+    a future consolidation round must re-justify a cap in a fresh note rather
+    than silently inheriting one, and pin the cap-free ordering: every sticky
+    tier-1 row outranks every stable-green tier-2 row, stalest-first within
+    the tier."""
+    import json
+    import os
+
+    ov = json.load(
+        open(os.path.join(os.path.dirname(__file__), "..", "tools", "rotation_overrides.json"))
+    )
+    assert "tier1_cap" not in ov and "tier1_prefer" not in ov
+    assert ov.get("force_head") == []
+
+    # cap-free ordering: tier 1 (changed since last driver row) leads ALL of
+    # tier 2 regardless of how fresh its last driver row is; tier 2 cycles
+    # stalest-first behind it (the r17 window shape: 48 tier-1 + stalest tier-2)
+    names = list("abcde")
+    hist = {
+        "a": hist_entry(15),  # fresh green, changed -> tier 1
+        "b": hist_entry(14),  # fresh green, changed -> tier 1
+        "c": hist_entry(10),  # stale green -> tier 2
+        "d": hist_entry(12),  # green -> tier 2
+        "e": hist_entry(15),  # fresh green -> tier 2
+    }
+    prev = dict(FPS)
+    prev["a"] = "older"
+    prev["b"] = "older"
+    order = compute_order(names, hist, {n: True for n in names}, FPS, prev)
+    assert order == ["b", "a", "c", "d", "e"]
