@@ -11,16 +11,26 @@ a row in — round 4's silent-staleness class, which the transitive
 fingerprint was built to kill.
 
 This test makes the ritual load-bearing: it recomputes every registered
-query's transitive fingerprint (~3 s, no Spark) and diffs against the
-committed map. It deliberately checks ONLY edit-synced state — never
-CORRECTNESS history — so a new driver correctness drop at round start
-does NOT redden the suite; only an un-rotated source edit does.
+query's transitive fingerprint (~3 s) and diffs against the committed
+map. It deliberately checks ONLY edit-synced state — never CORRECTNESS
+history — so a new driver correctness drop at round start does NOT
+redden the suite; only an un-rotated source edit does.
+
+The recompute runs in a SUBPROCESS with no SparkContext, because the
+committed fingerprints are defined as "what tools/rotate_registry.py
+produces when run as a script" — always Spark-free. In a sessionful
+process (this suite) the closure walk sees MORE: modules whose import
+needs a live context (operators/grouped_agg.py's module-level
+pandas_udf) import fine and contribute object-level chunks instead of
+the tool's file-source fallback chunk, shifting 2 fingerprints — the
+exact asymmetry that exposed the fallback gap in r17.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -30,14 +40,28 @@ ROTATION = os.path.join(
     "/root/repo", "data_wrangle_openstreetmaps_data_1_spark", "plans", "rotation.json"
 )
 
+_CHILD = r"""
+import json, sys
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+from rotate_registry import fingerprints
+from data_wrangle_openstreetmaps_data_1_spark.plans import registry
+registry._load_all()
+print("FPS:" + json.dumps(fingerprints(registry)))
+"""
+
 
 def _load():
-    from rotate_registry import fingerprints
-
     from data_wrangle_openstreetmaps_data_1_spark.plans import registry
 
     registry._load_all()
-    return registry, fingerprints(registry), json.load(open(ROTATION))
+    proc = subprocess.run(
+        [sys.executable, "-c", _CHILD], capture_output=True, text=True, timeout=300
+    )
+    assert proc.returncode == 0, f"fingerprint subprocess crashed:\n{proc.stderr[-2000:]}"
+    payload = [l for l in proc.stdout.splitlines() if l.startswith("FPS:")]
+    fresh = json.loads(payload[0][len("FPS:"):])
+    return registry, fresh, json.load(open(ROTATION))
 
 
 def test_rotation_names_cover_registry_exactly():

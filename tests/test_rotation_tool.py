@@ -265,3 +265,43 @@ def test_r17_overrides_are_cap_free():
     prev["b"] = "older"
     order = compute_order(names, hist, {n: True for n in names}, FPS, prev)
     assert order == ["b", "a", "c", "d", "e"]
+
+
+def test_unimportable_module_falls_back_to_file_source(tmp_path):
+    """r17: a closure module that RAISES on import (real case:
+    operators/grouped_agg.py's module-level pandas_udf needs a live
+    SparkContext; this tool runs Spark-free) must still be fingerprinted —
+    via its source file — so editing it re-tiers its callers. The pre-r17
+    walk swallowed the ImportError and silently dropped the module from
+    the closure: the round-4 silent-staleness class inside the import
+    walk itself."""
+    import importlib
+    import linecache
+
+    def write(body: str) -> None:
+        (tmp_path / "tpkg2").mkdir(exist_ok=True)
+        (tmp_path / "tpkg2" / "__init__.py").write_text("")
+        (tmp_path / "tpkg2" / "needs_ctx.py").write_text(
+            f"raise RuntimeError('no context')\n\n\ndef h():\n    return {body}\n"
+        )
+        (tmp_path / "tpkg2" / "caller.py").write_text(
+            "def f():\n    from .needs_ctx import h\n    return h()\n"
+        )
+
+    sys.path.insert(0, str(tmp_path))
+    try:
+        write("1")
+        caller = importlib.import_module("tpkg2.caller")
+        fp1 = reachable_source(caller.f)
+        assert "modsrc:tpkg2.needs_ctx" in fp1
+        assert "raise RuntimeError('no context')" in fp1
+
+        write("2")  # edit ONLY the unimportable module's body
+        linecache.clearcache()
+        caller = importlib.reload(caller)
+        fp2 = reachable_source(caller.f)
+        assert fp1 != fp2 and "return 2" in fp2
+    finally:
+        sys.path.remove(str(tmp_path))
+        for m in [m for m in sys.modules if m == "tpkg2" or m.startswith("tpkg2.")]:
+            del sys.modules[m]

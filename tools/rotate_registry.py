@@ -100,6 +100,7 @@ def reachable_source(fn, pkg_prefix: str | None = None) -> str:
     import ast
     import functools
     import importlib
+    import importlib.util
     import inspect
     import textwrap
     import types
@@ -189,6 +190,35 @@ def reachable_source(fn, pkg_prefix: str | None = None) -> str:
             if isinstance(const, types.CodeType):
                 visit_code(const, globs)
 
+    def visit_modsrc(dotted: str, pkg: str) -> None:
+        """Fallback for an in-package module that cannot be IMPORTED in this
+        process: fingerprint its source FILE instead (resolved without
+        executing it). Real case (r17): operators/grouped_agg.py's
+        module-level ``@pandas_udf("long")`` parses DDL eagerly and raises
+        SESSION_OR_CONTEXT_NOT_EXISTS when no SparkContext is alive — which
+        is exactly how this Spark-free tool runs. Swallowing the failure
+        (the pre-r17 behavior) silently DROPPED the module from its
+        callers' closures, so editing it would never have re-tiered them —
+        the round-4 silent-staleness class, hiding in the import walk
+        itself. File-granular is coarser than the object walk but
+        err-on-re-tier is the safe direction."""
+        try:
+            absname = importlib.util.resolve_name(dotted, pkg or None)
+        except Exception:
+            return
+        if not in_pkg(absname):
+            return
+        key = f"modsrc:{absname}"
+        if key in chunks:
+            return
+        try:
+            spec = importlib.util.find_spec(absname)
+            if spec and spec.origin and spec.origin.endswith(".py"):
+                with open(spec.origin) as fh:
+                    chunks[key] = fh.read()
+        except Exception:
+            pass
+
     def visit_imports(src: str, modname: str) -> None:
         try:
             tree = ast.parse(textwrap.dedent(src))
@@ -197,11 +227,11 @@ def reachable_source(fn, pkg_prefix: str | None = None) -> str:
         pkg = (modname or "").rpartition(".")[0]
         for node in ast.walk(tree):
             if isinstance(node, ast.ImportFrom):
+                dotted = "." * node.level + (node.module or "")
                 try:
-                    mod = importlib.import_module(
-                        "." * node.level + (node.module or ""), package=pkg or None
-                    )
+                    mod = importlib.import_module(dotted, package=pkg or None)
                 except Exception:
+                    visit_modsrc(dotted, pkg)
                     continue
                 if not in_pkg(mod.__name__):
                     continue
@@ -217,7 +247,7 @@ def reachable_source(fn, pkg_prefix: str | None = None) -> str:
                         try:
                             visit_obj(importlib.import_module(alias.name))
                         except Exception:
-                            pass
+                            visit_modsrc(alias.name, "")
 
     visit_obj(fn)
     return "\n".join(k + "\n" + chunks[k] for k in sorted(chunks))
