@@ -37,7 +37,7 @@ from typing import NamedTuple
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..partitioning import explode_nonempty, spread, truncate_lineage
+from ..partitioning import eager_cache, explode_nonempty, spread, truncate_lineage
 from ..functions.hashing import (
     HASH64_SQL,
     HASH_P_SQL,
@@ -252,16 +252,21 @@ def minhash_lsh_pairs(
     rows_per_band = k // bands
     coeffs = minhash_coeffs(k)
     sh = _shingle_sets(df, id_col, text_col, n)
-    # persist: the exploded hash table feeds THREE consumers with three
+    # eager_cache: the exploded hash table feeds THREE consumers with three
     # different shuffle keys (signature groupBy on doc_id, verify joins on
     # doc_a and on (doc_b, h)), so without a cache the tokenize+shingle+md5
     # pipeline — the CPU-heaviest stage — runs three times (ReusedExchange
     # can't help across differing keys). Measured at the sf1 rehearsal:
     # 14.2s -> 7.9s. persist() default is MEMORY_AND_DISK, so at corpus
-    # scale the skinny (id, hash) rows spill rather than OOM.
-    ex = explode_nonempty(sh, ["doc_id"], "shingles", "shingle").select(
-        "doc_id", F.expr(hash_sql.format(x="shingle")).alias("h")
-    ).persist()
+    # scale the skinny (id, hash) rows spill rather than OOM. The cache is
+    # materialized EAGERLY (r18): a lazy persist still let AQE's concurrent
+    # stage submission recompute the subtree once per consumer stage — see
+    # partitioning.eager_cache for the measured stage profile.
+    ex = eager_cache(
+        explode_nonempty(sh, ["doc_id"], "shingles", "shingle").select(
+            "doc_id", F.expr(hash_sql.format(x="shingle")).alias("h")
+        )
+    )
     # one shuffle: per-doc signature columns + set size, all in one pass.
     # pmod(h, p) inside the min() — identical signature values to the old
     # hash-mod-p-up-front form, so band keys (and the candidate set) are
@@ -487,7 +492,11 @@ def _minhash_sig_rows(
         "doc_id", F.expr(HASH64_SQL.format(x="shingle")).alias("h")
     )
     if persist:
-        ex = ex.persist()
+        # eager: the signature groupBy and the cross-side verify join are
+        # submitted concurrently by AQE under one action — a lazy persist
+        # recomputes the shingle+hash subtree once per consumer stage
+        # (see partitioning.eager_cache)
+        ex = eager_cache(ex)
     hp = F.pmod(F.col("h"), F.lit(MERSENNE_P))
     sig = ex.groupBy("doc_id").agg(
         *[
@@ -783,10 +792,9 @@ def jaccard_prefix_pairs(
     # released before returning — a lazily returned plan would pin the
     # cache in executor memory for the session (the similarity.py leak
     # class flagged in ADVICE r7).
-    ex = (
+    ex = eager_cache(
         explode_nonempty(sh, ["doc_id"], "shingles", "shingle")
         .select("doc_id", F.xxhash64("shingle").alias("sh_h"))
-        .persist()
     )
     try:
         docs = ex.groupBy("doc_id").agg(

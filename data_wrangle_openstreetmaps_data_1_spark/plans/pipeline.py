@@ -29,7 +29,7 @@ from ..functions.text import (
     token_count,
 )
 from ..operators.components import dedup_groups
-from ..partitioning import explode_nonempty
+from ..partitioning import eager_cache, explode_nonempty
 from ..operators.packing import pack_concat_chunks
 from ..operators.sampling import hash_sample, shuffle_order, stratified_sample
 from ..operators.dedup import (
@@ -648,16 +648,19 @@ def dd_lsh_tier_audit(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.dedup import jaccard_truth_pairs
 
     corpus = _corpus(spark, sf)
-    scored = (
+    # eager_cache (r18): the final crossJoin action consumes scored via two
+    # branches (n_truth, n_pit/n_fot) and portable via two (n_portable,
+    # n_pit) — AQE submits those stages concurrently, and a lazy persist
+    # would recompute the full truth join / LSH pipeline once per branch
+    # (see partitioning.eager_cache)
+    scored = eager_cache(
         jaccard_truth_pairs(corpus, "doc_id", "text", n=3, threshold=0.38)
-        .persist()
     )
     truth = scored.where(F.col("jaccard") >= 0.4).select("doc_a", "doc_b")
     truth_loose = scored.select("doc_a", "doc_b")
-    portable = (
+    portable = eager_cache(
         minhash_lsh_pairs(corpus, "doc_id", "text", n=3, k=16, bands=4, threshold=0.4)
         .select("doc_a", "doc_b")
-        .persist()
     )
     fast = minhash_lsh_pairs(
         corpus, "doc_id", "text", n=3, k=16, bands=4, threshold=0.4, hash_tier="fast"
