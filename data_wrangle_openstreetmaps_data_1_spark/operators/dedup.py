@@ -483,20 +483,33 @@ def _minhash_sig_rows(
     tier), factored so the incremental path can build each side
     independently. ``ex`` is persisted: it feeds the signature groupBy
     and the cross-side verify join (two different shuffle keys)."""
-    coeffs = minhash_coeffs(k)
-    rows_per_band = k // bands
-    sh = _shingle_sets(df, id_col, text_col, n)
-    # full-width portable hash; permutations reduce mod p inside the min()
-    # (see minhash_lsh_pairs — same verify-needs-no-dedup argument)
-    ex = explode_nonempty(sh, ["doc_id"], "shingles", "shingle").select(
-        "doc_id", F.expr(HASH64_SQL.format(x="shingle")).alias("h")
-    )
+    ex = _ex_rows(df, id_col, text_col, n)
     if persist:
         # eager: the signature groupBy and the cross-side verify join are
         # submitted concurrently by AQE under one action — a lazy persist
         # recomputes the shingle+hash subtree once per consumer stage
         # (see partitioning.eager_cache)
         ex = eager_cache(ex)
+    sizes, banded = _sig_from_ex(ex, k, bands)
+    return ex, sizes, banded
+
+
+def _ex_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Exploded (doc_id, h) rows under the full-width portable hash — the
+    shared build of every portable-tier MinHash side. Permutations reduce
+    mod p later, inside the min() (see minhash_lsh_pairs — same
+    verify-needs-no-dedup argument)."""
+    sh = _shingle_sets(df, id_col, text_col, n)
+    return explode_nonempty(sh, ["doc_id"], "shingles", "shingle").select(
+        "doc_id", F.expr(HASH64_SQL.format(x="shingle")).alias("h")
+    )
+
+
+def _sig_from_ex(ex: DataFrame, k: int, bands: int) -> tuple[DataFrame, DataFrame]:
+    """(sizes, banded) derived from exploded (doc_id, h) rows: one groupBy
+    computes the k MinHash values + set size; band keys explode from it."""
+    coeffs = minhash_coeffs(k)
+    rows_per_band = k // bands
     hp = F.pmod(F.col("h"), F.lit(MERSENNE_P))
     sig = ex.groupBy("doc_id").agg(
         *[
@@ -514,7 +527,7 @@ def _minhash_sig_rows(
         for bi in range(bands)
     ]
     banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band_key"))
-    return ex, sig.select("doc_id", "n_shingles"), banded
+    return sig.select("doc_id", "n_shingles"), banded
 
 
 class MinhashIndex(NamedTuple):
@@ -580,12 +593,6 @@ def minhash_lsh_join(
     """
     if bands < 1 or k % bands != 0:
         raise ValueError(f"bands={bands} must divide k={k} exactly")
-    # persist_new=False for per-micro-batch streaming callers: the batch
-    # side is small enough to recompute (2 consumers) and an un-unpersisted
-    # cache entry per micro-batch would accumulate for the stream lifetime.
-    ex_n, sizes_n, banded_n = _minhash_sig_rows(
-        new_df, id_col, text_col, n, k, bands, persist=persist_new
-    )
     if index_artifacts is not None:
         if (index_artifacts.n, index_artifacts.k, index_artifacts.bands) != (n, k, bands):
             raise ValueError(
@@ -594,12 +601,41 @@ def minhash_lsh_join(
                 f"join requested (n={n}, k={k}, bands={bands}) — mismatched "
                 "band keys would silently produce an empty candidate set"
             )
+        # persist_new=False for per-micro-batch streaming callers: the batch
+        # side is small enough to recompute (2 consumers) and an
+        # un-unpersisted cache entry per micro-batch would accumulate for
+        # the stream lifetime.
+        ex_n, sizes_n, banded_n = _minhash_sig_rows(
+            new_df, id_col, text_col, n, k, bands, persist=persist_new
+        )
         ex_i, sizes_i, banded_i = (
             index_artifacts.ex,
             index_artifacts.sizes,
             index_artifacts.banded,
         )
+    elif persist_new:
+        # Both sides built fresh: materialize BOTH exploded hash tables in
+        # ONE job (union with a side tag) instead of one eager job per side
+        # (r18) — halves the materialization barriers and lets the two
+        # sides' tokenize+shingle+hash CPU run in the same stage. The side
+        # filters below are cheap predicates over the materialized blocks.
+        both = eager_cache(
+            _ex_rows(new_df, id_col, text_col, n).select(
+                F.lit(True).alias("__new"), "doc_id", "h"
+            ).unionByName(
+                _ex_rows(index_df, id_col, text_col, n).select(
+                    F.lit(False).alias("__new"), "doc_id", "h"
+                )
+            )
+        )
+        ex_n = both.where(F.col("__new")).select("doc_id", "h")
+        ex_i = both.where(~F.col("__new")).select("doc_id", "h")
+        sizes_n, banded_n = _sig_from_ex(ex_n, k, bands)
+        sizes_i, banded_i = _sig_from_ex(ex_i, k, bands)
     else:
+        ex_n, sizes_n, banded_n = _minhash_sig_rows(
+            new_df, id_col, text_col, n, k, bands, persist=False
+        )
         ex_i, sizes_i, banded_i = _minhash_sig_rows(index_df, id_col, text_col, n, k, bands)
     cand = (
         banded_n.select(F.col("doc_id").alias("new_id"), "band_key")
