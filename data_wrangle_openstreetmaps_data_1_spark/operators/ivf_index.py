@@ -632,13 +632,8 @@ def ivf_pq_probe_batched(
     # the probed clusters' live counts — tombstones/allowed only shrink
     # it), so small serving probes skip the salted stage entirely.
     approx = None
-    import os as _os
-
-    if _os.path.isdir(f"{path}/{_CLUSTER_STATS}"):
-        sizes = {
-            int(rr["cluster"]): int(rr["n_vecs"])
-            for rr in spark.read.parquet(f"{path}/{_CLUSTER_STATS}").collect()
-        }
+    sizes = _cluster_sizes_cached(spark, path)
+    if sizes is not None:
         per_q: dict[int, int] = {}
         for qid, c in qc_rows:
             per_q[qid] = per_q.get(qid, 0) + sizes.get(c, 0)
@@ -652,6 +647,47 @@ def ivf_pq_probe_batched(
         rank_col="__rk",
         approx_candidates_per_key=approx,
     ).drop("__rk")
+
+
+#: (abs sidecar dir -> (directory signature, {cluster: n_vecs})). See
+#: :func:`_cluster_sizes_cached`.
+_CLUSTER_SIZES_CACHE: dict[str, tuple[tuple, dict[int, int]]] = {}
+
+
+def _cluster_sizes_cached(spark: SparkSession, path: str) -> dict[int, int] | None:
+    """Live per-cluster cardinalities from the histogram sidecar, cached
+    per (path, directory signature) — r16 ADVICE fix, landed in the r18
+    optimization round: a serving process probes the same persisted index
+    many times, and re-collecting the ncent-row parquet cost one Spark
+    job per probe call for data that only changes when the lifecycle
+    rewrites the sidecar. The signature is the sidecar directory's file
+    names + sizes + mtimes via pure ``os.stat`` — no Spark job on the hit
+    path; every lifecycle rewrite (overwrite mode replaces the files)
+    changes it and invalidates the entry. Returns None when the sidecar
+    is absent (pre-r15 index) — callers keep their scan fallbacks, and a
+    stale-between-partial-commit-and-heal histogram can only mis-cost,
+    never mis-answer (same contract as before the cache)."""
+    import os
+
+    d = os.path.abspath(f"{path}/{_CLUSTER_STATS}")
+    if not os.path.isdir(d):
+        return None
+    sig = tuple(
+        sorted(
+            (name, st.st_size, st.st_mtime_ns)
+            for name in os.listdir(d)
+            for st in (os.stat(os.path.join(d, name)),)
+        )
+    )
+    hit = _CLUSTER_SIZES_CACHE.get(d)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
+    sizes = {
+        int(r["cluster"]): int(r["n_vecs"])
+        for r in spark.read.parquet(d).collect()  # ncent rows
+    }
+    _CLUSTER_SIZES_CACHE[d] = (sig, sizes)
+    return sizes
 
 
 def write_cluster_stats(spark: SparkSession, path: str) -> None:
@@ -738,9 +774,9 @@ def choose_vector_filter_strategy(
         raise ValueError(
             f"choose_vector_filter_strategy: threshold {threshold!r} must be in (0, 1)"
         )
-    if os.path.isdir(f"{path}/{_CLUSTER_STATS}"):
-        hist = spark.read.parquet(f"{path}/{_CLUSTER_STATS}").collect()  # ncent rows
-        total = sum(int(r["n_vecs"]) for r in hist)
+    sizes = _cluster_sizes_cached(spark, path)
+    if sizes is not None:
+        total = sum(sizes.values())
         estimator = "stored"
     else:
         total = spark.read.parquet(f"{path}/{_CODES}").count()
