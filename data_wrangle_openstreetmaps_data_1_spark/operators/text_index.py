@@ -2453,6 +2453,50 @@ def bm25_index_merge(
             "a merged index must serve phrases for all of the corpus or "
             "none of it"
         )
+    # ALL sidecar presence/consistency contracts are validated BEFORE the
+    # first write (r16 ADVICE, landed r18): a refusal below used to fire
+    # after postings/terms/stats had already been written, leaving a
+    # complete-looking index at out_path missing the very sidecar the
+    # refusal was about. Validation is isdir/footer-schema/meta reads —
+    # no Spark jobs beyond the facet schema footers.
+    have_fac = [os.path.isdir(f"{p}/{_FACETS}") for p in in_paths]
+    if any(have_fac) and not all(have_fac):
+        raise ValueError(
+            "bm25_index_merge: facets/ present on only some inputs — a "
+            "merged index must serve facets for all of the corpus or none "
+            "of it (write_doc_facets on the missing inputs first)"
+        )
+    fac = [spark.read.parquet(f"{p}/{_FACETS}") for p in in_paths] if all(have_fac) else []
+    if fac:
+        cols0 = sorted(fac[0].columns)
+        if any(sorted(f.columns) != cols0 for f in fac[1:]):
+            raise ValueError(
+                "bm25_index_merge: facets/ schemas disagree across inputs "
+                f"({[sorted(f.columns) for f in fac]}) — rebuild the "
+                "sidecars with the same facet columns first"
+            )
+    have_store = [os.path.isdir(f"{p}/{_DOCSTORE}") for p in in_paths]
+    if any(have_store) and not all(have_store):
+        raise ValueError(
+            "bm25_index_merge: docstore/ present on only some inputs — a "
+            "merged index must serve stored snippets for all of the corpus "
+            "or none of it (write_doc_store on the missing inputs first)"
+        )
+    have_bm = [os.path.isdir(f"{p}/{_BLOCKMAX}") for p in in_paths]
+    if any(have_bm) and not all(have_bm):
+        raise ValueError(
+            "bm25_index_merge: blockmax/ present on only some inputs — a "
+            "merged index must block-prune for all of the corpus or none "
+            "of it (write_block_max on the missing inputs first)"
+        )
+    if all(have_bm):
+        bss = [m.get("block_docs") for m in metas]
+        if any(b is None or b != bss[0] for b in bss):
+            raise ValueError(
+                f"bm25_index_merge: block_docs disagree across inputs "
+                f"({bss}) — block membership must be computed with one "
+                "size; rebuild with write_block_max first"
+            )
     posts = [spark.read.parquet(f"{p}/{_POSTINGS}") for p in in_paths]
     union = posts[0]
     for q in posts[1:]:
@@ -2529,24 +2573,8 @@ def bm25_index_merge(
             f"{out_path}/{_POSITIONS}"
         )
     # facet sidecar: doc-keyed and disjoint like postings, so merge is a
-    # pure union — all-or-none for the same reason as positions/ (a merged
-    # index silently answering facets for half the corpus would be wrong)
-    have_fac = [os.path.isdir(f"{p}/{_FACETS}") for p in in_paths]
-    if any(have_fac) and not all(have_fac):
-        raise ValueError(
-            "bm25_index_merge: facets/ present on only some inputs — a "
-            "merged index must serve facets for all of the corpus or none "
-            "of it (write_doc_facets on the missing inputs first)"
-        )
-    if all(have_fac):
-        fac = [spark.read.parquet(f"{p}/{_FACETS}") for p in in_paths]
-        cols0 = sorted(fac[0].columns)
-        if any(sorted(f.columns) != cols0 for f in fac[1:]):
-            raise ValueError(
-                "bm25_index_merge: facets/ schemas disagree across inputs "
-                f"({[sorted(f.columns) for f in fac]}) — rebuild the "
-                "sidecars with the same facet columns first"
-            )
+    # pure union — all-or-none (validated up front, with the schema check)
+    if fac:
         fu = fac[0]
         for q in fac[1:]:
             fu = fu.unionByName(q)
@@ -2557,37 +2585,18 @@ def bm25_index_merge(
         # pure function of the merged terms/ — any input serving suffix
         # queries means the merged index should too (r13 verdict task)
         write_reversed_terms(spark, out_path)
-    have_store = [os.path.isdir(f"{p}/{_DOCSTORE}") for p in in_paths]
-    if any(have_store) and not all(have_store):
-        raise ValueError(
-            "bm25_index_merge: docstore/ present on only some inputs — a "
-            "merged index must serve stored snippets for all of the corpus "
-            "or none of it (write_doc_store on the missing inputs first)"
-        )
     if all(have_store):
         st = [spark.read.parquet(f"{p}/{_DOCSTORE}") for p in in_paths]
         su = st[0]
         for q in st[1:]:
             su = su.unionByName(q)
         su.write.mode("overwrite").parquet(f"{out_path}/{_DOCSTORE}")
-    have_bm = [os.path.isdir(f"{p}/{_BLOCKMAX}") for p in in_paths]
-    if any(have_bm) and not all(have_bm):
-        raise ValueError(
-            "bm25_index_merge: blockmax/ present on only some inputs — a "
-            "merged index must block-prune for all of the corpus or none "
-            "of it (write_block_max on the missing inputs first)"
-        )
     if all(have_bm):
         bss = [m.get("block_docs") for m in metas]
-        if any(b is None or b != bss[0] for b in bss):
-            raise ValueError(
-                f"bm25_index_merge: block_docs disagree across inputs "
-                f"({bss}) — block membership must be computed with one "
-                "size; rebuild with write_block_max first"
-            )
         # disjoint doc sets: per-(term, block) maxima merge exactly
         # (max of maxes / min of mins), and re-aggregating canonicalizes
         # to one row per key — bit-identical to a one-shot build
+        # (block_docs agreement validated up front, before any write)
         bm = [spark.read.parquet(f"{p}/{_BLOCKMAX}") for p in in_paths]
         bu = bm[0]
         for q in bm[1:]:
