@@ -175,23 +175,39 @@ def write_ivf_pq_index(
     The meta sidecar is written through Spark (text dataset) so the index
     is one self-contained directory on whatever filesystem the codes use
     (HDFS/S3/local) — no driver-local files."""
-    assigned = _assign_encode(emb, id_col, vec_col, meta, with_resid=True).persist()
-    try:
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..partitioning import eager_cache
+
+    # materialize the assignments ONCE up front, then submit the three
+    # independent artifact writes together (guide §2.6; same shape as
+    # write_bm25_index r18) — a lazy persist would let the concurrent
+    # writes race and each re-run the assign+encode pipeline
+    assigned = eager_cache(_assign_encode(emb, id_col, vec_col, meta, with_resid=True))
+
+    def _w_codes() -> None:
         assigned.drop("resid_fp").write.partitionBy("cluster").mode("overwrite").parquet(
             f"{path}/{_CODES}"
         )
+
+    def _w_drift() -> None:
         assigned.groupBy("cluster").agg(
             F.count("*").alias("n_base"),
             F.sum("resid_fp").cast("long").alias("sum_resid_fp"),
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{_DRIFT_BASE}")
+
+    def _w_stats() -> None:
         # LIVE cluster-cardinality histogram (unlike the drift baseline,
         # which deliberately snapshots training time): ncent tiny rows the
         # filter-strategy planner reads instead of paying a corpus count
         assigned.groupBy("cluster").agg(
             F.count("*").cast("long").alias("n_vecs")
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{_CLUSTER_STATS}")
-    finally:
-        assigned.unpersist()
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for f in [pool.submit(w) for w in (_w_codes, _w_drift, _w_stats)]:
+            f.result()
+    # meta last: the commit marker, written only after every artifact landed
     spark.createDataFrame([(json.dumps(meta),)], "value string").coalesce(1).write.mode(
         "overwrite"
     ).text(f"{path}/{_META}")
