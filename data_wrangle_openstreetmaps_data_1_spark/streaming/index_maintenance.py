@@ -255,26 +255,46 @@ def run_hybrid_index_stream(
         "ivf": os.path.isdir(os.path.join(ivf_path, "codes")),
     }
 
+    from concurrent.futures import ThreadPoolExecutor
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         docs = batch_df.where(F.col(text_col).isNotNull()).select(id_col, text_col)
         vecs = batch_df.where(F.col(vec_col).isNotNull()).select(id_col, vec_col)
-        if not docs.isEmpty():
-            if not state["bm"]:
-                write_bm25_index(
-                    spark, docs, bm_path, id_col, text_col, n_buckets=n_buckets
-                )
-                state["bm"] = True
-            else:
-                bm25_index_add(spark, docs, bm_path, id_col, text_col)
-        if not vecs.isEmpty():
-            if not state["ivf"]:
-                write_ivf_pq_index(spark, vecs, ivf_path, meta, id_col, vec_col)
-                state["ivf"] = True
-            else:
-                ivf_pq_index_add(spark, vecs, ivf_path, id_col, vec_col)
+
+        # The two tiers write to DIFFERENT index directories from DIFFERENT
+        # column slices — independent jobs, so run them concurrently and
+        # let each back-fill the other's task tails (r18; guide §2.6
+        # pattern, same as write_bm25_index's artifact writes). Lockstep is
+        # a commit-point property and both tiers complete before handle
+        # returns, so every commit still has both indexes covering the same
+        # doc set; a crash while BOTH are in flight is caught on replay by
+        # whichever duplicate guard trips — the same loud-failure recovery
+        # as the sequential form (which had the identical window between
+        # its two writes).
+        def lex_tier() -> None:
+            if not docs.isEmpty():
+                if not state["bm"]:
+                    write_bm25_index(
+                        spark, docs, bm_path, id_col, text_col, n_buckets=n_buckets
+                    )
+                    state["bm"] = True
+                else:
+                    bm25_index_add(spark, docs, bm_path, id_col, text_col)
+
+        def vec_tier() -> None:
+            if not vecs.isEmpty():
+                if not state["ivf"]:
+                    write_ivf_pq_index(spark, vecs, ivf_path, meta, id_col, vec_col)
+                    state["ivf"] = True
+                else:
+                    ivf_pq_index_add(spark, vecs, ivf_path, id_col, vec_col)
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for f in [pool.submit(lex_tier), pool.submit(vec_tier)]:
+                f.result()
 
     q = (
         doc_vec_stream.writeStream.foreachBatch(handle)
