@@ -62,12 +62,15 @@ def lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Output: (doc_id, n_bigrams, lm_score_fp). Documents with fewer than
     two tokens emit nothing (no bigrams, score undefined).
     """
-    # persisted: ex feeds three consumers on three shuffle keys (bg_h,
-    # un_h, and the score joins), so the cache saves two recomputes of the
-    # explode+md5 stage. Same lifecycle contract as operators/dedup.py:
-    # callers running many operators in one session clearCache() between
-    # them (bench.py, tools/check_oracle.py, and the registry wrapper do).
-    ex = _bigram_rows(df, id_col, text_col).persist()
+    # eager_cache (r18): ex feeds three consumers on three shuffle keys
+    # (bg_h, un_h, and the score joins) under ONE action, so a lazy
+    # persist let the concurrent AQE stages each recompute the explode+md5
+    # stage (see partitioning.eager_cache). Same lifecycle contract as
+    # operators/dedup.py: callers running many operators in one session
+    # clearCache() between them; checkpoint blocks release on GC.
+    from ..partitioning import eager_cache
+
+    ex = eager_cache(_bigram_rows(df, id_col, text_col))
     bgc = ex.groupBy("bg_h").agg(F.count("*").alias("c_bg"))
     unc = ex.groupBy("un_h").agg(F.count("*").alias("c_un"))
     scored = (

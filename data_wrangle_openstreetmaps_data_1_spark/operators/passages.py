@@ -59,7 +59,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import HASH64_SQL
 from ..functions.text import tokens
-from ..partitioning import spread, truncate_lineage
+from ..partitioning import eager_cache, spread, truncate_lineage
 
 
 def _occurrences(base: DataFrame, k: int) -> DataFrame:
@@ -99,22 +99,24 @@ def _scrub_parts(
     hash form and the text form previously duplicated this ~40-line plan
     and could drift apart silently).
 
-    ``base`` persist rationale (the dedup.py precedent): the tokenize
-    subtree feeds FOUR consumers (gram build, both sides' shapes of the
-    flagged join resolve through occ, the position explode, and the final
-    per-doc join) whose downstream exchanges differ, so ReuseExchange
-    cannot collapse them — un-persisted, the CPU-bound tokenize+gram+md5
-    pipeline runs ~4x per action (the exact failure class dedup.py
-    measured at ~24s of a 38s sf0.1 run). MEMORY_AND_DISK: token arrays
-    spill rather than OOM at corpus scale. Callers MUST eagerly
-    materialize their projection (truncate_lineage) and then unpersist —
-    both public functions do.
+    ``base`` materialization rationale (the dedup.py precedent): the
+    tokenize subtree feeds FOUR consumers (gram build, both sides' shapes
+    of the flagged join resolve through occ, the position explode, and the
+    final per-doc join) whose downstream exchanges differ, so
+    ReuseExchange cannot collapse them — un-materialized, the CPU-bound
+    tokenize+gram+md5 pipeline runs ~4x per action (the exact failure
+    class dedup.py measured at ~24s of a 38s sf0.1 run), and because the
+    callers drive everything through ONE truncate_lineage action, a LAZY
+    persist still lets the four concurrent AQE stages each recompute it
+    (partitioning.eager_cache, r18). eager_cache materializes once;
+    blocks spill rather than OOM at corpus scale. Callers still eagerly
+    materialize their projection and then unpersist (a no-op under the
+    checkpoint mode, kept for the persist/count A/B modes).
     """
-    base = (
+    base = eager_cache(
         spread(df)
         .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t"))
         .withColumn("n", F.size("t"))
-        .persist()
     )
     occ = _occurrences(base, k)
     freq = occ.groupBy("gh").agg(

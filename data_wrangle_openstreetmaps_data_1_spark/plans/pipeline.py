@@ -2036,11 +2036,12 @@ def sk_countmin(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.sketches import countmin_build, countmin_estimate
 
     d = load_table(spark, sf, "documents")
-    cnt = (
+    # eager (r18): feeds both the sketch build and the probe top-k under
+    # one action — lazy persist would recompute the token count per stage
+    cnt = eager_cache(
         d.select(F.explode(_tokens(F.col("text"))).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("c"))
-        .persist()  # feeds both the sketch build and the probe top-k
     )
     sketch = countmin_build(cnt, "tok", "c", d=4, w=64, salt="cm")
     probes = (
@@ -2094,7 +2095,8 @@ def sk_bloom_contamination(spark: SparkSession, sf: str) -> DataFrame:
         F.explode(F.array_distinct(word_shingles(_tokens(F.col("text")), 8))).alias("gram"),
     )
     train_g = g.where(F.col("doc_id") % 7 != 0)
-    ho = g.where(F.col("doc_id") % 7 == 0).persist()  # probed twice (totals + hits)
+    # eager (r18): probed twice (totals + hits) under one action
+    ho = eager_cache(g.where(F.col("doc_id") % 7 == 0))
     bloom = bloom_build(train_g, "gram", k=3, m=1024, salt="bl")
     hits = (
         bloom_member(bloom, ho, "gram", k=3, m=1024, salt="bl")
@@ -2149,10 +2151,11 @@ def sk_hll(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.sketches import hll_build, hll_estimate
 
     d = load_table(spark, sf, "documents")
-    toks = (
+    # eager (r18): feeds the HLL build and the exact-count twin under one
+    # action — lazy persist would explode+concat the corpus per stage
+    toks = eager_cache(
         d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t"))
         .select(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("t")).alias("tok"))
-        .persist()
     )
     est = hll_estimate(hll_build(toks, "tok"))
     true = toks.agg(F.count_distinct("tok").alias("true_distinct"))

@@ -1596,15 +1596,16 @@ def a_lis_per_user(spark: SparkSession, sf: str) -> DataFrame:
     "still found exactly once (the order is total)",
 )
 def g_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
-    # persist: the (tiny) pair table fans out to THREE consumers (degree
-    # census twice via the union, plus the orientation join) — without the
-    # pin each consumer re-runs the LSH band-join + verify stages
-    pairs = (
+    # eager_cache (r18): the (tiny) pair table fans out to THREE consumers
+    # (degree census twice via the union, plus the orientation join) under
+    # one action — without eager materialization each concurrent stage
+    # re-runs the LSH band-join + verify pipeline
+    from ..partitioning import eager_cache
+
+    pairs = eager_cache(
         minhash_lsh_pairs(
             _corpus(spark, sf), "doc_id", "text", n=3, k=16, bands=4, threshold=0.4
-        )
-        .select("doc_a", "doc_b")
-        .persist()
+        ).select("doc_a", "doc_b")
     )
     deg = (
         pairs.select(F.col("doc_a").alias("x"))
@@ -1619,10 +1620,15 @@ def g_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     fwd = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("doc_a") < F.col("doc_b"))
     )
-    o = keyed.select(
-        F.when(fwd, F.col("doc_a")).otherwise(F.col("doc_b")).alias("s"),
-        F.when(fwd, F.col("doc_b")).otherwise(F.col("doc_a")).alias("t"),
-    ).persist()
+    # eager (r18): o fans out to four consumers (n_edges, e2, e3, tri)
+    # under the final action — a lazy persist would recompute the
+    # orientation join once per concurrent stage
+    o = eager_cache(
+        keyed.select(
+            F.when(fwd, F.col("doc_a")).otherwise(F.col("doc_b")).alias("s"),
+            F.when(fwd, F.col("doc_b")).otherwise(F.col("doc_a")).alias("t"),
+        )
+    )
     n_edges = o.agg(F.count("*").alias("n_edges"))
     e2 = o.select(F.col("s").alias("t"), F.col("t").alias("w"))
     e3 = o.select(F.col("s").alias("s3"), F.col("t").alias("w3"))
@@ -1697,10 +1703,13 @@ def sk_hll_intersect(spark: SparkSession, sf: str) -> DataFrame:
             .distinct()
         )
 
-    # persist the TOKEN sets — each feeds two consumers (its sketch and
-    # the exact-intersection join); without the cache the events scan +
-    # distinct shuffle runs twice per side
-    tok_a, tok_b = side("click").persist(), side("view").persist()
+    # eager (r18): each TOKEN set feeds two consumers (its sketch and the
+    # exact-intersection join) under one action; lazy persist let the
+    # concurrent stages run the events scan + distinct shuffle twice per
+    # side (partitioning.eager_cache)
+    from ..partitioning import eager_cache
+
+    tok_a, tok_b = eager_cache(side("click")), eager_cache(side("view"))
     sk_a = hll_build(tok_a, "tok").persist()
     sk_b = hll_build(tok_b, "tok").persist()
     sk_u = (
