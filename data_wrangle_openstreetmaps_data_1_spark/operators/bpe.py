@@ -168,16 +168,28 @@ def bpe_encode(df: DataFrame, text_col: str, merges: DataFrame) -> DataFrame:
 
     The rule list is driver-collected (bounded: real tokenizers learn
     10k-100k rules — scalar-class, like the k-means centroid collect) and
-    each round's table is lineage-truncated so the plan stays O(1) in
-    rounds (module docstring; at very large rule counts the checkpoint
-    cadence — every round vs every few — trades materialization cost
-    against plan depth, both O(vocab) per round).
+    the table is lineage-truncated every ``ckpt_every`` rules so the plan
+    stays O(ckpt_every) in rounds (module docstring). Unlike the trainer —
+    which must materialize EVERY round because the next rule is chosen by
+    a collect over the applied table — the encoder knows all rules up
+    front, and ``_apply_merge`` grows the plan LINEARLY (each application
+    references its input once through a window chain on the same w_id
+    partitioning), so chaining a few applications per checkpoint is safe
+    and cuts the materialization job count by that factor (r18: one
+    eager-checkpoint job per rule was the dominant cost of tx_bpe_encode;
+    measured at sf0.01 the 3-per-checkpoint cadence is value-identical —
+    shared _apply_merge — and drops the job count ~3x).
     """
     rules = [
         (r["lft"], r["rgt"])
         for r in merges.select("rnd", "lft", "rgt").orderBy("rnd").collect()
     ]
+    ckpt_every = 3
     cur = truncate_lineage(_word_symbols(df, text_col))
-    for a, b in rules:
-        cur = truncate_lineage(_apply_merge(cur, a, b))
-    return cur
+    for i, (a, b) in enumerate(rules):
+        cur = _apply_merge(cur, a, b)
+        if (i + 1) % ckpt_every == 0 and i + 1 < len(rules):
+            cur = truncate_lineage(cur)
+    # final truncation: hand the caller materialized blocks, not the
+    # window-chain plan (callers compose joins/aggregations on top)
+    return truncate_lineage(cur)
