@@ -98,7 +98,10 @@ def _tokenized(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _postings_with_dl(docs: DataFrame, id_col: str, text_col: str, n_buckets: int) -> DataFrame:
-    toked = _tokenized(docs, id_col, text_col)
+    return _postings_from_toked(_tokenized(docs, id_col, text_col), n_buckets)
+
+
+def _postings_from_toked(toked: DataFrame, n_buckets: int) -> DataFrame:
     lens = toked.select("doc_id", F.size("toks").alias("dl")).where(F.col("dl") >= 1)
     post = (
         toked.select("doc_id", F.explode("toks").alias("term"))
@@ -134,6 +137,44 @@ def _block_max_rows(post: DataFrame, n_buckets: int, block_docs: int) -> DataFra
     )
 
 
+def _positions_rows(toked: DataFrame, n_buckets: int) -> DataFrame:
+    """(term, doc_id, positions, bucket) — the positional-sidecar rows from
+    a tokenized frame. Single source of truth for write_phrase_positions
+    AND the fused build path, so the two can never drift (the fused build
+    must be value-identical to build-then-write_phrase_positions)."""
+    return (
+        toked.select("doc_id", F.posexplode("toks").alias("pos0", "term"))
+        .groupBy("term", "doc_id")
+        .agg(F.sort_array(F.collect_list(F.col("pos0") + 1)).alias("positions"))
+        .select(
+            "term", "doc_id", "positions",
+            _bucket_col(F.col("term"), n_buckets).alias("bucket"),
+        )
+    )
+
+
+def overlap_jobs(thunks, max_workers: int = 4) -> list:
+    """Run independent Spark-job thunks from a small thread pool (guide
+    §2.6 overlap-independent-jobs): actions are only sequential because
+    driver code calls them sequentially, so submitting independent writes
+    together lets each job's tasks back-fill the executors freed by the
+    others' stragglers. FIFO scheduling keeps the earlier job ahead; 2-4
+    in flight is enough to fill tails without fighting for executors.
+
+    Results return in submission order; the first thunk exception
+    propagates after all submitted futures settle (same loud-failure
+    surface as the sequential loop). ``SPARK_GRAFT_POOL=0`` serializes —
+    the interleaved-A/B hatch (r18 measurement discipline)."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    thunks = list(thunks)
+    if len(thunks) <= 1 or os.environ.get("SPARK_GRAFT_POOL", "1") == "0":
+        return [t() for t in thunks]
+    with ThreadPoolExecutor(max_workers=min(max_workers, len(thunks))) as pool:
+        return [f.result() for f in [pool.submit(t) for t in thunks]]
+
+
 def _write_index_meta(spark: SparkSession, path: str, n_buckets: int, block_docs: int | None) -> None:
     """The meta row: n_buckets always; block_docs when the index carries
     the blockmax/ sidecar (readers must use the size the sidecar was
@@ -154,11 +195,38 @@ def write_bm25_index(
     id_col: str,
     text_col: str,
     n_buckets: int = 64,
+    *,
+    positions: bool = False,
+    docstore: bool = False,
+    reversed_terms: bool = False,
+    facet_cols: list[str] | None = None,
 ) -> None:
     """Materialize the index (overwrite): bucketed postings + term
     dictionary + corpus stats. One corpus scan (persisted at the postings
     stage) feeds all three — the derived artifacts come from the SAME
     materialized frame the write consumed, so they can never disagree.
+
+    The keyword sidecar flags FUSE the optional sidecars into the SAME
+    pooled write phase (r19, guide §2.6): ``positions=True`` builds the
+    positional sidecar, ``docstore=True`` the stored-fields sidecar,
+    ``reversed_terms=True`` the reversed dictionary (+ snapshot),
+    ``facet_cols=[...]`` the facet sidecar (+ histogram). Each is
+    value-identical to calling its standalone writer after the build
+    (same row-producing helpers: _positions_rows, write_reversed_terms /
+    write_facet_stats run on the just-written artifacts), but:
+
+    - the tokenize scan is shared — positions/docstore derive from the
+      ONE eagerly materialized tokenized frame the postings consumed,
+      instead of re-scanning and re-tokenizing the corpus per sidecar
+      (§2.3: the standalone writers cost one full corpus scan each);
+    - every independent write overlaps in the pool instead of running
+      serially after the build (§2.6), so the sidecar rides the postings
+      write's task tail;
+    - meta (the commit marker) lands AFTER the sidecars, so a crash
+      mid-build can no longer leave a committed-looking index whose
+      sidecar is missing (the sequential form's window between meta and
+      the follower write). ``SPARK_GRAFT_FUSED_BUILD=0`` restores the
+      sequential follower shape for interleaved A/B measurement.
 
     Refuses a path still holding sidecar state from a previous index
     (positions/facets/rterms/tombstones): this write only replaces the
@@ -183,15 +251,35 @@ def write_bm25_index(
             "state). Write to a fresh path, or delete the old index dir "
             "first."
         )
-    from concurrent.futures import ThreadPoolExecutor
+    any_sidecar = positions or docstore or reversed_terms or bool(facet_cols)
+    if any_sidecar and os.environ.get("SPARK_GRAFT_FUSED_BUILD", "1") == "0":
+        # A/B hatch: the r18 call-site shape — core build + meta first,
+        # then each sidecar via its standalone writer (one extra corpus
+        # scan per tokenizing sidecar, sequential followers)
+        write_bm25_index(spark, docs, path, id_col, text_col, n_buckets)
+        if positions:
+            write_phrase_positions(spark, docs, path, id_col, text_col)
+        if docstore:
+            write_doc_store(spark, path, docs, id_col, text_col)
+        if reversed_terms:
+            write_reversed_terms(spark, path)
+        if facet_cols:
+            write_doc_facets(spark, path, docs, facet_cols, id_col)
+        return
 
     from ..partitioning import eager_cache
 
-    # materialize the postings ONCE, up front (eager_cache): the four
+    toked = _tokenized(docs, id_col, text_col)
+    if positions or docstore:
+        # the tokenized frame now has >= 2 pooled consumers (postings +
+        # positions/docstore) — materialize the corpus scan ONCE so the
+        # concurrent jobs cannot each recompute it (eager_cache contract)
+        toked = eager_cache(toked)
+    # materialize the postings ONCE, up front (eager_cache): the
     # artifact writes below are submitted from a thread pool and would
     # otherwise race on a lazy cache, each recomputing the tokenize
     # pipeline (see partitioning.eager_cache)
-    post = eager_cache(_postings_with_dl(docs, id_col, text_col, n_buckets))
+    post = eager_cache(_postings_from_toked(toked, n_buckets))
 
     def _w_postings() -> None:
         # co-locate each bucket in one shuffle partition before the write:
@@ -230,19 +318,62 @@ def write_bm25_index(
     def _w_stats() -> None:
         _write_stats(spark, path, post)
 
-    # The four artifacts derive from the SAME materialized frame and write
-    # to four distinct paths — independent jobs, so submit them together
-    # and let the scheduler back-fill each one's task tail (guide §2.6
+    # The artifacts derive from the SAME materialized frame(s) and write
+    # to distinct paths — independent jobs, so submit them together and
+    # let the scheduler back-fill each one's task tail (guide §2.6
     # pattern). r18 measured at sf0.01: 4 sequential writes ~4.0s warm ->
     # parallel ~max of the four. A fresh-path crash mid-build leaves an
     # incomplete index exactly as the sequential form did (meta, the
-    # commit marker, is still written LAST, after all four complete); the
-    # ordering constraint that DOES matter for correctness lives in
-    # bm25_index_add (blockmax before postings on append), which stays
-    # sequential.
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        for f in [pool.submit(w) for w in (_w_postings, _w_terms, _w_blockmax, _w_stats)]:
-            f.result()
+    # commit marker, is still written LAST, after every artifact AND
+    # sidecar completes); the ordering constraint that DOES matter for
+    # correctness lives in bm25_index_add (blockmax before postings on
+    # append), which stays sequential. The two derived-from-written-
+    # artifact sidecars CHAIN inside their producer's pool slot (rterms
+    # after terms/, facet_stats after facets/) — ordered where order is
+    # semantic, overlapped where it is not.
+    jobs = [_w_postings, _w_blockmax, _w_stats]
+    if reversed_terms:
+
+        def _w_terms_then_rterms() -> None:
+            _w_terms()
+            # pure, vocabulary-sized function of the terms/ just written
+            # by THIS thread — identical rows to the standalone call
+            write_reversed_terms(spark, path)
+
+        jobs.append(_w_terms_then_rterms)
+    else:
+        jobs.append(_w_terms)
+    if positions:
+
+        def _w_positions() -> None:
+            _positions_rows(toked, n_buckets).repartition(
+                "bucket"
+            ).write.partitionBy("bucket").mode("overwrite").parquet(
+                f"{path}/{_POSITIONS}"
+            )
+
+        jobs.append(_w_positions)
+    if docstore:
+
+        def _w_docstore() -> None:
+            # same rows as write_doc_store: the index's own tokenization,
+            # empty-token docs excluded (the stats >= 1 contract)
+            toked.where(F.size("toks") >= 1).write.mode("overwrite").parquet(
+                f"{path}/{_DOCSTORE}"
+            )
+
+        jobs.append(_w_docstore)
+    if facet_cols:
+
+        def _w_facets() -> None:
+            cols = [F.col(id_col).alias("doc_id")] + [F.col(c) for c in facet_cols]
+            docs.select(*cols).write.mode("overwrite").parquet(f"{path}/{_FACETS}")
+            # histogram from the facets/ just written by THIS thread —
+            # identical rows to the standalone write_doc_facets chain
+            write_facet_stats(spark, path)
+
+        jobs.append(_w_facets)
+    overlap_jobs(jobs)
     _write_index_meta(spark, path, n_buckets, _BLOCK_DOCS)
 
 
@@ -406,14 +537,15 @@ def bm25_index_add(
             staged_path
         )
         staged = spark.read.parquet(staged_path).select(*merged.columns)
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            staged.repartition("bucket").write.partitionBy("bucket").mode("overwrite").parquet(
-                f"{path}/{_TERMS}"
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # per-writer option, NOT the session conf: a session-global
+        # set/restore window is thread-unsafe next to pooled index writers
+        # in the same session (another thread's partitioned overwrite
+        # inside the window would silently run dynamic — or static after
+        # the restore, truncating all partitions; the r18 ADVICE item).
+        # The writer option takes precedence and is scoped to this write.
+        staged.repartition("bucket").write.option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("bucket").mode("overwrite").parquet(f"{path}/{_TERMS}")
         # driver-local cleanup of the staged dir (local-FS boundary, same
         # as bm25_index_compact's sibling swap: on HDFS/S3 swap for the FS
         # client's delete). NOT ignore_errors — a leaked terms__merge dir
@@ -831,23 +963,8 @@ def write_phrase_positions(
     Requires the index at ``path`` to exist (reads its n_buckets so both
     layouts agree on bucket routing).
     """
-    from ..functions.text import tokens
-
     n_buckets = read_index_meta(spark, path)["n_buckets"]
-    toked = docs.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
-    )
-    pos = (
-        toked.select(
-            "doc_id", F.posexplode("toks").alias("pos0", "term")
-        )
-        .groupBy("term", "doc_id")
-        .agg(F.sort_array(F.collect_list(F.col("pos0") + 1)).alias("positions"))
-        .select(
-            "term", "doc_id", "positions",
-            _bucket_col(F.col("term"), n_buckets).alias("bucket"),
-        )
-    )
+    pos = _positions_rows(_tokenized(docs, id_col, text_col), n_buckets)
     pos.repartition("bucket").write.partitionBy("bucket").mode("overwrite").parquet(
         f"{path}/{_POSITIONS}"
     )

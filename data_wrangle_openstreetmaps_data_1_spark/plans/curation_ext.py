@@ -984,14 +984,14 @@ def tx_proximity_stored(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.text_index import (
         proximity_probe,
         write_bm25_index,
-        write_phrase_positions,
     )
 
     docs = load_table(spark, sf, "documents")
     path = tempfile.mkdtemp(prefix="prox_idx_")
     shutil.rmtree(path, ignore_errors=True)
-    write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
-    write_phrase_positions(spark, docs, path, "doc_id", "text")
+    write_bm25_index(
+        spark, docs, path, "doc_id", "text", n_buckets=16, positions=True
+    )
     return proximity_probe(spark, path, _PROX_PAIRS, k=5)
 
 
@@ -1032,14 +1032,14 @@ def tx_phrase_batch8(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.text_index import (
         phrase_probe_batched,
         write_bm25_index,
-        write_phrase_positions,
     )
 
     docs = load_table(spark, sf, "documents")
     path = tempfile.mkdtemp(prefix="phrase_b8_")
     shutil.rmtree(path, ignore_errors=True)
-    write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
-    write_phrase_positions(spark, docs, path, "doc_id", "text")
+    write_bm25_index(
+        spark, docs, path, "doc_id", "text", n_buckets=16, positions=True
+    )
     return phrase_probe_batched(spark, path, _PHRASES_BATCH8, k=5)
 
 
@@ -1120,14 +1120,14 @@ def tx_phrase_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
         phrase_positions_add,
         phrase_probe,
         write_bm25_index,
-        write_phrase_positions,
     )
 
     docs = load_table(spark, sf, "documents")
     path = tempfile.mkdtemp(prefix="phrase_lc_")
     shutil.rmtree(path, ignore_errors=True)
-    write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
-    write_phrase_positions(spark, docs, path, "doc_id", "text")
+    write_bm25_index(
+        spark, docs, path, "doc_id", "text", n_buckets=16, positions=True
+    )
     top1 = phrase_probe(spark, path, _PHRASES, k=1).collect()  # bounded: |phrases|
     victims = sorted({int(r["doc_id"]) for r in top1})
     bm25_index_delete(spark, path, victims)
@@ -1228,14 +1228,14 @@ def tx_phrase_bm25(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.text_index import (
         phrase_bm25_probe,
         write_bm25_index,
-        write_phrase_positions,
     )
 
     docs = load_table(spark, sf, "documents")
     path = tempfile.mkdtemp(prefix="phrase_bm25_")
     shutil.rmtree(path, ignore_errors=True)
-    write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
-    write_phrase_positions(spark, docs, path, "doc_id", "text")
+    write_bm25_index(
+        spark, docs, path, "doc_id", "text", n_buckets=16, positions=True
+    )
     return phrase_bm25_probe(spark, path, _PHRASES, k=5)
 
 
@@ -1560,14 +1560,14 @@ def tx_phrase_snippets(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.text_index import (
         phrase_snippet_probe,
         write_bm25_index,
-        write_phrase_positions,
     )
 
     docs = load_table(spark, sf, "documents")
     path = tempfile.mkdtemp(prefix="phrase_snip_")
     shutil.rmtree(path, ignore_errors=True)
-    write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
-    write_phrase_positions(spark, docs, path, "doc_id", "text")
+    write_bm25_index(
+        spark, docs, path, "doc_id", "text", n_buckets=16, positions=True
+    )
     return phrase_snippet_probe(spark, path, docs, _PHRASES, k=5, ctx=3)
 
 
@@ -1618,14 +1618,14 @@ def tx_term_suffix(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.text_index import (
         suffix_probe,
         write_bm25_index,
-        write_reversed_terms,
     )
 
     docs = load_table(spark, sf, "documents")
     path = tempfile.mkdtemp(prefix="suffix_idx_")
     shutil.rmtree(path, ignore_errors=True)
-    write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
-    write_reversed_terms(spark, path)
+    write_bm25_index(
+        spark, docs, path, "doc_id", "text", n_buckets=16, reversed_terms=True
+    )
     return suffix_probe(spark, path, _SUFFIXES_Q, k=5)
 
 
@@ -1920,15 +1920,15 @@ def tx_term_suffix_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
         bm25_index_delete,
         suffix_probe,
         write_bm25_index,
-        write_reversed_terms,
     )
 
     docs = load_table(spark, sf, "documents")
     path = tempfile.mkdtemp(prefix="suffix_lc_")
     shutil.rmtree(path, ignore_errors=True)
     base = docs.where(F.col("doc_id") % 5 != 3)
-    write_bm25_index(spark, base, path, "doc_id", "text", n_buckets=16)
-    write_reversed_terms(spark, path)
+    write_bm25_index(
+        spark, base, path, "doc_id", "text", n_buckets=16, reversed_terms=True
+    )
     bm25_index_add(
         spark, docs.where(F.col("doc_id") % 5 == 3), path, "doc_id", "text"
     )
@@ -2006,14 +2006,14 @@ def tx_phrase_paged(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.text_index import (
         phrase_probe_batched,
         write_bm25_index,
-        write_phrase_positions,
     )
 
     docs = load_table(spark, sf, "documents")
     path = tempfile.mkdtemp(prefix="phrase_paged_")
     shutil.rmtree(path, ignore_errors=True)
-    write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
-    write_phrase_positions(spark, docs, path, "doc_id", "text")
+    write_bm25_index(
+        spark, docs, path, "doc_id", "text", n_buckets=16, positions=True
+    )
     cols = ["page", "phrase", "doc_id", "phrase_tf", "rnk"]
     p1 = phrase_probe_batched(spark, path, _PHRASES, k=5)
     p1_rows = p1.collect()  # bounded: |phrases| x k — the client's page
@@ -2060,7 +2060,6 @@ def tx_bm25_facets_stored(spark: SparkSession, sf: str) -> DataFrame:
         bm25_index_add,
         doc_facets_add,
         write_bm25_index,
-        write_doc_facets,
     )
 
     docs = load_table(spark, sf, "documents")
@@ -2068,8 +2067,9 @@ def tx_bm25_facets_stored(spark: SparkSession, sf: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     base = docs.where(F.col("doc_id") % 4 != 1)
     rest = docs.where(F.col("doc_id") % 4 == 1)
-    write_bm25_index(spark, base, path, "doc_id", "text", n_buckets=16)
-    write_doc_facets(spark, path, base, ["source"])
+    write_bm25_index(
+        spark, base, path, "doc_id", "text", n_buckets=16, facet_cols=["source"]
+    )
     bm25_index_add(spark, rest, path, "doc_id", "text")
     doc_facets_add(spark, rest, path)
     return bm25_facet_counts_stored(spark, path, _MULTI_QUERIES, "source", k_facets=10)
@@ -2236,14 +2236,15 @@ def tx_bm25_filtered(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.text_index import (
         bm25_query_topk_filtered,
         write_bm25_index,
-        write_doc_facets,
     )
 
     docs = load_table(spark, sf, "documents")
     path = tempfile.mkdtemp(prefix="bm25_filtered_")
     shutil.rmtree(path, ignore_errors=True)
-    write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
-    write_doc_facets(spark, path, docs, ["source", "lang"])
+    write_bm25_index(
+        spark, docs, path, "doc_id", "text", n_buckets=16,
+        facet_cols=["source", "lang"],
+    )
     cols = ["mode", "query", "doc_id", "n_terms", "score_fp", "rnk"]
     s = bm25_query_topk_filtered(
         spark, path, _MULTI_QUERIES, _FILTER_SEL[0], _FILTER_SEL[1], k=5
@@ -2299,14 +2300,14 @@ def tx_bm25_diverse(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.text_index import (
         bm25_query_topk_diverse,
         write_bm25_index,
-        write_doc_facets,
     )
 
     docs = load_table(spark, sf, "documents")
     path = tempfile.mkdtemp(prefix="bm25_diverse_")
     shutil.rmtree(path, ignore_errors=True)
-    write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
-    write_doc_facets(spark, path, docs, ["source"])
+    write_bm25_index(
+        spark, docs, path, "doc_id", "text", n_buckets=16, facet_cols=["source"]
+    )
     return bm25_query_topk_diverse(
         spark, path, _MULTI_QUERIES, "source", k=5, per_facet=2
     )
@@ -2456,15 +2457,21 @@ def tx_bm25_tiered(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     base = tempfile.mkdtemp(prefix="bm25_tiered_")
-    segs = []
-    for i in range(3):
-        p = os.path.join(base, f"seg{i}")
+    segs = [os.path.join(base, f"seg{i}") for i in range(3)]
+    for p in segs:
         shutil.rmtree(p, ignore_errors=True)
-        write_bm25_index(
-            spark, docs.where(F.col("doc_id") % 3 == i), p, "doc_id", "text",
-            n_buckets=16,
+
+    # the three per-shard builds touch disjoint corpus slices and distinct
+    # index dirs — independent jobs, overlapped (guide §2.6)
+    from ..operators.text_index import overlap_jobs
+
+    def _build(i: int):
+        return lambda: write_bm25_index(
+            spark, docs.where(F.col("doc_id") % 3 == i), segs[i], "doc_id",
+            "text", n_buckets=16,
         )
-        segs.append(p)
+
+    overlap_jobs([_build(i) for i in range(3)])
     stats = bm25_segment_stats(spark, segs)
     plan = plan_segment_merges(stats)
     if plan != [sorted(segs, key=lambda s: (stats[s], s))]:
@@ -2654,14 +2661,14 @@ def tx_bm25_composed(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.text_index import (
         bm25_query_topk_synonyms,
         write_bm25_index,
-        write_doc_facets,
     )
 
     docs = load_table(spark, sf, "documents")
     path = tempfile.mkdtemp(prefix="bm25_composed_")
     shutil.rmtree(path, ignore_errors=True)
-    write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
-    write_doc_facets(spark, path, docs, ["lang"])
+    write_bm25_index(
+        spark, docs, path, "doc_id", "text", n_buckets=16, facet_cols=["lang"]
+    )
     eligible = (
         spark.read.parquet(f"{path}/facets")
         .where(F.col("lang").isin(_COMPOSED_LANGS))
@@ -2734,14 +2741,15 @@ def tx_bm25_statsfacet(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.text_index import (
         bm25_stats_facet,
         write_bm25_index,
-        write_doc_facets,
     )
 
     docs = load_table(spark, sf, "documents")
     path = tempfile.mkdtemp(prefix="bm25_statsf_")
     shutil.rmtree(path, ignore_errors=True)
-    write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
-    write_doc_facets(spark, path, docs, ["source", "n_chars"])
+    write_bm25_index(
+        spark, docs, path, "doc_id", "text", n_buckets=16,
+        facet_cols=["source", "n_chars"],
+    )
     return bm25_stats_facet(spark, path, _MULTI_QUERIES, "n_chars")
 
 
@@ -2795,14 +2803,15 @@ def tx_bm25_statsbyfacet(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.text_index import (
         bm25_stats_by_facet,
         write_bm25_index,
-        write_doc_facets,
     )
 
     docs = load_table(spark, sf, "documents")
     path = tempfile.mkdtemp(prefix="bm25_statsbf_")
     shutil.rmtree(path, ignore_errors=True)
-    write_bm25_index(spark, docs, path, "doc_id", "text", n_buckets=16)
-    write_doc_facets(spark, path, docs, ["source", "n_chars"])
+    write_bm25_index(
+        spark, docs, path, "doc_id", "text", n_buckets=16,
+        facet_cols=["source", "n_chars"],
+    )
     return bm25_stats_by_facet(
         spark, path, _MULTI_QUERIES, "source", "n_chars", k_facets=10
     )
@@ -2901,7 +2910,6 @@ def tx_bm25_snippets_stored(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.text_index import (
         bm25_snippet_probe_stored,
         write_bm25_index,
-        write_doc_store,
     )
 
     docs = load_table(spark, sf, "documents")
@@ -2913,9 +2921,8 @@ def tx_bm25_snippets_stored(spark: SparkSession, sf: str) -> DataFrame:
 
     write_bm25_index(
         spark, docs.where(F.col("doc_id") % 5 != 3), path, "doc_id", "text",
-        n_buckets=16,
+        n_buckets=16, docstore=True,
     )
-    write_doc_store(spark, path, docs.where(F.col("doc_id") % 5 != 3))
     bm25_index_add(
         spark, docs.where(F.col("doc_id") % 5 == 3), path, "doc_id", "text"
     )

@@ -701,23 +701,36 @@ def tx_maintain_cycle(spark: SparkSession, sf: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="bm25_maint_")
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base)
-    segs = []
-    for i in range(2):
-        p = f"{base}/seg{i}"
-        write_bm25_index(
-            spark, docs.where(F.col("doc_id") % 2 == i), p, "doc_id", "text",
-            n_buckets=16,
+    segs = [f"{base}/seg{i}" for i in range(2)]
+
+    # the per-shard segment builds touch disjoint corpus slices and
+    # distinct index dirs — independent jobs, overlapped (guide §2.6);
+    # the per-segment delete batches are equally independent (each
+    # writes only its own segment's tombstones)
+    from ..operators.text_index import overlap_jobs
+
+    def _build(i: int):
+        return lambda: write_bm25_index(
+            spark, docs.where(F.col("doc_id") % 2 == i), segs[i], "doc_id",
+            "text", n_buckets=16,
         )
-        segs.append(p)
-    for i, p in enumerate(segs):
-        victims = [
-            int(r["doc_id"])
-            for r in docs.where(
-                (F.col("doc_id") % 2 == i) & (F.col("doc_id") % 7 == 3)
-            ).select("doc_id").collect()  # bounded: the per-segment delete batch
-        ]
-        if victims:
-            bm25_index_delete(spark, p, victims)
+
+    overlap_jobs([_build(i) for i in range(2)])
+
+    def _delete(i: int):
+        def run() -> None:
+            victims = [
+                int(r["doc_id"])
+                for r in docs.where(
+                    (F.col("doc_id") % 2 == i) & (F.col("doc_id") % 7 == 3)
+                ).select("doc_id").collect()  # bounded: the delete batch
+            ]
+            if victims:
+                bm25_index_delete(spark, segs[i], victims)
+
+        return run
+
+    overlap_jobs([_delete(i) for i in range(2)])
     report = maintain_bm25(
         spark, segs, f"{base}/merged", tombstone_ratio=0.1,
         max_merge_at_once=4, target_segment_count=1,
@@ -952,7 +965,7 @@ def st_phrase_index(spark: SparkSession, sf: str) -> DataFrame:
 def tx_bm25_merged(spark: SparkSession, sf: str) -> DataFrame:
     import shutil
 
-    from ..operators.text_index import bm25_index_merge, write_phrase_positions
+    from ..operators.text_index import bm25_index_merge, overlap_jobs
     from .pipeline_ext import BM25_TERMS
 
     docs = load_table(spark, sf, "documents")
@@ -961,18 +974,19 @@ def tx_bm25_merged(spark: SparkSession, sf: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="bm25_merged_")
     for p in (a, b, out):
         shutil.rmtree(p, ignore_errors=True)
-    write_bm25_index(
-        spark, docs.where(F.col("doc_id") % 2 == 0), a, "doc_id", "text", n_buckets=16
-    )
-    write_phrase_positions(
-        spark, docs.where(F.col("doc_id") % 2 == 0), a, "doc_id", "text"
-    )
-    write_bm25_index(
-        spark, docs.where(F.col("doc_id") % 2 == 1), b, "doc_id", "text", n_buckets=16
-    )
-    write_phrase_positions(
-        spark, docs.where(F.col("doc_id") % 2 == 1), b, "doc_id", "text"
-    )
+    # the two shard builds touch disjoint corpus halves and distinct index
+    # dirs — independent jobs, overlapped (guide §2.6); each build fuses
+    # its positional sidecar into its own pooled write phase (r19)
+    overlap_jobs([
+        lambda: write_bm25_index(
+            spark, docs.where(F.col("doc_id") % 2 == 0), a, "doc_id", "text",
+            n_buckets=16, positions=True,
+        ),
+        lambda: write_bm25_index(
+            spark, docs.where(F.col("doc_id") % 2 == 1), b, "doc_id", "text",
+            n_buckets=16, positions=True,
+        ),
+    ])
     bm25_index_merge(spark, out, [a, b])
     return bm25_probe(spark, out, BM25_TERMS, k=5)
 

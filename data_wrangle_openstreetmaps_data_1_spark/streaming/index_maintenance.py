@@ -44,8 +44,6 @@ from ..operators.text_index import (
     doc_facets_add,
     phrase_positions_add,
     write_bm25_index,
-    write_doc_facets,
-    write_phrase_positions,
     write_reversed_terms,
 )
 
@@ -131,13 +129,16 @@ def run_bm25_index_stream(
             return
         spark = batch_df.sparkSession
         if not state["initialized"]:
-            write_bm25_index(spark, batch_df, path, id_col, text_col, n_buckets=n_buckets)
-            if with_positions:
-                write_phrase_positions(spark, batch_df, path, id_col, text_col)
-            if with_facets:
-                write_doc_facets(spark, path, batch_df, with_facets, id_col)
-            if with_rterms:
-                write_reversed_terms(spark, path)
+            # the fused build (r19) shares the tokenize scan and writes
+            # every requested sidecar in the same pooled phase — the
+            # sidecars still ride the SAME foreachBatch commit point as
+            # the sequential form, just overlapped instead of serial
+            write_bm25_index(
+                spark, batch_df, path, id_col, text_col, n_buckets=n_buckets,
+                positions=with_positions,
+                reversed_terms=with_rterms,
+                facet_cols=with_facets,
+            )
             state["initialized"] = True
         else:
             bm25_index_add(spark, batch_df, path, id_col, text_col)
