@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..partitioning import truncate_lineage
+from ..partitioning import truncate_lineage, truncate_lineage_lazy
 
 def _w_word():
     # built lazily: Window.partitionBy needs an active SparkContext,
@@ -127,9 +127,14 @@ def bpe_merges(df: DataFrame, text_col: str, rounds: int = 6) -> DataFrame:
         raise ValueError(f"rounds={rounds} must be >= 1")
     spark = df.sparkSession
     merges: list[tuple[int, str, str, int]] = []
-    # eager localCheckpoint per round: see module docstring (lineage
-    # doubles per round otherwise — the components.py driver-OOM class)
-    cur = truncate_lineage(_word_symbols(df, text_col))
+    # LAZY localCheckpoint per round (truncate_lineage_lazy): the best-pair
+    # collect below is a single global aggregate over every partition of
+    # ``cur``, so it materializes the round's checkpoint in the SAME job —
+    # 1 job/round instead of checkpoint-then-aggregate's 2 (r19, the r18
+    # verdict item 5; guide §1.2). Lineage is still truncated every round
+    # (the plan-doubling / driver-OOM class the module docstring covers),
+    # and the single-consumer shape means no eager_cache-style stage race.
+    cur = truncate_lineage_lazy(_word_symbols(df, text_col))
     for r in range(rounds):
         best = (
             cur.withColumn("nxt", F.lead("sym").over(_w_word()))
@@ -146,7 +151,7 @@ def bpe_merges(df: DataFrame, text_col: str, rounds: int = 6) -> DataFrame:
         merges.append((r + 1, a, b, int(pc)))
         if r == rounds - 1:
             break  # the last rule needs no application
-        cur = truncate_lineage(_apply_merge(cur, a, b))
+        cur = truncate_lineage_lazy(_apply_merge(cur, a, b))
     return spark.createDataFrame(
         merges, "rnd int, lft string, rgt string, pair_count long"
     )

@@ -59,6 +59,33 @@ def truncate_lineage(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def truncate_lineage_lazy(df: DataFrame) -> DataFrame:
+    """LAZY twin of :func:`truncate_lineage`: marks the frame for
+    checkpointing but lets the CALLER'S NEXT ACTION materialize it — that
+    one job then does both the caller's aggregate AND the checkpoint
+    write, where eager truncation costs a separate materialization job
+    first (guide §1.2 "don't compute things twice"; the r19 BPE-trainer
+    round fusion: per-round jobs 2 -> 1).
+
+    ONLY safe when the caller immediately runs exactly ONE action that
+    computes every partition of ``df`` (a global aggregate, a full
+    collect): multiple concurrent consumers would race just like a lazy
+    persist (see :func:`eager_cache`), and an action that skips
+    partitions leaves the checkpoint to be completed by a fill-in job.
+    Same reliable-checkpoint flag and checkpoint-dir guard as the eager
+    form, so cluster semantics stay identical.
+    """
+    spark = df.sparkSession
+    if str(spark.conf.get(RELIABLE_CHECKPOINT_CONF, "false")).lower() == "true":
+        if spark.sparkContext.getCheckpointDir() is None:
+            raise ValueError(
+                f"{RELIABLE_CHECKPOINT_CONF}=true requires "
+                "spark.sparkContext.setCheckpointDir(<durable shared path>)"
+            )
+        return df.checkpoint(eager=False)
+    return df.localCheckpoint(eager=False)
+
+
 def eager_cache(df: DataFrame) -> DataFrame:
     """Materialize a multi-consumer intermediate ONCE, before its consumer
     stages can race on it (r18 optimization round).
