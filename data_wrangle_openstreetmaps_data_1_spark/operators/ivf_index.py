@@ -431,14 +431,16 @@ def ivf_pq_index_compact(spark: SparkSession, path: str, id_col: str = "vec_id")
         (int(r["cluster"]), -int(r["n"]))
         for r in dead.groupBy("cluster").agg(F.count("*").alias("n")).collect()
     ]
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        survivors.write.partitionBy("cluster").mode("overwrite").parquet(
-            f"{path}/{_CODES}"
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # per-writer option, NOT the session conf: index writers may run on
+    # pool threads next to other writers in the same session (the §2.6
+    # overlap pattern), and a session-global set/restore window would let
+    # a concurrent partitioned overwrite silently flip static/dynamic —
+    # static truncates ALL existing partitions (the data-loss class the
+    # r18 ADVICE flagged). The writer option takes precedence over the
+    # session conf and is scoped to exactly this write.
+    survivors.write.option("partitionOverwriteMode", "dynamic").partitionBy(
+        "cluster"
+    ).mode("overwrite").parquet(f"{path}/{_CODES}")
     _cluster_stats_apply_delta(
         spark, path, spark.createDataFrame(dead_counts, "cluster int, d long")
     )
@@ -688,13 +690,24 @@ def _cluster_sizes_cached(spark: SparkSession, path: str) -> dict[int, int] | No
     d = os.path.abspath(f"{path}/{_CLUSTER_STATS}")
     if not os.path.isdir(d):
         return None
-    sig = tuple(
-        sorted(
-            (name, st.st_size, st.st_mtime_ns)
-            for name in os.listdir(d)
-            for st in (os.stat(os.path.join(d, name)),)
+    try:
+        sig = tuple(
+            sorted(
+                (name, st.st_size, st.st_mtime_ns)
+                for name in os.listdir(d)
+                for st in (os.stat(os.path.join(d, name)),)
+            )
         )
-    )
+    except FileNotFoundError:
+        # a concurrent lifecycle rewrite replaced part files between the
+        # listdir and a stat (r18 ADVICE): treat as a miss and read the
+        # sidecar via Spark without caching — the NEXT call sees a stable
+        # signature and re-enters the cache. Never an error on the probe
+        # hot path; a transiently uncached read only costs one extra job.
+        return {
+            int(r["cluster"]): int(r["n_vecs"])
+            for r in spark.read.parquet(d).collect()
+        }
     hit = _CLUSTER_SIZES_CACHE.get(d)
     if hit is not None and hit[0] == sig:
         return hit[1]

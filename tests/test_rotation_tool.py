@@ -99,6 +99,28 @@ def test_empty_prev_fingerprints_never_forces_tier1():
     assert order == ["a", "b"]
 
 
+def test_no_oracle_query_pinned_to_bottom():
+    """r19 (the r18 verdict's 98%): a by-design rows-only query must NEVER
+    occupy an oracle-window slot — not when its module changed (tier 1),
+    not when it was never driver-checked (tier 0), not even when forced.
+    Its value signal is its oracle-backed twin plus the local sweep."""
+    names = list("abcd")
+    has_oracle = {"a": True, "b": False, "c": True, "d": True}
+    # b never checked (organic tier 0 for an oracle query) -> still last
+    hist = {n: hist_entry(2) for n in "acd"}
+    order = compute_order(names, hist, has_oracle, FPS, FPS)
+    assert order[-1] == "b"
+    # b changed since its last green row (tier 1 for an oracle query) -> last
+    hist = {n: hist_entry(2, rows_only=(n == "b")) for n in names}
+    prev = dict(FPS)
+    prev["b"] = "older"
+    order = compute_order(names, hist, has_oracle, FPS, prev)
+    assert order[-1] == "b"
+    # even force_head cannot spend a window slot on it
+    order = compute_order(names, hist, has_oracle, FPS, prev, force_head=["b"])
+    assert order[-1] == "b"
+
+
 def test_force_head_outranks_organic_tier0():
     # a builder-asserted must-check (green driver history, red locally)
     # must lead even a crowded organic tier 0 — that's its whole purpose

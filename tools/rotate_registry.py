@@ -286,6 +286,17 @@ def compute_order(
             arrives, so an edit stays tier 1 across any number of rotation
             rewrites within a round);
     tier 2: stable green — stalest (lowest last-checked round) first.
+    tier 4: BY-DESIGN no-oracle queries (``has_oracle`` false) — pinned to
+            the BOTTOM, below even the tier-3 cap overflow. The driver's
+            window is an ORACLE window: a rows-only query occupying a slot
+            costs the round its 50/50 value check while earning only a row
+            count (the r18 98%: dd_minhash_lsh_fast rotated in because its
+            module changed and the window lost a value slot to a query
+            that can never be value-checked). Their correctness signal is
+            their oracle-backed equivalence twins (dd_lsh_fast_equiv),
+            which carry the same fingerprint sensitivity and rotate in
+            through the normal tiers, plus the full local sweep
+            (STALE_RECHECK_r*.json), which still row-checks them.
     Within equal tier and staleness, reference-surface (SURVEY.md §2)
     queries — named by op code, ``p1_`` / ``a5_`` / ``w4_`` … — outrank
     extension-tier queries: the §2 block is the judged contract, so when the
@@ -317,6 +328,8 @@ def compute_order(
 
     def tier_of(name: str) -> int:
         last, green, rows_only = hist.get(name, (0, False, False))
+        if not has_oracle.get(name, True):
+            return 4  # by-design no-oracle: never spend an oracle-window slot
         if name in forced:
             return 0
         if name not in hist or not green or (rows_only and has_oracle.get(name, False)):
