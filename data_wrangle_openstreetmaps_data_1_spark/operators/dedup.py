@@ -37,7 +37,13 @@ from typing import NamedTuple
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..partitioning import eager_cache, explode_nonempty, spread, truncate_lineage
+from ..partitioning import (
+    eager_cache,
+    explode_nonempty,
+    overlap_jobs,
+    spread,
+    truncate_lineage,
+)
 from ..functions.hashing import (
     HASH64_SQL,
     HASH_P_SQL,
@@ -614,22 +620,37 @@ def minhash_lsh_join(
             index_artifacts.banded,
         )
     elif persist_new:
-        # Both sides built fresh: materialize BOTH exploded hash tables in
-        # ONE job (union with a side tag) instead of one eager job per side
-        # (r18) — halves the materialization barriers and lets the two
-        # sides' tokenize+shingle+hash CPU run in the same stage. The side
-        # filters below are cheap predicates over the materialized blocks.
-        both = eager_cache(
-            _ex_rows(new_df, id_col, text_col, n).select(
-                F.lit(True).alias("__new"), "doc_id", "h"
-            ).unionByName(
-                _ex_rows(index_df, id_col, text_col, n).select(
-                    F.lit(False).alias("__new"), "doc_id", "h"
+        import os as _os
+
+        if _os.environ.get("SPARK_GRAFT_INCR_BUILD", "union") == "pool":
+            # A/B variant (r18 verdict item 3): each side's exploded hash
+            # table materialized as its OWN eager job, the two jobs
+            # submitted together (§2.6) — restores the two independent
+            # materializations the union build serialized into one job's
+            # critical path, without the r17 lazy form's AQE recompute race
+            sides = overlap_jobs([
+                lambda: eager_cache(_ex_rows(new_df, id_col, text_col, n)),
+                lambda: eager_cache(_ex_rows(index_df, id_col, text_col, n)),
+            ])
+            ex_n, ex_i = sides[0], sides[1]
+        else:
+            # Both sides built fresh: materialize BOTH exploded hash tables
+            # in ONE job (union with a side tag) instead of one eager job
+            # per side (r18) — halves the materialization barriers and lets
+            # the two sides' tokenize+shingle+hash CPU run in the same
+            # stage. The side filters below are cheap predicates over the
+            # materialized blocks.
+            both = eager_cache(
+                _ex_rows(new_df, id_col, text_col, n).select(
+                    F.lit(True).alias("__new"), "doc_id", "h"
+                ).unionByName(
+                    _ex_rows(index_df, id_col, text_col, n).select(
+                        F.lit(False).alias("__new"), "doc_id", "h"
+                    )
                 )
             )
-        )
-        ex_n = both.where(F.col("__new")).select("doc_id", "h")
-        ex_i = both.where(~F.col("__new")).select("doc_id", "h")
+            ex_n = both.where(F.col("__new")).select("doc_id", "h")
+            ex_i = both.where(~F.col("__new")).select("doc_id", "h")
         sizes_n, banded_n = _sig_from_ex(ex_n, k, bands)
         sizes_i, banded_i = _sig_from_ex(ex_i, k, bands)
     else:

@@ -153,26 +153,11 @@ def _positions_rows(toked: DataFrame, n_buckets: int) -> DataFrame:
     )
 
 
-def overlap_jobs(thunks, max_workers: int = 4) -> list:
-    """Run independent Spark-job thunks from a small thread pool (guide
-    §2.6 overlap-independent-jobs): actions are only sequential because
-    driver code calls them sequentially, so submitting independent writes
-    together lets each job's tasks back-fill the executors freed by the
-    others' stragglers. FIFO scheduling keeps the earlier job ahead; 2-4
-    in flight is enough to fill tails without fighting for executors.
-
-    Results return in submission order; the first thunk exception
-    propagates after all submitted futures settle (same loud-failure
-    surface as the sequential loop). ``SPARK_GRAFT_POOL=0`` serializes —
-    the interleaved-A/B hatch (r18 measurement discipline)."""
-    import os
-    from concurrent.futures import ThreadPoolExecutor
-
-    thunks = list(thunks)
-    if len(thunks) <= 1 or os.environ.get("SPARK_GRAFT_POOL", "1") == "0":
-        return [t() for t in thunks]
-    with ThreadPoolExecutor(max_workers=min(max_workers, len(thunks))) as pool:
-        return [f.result() for f in [pool.submit(t) for t in thunks]]
+# re-export: the query layer reaches the §2.6 overlap helper through this
+# module (its historical home); the implementation lives in partitioning
+# next to the other execution-shape helpers so non-index operators can
+# share it without importing the index machinery
+from ..partitioning import overlap_jobs  # noqa: E402  (module-order re-export)
 
 
 def _write_index_meta(spark: SparkSession, path: str, n_buckets: int, block_docs: int | None) -> None:

@@ -59,6 +59,28 @@ def truncate_lineage(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def overlap_jobs(thunks, max_workers: int = 4) -> list:
+    """Run independent Spark-job thunks from a small thread pool (guide
+    §2.6 overlap-independent-jobs): actions are only sequential because
+    driver code calls them sequentially, so submitting independent writes
+    together lets each job's tasks back-fill the executors freed by the
+    others' stragglers. FIFO scheduling keeps the earlier job ahead; 2-4
+    in flight is enough to fill tails without fighting for executors.
+
+    Results return in submission order; the first thunk exception
+    propagates after all submitted futures settle (same loud-failure
+    surface as the sequential loop). ``SPARK_GRAFT_POOL=0`` serializes —
+    the interleaved-A/B hatch (r18 measurement discipline)."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    thunks = list(thunks)
+    if len(thunks) <= 1 or os.environ.get("SPARK_GRAFT_POOL", "1") == "0":
+        return [t() for t in thunks]
+    with ThreadPoolExecutor(max_workers=min(max_workers, len(thunks))) as pool:
+        return [f.result() for f in [pool.submit(t) for t in thunks]]
+
+
 def truncate_lineage_lazy(df: DataFrame) -> DataFrame:
     """LAZY twin of :func:`truncate_lineage`: marks the frame for
     checkpointing but lets the CALLER'S NEXT ACTION materialize it — that
