@@ -777,15 +777,27 @@ def sim_hybrid_stored(spark: SparkSession, sf: str) -> DataFrame:
     )
     bm_path = tempfile.mkdtemp(prefix="bm25_hybrid_")
     shutil.rmtree(bm_path, ignore_errors=True)
-    write_bm25_index(spark, docs, bm_path, "doc_id", "text", n_buckets=16)
-    meta = train_ivf_pq_meta(
-        emb, "vec_id", "v",
-        ncent=_IVFPQ_NCENT, m=_PQ_M, dsub=_PQ_DSUB, ksub=_PQ_K,
-        iters=_PQ_ITERS, round_to=_PQ_R,
-    )
     ivf_path = tempfile.mkdtemp(prefix="ivfpq_hybrid_")
     shutil.rmtree(ivf_path, ignore_errors=True)
-    write_ivf_pq_index(spark, emb, ivf_path, meta, "vec_id", "v")
+
+    # the lexical build and the (train -> vector build) chain read disjoint
+    # sources and write disjoint index dirs — independent job chains,
+    # overlapped (guide §2.6); lockstep is irrelevant here (one-shot build,
+    # both complete before any probe)
+    from ..operators.text_index import overlap_jobs
+
+    def _vec_tier() -> None:
+        meta = train_ivf_pq_meta(
+            emb, "vec_id", "v",
+            ncent=_IVFPQ_NCENT, m=_PQ_M, dsub=_PQ_DSUB, ksub=_PQ_K,
+            iters=_PQ_ITERS, round_to=_PQ_R,
+        )
+        write_ivf_pq_index(spark, emb, ivf_path, meta, "vec_id", "v")
+
+    overlap_jobs([
+        lambda: write_bm25_index(spark, docs, bm_path, "doc_id", "text", n_buckets=16),
+        _vec_tier,
+    ])
     mapping = spark.createDataFrame(
         [(i, t) for i, t in enumerate(BM25_TERMS)], "query_id long, term string"
     )
@@ -1240,15 +1252,25 @@ def sim_hybrid_filtered(spark: SparkSession, sf: str) -> DataFrame:
     )
     bm_path = tempfile.mkdtemp(prefix="bm25_hyf_")
     shutil.rmtree(bm_path, ignore_errors=True)
-    write_bm25_index(spark, docs, bm_path, "doc_id", "text", n_buckets=16)
-    meta = train_ivf_pq_meta(
-        emb, "vec_id", "v",
-        ncent=_IVFPQ_NCENT, m=_PQ_M, dsub=_PQ_DSUB, ksub=_PQ_K,
-        iters=_PQ_ITERS, round_to=_PQ_R,
-    )
     ivf_path = tempfile.mkdtemp(prefix="ivfpq_hyf_")
     shutil.rmtree(ivf_path, ignore_errors=True)
-    write_ivf_pq_index(spark, emb, ivf_path, meta, "vec_id", "v")
+
+    # independent lexical / (train -> vector) build chains, overlapped —
+    # same shape as sim_hybrid_stored (guide §2.6)
+    from ..operators.text_index import overlap_jobs
+
+    def _vec_tier() -> None:
+        meta = train_ivf_pq_meta(
+            emb, "vec_id", "v",
+            ncent=_IVFPQ_NCENT, m=_PQ_M, dsub=_PQ_DSUB, ksub=_PQ_K,
+            iters=_PQ_ITERS, round_to=_PQ_R,
+        )
+        write_ivf_pq_index(spark, emb, ivf_path, meta, "vec_id", "v")
+
+    overlap_jobs([
+        lambda: write_bm25_index(spark, docs, bm_path, "doc_id", "text", n_buckets=16),
+        _vec_tier,
+    ])
     mapping = spark.createDataFrame(
         [(i, t) for i, t in enumerate(BM25_TERMS)], "query_id long, query string"
     )

@@ -35,7 +35,20 @@ def get_spark(app_name: str = "data_wrangle_openstreetmaps_data_1_spark", cpus: 
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Production knobs (guide §6/§9), env-parameterized so the bench
+        # stays methodology-comparable across rounds while a cluster
+        # deployment can flip them without code edits:
+        # - shuffle/spill codec: lz4 default locally; zstd trades CPU for
+        #   ratio — the win appears when shuffle bytes cross a real NIC,
+        #   which local[N] never shows (r19 sf1 A/B in OPTIMIZATION_r19.md)
+        # - scan split size: 128m default locally (the sf fixtures are
+        #   single-row-group files anyway); 512m-1g cuts task-scheduling
+        #   overhead and map-task count on large sequential cluster scans
+        .config("spark.io.compression.codec", os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"))
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(128 * 1024 * 1024)),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         # The driver's events.parquet stores TIMESTAMP(NANOS); Spark has no
