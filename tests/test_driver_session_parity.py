@@ -80,21 +80,31 @@ def test_plain_driver_session_replays_tuned_results(spark):
     import __spark_entry__ as m
 
     qs = m.queries()
+    # start the plain-session subprocess FIRST and compute the tuned-session
+    # expectations while it runs (guide §2.6 applied to the suite: the two
+    # sessions are separate processes with separate caches, so overlapping
+    # them is pure wall-time — this test was the suite's third-largest cost
+    # in the r19 duration profile). The child stays sequential: it replays
+    # the driver's battery exactly.
+    proc = subprocess.Popen(
+        [sys.executable, "-c", _CHILD, json.dumps(QUERIES), SF],
+        cwd=REPO,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+    )
     expected = {
         name: sorted(repr(tuple(r)) for r in qs[name](spark, SF).collect())
         for name in QUERIES
     }
-
-    proc = subprocess.run(
-        [sys.executable, "-c", _CHILD, json.dumps(QUERIES), SF],
-        cwd=REPO,
-        capture_output=True,
-        text=True,
-        timeout=300,
-    )
-    assert proc.returncode == 0, f"plain-session replay crashed:\n{proc.stderr[-3000:]}"
-    payload = [l for l in proc.stdout.splitlines() if l.startswith("PARITY:")]
-    assert payload, f"no parity payload in output:\n{proc.stdout[-2000:]}"
+    try:
+        stdout, stderr = proc.communicate(timeout=300)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        raise
+    assert proc.returncode == 0, f"plain-session replay crashed:\n{stderr[-3000:]}"
+    payload = [l for l in stdout.splitlines() if l.startswith("PARITY:")]
+    assert payload, f"no parity payload in output:\n{stdout[-2000:]}"
     got = json.loads(payload[0][len("PARITY:") :])
 
     for name in QUERIES:

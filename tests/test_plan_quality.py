@@ -345,15 +345,40 @@ def test_no_unexpected_products_registry_wide(spark):
     SKIP = {"dd_groups_cc", "dd_groups_cc_star", "dd_groups_minhash",
             "ml_kmeans", "dd_semantic", "tx_bpe_merges", "tx_bpe_encode",
             "dd_jaccard_prefix"}
-    offenders = {}
-    for name, fn in query_map().items():
-        if name.startswith(SKIP_PREFIXES) or name in SKIP:
-            continue
+    # plan construction runs real work for the stored-index queries (their
+    # builds execute while the frame is assembled), so the sequential walk
+    # was the suite's second-largest cost (471s of the r19 duration
+    # profile). Constructions are independent — overlap them from a small
+    # pool (guide §2.6) — but UNWRAPPED (registry raw functions, not
+    # query_map()): the driver-contract wrapper's clearCache-at-start is
+    # only safe BETWEEN queries; fired concurrently it evicts another
+    # in-flight query's pre-rewrite persist barrier (see
+    # tests/test_smoke.py::test_all_queries_execute_small). The lint
+    # reads each query's own plan text, unaffected by neighbors.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from data_wrangle_openstreetmaps_data_1_spark.plans import registry
+
+    def lint(item):
+        name, fn = item
         plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         if "CartesianProduct" in plan:
-            offenders[name] = "CartesianProduct"
-        elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
-            offenders[name] = "unexpected BroadcastNestedLoopJoin"
+            return name, "CartesianProduct"
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+            return name, "unexpected BroadcastNestedLoopJoin"
+        return None
+
+    registry._load_all()
+    items = [
+        (name, spec.spark)
+        for name, spec in registry.QUERIES.items()
+        if not name.startswith(SKIP_PREFIXES) and name not in SKIP
+    ]
+    try:
+        with ThreadPoolExecutor(max_workers=6) as pool:
+            offenders = dict(r for r in pool.map(lint, items) if r is not None)
+    finally:
+        spark.catalog.clearCache()
     assert not offenders, offenders
 
 
